@@ -1,0 +1,92 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Presto/Athena dialect-compatibility helpers.
+  *
+  * The reference executes its analytics in Athena (Presto SQL); three of its
+  * scalar functions have semantics that do NOT line up 1:1 with Spark
+  * built-ins (SURVEY.md §2.8 F4-F6, §4 hazards 1-3):
+  *
+  *  - `date_parse(str, '%m/%d/%Y %T %p')` — MySQL-style format strings
+  *    (reference: CDK/cdk/athena_queries/fixed_dates_violent.txt:7)
+  *  - `date_format(ts, '%W')` — full weekday name
+  *    (reference: CDK/cdk/athena_queries/fixed_dates_violent.txt:3)
+  *  - `DAY_OF_WEEK(ts)` — ISO numbering Monday=1..Sunday=7, whereas Spark's
+  *    `dayofweek` is Sunday=1..Saturday=7
+  *    (reference: CDK/cdk/athena_queries/fixed_dates_violent.txt:4)
+  *
+  * These compile to *compositions of Spark built-ins* — no custom Catalyst
+  * expression is needed, so everything stays inside whole-stage codegen.
+  */
+object PrestoCompat {
+
+  /** Translate a MySQL/Presto `date_parse`/`date_format` pattern to a JDK
+    * `DateTimeFormatter` pattern (the dialect Spark's `to_timestamp` /
+    * `date_format` take). Literal text is single-quoted so stray letters
+    * can't be misread as pattern characters.
+    */
+  def prestoPatternToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def lit(c: Char): Unit =
+      if (c.isLetter || c == '\'') sb.append('\'').append(if (c == '\'') "''" else c.toString).append('\'')
+      else sb.append(c)
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val code = fmt.charAt(i + 1)
+        val mapped = code match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'c' => "M"
+          case 'd' => "dd"
+          case 'e' => "d"
+          case 'H' => "HH"
+          case 'k' => "H"
+          case 'h' | 'I' => "hh"
+          case 'l' => "h"
+          case 'i' => "mm"
+          case 's' | 'S' => "ss"
+          case 'f' => "SSSSSS"
+          case 'p' => "a"
+          case 'T' => "HH:mm:ss"
+          case 'W' => "EEEE"
+          case 'a' => "EEE"
+          case 'M' => "MMMM"
+          case 'b' => "MMM"
+          case 'j' => "DDD"
+          case '%' => "%"
+          case other => other.toString // unknown code: pass through bare
+        }
+        sb.append(mapped); i += 2
+      } else { lit(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Presto `date_parse(str, fmt)` → timestamp. The reference's pattern
+    * `'%m/%d/%Y %T %p'` pairs a 24-hour `%T` with an AM/PM marker; Presto
+    * honors the meridiem, so the *intent* is a 12-hour parse — we translate
+    * `%T %p` to `hh:mm:ss a` rather than transliterating `%T` literally
+    * (SURVEY.md §2.8 F4). */
+  def dateParse(c: Column, prestoFmt: String): Column = {
+    val java = prestoPatternToJava(prestoFmt) match {
+      case p if p.contains("HH:mm:ss") && p.contains("a") =>
+        p.replace("HH:mm:ss", "hh:mm:ss")
+      case p => p
+    }
+    to_timestamp(c, java)
+  }
+
+  /** Presto `date_format(ts, fmt)` → string. */
+  def dateFormatP(c: Column, prestoFmt: String): Column =
+    date_format(c, prestoPatternToJava(prestoFmt))
+
+  /** Presto `DAY_OF_WEEK` / `dow`: ISO numbering Monday=1 .. Sunday=7.
+    * Spark `weekday` is Monday=0 .. Sunday=6, so `weekday + 1`. Long, like
+    * Presto's bigint return type. */
+  def dayOfWeekIso(c: Column): Column = (weekday(c) + lit(1)).cast("long")
+}
