@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +26,18 @@ object SparkEntry {
     "q4_fixed_dates"    -> (StarQueries.fixedDates _),
     "q5_partition_derive" -> (StarQueries.partitionDerive _),
     "q6_topk_window"    -> (StarQueries.topkWindow _),
+    "q7_token_stats"    -> (TextAnalysis.qTokenStats _),
+    "q8_quality_score"  -> (TextAnalysis.qQualityScore _),
+    "q9_lang_id"        -> (TextAnalysis.qLangId _),
+    "q10_fingerprint"   -> (TextAnalysis.qFingerprint _),
+    "q11_dedup_exact"   -> (Dedup.qExact _),
+    "q12_minhash_sig"   -> (Dedup.qMinhash _),
+    "q13_lsh_pairs"     -> (Dedup.qLshPairs _),
+    "q14_jaccard_pairs" -> (Dedup.qJaccardPairs _),
+    "q15_simhash"       -> (Dedup.qSimhash _),
+    "q16_embed_neardup" -> (Dedup.qEmbedNearDups _),
+    "q17_cosine_topk"   -> (Similarity.qCosineTopK _),
+    "q18_ann_lsh"       -> (Similarity.qAnnLsh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +49,17 @@ object SparkEntry {
     "q4_fixed_dates"    -> StarQueries.fixedDatesSql,
     "q5_partition_derive" -> StarQueries.partitionDeriveSql,
     "q6_topk_window"    -> StarQueries.topkWindowSql,
+    "q7_token_stats"    -> TextAnalysis.qTokenStatsSql,
+    "q8_quality_score"  -> TextAnalysis.qQualityScoreSql,
+    "q9_lang_id"        -> TextAnalysis.qLangIdSql,
+    "q10_fingerprint"   -> TextAnalysis.qFingerprintSql,
+    "q11_dedup_exact"   -> Dedup.qExactSql,
+    "q12_minhash_sig"   -> Dedup.qMinhashSql,
+    "q13_lsh_pairs"     -> Dedup.qLshPairsSql,
+    "q14_jaccard_pairs" -> Dedup.qJaccardPairsSql,
+    "q15_simhash"       -> Dedup.qSimhashSql,
+    "q16_embed_neardup" -> Dedup.qEmbedNearDupsSql,
+    "q17_cosine_topk"   -> Similarity.qCosineTopKSql,
+    "q18_ann_lsh"       -> Similarity.qAnnLshSql,
   )
 }

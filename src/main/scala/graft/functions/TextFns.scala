@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared deterministic text/hash primitives used by the dedup, text-analysis
+  * and similarity operators (SURVEY.md §7 step 8 — scale extensions).
+  *
+  * Everything here is a composition of codegen'd built-ins (no UDFs): the
+  * documents pipeline stays inside whole-stage codegen and is embarrassingly
+  * parallel — per-row expressions, no shuffle — so it scales linearly with
+  * input splits at 100 TB.
+  *
+  * Portability: hashes are defined as the first 15 hex digits of md5
+  * (a 60-bit value), not Spark's xxhash/murmur, so the DuckDB oracle can
+  * reproduce them bit-for-bit: Spark `conv(substring(md5(x),1,15),16,10)`
+  * == DuckDB `('0x'||substr(md5(x),1,15))::BIGINT`.
+  */
+object TextFns {
+
+  /** Deterministic 60-bit hash of a string, portable across engines. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash family member k (for MinHash). */
+  def hash60Seeded(k: Column, c: Column): Column =
+    hash60(concat(k.cast("string"), lit(":"), c))
+
+  /** Whitespace tokens of the raw text. */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word n-gram shingles (default 3). Documents shorter than n words
+    * collapse to one (shorter) shingle via the greatest(…,1) guard. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val w = wsTokens(c)
+    transform(
+      sequence(lit(1), greatest(size(w) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(n))))
+  }
+
+  /** Distinct word n-gram shingles (for Jaccard set semantics). */
+  def shingleSet(c: Column, n: Int = 3): Column = array_distinct(shingles(c, n))
+
+  /** Normalized-text fingerprint: lowercase, non-alphanumerics collapsed to
+    * single spaces, then md5 — a content-defined document identity robust to
+    * whitespace/punctuation noise. */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")))
+}

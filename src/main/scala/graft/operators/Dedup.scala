@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.TextFns._
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline (builder-prompt scale extensions; the reference
+  * itself never dedups, SURVEY.md §2.9 hazard 7, so these go beyond its
+  * surface).
+  *
+  * Scale design (100 TB):
+  *  - exact / fingerprint dedup: one hash-partition shuffle on a 32-char
+  *    key, partial+final hash-agg — the canonical Spark dedup.
+  *  - MinHash signatures: per-row narrow expressions (shingle → 60-bit
+  *    seeded hashes → per-seed min), NO shuffle and no explode of the
+  *    shingle set across rows; whole-stage codegen end to end.
+  *  - LSH banding: the only shuffle is groupBy(band, band_hash) whose
+  *    cardinality is ~n_docs×n_bands with near-uniform md5 keys — no skew.
+  *    Candidate pairs then get exact-Jaccard verification, so the expensive
+  *    O(n²) comparison never materializes; cost is O(candidates).
+  *  - embedding near-dup: brute-force pair join at test scale; the LSH
+  *    bucketed variant in [[Similarity]] is the 100 TB path.
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val NumBands = 4 // 4 rows per band
+
+  /** Exact dedup rollup: group by content hash, keep the canonical
+    * (minimum) doc_id. `md5(text)` rather than raw text as the shuffle key
+    * keeps reducer keys fixed-width. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature in long format: (doc_id, k, minhash) for
+    * k = 0..NumHashes-1 over word 3-gram shingles. */
+  def minhashSignature(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${NumHashes - 1}), k ->
+           |  array_min(transform(sh, s ->
+           |    cast(conv(substring(md5(concat(cast(k as string), ':', s)), 1, 15), 16, 10) as bigint))))
+           |""".stripMargin)))
+      .withColumnRenamed("pos", "k")
+      .withColumnRenamed("col", "minhash")
+      .withColumn("k", col("k").cast("long"))
+
+  /** LSH band keys: NumBands bands of NumHashes/NumBands rows each;
+    * band_hash = md5 of the comma-joined signature slice. */
+  def lshBands(docs: DataFrame): DataFrame = {
+    val rows = NumHashes / NumBands
+    docs
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${NumHashes - 1}), k ->
+           |  array_min(transform(sh, s ->
+           |    cast(conv(substring(md5(concat(cast(k as string), ':', s)), 1, 15), 16, 10) as bigint))))
+           |""".stripMargin).as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${NumBands - 1}), b ->
+           |  md5(concat_ws(',', transform(slice(sig, b * $rows + 1, $rows), x -> cast(x as string)))))""".stripMargin)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+      .withColumn("band", col("band").cast("long"))
+  }
+
+  /** LSH candidate pairs: documents sharing any band hash. The join is on
+    * (band, band_hash) — both sides are the same banded relation, so at
+    * scale this is a shuffle-on-band-hash self-join with uniform keys. */
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    val b = lshBands(docs)
+    val l = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact word-3-gram Jaccard for the LSH candidates (verification stage
+    * of MinHash dedup). Only candidate pairs pay the set-intersection cost. */
+  def jaccardPairs(docs: DataFrame): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    lshCandidatePairs(docs)
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
+  }
+
+  /** 16-bit SimHash over whitespace tokens: each token's 60-bit hash votes
+    * ±1 per bit position; the sign vector packs into an integer. Near-dup
+    * docs differ in few bits (compare via Hamming distance downstream). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr(
+        """aggregate(
+          |  transform(sequence(0, 15), b ->
+          |    if(aggregate(
+          |         transform(split(trim(text), '\\s+'), w ->
+          |           if((shiftright(cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint), b) & 1) = 1, 1, -1)),
+          |         0, (acc, x) -> acc + x) > 0,
+          |       shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+          |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+
+  /** Embedding near-duplicates: pairs with cosine >= threshold. Brute-force
+    * pair join (test scale); [[Similarity.annLsh]] is the bucketed path. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.cosine(col("e_a"), col("e_b")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  // ---- SparkEntry wiring -------------------------------------------------
+
+  def qExact(s: SparkSession, d: String): DataFrame =
+    exact(Tables.documents(s, d)).orderBy("content_hash")
+
+  val qExactSql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+      |       COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  /** Shared DuckDB fragment: word-3-gram shingle set of `text`. */
+  private val shinglesSqlExpr: String =
+    """list_distinct(list_transform(
+      |      range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+      |      i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' ')))""".stripMargin
+
+  private val h60SqlExpr: String =
+    "('0x' || substr(md5(k::VARCHAR || ':' || s), 1, 15))::BIGINT"
+
+  def qMinhash(s: SparkSession, d: String): DataFrame =
+    minhashSignature(Tables.documents(s, d)).orderBy("doc_id", "k")
+
+  val qMinhashSql: String =
+    s"""WITH sh AS (SELECT doc_id, $shinglesSqlExpr AS shg FROM documents)
+       |SELECT doc_id, k,
+       |       list_min(list_transform(shg, s -> $h60SqlExpr)) AS minhash
+       |FROM sh, range(0, ${NumHashes}) t(k)
+       |ORDER BY doc_id, k""".stripMargin
+
+  def qLshPairs(s: SparkSession, d: String): DataFrame =
+    lshCandidatePairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
+
+  val qLshPairsSql: String = {
+    val rows = NumHashes / NumBands
+    s"""WITH sh AS (SELECT doc_id, $shinglesSqlExpr AS shg FROM documents),
+       |sig AS (
+       |  SELECT doc_id, k,
+       |         list_min(list_transform(shg, s -> $h60SqlExpr)) AS minhash
+       |  FROM sh, range(0, ${NumHashes}) t(k)),
+       |bands AS (
+       |  SELECT doc_id, k // $rows AS band,
+       |         md5(string_agg(minhash::VARCHAR, ',' ORDER BY k)) AS band_hash
+       |  FROM sig GROUP BY doc_id, k // $rows)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def qJaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
+
+  val qJaccardPairsSql: String = {
+    val rows = NumHashes / NumBands
+    s"""WITH sh AS (SELECT doc_id, $shinglesSqlExpr AS shg FROM documents),
+       |sig AS (
+       |  SELECT doc_id, k,
+       |         list_min(list_transform(shg, s -> $h60SqlExpr)) AS minhash
+       |  FROM sh, range(0, ${NumHashes}) t(k)),
+       |bands AS (
+       |  SELECT doc_id, k // $rows AS band,
+       |         md5(string_agg(minhash::VARCHAR, ',' ORDER BY k)) AS band_hash
+       |  FROM sig GROUP BY doc_id, k // $rows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       ROUND(CAST(len(list_intersect(x.shg, y.shg)) AS DOUBLE)
+       |             / len(list_distinct(list_concat(x.shg, y.shg))), 6) AS jaccard
+       |FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+       |          JOIN sh y ON cand.doc_b = y.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def qSimhash(s: SparkSession, d: String): DataFrame =
+    simhash(Tables.documents(s, d)).orderBy("doc_id")
+
+  val qSimhashSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents)
+      |SELECT doc_id,
+      |       list_sum(list_transform(range(0, 16), b ->
+      |         CASE WHEN list_sum(list_transform(toks, w ->
+      |                CASE WHEN ((('0x' || substr(md5(w), 1, 15))::BIGINT >> b) & 1) = 1
+      |                     THEN 1 ELSE -1 END)) > 0
+      |              THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  def qEmbedNearDups(s: SparkSession, d: String): DataFrame =
+    embeddingNearDups(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")
+
+  /** The ::DOUBLE[] casts make DuckDB accumulate in float64 like Spark's
+    * double-typed zip_with/aggregate (float32 output would diverge at the
+    * 4th decimal). */
+  val qEmbedNearDupsSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+import graft.functions.TextFns.hash60
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (`embedding: array<float>`, dim 64).
+  *
+  * Two paths (builder-prompt scale extensions):
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast,
+  *    so the candidate side streams through a single narrow pass — cost
+  *    O(|queries| × |corpus|), no shuffle except the final per-query top-k
+  *    (a tiny window over ≤ |queries| × |corpus| rows partitioned by query).
+  *    The CORRECTNESS baseline.
+  *  - [[annLsh]]: random-hyperplane LSH. Each vector gets a sign-bit bucket
+  *    from `nPlanes` deterministic pseudo-random hyperplanes; search only
+  *    compares vectors in the query's bucket. At 100 TB the bucket join is
+  *    a shuffle on a small integer key with ~uniform occupancy — the
+  *    classic scale path (recall measured against brute force in tests).
+  *
+  * Cosine is a composition of `zip_with`/`aggregate` higher-order
+  * functions over the float arrays, accumulating in double — deterministic,
+  * portable (matches the DuckDB oracle's `list_cosine_similarity`), and no
+  * UDF.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double in
+    * index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k
+    * nearest corpus vectors (excluding itself). Rank on the rounded
+    * similarity with vec_id tiebreak so ordering is engine-portable. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val scored = q.hint("broadcast").join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Multi-table LSH: NumTables independent hash tables of PlanesPerTable
+    * sign bits each. One concatenated code of many planes has near-zero
+    * recall on weakly-correlated vectors (P(all planes agree) decays
+    * exponentially), so the standard scheme is: candidates = union over
+    * tables of same-bucket vectors. */
+  val NumTables = 8
+  val PlanesPerTable = 4
+
+  /** Deterministic pseudo-random hyperplane weight for (plane p, dim i):
+    * uniform in [-1, 1] from the portable 60-bit md5 hash of "p:i" — the
+    * exact formula the DuckDB oracle recomputes in SQL. Precomputed on the
+    * driver and inlined as array literals so executors don't re-hash
+    * per row. */
+  private[operators] def planeWeight(p: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    (h % 2001L - 1000L).toDouble / 1000.0
+  }
+
+  /** Sign-bit bucket id of an embedding within hash table `t` (planes
+    * t*PlanesPerTable .. t*PlanesPerTable+PlanesPerTable-1). */
+  def lshBucket(emb: Column, t: Int, dim: Int = 64): Column = {
+    val bits = (0 until PlanesPerTable).map { p =>
+      val w = typedLit((0 until dim).map(i => planeWeight(t * PlanesPerTable + p, i)))
+      val proj = aggregate(zip_with(emb, w, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** (vec_id, embedding, t, bucket) — one row per vector per hash table.
+    * Per-row narrow expressions; the downstream join shuffles on the small
+    * (t, bucket) key. */
+  def lshBucketed(emb: DataFrame): DataFrame = {
+    val buckets = array((0 until NumTables).map(t => lshBucket(col("embedding"), t)): _*)
+    emb.select(col("vec_id"), col("embedding"), posexplode(buckets))
+      .withColumnRenamed("pos", "t")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** ANN via multi-table LSH: candidates share any table's bucket with the
+    * query; each distinct candidate is cosine-scored once. Output shape
+    * matches [[bruteForceTopK]] (recall < 1 by design, measured in tests). */
+  def annLsh(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val bucketed = lshBucketed(emb)
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("cand_id"), col("t"), col("bucket"))
+    val cand = q.hint("broadcast").join(c, Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val ce = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val scored = cand
+      .join(qe.hint("broadcast"), Seq("query_id"))
+      .join(ce, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  // ---- SparkEntry wiring -------------------------------------------------
+
+  def qCosineTopK(s: SparkSession, d: String): DataFrame =
+    bruteForceTopK(Tables.embeddings(s, d)).orderBy("query_id", "rnk")
+
+  val qCosineTopKSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      |           FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT query_id, c.vec_id AS cand_id,
+      |         ROUND(list_cosine_similarity(q_emb::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos_sim
+      |  FROM q JOIN embeddings c ON query_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                               ORDER BY cos_sim DESC, cand_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, cand_id, cos_sim, rnk FROM ranked
+      |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  def qAnnLsh(s: SparkSession, d: String): DataFrame =
+    annLsh(Tables.embeddings(s, d)).orderBy("query_id", "rnk")
+
+  val qAnnLshSql: String = {
+    def bucketExpr(t: Int): String = (0 until PlanesPerTable).map { p =>
+      val plane = t * PlanesPerTable + p
+      s"""CASE WHEN list_sum(list_transform(range(0, 64), i ->
+         |  embedding[i + 1] * (((('0x' || substr(md5('$plane:' || i::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
+         |)) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+    val tableRows = (0 until NumTables)
+      .map(t => s"SELECT vec_id, $t AS t, ${bucketExpr(t)} AS bucket FROM embeddings")
+      .mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |$tableRows),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT query_id, cand_id,
+       |         ROUND(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 4) AS cos_sim
+       |  FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+       |            JOIN embeddings ce ON cand.cand_id = ce.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, cand_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, cand_id, cos_sim, rnk FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+}

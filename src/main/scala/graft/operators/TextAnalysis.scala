@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.TextFns._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: token counting, quality scoring, n-gram-heuristic language ID, and
+  * document fingerprinting (builder-prompt scale extensions; nearest
+  * reference analog is the string handling in
+  * CDK/cdk/athena_queries/count_by_crime_type.txt).
+  *
+  * All four are per-row narrow transforms — a single parquet scan, no
+  * shuffle (except the final fingerprint groupBy, which is a standard
+  * partial+final hash-agg). At 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Token statistics: whitespace tokens, regex word/punctuation tokens
+    * (a BPE-ish pre-tokenization), distinct tokens, chars. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("ws_tokens"),
+      size(array_distinct(toks)).cast("long").as("distinct_tokens"),
+      expr("cast(size(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0)) as bigint)")
+        .as("re_tokens"))
+  }
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality heuristics: length, punctuation ratio, stopword ratio, mean
+    * token length, and a composite score in [0,1]. Ratios are rounded so
+    * the cross-engine compare is stable. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter_(toks, t => t.isInCollection(stopwords))).cast("double")
+    val punct = expr("cast(size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)) as bigint)")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      round(punct.cast("double") / length(col("text")).cast("double"), 6).as("punct_ratio"),
+      round(stopHits / nTok, 6).as("stopword_ratio"),
+      round(length(col("text")).cast("double") / nTok, 6).as("mean_token_len"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens").cast("double") / 50.0)
+          * (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5.0))
+          * least(lit(1.0), col("stopword_ratio") * 4.0 + 0.2), 6))
+  }
+
+  /** Per-language marker lexicons for the n-gram-heuristic language ID.
+    * Disjoint across languages so scores are unambiguous. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "los", "una", "por", "que"),
+    "de" -> Seq("der", "und", "das", "ein", "ist"),
+    "fr" -> Seq("les", "des", "une", "dans", "pour"),
+    "zh" -> Seq("shi", "bu", "wo", "zai", "you"),
+  )
+
+  /** Language ID: marker-word hit rate per language, argmax with a fixed
+    * priority order (the declaration order above) as tiebreak. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val scored = docs.select(
+      (col("doc_id") +: langMarkers.map { case (lang, words) =>
+        round(size(filter_(toks, t => t.isInCollection(words))).cast("double")
+          / size(toks).cast("double"), 6).as(s"score_$lang")
+      }): _*)
+    // argmax by priority: first language whose score >= all later ones
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), rest) =>
+      val ge = langs.drop(i + 1)
+        .map(o => col(s"score_$l") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Normalized-content fingerprint groups: one row per distinct
+    * fingerprint with the canonical (minimum) doc_id and group size —
+    * the rollup a fingerprint-dedup pass keeps. */
+  def fingerprintGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_docs"))
+
+  // Spark's filter() HOF clashes with Dataset.filter in the DSL; alias it.
+  private def filter_(arr: org.apache.spark.sql.Column,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.filter(arr, f)
+
+  // ---- SparkEntry wiring -------------------------------------------------
+
+  def qTokenStats(s: SparkSession, d: String): DataFrame =
+    tokenStats(Tables.documents(s, d)).orderBy("doc_id")
+
+  val qTokenStatsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(text) AS BIGINT) AS n_chars,
+      |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      |       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS distinct_tokens,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def qQualityScore(s: SparkSession, d: String): DataFrame =
+    qualityScore(Tables.documents(s, d)).orderBy("doc_id")
+
+  val qQualityScoreSql: String = {
+    val stop = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(text) AS BIGINT) AS n_chars,
+       |         regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
+       |  FROM documents)
+       |SELECT doc_id, n_chars,
+       |       CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       |       ROUND(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+       |       ROUND(CAST(n_chars AS DOUBLE) / len(toks), 6) AS mean_token_len,
+       |       ROUND(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+       |             * (1.0 - LEAST(1.0, ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) * 5.0))
+       |             * LEAST(1.0, ROUND(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks), 6) * 4.0 + 0.2), 6) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  def qLangId(s: SparkSession, d: String): DataFrame =
+    langId(Tables.documents(s, d)).orderBy("doc_id")
+
+  val qLangIdSql: String = {
+    val scoreCols = langMarkers.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"ROUND(CAST(len(list_filter(toks, x -> x IN ($set))) AS DOUBLE) / len(toks), 6) AS score_$lang"
+    }.mkString(",\n       ")
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") { case ((l, i), rest) =>
+      val ge = langs.drop(i + 1).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"CASE WHEN $ge THEN '$l' ELSE $rest END"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |s AS (
+       |SELECT doc_id,
+       |       $scoreCols
+       |FROM t)
+       |SELECT *, $pred AS pred_lang FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    fingerprintGroups(Tables.documents(s, d)).orderBy("fp")
+
+  val qFingerprintSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+      |       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+}

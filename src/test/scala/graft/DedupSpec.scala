@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFns
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),       // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),     // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "another unrelated document with its own words here"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per content hash") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 4) // 5 docs, one exact pair
+    assert(out.values.count(_._2 == 2L) == 1)
+    val dupGroup = out.values.find(_._2 == 2L).get
+    assert(dupGroup._1 == 1L) // canonical = min doc_id
+  }
+
+  test("minhash signatures: identical docs identical, near-dups mostly agree") {
+    val sig = Dedup.minhashSignature(docs).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    assert(sig(1L) == sig(2L))
+    val agree13 = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(agree13 >= Dedup.NumHashes / 2, s"near-dups agree on $agree13/16")
+    val agree14 = sig(1L).zip(sig(4L)).count { case (a, b) => a == b }
+    assert(agree14 <= 2, s"unrelated docs agree on $agree14/16")
+  }
+
+  test("LSH candidates include exact+near dup pairs, jaccard confirms") {
+    val pairs = Dedup.lshCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    val jac = Dedup.jaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) == 1.0)
+    jac.get((1L, 3L)).foreach(j => assert(j > 0.4 && j < 1.0))
+  }
+
+  test("simhash: exact dups equal, near-dups close in hamming distance") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) <= 6)
+  }
+
+  test("hash60 matches the DuckDB formula on a known value") {
+    // DuckDB: ('0x'||substr(md5('abc'),1,15))::BIGINT = 648541476951500027
+    val got = spark.range(1)
+      .select(TextFns.hash60(lit("abc"))).as[Long].collect().head
+    assert(got == 648541476951500027L)
+  }
+
+  test("embedding near-dups on fixture: symmetric-free pairs above threshold") {
+    val out = Dedup.qEmbedNearDups(spark, "/root/testdata/sf0.01")
+    val rows = out.collect()
+    assert(rows.length == 14) // measured fixture ground truth at sf0.01
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.45))
+  }
+
+  test("ANN LSH recall vs brute force at sf0.001") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annLsh(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 8 hyperplanes -> 256 buckets over 500 vecs: recall is partial by design,
+    // but must be far better than random (10/500 ≈ 2%).
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
+  test("brute-force top-k is exhaustive and correctly ranked") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val out = Similarity.bruteForceTopK(emb, nQueries = 2, k = 5).collect()
+    assert(out.length == 10)
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.values.foreach { rs =>
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse, "descending by similarity")
+    }
+  }
+}

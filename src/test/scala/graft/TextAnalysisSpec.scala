@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+import graft.functions.TextFns
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs = Seq(
+    (1L, "the quick brown fox and the lazy dog"),
+    (2L, "Hello, world! How are you??"),
+    (3L, "el perro que corre por los campos"),
+  ).toDF("doc_id", "text")
+
+  test("token stats: whitespace vs regex tokenization") {
+    val out = TextAnalysis.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((8L, 7L, 8L)))          // 8 ws tokens, 7 distinct ("the" x2)
+    // "Hello, world! How are you??" -> ws: 5; regex: 5 words + 4 punct = 9
+    assert(out(2L)._1 == 5L && out(2L)._3 == 9L)
+  }
+
+  test("quality score components in range") {
+    val rows = TextAnalysis.qualityScore(docs).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1, "punct_ratio")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1, "stopword_ratio")
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1, "quality")
+    }
+    val q = rows.map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    assert(q(1L) > q(2L), "clean stopword-rich text scores above punct-heavy")
+  }
+
+  test("lang id picks marker-matching language deterministically") {
+    val out = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(out(1L) == "en")
+    assert(out(3L) == "es")
+  }
+
+  test("fingerprint is whitespace/punct/case-insensitive") {
+    val d = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD?"),
+      (4L, "goodbye world"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprintGroups(d).collect()
+    assert(out.length == 2)
+    val grp = out.find(_.getLong(2) == 3L).get
+    assert(grp.getLong(1) == 1L) // canonical doc_id of the hello-world group
+  }
+
+  test("shingles: 3-word grams with short-doc fallback") {
+    val d = Seq((1L, "a b c d"), (2L, "only two")).toDF("doc_id", "text")
+    val sh = d.select(col("doc_id"), TextFns.shingles(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq("only two"))
+  }
+}
