@@ -28,6 +28,28 @@ object Dedup {
   val NumHashes = 16
   val NumBands = 4 // 4 rows per band
 
+  /** MinHash family: one expensive portable md5 per shingle gives
+    * h0 = hash60(s) mod P; family member k is the cheap affine map
+    * h_k = ((2k+1)·h0 + k·104729) mod P over the Mersenne prime P = 2^31-1.
+    * (2k+1)·h0 + k·104729 < 2^36 — no 64-bit overflow in either engine.
+    * This is 16× fewer md5 calls than hashing (k, shingle) pairs, which
+    * dominated the profile. */
+  val HashPrime = 2147483647L
+  private def familySqlSpark = // h0s: array<bigint> of base hashes
+    s"transform(sequence(0, ${NumHashes - 1}), k -> array_min(transform(h0s, h -> ((2*cast(k as bigint)+1) * h + cast(k as bigint) * 104729) % $HashPrime)))"
+
+  /** (doc_id, sh, h0s): distinct word-3-gram shingles and their base
+    * hashes — the shared input of the minhash/LSH/jaccard stages. Cached:
+    * q12/q13/q14 and both sides of the LSH self-join reuse the exact same
+    * plan, and Spark would otherwise re-run the md5 pass per reference
+    * (CollapseProject inlines it into each consumer). */
+  private[operators] def shingleBase(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      .withColumn("h0s", expr(
+        s"transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % $HashPrime)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact dedup rollup: group by content hash, keep the canonical
     * (minimum) doc_id. `md5(text)` rather than raw text as the shuffle key
     * keeps reducer keys fixed-width. */
@@ -38,13 +60,8 @@ object Dedup {
   /** MinHash signature in long format: (doc_id, k, minhash) for
     * k = 0..NumHashes-1 over word 3-gram shingles. */
   def minhashSignature(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, ${NumHashes - 1}), k ->
-           |  array_min(transform(sh, s ->
-           |    cast(conv(substring(md5(concat(cast(k as string), ':', s)), 1, 15), 16, 10) as bigint))))
-           |""".stripMargin)))
+    shingleBase(docs)
+      .select(col("doc_id"), posexplode(expr(familySqlSpark)))
       .withColumnRenamed("pos", "k")
       .withColumnRenamed("col", "minhash")
       .withColumn("k", col("k").cast("long"))
@@ -53,13 +70,8 @@ object Dedup {
     * band_hash = md5 of the comma-joined signature slice. */
   def lshBands(docs: DataFrame): DataFrame = {
     val rows = NumHashes / NumBands
-    docs
-      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, ${NumHashes - 1}), k ->
-           |  array_min(transform(sh, s ->
-           |    cast(conv(substring(md5(concat(cast(k as string), ':', s)), 1, 15), 16, 10) as bigint))))
-           |""".stripMargin).as("sig"))
+    shingleBase(docs)
+      .select(col("doc_id"), expr(familySqlSpark).as("sig"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, ${NumBands - 1}), b ->
            |  md5(concat_ws(',', transform(slice(sig, b * $rows + 1, $rows), x -> cast(x as string)))))""".stripMargin)))
@@ -83,7 +95,7 @@ object Dedup {
   /** Exact word-3-gram Jaccard for the LSH candidates (verification stage
     * of MinHash dedup). Only candidate pairs pay the set-intersection cost. */
   def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    val sets = shingleBase(docs).select(col("doc_id"), col("sh"))
     lshCandidatePairs(docs)
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -135,16 +147,21 @@ object Dedup {
       |      range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
       |      i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' ')))""".stripMargin
 
-  private val h60SqlExpr: String =
-    "('0x' || substr(md5(k::VARCHAR || ':' || s), 1, 15))::BIGINT"
+  /** DuckDB mirror of the base-hash + affine-family scheme. */
+  private val h0SqlExpr: String =
+    s"(('0x' || substr(md5(s), 1, 15))::BIGINT) % $HashPrime"
+
+  private val familySqlDuck: String =
+    s"((2*k + 1) * h + k * 104729) % $HashPrime"
 
   def qMinhash(s: SparkSession, d: String): DataFrame =
     minhashSignature(Tables.documents(s, d)).orderBy("doc_id", "k")
 
   val qMinhashSql: String =
-    s"""WITH sh AS (SELECT doc_id, $shinglesSqlExpr AS shg FROM documents)
+    s"""WITH sh AS (SELECT doc_id, list_transform($shinglesSqlExpr, s -> $h0SqlExpr) AS h0s
+       |            FROM documents)
        |SELECT doc_id, k,
-       |       list_min(list_transform(shg, s -> $h60SqlExpr)) AS minhash
+       |       list_min(list_transform(h0s, h -> $familySqlDuck)) AS minhash
        |FROM sh, range(0, ${NumHashes}) t(k)
        |ORDER BY doc_id, k""".stripMargin
 
@@ -153,10 +170,11 @@ object Dedup {
 
   val qLshPairsSql: String = {
     val rows = NumHashes / NumBands
-    s"""WITH sh AS (SELECT doc_id, $shinglesSqlExpr AS shg FROM documents),
+    s"""WITH sh AS (SELECT doc_id, list_transform($shinglesSqlExpr, s -> $h0SqlExpr) AS h0s
+       |            FROM documents),
        |sig AS (
        |  SELECT doc_id, k,
-       |         list_min(list_transform(shg, s -> $h60SqlExpr)) AS minhash
+       |         list_min(list_transform(h0s, h -> $familySqlDuck)) AS minhash
        |  FROM sh, range(0, ${NumHashes}) t(k)),
        |bands AS (
        |  SELECT doc_id, k // $rows AS band,
@@ -173,10 +191,12 @@ object Dedup {
 
   val qJaccardPairsSql: String = {
     val rows = NumHashes / NumBands
-    s"""WITH sh AS (SELECT doc_id, $shinglesSqlExpr AS shg FROM documents),
+    s"""WITH sh AS (SELECT doc_id, $shinglesSqlExpr AS shg,
+       |                   list_transform($shinglesSqlExpr, s -> $h0SqlExpr) AS h0s
+       |            FROM documents),
        |sig AS (
        |  SELECT doc_id, k,
-       |         list_min(list_transform(shg, s -> $h60SqlExpr)) AS minhash
+       |         list_min(list_transform(h0s, h -> $familySqlDuck)) AS minhash
        |  FROM sh, range(0, ${NumHashes}) t(k)),
        |bands AS (
        |  SELECT doc_id, k // $rows AS band,

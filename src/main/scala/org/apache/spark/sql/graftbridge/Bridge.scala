@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 moved `Column` to sql-api (backed by ColumnNode); the catalyst
+  * Expression bridge `classic.ExpressionUtils` is `private[sql]`. This
+  * shim lives under org.apache.spark.sql solely to re-export the two
+  * conversions custom Catalyst expressions need. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
