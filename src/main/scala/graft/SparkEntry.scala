@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,12 @@ object SparkEntry {
     "q16_embed_neardup" -> (Dedup.qEmbedNearDups _),
     "q17_cosine_topk"   -> (Similarity.qCosineTopK _),
     "q18_ann_lsh"       -> (Similarity.qAnnLsh _),
+    "q19_event_windows" -> (Events.qHourlyWindows _),
+    "q20_json_extract"  -> (Events.qJsonExtract _),
+    "q21_sessionize"    -> (Events.qSessionize _),
+    "q22_asof_join"     -> (Events.qAsOfJoin _),
+    "q23_media_features" -> (Multimodal.qMediaFeatures _),
+    "q24_frame_sample"  -> (Multimodal.qFrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,5 +67,11 @@ object SparkEntry {
     "q16_embed_neardup" -> Dedup.qEmbedNearDupsSql,
     "q17_cosine_topk"   -> Similarity.qCosineTopKSql,
     "q18_ann_lsh"       -> Similarity.qAnnLshSql,
+    "q19_event_windows" -> Events.qHourlyWindowsSql,
+    "q20_json_extract"  -> Events.qJsonExtractSql,
+    "q21_sessionize"    -> Events.qSessionizeSql,
+    "q22_asof_join"     -> Events.qAsOfJoinSql,
+    "q23_media_features" -> Multimodal.qMediaFeaturesSql,
+    "q24_frame_sample"  -> Multimodal.qFrameSampleSql,
   )
 }
