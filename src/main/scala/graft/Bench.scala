@@ -10,11 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed generic warmup: JVM/codegen/parquet-reader init, so the
+    // alphabetically-first query doesn't absorb session startup.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // noop sink: forces full computation + materialization of every output
+    // column (count() would let Catalyst prune the projections away).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

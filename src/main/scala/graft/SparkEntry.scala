@@ -44,6 +44,10 @@ object SparkEntry {
     "q22_asof_join"     -> (Events.qAsOfJoin _),
     "q23_media_features" -> (Multimodal.qMediaFeatures _),
     "q24_frame_sample"  -> (Multimodal.qFrameSample _),
+    "q25_pricing_summary" -> (PricingQueries.pricingSummary _),
+    "q26_shipping_priority" -> (PricingQueries.shippingPriority _),
+    "q27_schema_drift_union" -> (PricingQueries.schemaDriftUnion _),
+    "q28_distinct_counts" -> (PricingQueries.distinctCounts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +77,9 @@ object SparkEntry {
     "q22_asof_join"     -> Events.qAsOfJoinSql,
     "q23_media_features" -> Multimodal.qMediaFeaturesSql,
     "q24_frame_sample"  -> Multimodal.qFrameSampleSql,
+    "q25_pricing_summary" -> PricingQueries.pricingSummarySql,
+    "q26_shipping_priority" -> PricingQueries.shippingPrioritySql,
+    "q27_schema_drift_union" -> PricingQueries.schemaDriftUnionSql,
+    "q28_distinct_counts" -> PricingQueries.distinctCountsSql,
   )
 }

@@ -1,0 +1,116 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Headline analytical aggregates in the TPC-H mold over the star schema —
+  * the sum/avg/min/max + multi-join shapes the reference's own workload
+  * lacks (its aggregations are all COUNT(*), SURVEY.md §2.4 "absent" rows).
+  * Money sums go through decimal(18,2) so they are order-independent and
+  * bit-equal across engines, then surface as double.
+  *
+  * Scale notes: q25 is the canonical scan + partial/final hash-agg on a
+  * 6-value grouping key — no skew, one shuffle. q26 joins the fact table
+  * to two selective dims: both dim sides are broadcast, so the only
+  * shuffle is the final (small) aggregation.
+  */
+object PricingQueries {
+
+  /** q25 — pricing summary (TPC-H Q1 shape): filtered scan, group by two
+    * low-cardinality flags, exact decimal sums/averages. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast("decimal(18,2)")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum((dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+      |       SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+      |       SUM((l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(28,6))::DOUBLE AS sum_disc_price,
+      |       SUM(l_quantity::DECIMAL(18,2))::DOUBLE / COUNT(*) AS avg_qty,
+      |       MIN(l_extendedprice) AS min_price,
+      |       MAX(l_extendedprice) AS max_price,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q26 — shipping-priority style (TPC-H Q3 shape): fact ⋈ two broadcast
+    * dims with selective predicates, revenue top-10. */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("2000-01-01"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1997-01-01"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)")
+        * (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,6)"))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |       SUM((l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(28,6))::DOUBLE AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q27 — schema-drift union (S7/D2 + §2.7: UNION ALL by name with
+    * reconciliation): two projections of orders with drifted columns,
+    * unioned by name with missing columns nulled — the crawler's
+    * CombineCompatibleSchemas analog. */
+  def schemaDriftUnion(s: SparkSession, d: String): DataFrame = {
+    val day1 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val day2 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    day1.unionByName(day2, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  val schemaDriftUnionSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS o_orderpriority
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL BY NAME
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority
+      |FROM orders WHERE o_orderkey % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q28 — distinct + approximate distinct side by side: exact
+    * COUNT(DISTINCT) has a DuckDB oracle; the HLL estimate is
+    * Spark-internal (different sketch implementations can't hash-match)
+    * and is bounds-asserted in tests instead. */
+  def distinctCounts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val distinctCountsSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+}

@@ -106,18 +106,25 @@ object Dedup {
 
   /** 16-bit SimHash over whitespace tokens: each token's 60-bit hash votes
     * ±1 per bit position; the sign vector packs into an integer. Near-dup
-    * docs differ in few bits (compare via Hamming distance downstream). */
+    * docs differ in few bits (compare via Hamming distance downstream).
+    *
+    * Single pass: hash each word ONCE, fold a 16-counter vote array over
+    * the words, then pack sign bits — not 16 per-bit passes that would
+    * re-run md5 per bit (16× the cost, measured). */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       expr(
         """aggregate(
-          |  transform(sequence(0, 15), b ->
-          |    if(aggregate(
-          |         transform(split(trim(text), '\\s+'), w ->
-          |           if((shiftright(cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint), b) & 1) = 1, 1, -1)),
-          |         0, (acc, x) -> acc + x) > 0,
-          |       shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+          |  zip_with(
+          |    aggregate(
+          |      transform(split(trim(text), '\\s+'), w ->
+          |        cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)),
+          |      array_repeat(cast(0 as bigint), 16),
+          |      (acc, h) -> zip_with(acc, sequence(0, 15), (a, b) ->
+          |        a + if((shiftright(h, b) & 1) = 1, 1, -1))),
+          |    sequence(0, 15),
+          |    (v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
           |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("simhash"))
 
   /** Embedding near-duplicates: pairs with cosine >= threshold. Brute-force
