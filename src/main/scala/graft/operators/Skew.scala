@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for heavy-hitter keys at 100 TB.
+  *
+  * A plain `groupBy(key).agg(...)` sends every row of a hot key to one
+  * reducer; at 100 TB a single key holding 1% of the data is a ~1 TB
+  * reducer partition — guaranteed spill or OOM. Two-phase salted
+  * aggregation bounds every reducer at ~1/saltBuckets of the hot key:
+  *
+  *   phase 1: group by (key, salt)   — salt = uniform bucket per row
+  *   phase 2: group by key, combine the partials
+  *
+  * Associative aggregates (count/sum/min/max) combine losslessly; the
+  * result is row-identical to the unsalted aggregation (asserted in
+  * SkewSpec). AQE's skew-join splitting handles the join-side analog
+  * (enabled by default in the session configs used here).
+  *
+  * The salt is `pmod(hash(random-ish per-row expr), buckets)`; we use a
+  * deterministic row fingerprint rather than rand() so results are
+  * reproducible and retries/speculative tasks agree.
+  */
+object Skew {
+
+  /** Two-phase salted count/sum aggregation, lossless vs direct groupBy.
+    *
+    * @param df       input
+    * @param key      grouping column name
+    * @param sums     columns to sum (become `sum_<name>`)
+    * @param saltExpr deterministic per-row expression to derive the salt
+    * @param buckets  salt fan-out (bounds the per-reducer share of a hot key)
+    */
+  def saltedAgg(df: DataFrame, key: String, sums: Seq[String],
+      saltExpr: Column, buckets: Int = 32): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(saltExpr), lit(buckets)))
+    val phase1 = salted.groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__cnt"),
+        sums.map(c => sum(col(c)).as(s"__sum_$c")): _*)
+    phase1.groupBy(col(key))
+      .agg(sum(col("__cnt")).as("n_rows"),
+        sums.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
+  }
+}

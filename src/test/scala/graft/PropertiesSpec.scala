@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.engine.{CrimeViews, PrestoCompat}
+import graft.operators.{Events, Skew}
+
+/** Property-based laws (SURVEY.md §5 item 3): date round-trips over
+  * generated 12-hour strings, ratio bounds, count invariants, salted-agg
+  * losslessness. (Raw scalacheck Gen with fixed seeds — the
+  * scalatest/scalacheck bridge artifact is not in the offline cache.) */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic sample of size n from a Gen. */
+  def sample[A](g: Gen[A], n: Int, seed: Long = 42L): List[A] =
+    Gen.listOfN(n, g).apply(org.scalacheck.Gen.Parameters.default, Seed(seed)).get
+
+  val tsGen: Gen[java.time.LocalDateTime] = for {
+    y <- Gen.choose(2001, 2024)
+    m <- Gen.choose(1, 12)
+    d <- Gen.choose(1, java.time.YearMonth.of(y, m).lengthOfMonth())
+    h <- Gen.choose(0, 23)
+    mi <- Gen.choose(0, 59)
+    s <- Gen.choose(0, 59)
+  } yield java.time.LocalDateTime.of(y, m, d, h, mi, s)
+
+  test("12-hour format/parse round-trip is the identity (F2/F4 hazard)") {
+    (1L to 5L).foreach { seed =>
+      val dts = sample(tsGen, 200, seed)
+      val df = dts.map(java.sql.Timestamp.valueOf).toDF("ts")
+        .withColumn("s", date_format($"ts", CrimeViews.CrimeDateFmt))
+        .withColumn("back", PrestoCompat.dateParse($"s", "%m/%d/%Y %T %p"))
+      assert(df.filter($"back" =!= $"ts").count() == 0, s"seed=$seed")
+    }
+  }
+
+  test("ISO day-of-week is always 1..7 and weekday(Monday)==1") {
+    val dts = sample(tsGen, 500)
+    val df = dts.map(java.sql.Timestamp.valueOf).toDF("ts")
+      .withColumn("dow", PrestoCompat.dayOfWeekIso($"ts"))
+      .withColumn("name", date_format($"ts", "EEEE"))
+    assert(df.filter($"dow" < 1 || $"dow" > 7).count() == 0)
+    assert(df.filter($"name" === "Monday" && $"dow" =!= 1).count() == 0)
+    assert(df.filter($"name" === "Sunday" && $"dow" =!= 7).count() == 0)
+  }
+
+  test("arrest_pct in [0,100]; tot_arrests <= tot_reports; counts sum to input") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.engine.StarQueries.arrestPctTopk(spark, sf).collect()
+    out.foreach { r =>
+      val (reports, arrests, pct) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(arrests <= reports)
+      assert(pct >= 0.0 && pct <= 100.0)
+    }
+    val counts = graft.engine.StarQueries.countByType(spark, sf)
+      .agg(sum("count")).as[Long].collect().head
+    assert(counts == graft.engine.Tables.orders(spark, sf).count())
+  }
+
+  test("salted aggregation is lossless vs direct groupBy") {
+    val events = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+    val direct = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), sum($"value").as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSet
+    val salted = Skew.saltedAgg(events, "event_type", Seq("value"),
+      saltExpr = col("event_id"), buckets = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSet
+    assert(direct == salted)
+  }
+
+  test("sessionize: every event in exactly one session; session bounds ordered") {
+    val events = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+    val sessions = Events.sessionize(events).collect()
+    assert(sessions.map(_.getLong(2)).sum == events.count())
+    sessions.foreach { r =>
+      assert(!r.getTimestamp(3).after(r.getTimestamp(4)), "start <= end")
+    }
+  }
+}
