@@ -7,11 +7,15 @@ import graft.engine.{CrimeViews, PrestoCompat}
 
 object SparkTestSession {
   lazy val spark: SparkSession = {
+    // keep catalog artifacts (warehouse, derby metastore) out of the repo
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spark").toString
+    System.setProperty("derby.system.home", tmp)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$tmp/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -51,6 +51,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("watermark drops events later than 2 hours behind the max seen ts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      EventStreams.Ev(id, java.sql.Timestamp.valueOf(t), 1L, "click", v)
+
+    val input = MemoryStream[EventStreams.Ev]
+    val windows = EventStreams.hourlyWindows(
+      input.toDF().withColumn("props", lit("{}")))
+    val q = windows.writeStream.format("memory").queryName("wm")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: establish watermark at 12:00 - 2h = 10:00
+      input.addData(ev(1, "2024-01-01 09:30:00", 1.0), ev(2, "2024-01-01 12:00:00", 2.0))
+      q.processAllAvailable()
+      // batch 2: 09:45 is within the 09:00 window, behind the 10:00
+      // watermark -> dropped; 13:00 advances and will close earlier windows
+      input.addData(ev(3, "2024-01-01 09:45:00", 100.0), ev(4, "2024-01-01 15:00:00", 4.0))
+      q.processAllAvailable()
+      // batch 3: push watermark far ahead so all open windows emit
+      input.addData(ev(5, "2024-01-02 00:00:00", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wm")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+    // the 09:00 window emitted with ONLY the on-time event — the late
+    // 09:45 row (behind watermark) was discarded
+    assert(rows("2024-01-01 09:00:00.0") == 1L)
+    assert(rows("2024-01-01 12:00:00.0") == 1L)
+  }
+
   test("as-of join: every event gets the user's latest prior order") {
     val out = Events.asOfJoinOrders(
       graft.engine.Tables.events(spark, sf),
