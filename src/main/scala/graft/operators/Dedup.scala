@@ -28,26 +28,32 @@ object Dedup {
   val NumHashes = 16
   val NumBands = 4 // 4 rows per band
 
-  /** MinHash family: one expensive portable md5 per shingle gives
-    * h0 = hash60(s) mod P; family member k is the cheap affine map
+  /** MinHash family: one portable md5 per shingle gives h0 = hash60(s)
+    * mod P; family member k is the cheap affine map
     * h_k = ((2k+1)·h0 + k·104729) mod P over the Mersenne prime P = 2^31-1.
     * (2k+1)·h0 + k·104729 < 2^36 — no 64-bit overflow in either engine.
-    * This is 16× fewer md5 calls than hashing (k, shingle) pairs, which
-    * dominated the profile. */
+    * The whole signature is computed by the fused
+    * [[graft.functions.MinHashSignature]] expression (one pass per row,
+    * no boxed lambdas — the interpreted HOF formulation was 5× slower;
+    * DedupSpec asserts both agree). */
   val HashPrime = 2147483647L
-  private def familySqlSpark = // h0s: array<bigint> of base hashes
-    s"transform(sequence(0, ${NumHashes - 1}), k -> array_min(transform(h0s, h -> ((2*cast(k as bigint)+1) * h + cast(k as bigint) * 104729) % $HashPrime)))"
 
-  /** (doc_id, sh, h0s): distinct word-3-gram shingles and their base
-    * hashes — the shared input of the minhash/LSH/jaccard stages. Cached:
-    * q12/q13/q14 and both sides of the LSH self-join reuse the exact same
-    * plan, and Spark would otherwise re-run the md5 pass per reference
-    * (CollapseProject inlines it into each consumer). */
+  /** (doc_id, sig): MinHash signatures — the shared input of the
+    * minhash/LSH stages. Cached: q12/q13/q14 and both sides of the LSH
+    * self-join reuse the exact same plan, and Spark would otherwise
+    * re-run the pass per reference (CollapseProject inlines it into each
+    * consumer). The shingle-string arrays live in [[shingleSets]] —
+    * only the Jaccard stage pays for them. */
   private[operators] def shingleBase(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
-      .withColumn("h0s", expr(
-        s"transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % $HashPrime)"))
+      .select(col("doc_id"),
+        graft.functions.MinHashFns.minhashSignature(col("text"), NumHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (doc_id, sh): distinct shingle sets (fused expression), cached for
+    * the two-sided Jaccard join. */
+  private[operators] def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.MinHashFns.shingleSet(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact dedup rollup: group by content hash, keep the canonical
@@ -61,7 +67,7 @@ object Dedup {
     * k = 0..NumHashes-1 over word 3-gram shingles. */
   def minhashSignature(docs: DataFrame): DataFrame =
     shingleBase(docs)
-      .select(col("doc_id"), posexplode(expr(familySqlSpark)))
+      .select(col("doc_id"), posexplode(col("sig")))
       .withColumnRenamed("pos", "k")
       .withColumnRenamed("col", "minhash")
       .withColumn("k", col("k").cast("long"))
@@ -71,7 +77,6 @@ object Dedup {
   def lshBands(docs: DataFrame): DataFrame = {
     val rows = NumHashes / NumBands
     shingleBase(docs)
-      .select(col("doc_id"), expr(familySqlSpark).as("sig"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, ${NumBands - 1}), b ->
            |  md5(concat_ws(',', transform(slice(sig, b * $rows + 1, $rows), x -> cast(x as string)))))""".stripMargin)))
@@ -95,7 +100,7 @@ object Dedup {
   /** Exact word-3-gram Jaccard for the LSH candidates (verification stage
     * of MinHash dedup). Only candidate pairs pay the set-intersection cost. */
   def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sets = shingleBase(docs).select(col("doc_id"), col("sh"))
+    val sets = shingleSets(docs)
     lshCandidatePairs(docs)
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

@@ -56,6 +56,24 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(sh(1L), sh(3L)) <= 6)
   }
 
+  test("fused MinHashSignature expression == composable HOF formulation") {
+    import graft.functions.MinHashFns
+    val d = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val p = Dedup.HashPrime
+    val hof = d.select($"doc_id", expr(
+      s"""transform(sequence(0, 15), k -> array_min(transform(
+         |  transform(array_distinct(transform(
+         |    sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 2, 1)),
+         |    i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 3)))),
+         |    s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % $p),
+         |  h -> ((2*cast(k as bigint)+1) * h + cast(k as bigint) * 104729) % $p)))
+         |""".stripMargin).as("sig"))
+    val fused = d.select($"doc_id", MinHashFns.minhashSignature($"text").as("sig"))
+    val a = hof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+  }
+
   test("hash60 matches the DuckDB formula on a known value") {
     // DuckDB: ('0x'||substr(md5('abc'),1,15))::BIGINT = 648541476951500027
     val got = spark.range(1)
