@@ -48,6 +48,8 @@ object SparkEntry {
     "q26_shipping_priority" -> (PricingQueries.shippingPriority _),
     "q27_schema_drift_union" -> (PricingQueries.schemaDriftUnion _),
     "q28_distinct_counts" -> (PricingQueries.distinctCounts _),
+    "q29_length_percentiles" -> (TextAnalysis.qLengthPercentiles _),
+    "q30_stratified_sample" -> (TextAnalysis.qStratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,5 +83,7 @@ object SparkEntry {
     "q26_shipping_priority" -> PricingQueries.shippingPrioritySql,
     "q27_schema_drift_union" -> PricingQueries.schemaDriftUnionSql,
     "q28_distinct_counts" -> PricingQueries.distinctCountsSql,
+    "q29_length_percentiles" -> TextAnalysis.qLengthPercentilesSql,
+    "q30_stratified_sample" -> TextAnalysis.qStratifiedSampleSql,
   )
 }

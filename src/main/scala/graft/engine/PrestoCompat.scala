@@ -30,12 +30,21 @@ object PrestoCompat {
   def prestoPatternToJava(fmt: String): String = {
     val sb = new StringBuilder
     var i = 0
+    // Consecutive literal letters must share ONE quoted run: quoting each
+    // letter separately would emit 'a''m' which the JDK parser reads as
+    // the single literal a'm (escaped quote), not am.
+    val litRun = new StringBuilder
+    def flushLit(): Unit = if (litRun.nonEmpty) {
+      sb.append('\'').append(litRun.toString.replace("'", "''")).append('\'')
+      litRun.clear()
+    }
     def lit(c: Char): Unit =
-      if (c.isLetter || c == '\'') sb.append('\'').append(if (c == '\'') "''" else c.toString).append('\'')
-      else sb.append(c)
+      if (c.isLetter || c == '\'') litRun.append(c)
+      else { flushLit(); sb.append(c) }
     while (i < fmt.length) {
       val c = fmt.charAt(i)
       if (c == '%' && i + 1 < fmt.length) {
+        flushLit()
         val code = fmt.charAt(i + 1)
         val mapped = code match {
           case 'Y' => "yyyy"
@@ -64,6 +73,7 @@ object PrestoCompat {
         sb.append(mapped); i += 2
       } else { lit(c); i += 1 }
     }
+    flushLit()
     sb.toString
   }
 

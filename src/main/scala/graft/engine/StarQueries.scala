@@ -129,7 +129,9 @@ object StarQueries {
     val perCust = orders(s, d)
       .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
       .groupBy("c_nationkey", "c_custkey")
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
+      .agg(count(lit(1)).as("n_orders"),
+        // decimal sum: order-independent, exact across engines
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("n_orders").desc, col("c_custkey"))
     perCust.withColumn("rnk", row_number().over(w).cast("long"))
@@ -140,7 +142,7 @@ object StarQueries {
   val topkWindowSql: String =
     """WITH per_cust AS (
       |  SELECT c_nationkey, c_custkey, COUNT(*) AS n_orders,
-      |         ROUND(SUM(o_totalprice), 2) AS spend
+      |         SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS spend
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |  GROUP BY 1, 2)
       |SELECT c_nationkey, c_custkey, n_orders, spend,

@@ -22,10 +22,6 @@ object TextFns {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant: independent hash family member k (for MinHash). */
-  def hash60Seeded(k: Column, c: Column): Column =
-    hash60(concat(k.cast("string"), lit(":"), c))
-
   /** Whitespace tokens of the raw text. */
   def wsTokens(c: Column): Column = split(trim(c), "\\s+")
 

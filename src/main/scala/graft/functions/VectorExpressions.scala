@@ -50,6 +50,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      // null element -> null result (matching zip_with/aggregate and
+      // DuckDB list_cosine_similarity), never a silent 0.0 contribution
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
@@ -72,11 +75,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double $xv = (double) $a.$lGet($i);
          |    final double $yv = (double) $b.$rGet($i);
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

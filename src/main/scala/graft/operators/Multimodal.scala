@@ -80,9 +80,11 @@ object Multimodal {
   def sampleFrames(media: DataFrame, chunkSize: Int = 64, stride: Int = 4): DataFrame =
     media
       .select(col("media_id"), posexplode(expr(
+        // the x.idx >= 0 AND idx*chunk < length guard kills the phantom
+        // frames a descending sequence(0,-1) would emit for empty media
         s"""filter(transform(sequence(0, int(floor((length(media) - 1) / $chunkSize))),
            |  i -> struct(i as idx, substring(media, i * $chunkSize + 1, $chunkSize) as chunk)),
-           |  x -> x.idx % $stride = 0)""".stripMargin)))
+           |  x -> x.idx >= 0 AND x.idx * $chunkSize < length(media) AND x.idx % $stride = 0)""".stripMargin)))
       .select(col("media_id"), col("col.idx").cast("long").as("frame_idx"),
         md5(col("col.chunk")).as("frame_hash"),
         length(col("col.chunk")).cast("long").as("frame_bytes"))

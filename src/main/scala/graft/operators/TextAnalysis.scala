@@ -154,6 +154,46 @@ object TextAnalysis {
        |SELECT *, $pred AS pred_lang FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact length percentiles per language — corpus shape statistics
+    * (Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    * continuous-interpolation definition, so values hash-match). */
+  def lengthPercentiles(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
+      .agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        expr("percentile(n_chars, 0.99)").as("p99"),
+        count(lit(1)).as("n_docs"))
+
+  /** Deterministic stratified sample: keep ~`pct`% of docs per language
+    * by thresholding the portable content-independent hash of doc_id —
+    * reproducible across engines/runs, no rand(). The training-data
+    * downsampling primitive. */
+  def stratifiedSample(docs: DataFrame, pct: Int = 10): DataFrame =
+    docs.filter(
+      graft.functions.TextFns.hash60(concat(lit("samp:"), col("doc_id").cast("string")))
+        % 100 < pct)
+      .select("doc_id", "lang", "n_chars")
+
+  def qLengthPercentiles(s: SparkSession, d: String): DataFrame =
+    lengthPercentiles(Tables.documents(s, d)).orderBy("lang")
+
+  val qLengthPercentilesSql: String =
+    """SELECT lang,
+      |       quantile_cont(n_chars, 0.5) AS p50,
+      |       quantile_cont(n_chars, 0.9) AS p90,
+      |       quantile_cont(n_chars, 0.99) AS p99,
+      |       COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
+  def qStratifiedSample(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(Tables.documents(s, d)).orderBy("doc_id")
+
+  val qStratifiedSampleSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE ('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+      |ORDER BY doc_id""".stripMargin
+
   def qFingerprint(s: SparkSession, d: String): DataFrame =
     fingerprintGroups(Tables.documents(s, d)).orderBy("fp")
 

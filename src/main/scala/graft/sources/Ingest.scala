@@ -36,7 +36,7 @@ object Ingest {
     val header = source.columns.mkString(",")
     val rows = fresh.collect().map(_.toSeq.map {
       case null => ""
-      case s: String if s.contains(",") || s.contains("\"") =>
+      case s: String if s.exists(ch => ch == ',' || ch == '"' || ch == '\n' || ch == '\r') =>
         "\"" + s.replace("\"", "\"\"") + "\""
       case v => v.toString
     }.mkString(","))
@@ -44,9 +44,16 @@ object Ingest {
     // reference guard: only a header (<= 250 chars, get_data_api.py:16)
     if (body.length <= 250) return None
     Files.createDirectories(Paths.get(landingDir))
-    val out = Paths.get(landingDir, s"recent_source_data_$fileDate.csv")
-    Files.writeString(out, body,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // Never overwrite an already-landed file: the streaming bookmark keys
+    // seen files by PATH, so rewriting a processed path would silently
+    // drop the new rows forever. A same-day re-fetch lands under a
+    // unique suffixed name instead (the duplicates this can introduce
+    // are reference semantics — SURVEY.md §4 hazard 7).
+    val base = s"recent_source_data_$fileDate"
+    val out = Iterator.from(0)
+      .map(i => Paths.get(landingDir, if (i == 0) s"$base.csv" else s"$base-$i.csv"))
+      .find(!Files.exists(_)).get
+    Files.writeString(out, body, StandardOpenOption.CREATE_NEW)
     Some(out)
   }
 

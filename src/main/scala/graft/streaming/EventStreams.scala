@@ -53,7 +53,8 @@ object EventStreams {
     * Correct under AvailableNow because events arrive time-ordered per
     * micro-batch after a sort within the group iterator.
     */
-  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+  def sessionizeStream(events: Dataset[Ev],
+      gapMinutes: Int = graft.operators.Events.SessionGapMinutes): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](

@@ -12,8 +12,17 @@ class BucketingSpec extends AnyFunSuite {
     // force a non-broadcast join so the exchange-free claim is about
     // bucket co-location, not about broadcasting a tiny table
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val joined = try Bucketing.colocatedOrderJoin(spark, sf, buckets = 4)
-    finally ()
+    try {
+      runAssertions(sf)
+    } finally {
+      // restore even on assertion failure: the session is shared across
+      // suites and a stuck -1 would silently change their join plans
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
+    }
+  }
+
+  private def runAssertions(sf: String): Unit = {
+    val joined = Bucketing.colocatedOrderJoin(spark, sf, buckets = 4)
 
     val plan = joined.queryExecution.executedPlan.toString
     // the co-located join itself must not shuffle either side; the final
@@ -36,6 +45,5 @@ class BucketingSpec extends AnyFunSuite {
     val a = joined.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     val b = direct.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(a == b)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
   }
 }

@@ -105,5 +105,14 @@ class CrimeViewsSpec extends AnyFunSuite {
     assert(PrestoCompat.prestoPatternToJava("%Y-%m-%d %H:%i:%s") == "yyyy-MM-dd HH:mm:ss")
     // literal letters get quoted so they can't be read as pattern chars
     assert(PrestoCompat.prestoPatternToJava("%YT%m") == "yyyy'T'MM")
+    // consecutive literal letters share ONE quoted run — 'a''t' would be
+    // parsed by the JDK as the literal a't
+    assert(PrestoCompat.prestoPatternToJava("%H at %i") == "HH 'at' mm")
+    import org.apache.spark.sql.functions.to_timestamp
+    import spark.implicits._
+    val parsed = Seq("2021-06-15 at 09:30").toDF("s")
+      .select(to_timestamp($"s", PrestoCompat.prestoPatternToJava("%Y-%m-%d at %H:%i"))
+        .cast("string")).as[String].collect().head
+    assert(parsed == "2021-06-15 09:30:00")
   }
 }
