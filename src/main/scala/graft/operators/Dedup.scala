@@ -135,11 +135,19 @@ object Dedup {
   /** Embedding near-duplicates: pairs with cosine >= threshold. Brute-force
     * pair join (test scale); [[Similarity.annLsh]] is the bucketed path. */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    // per-vector norms once per side; the O(n²) pair loop then computes
+    // only the dot product. dot/(norm_a*norm_b) is bit-identical to the
+    // fused cosine (same accumulation order), verified by the oracle.
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+      col("nrm").as("n_a"))
+    val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+      col("nrm").as("n_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(Similarity.cosine(col("e_a"), col("e_b")), 4).as("cos_sim"))
+        round(graft.functions.VectorFns.dotProduct(col("e_a"), col("e_b"))
+          / (col("n_a") * col("n_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
