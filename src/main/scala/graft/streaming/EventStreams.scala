@@ -73,6 +73,18 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose id was already seen, with
+    * the watermark bounding how long ids are retained (late duplicates
+    * beyond the watermark are dropped as late data rather than kept as
+    * state forever — the standard bounded-state dedup at scale). The
+    * reference pipeline's late `updated_on` re-fetches create exactly
+    * these duplicates (SURVEY.md §4 hazard 7); parity mode keeps them,
+    * this operator is the opt-in cleanup. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming DataFrame to completion over existing files
     * (Trigger.AvailableNow ≈ Glue job-bookmark run) into an in-memory
     * table; returns the result. Test/driver utility. */

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale properties SCALE.md claims
+  * (pushdown, pruning, broadcast, top-k without global sort) must stay
+  * true as the code evolves — asserted on the optimized/executed plans. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2 filter is pushed into the parquet scan") {
+    val plan = executedPlan("q2_violent_filter")
+    assert(plan.contains("PushedFilters:") && plan.contains("p_type"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("q26 prunes columns at the scan (no full-row read)") {
+    val plan = executedPlan("q26_shipping_priority")
+    val scanLine = plan.split("\n").find(l => l.contains("ReadSchema") && l.contains("lineitem")).getOrElse("")
+    assert(scanLine.contains("l_orderkey") && !scanLine.contains("l_comment") &&
+      !scanLine.contains("l_returnflag"),
+      s"lineitem scan reads more than needed:\n$scanLine")
+  }
+
+  test("q3/q26 broadcast the dim side") {
+    assert(executedPlan("q3_arrest_pct_topk").contains("BroadcastHashJoin"))
+    assert(executedPlan("q26_shipping_priority").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("q26_shipping_priority")
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+  }
+
+  test("signature pipeline is shuffle-free up to the explode") {
+    val df = graft.operators.Dedup.minhashSignature(
+      graft.engine.Tables.documents(spark, sf))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"narrow pipeline acquired a shuffle:\n$plan")
+  }
+}

@@ -83,6 +83,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("2024-01-01 12:00:00.0") == 1L)
   }
 
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String) =
+      EventStreams.Ev(id, java.sql.Timestamp.valueOf(t), 1L, "click", 1.0)
+    val input = MemoryStream[EventStreams.Ev]
+    val deduped = EventStreams.dedupStream(
+      input.toDF().withColumn("props", lit("{}")))
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      // re-delivery of id 1 (the reference's late re-fetch) + a new id
+      input.addData(ev(1, "2024-01-01 10:30:00"), ev(3, "2024-01-01 10:31:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), "id 1 emitted exactly once")
+  }
+
   test("as-of join: every event gets the user's latest prior order") {
     val out = Events.asOfJoinOrders(
       graft.engine.Tables.events(spark, sf),
