@@ -50,6 +50,7 @@ object SparkEntry {
     "q28_distinct_counts" -> (PricingQueries.distinctCounts _),
     "q29_length_percentiles" -> (TextAnalysis.qLengthPercentiles _),
     "q30_stratified_sample" -> (TextAnalysis.qStratifiedSample _),
+    "q31_ann_ivf"       -> (Similarity.qAnnIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +86,6 @@ object SparkEntry {
     "q28_distinct_counts" -> PricingQueries.distinctCountsSql,
     "q29_length_percentiles" -> TextAnalysis.qLengthPercentilesSql,
     "q30_stratified_sample" -> TextAnalysis.qStratifiedSampleSql,
+    "q31_ann_ivf"       -> Similarity.qAnnIvfSql,
   )
 }

@@ -126,6 +126,52 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF-style ANN: partition the corpus into cells around deterministic
+    * seed centroids (the first NumCentroids vectors — at production scale
+    * these come from a k-means/k-means|| pass, which drops in by replacing
+    * the centroid relation only), then search a query against its
+    * `nprobe` nearest cells. The inverted-file analog of [[annLsh]]:
+    * assignment is a broadcast-cross score against K centroids (narrow),
+    * the candidate join shuffles on the small cell id. */
+  val NumCentroids = 16
+  val NumProbe = 4
+
+  def annIvf(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val cent = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    // cell assignment: nearest centroid per vector (rounded-sim + cid tiebreak)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        round(cosine(col("embedding"), col("cemb")), 4).as("csim"))
+      .withColumn("rnk", row_number().over(wAssign))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cid"))
+    // queries probe their NumProbe nearest cells
+    val probed = emb.filter(col("vec_id") < nQueries).crossJoin(broadcast(cent))
+      .select(col("vec_id").as("query_id"), col("cid"),
+        round(cosine(col("embedding"), col("cemb")), 4).as("csim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))))
+      .filter(col("rnk") <= NumProbe)
+      .select(col("query_id"), col("cid"))
+    val cand = probed.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id")).distinct()
+    val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val ce = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val scored = cand
+      .join(qe.hint("broadcast"), Seq("query_id"))
+      .join(ce, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   // ---- SparkEntry wiring -------------------------------------------------
 
   def qCosineTopK(s: SparkSession, d: String): DataFrame =
@@ -144,6 +190,45 @@ object Similarity {
       |  FROM scored)
       |SELECT query_id, cand_id, cos_sim, rnk FROM ranked
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  def qAnnIvf(s: SparkSession, d: String): DataFrame =
+    annIvf(Tables.embeddings(s, d)).orderBy("query_id", "rnk")
+
+  val qAnnIvfSql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |  WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cemb::DOUBLE[]), 4) DESC,
+       |             cid) AS rnk
+       |    FROM embeddings e CROSS JOIN cent)
+       |  WHERE rnk = 1),
+       |probed AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT e.vec_id AS query_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cemb::DOUBLE[]), 4) DESC,
+       |             cid) AS rnk
+       |    FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 8)
+       |  WHERE rnk <= $NumProbe),
+       |cand AS (
+       |  SELECT DISTINCT query_id, a.vec_id AS cand_id
+       |  FROM probed JOIN assigned a USING (cid)
+       |  WHERE query_id <> a.vec_id),
+       |scored AS (
+       |  SELECT query_id, cand_id,
+       |         ROUND(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 4) AS cos_sim
+       |  FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+       |            JOIN embeddings ce ON cand.cand_id = ce.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, cand_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, cand_id, cos_sim, rnk FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
   def qAnnLsh(s: SparkSession, d: String): DataFrame =
     annLsh(Tables.embeddings(s, d)).orderBy("query_id", "rnk")

@@ -101,6 +101,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("IVF ANN recall vs brute force at sf0.001") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annIvf(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 16 seed centroids / 4 probes over 500 near-random vectors: partial by
+    // design, but far above the random-baseline 2%
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
   test("brute-force top-k is exhaustive and correctly ranked") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val out = Similarity.bruteForceTopK(emb, nQueries = 2, k = 5).collect()

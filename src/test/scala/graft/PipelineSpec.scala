@@ -75,6 +75,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(fixed.contains((1L, "Tuesday", 2L)))
   }
 
+  test("SQL-path view refresh (Presto dialect DDL) equals the DataFrame path") {
+    val dirs = freshDirs()
+    Pipeline.run(spark, srcRows("2021-07-31"), dirs,
+      since = "2021-01-01", fileDate = LocalDate.parse("2021-07-03"))
+    def snapshot(): Map[String, Set[String]] =
+      Seq("dependency1_violent_crimes", "count_by_crime_type",
+        "arrest_pct_by_community_violent", "fixed_dates_violent").map { v =>
+        val df = Pipeline.view(spark, v)
+        v -> df.select(df.columns.sorted.map(col): _*)
+          .collect().map(_.toString).toSet
+      }.toMap
+    Pipeline.refreshViews(spark, dirs.processed)
+    val dataframePath = snapshot()
+    Pipeline.refreshViewsSql(spark, dirs.processed)
+    val sqlPath = snapshot()
+    assert(dataframePath == sqlPath)
+  }
+
   test("ingest guard: header-only extract is not written") {
     val dirs = freshDirs()
     val none = Ingest.fetchRecent(srcRows("2021-12-31"), since = "2099-01-01",
