@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** All multi-table LSH bucket ids of an embedding in one fused pass:
+  * for each table t, project the vector onto that table's sign-bit
+  * hyperplanes and pack the signs into a bucket id. Returns
+  * array<long>(numTables).
+  *
+  * Replaces numTables × planesPerTable interpreted `zip_with`/`aggregate`
+  * pairs per row (32 boxed folds over dim-64 arrays dominated the ANN
+  * bucketing stage). Accumulation is per-plane in index order — identical
+  * doubles to the HOF formulation and the DuckDB oracle's
+  * `list_sum(list_transform(...))`.
+  *
+  * `weights(t*planesPerTable + p)(i)` must be the same md5-derived values
+  * the oracle recomputes in SQL (see [[graft.operators.Similarity.planeWeight]]).
+  */
+case class LshBuckets(child: Expression, weights: Seq[Seq[Double]],
+    planesPerTable: Int) extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val w: Array[Array[Double]] = weights.map(_.toArray).toArray
+  private def numTables: Int = weights.length / planesPerTable
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_buckets expects array<float>/array<double>, got ${other.catalogString}")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val n = emb.numElements()
+    val isFloat = elemIsFloat
+    val vec = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      vec(i) = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val pw = w(t * planesPerTable + p)
+        val dims = math.min(n, pw.length)
+        var proj = 0.0
+        var d = 0
+        while (d < dims) { proj += vec(d) * pw(d); d += 1 }
+        if (proj > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshFns {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def lshBuckets(emb: Column, weights: Seq[Seq[Double]], planesPerTable: Int): Column =
+    Bridge.column(LshBuckets(Bridge.expression(emb), weights, planesPerTable))
+}

@@ -80,27 +80,22 @@ object Similarity {
     (h % 2001L - 1000L).toDouble / 1000.0
   }
 
-  /** Sign-bit bucket id of an embedding within hash table `t` (planes
-    * t*PlanesPerTable .. t*PlanesPerTable+PlanesPerTable-1). */
-  def lshBucket(emb: Column, t: Int, dim: Int = 64): Column = {
-    val bits = (0 until PlanesPerTable).map { p =>
-      val w = typedLit((0 until dim).map(i => planeWeight(t * PlanesPerTable + p, i)))
-      val proj = aggregate(zip_with(emb, w, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** All plane weights, driver-precomputed once (row index =
+    * t*PlanesPerTable + p). */
+  private lazy val allPlaneWeights: Seq[Seq[Double]] =
+    (0 until NumTables * PlanesPerTable).map(plane =>
+      (0 until 64).map(i => planeWeight(plane, i)))
 
   /** (vec_id, embedding, t, bucket) — one row per vector per hash table.
-    * Per-row narrow expressions; the downstream join shuffles on the small
-    * (t, bucket) key. */
-  def lshBucketed(emb: DataFrame): DataFrame = {
-    val buckets = array((0 until NumTables).map(t => lshBucket(col("embedding"), t)): _*)
-    emb.select(col("vec_id"), col("embedding"), posexplode(buckets))
+    * Bucketing is the fused [[graft.functions.LshBuckets]] expression (one
+    * pass over the vector for all tables; the 32 interpreted HOF folds it
+    * replaces dominated this stage). The downstream join shuffles on the
+    * small (t, bucket) key. */
+  def lshBucketed(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"), posexplode(
+      graft.functions.LshFns.lshBuckets(col("embedding"), allPlaneWeights, PlanesPerTable)))
       .withColumnRenamed("pos", "t")
       .withColumnRenamed("col", "bucket")
-  }
 
   /** ANN via multi-table LSH: candidates share any table's bucket with the
     * query; each distinct candidate is cosine-scored once. Output shape
