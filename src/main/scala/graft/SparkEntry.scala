@@ -51,6 +51,8 @@ object SparkEntry {
     "q29_length_percentiles" -> (TextAnalysis.qLengthPercentiles _),
     "q30_stratified_sample" -> (TextAnalysis.qStratifiedSample _),
     "q31_ann_ivf"       -> (Similarity.qAnnIvf _),
+    "q32_approx_aggs"   -> (PricingQueries.approxAggregates _),
+    "q33_range_join"    -> (Events.qRangeJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +89,9 @@ object SparkEntry {
     "q29_length_percentiles" -> TextAnalysis.qLengthPercentilesSql,
     "q30_stratified_sample" -> TextAnalysis.qStratifiedSampleSql,
     "q31_ann_ivf"       -> Similarity.qAnnIvfSql,
+    // q32_approx_aggs intentionally has NO oracle entry: HLL/quantile
+    // sketches aren't reproducible across engines (driver rows-only check;
+    // bounds asserted vs exact values in PricingSpec).
+    "q33_range_join"    -> Events.qRangeJoinSql,
   )
 }

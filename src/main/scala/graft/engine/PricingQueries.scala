@@ -113,4 +113,19 @@ object PricingQueries {
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
       |       COUNT(*) AS n_rows
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** q32 — approximate aggregates (HLL distinct + approximate quantiles):
+    * the sketches Spark ships for 100 TB-scale cardinality/quantile work.
+    * No oracle SQL — sketch implementations differ across engines — so
+    * the driver records a rows-only check and PricingSpec asserts the
+    * estimates against exact values within the documented error bounds. */
+  def approxAggregates(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)")
+          .as("price_quantiles"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
 }

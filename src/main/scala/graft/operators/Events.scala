@@ -92,6 +92,33 @@ object Events {
         col("event_type"), col("asof_orderkey"))
   }
 
+  /** Range join via minute-bucketing (a join type with no equi key —
+    * Spark would otherwise nested-loop it): for each event, count events
+    * (any user) in the preceding `windowSeconds`. Candidates are
+    * duplicated into their own bucket and the next, so an event joins
+    * exactly the two buckets its window can span — an equi-join on the
+    * bucket key + a residual range filter. At 100 TB this is the standard
+    * shape: shuffle on a dense integer key, per-bucket row counts bounded
+    * by event rate × bucket width.
+    *
+    * Timestamps compare at full microsecond precision (the bucket is
+    * pruning only, derived from truncated epoch — conservative by
+    * construction). */
+  def rangeJoinPriorCount(events: DataFrame, windowSeconds: Int = 60): DataFrame = {
+    val e = events.select(col("event_id"), col("ts"),
+      (col("ts").cast("long") / windowSeconds).cast("long").as("bucket"))
+    val cand = e.select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+      explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
+    e.join(cand,
+        e("bucket") === cand("bucket") &&
+          col("c_ts") > col("ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+          col("c_ts") <= col("ts") &&
+          col("c_id") =!= col("event_id"),
+        "left")
+      .groupBy(e("event_id"))
+      .agg(count(col("c_id")).as("n_prior"))
+  }
+
   // ---- SparkEntry wiring -------------------------------------------------
 
   def qHourlyWindows(s: SparkSession, d: String): DataFrame =
@@ -137,6 +164,17 @@ object Events {
   def qAsOfJoin(s: SparkSession, d: String): DataFrame =
     asOfJoinOrders(Tables.events(s, d), Tables.orders(s, d))
       .orderBy("event_id")
+
+  def qRangeJoin(s: SparkSession, d: String): DataFrame =
+    rangeJoinPriorCount(Tables.events(s, d)).orderBy("event_id")
+
+  val qRangeJoinSql: String =
+    """SELECT e1.event_id, COUNT(e2.event_id) AS n_prior
+      |FROM events e1 LEFT JOIN events e2
+      |  ON e2.ts > e1.ts - INTERVAL 60 SECOND
+      | AND e2.ts <= e1.ts
+      | AND e2.event_id <> e1.event_id
+      |GROUP BY 1 ORDER BY e1.event_id""".stripMargin
 
   val qAsOfJoinSql: String =
     """SELECT e.event_id, e.user_id, e.ts, e.event_type,

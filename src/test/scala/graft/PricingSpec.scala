@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.PricingQueries
+import graft.operators.Events
+
+class PricingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.01"
+
+  test("approximate aggregates land within documented error bounds of exact") {
+    val approx = PricingQueries.approxAggregates(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    val exact = PricingQueries.distinctCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, exactDistinct) =>
+      val (approxDistinct, quantiles) = approx(flag)
+      val err = math.abs(approxDistinct - exactDistinct).toDouble / exactDistinct
+      assert(err < 0.1, s"$flag: approx=$approxDistinct exact=$exactDistinct err=$err")
+      assert(quantiles.length == 2 && quantiles(0) <= quantiles(1),
+        "p50 <= p99")
+    }
+  }
+
+  test("bucketed range join equals the direct range predicate") {
+    val events = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+    val got = Events.rangeJoinPriorCount(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // direct O(n^2) formulation as ground truth at tiny scale
+    val e1 = events.select(col("event_id").as("id1"), col("ts").as("t1"))
+    val e2 = events.select(col("event_id").as("id2"), col("ts").as("t2"))
+    val direct = e1.join(e2,
+        col("t2") > col("t1") - expr("INTERVAL 60 SECONDS") &&
+          col("t2") <= col("t1") && col("id2") =!= col("id1"), "left")
+      .groupBy("id1").agg(count(col("id2")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == direct)
+    assert(got.values.sum > 0, "some events have prior neighbors")
+  }
+}
