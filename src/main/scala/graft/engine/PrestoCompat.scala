@@ -77,19 +77,22 @@ object PrestoCompat {
     sb.toString
   }
 
-  /** Presto `date_parse(str, fmt)` → timestamp. The reference's pattern
+  /** Pattern translation for the PARSE direction. The reference's pattern
     * `'%m/%d/%Y %T %p'` pairs a 24-hour `%T` with an AM/PM marker; Presto
-    * honors the meridiem, so the *intent* is a 12-hour parse — we translate
-    * `%T %p` to `hh:mm:ss a` rather than transliterating `%T` literally
-    * (SURVEY.md §2.8 F4). */
-  def dateParse(c: Column, prestoFmt: String): Column = {
-    val java = prestoPatternToJava(prestoFmt) match {
+    * honors the meridiem, so the *intent* is a 12-hour parse — translate
+    * `%T` alongside `%p` to `hh:mm:ss` rather than transliterating `%T`
+    * literally (SURVEY.md §2.8 F4). Single shared implementation — used by
+    * both the Column helper below and the SQL-text translator. */
+  def parsePatternToJava(prestoFmt: String): String =
+    prestoPatternToJava(prestoFmt) match {
       case p if p.contains("HH:mm:ss") && p.contains("a") =>
         p.replace("HH:mm:ss", "hh:mm:ss")
       case p => p
     }
-    to_timestamp(c, java)
-  }
+
+  /** Presto `date_parse(str, fmt)` → timestamp. */
+  def dateParse(c: Column, prestoFmt: String): Column =
+    to_timestamp(c, parsePatternToJava(prestoFmt))
 
   /** Presto `date_format(ts, fmt)` → string. */
   def dateFormatP(c: Column, prestoFmt: String): Column =

@@ -12,109 +12,79 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unchanged:
   *
   *  - `date_parse(x, '<mysql fmt>')` → `to_timestamp(x, '<jdk fmt>')`
-  *    with [[PrestoCompat.prestoPatternToJava]] pattern translation
-  *    (12-hour `%T %p` intent preserved);
+  *    with [[PrestoCompat]] pattern translation (12-hour `%T %p` intent
+  *    preserved);
   *  - `date_format(x, '<mysql fmt>')` → same with translated pattern;
   *  - `DAY_OF_WEEK(x)` → `(weekday(x) + 1)` (ISO Monday=1..Sunday=7 —
   *    Spark's `dayofweek` is Sunday=1, the classic off-by-rotation);
   *  - double-quoted identifiers (`"count"`) → backticks.
   *
-  * Deliberately a targeted rewriter, not a SQL parser: the function
-  * rewrites are token-local and the quoting rewrite is outside string
-  * literals only.
+  * Deliberately a targeted rewriter, not a SQL parser. All scanning is
+  * string-literal-aware (text inside '...' is never rewritten), and the
+  * DAY_OF_WEEK rewrite happens in one pass so `translate` is idempotent
+  * on its own output.
   */
 object PrestoSql {
 
   /** Translate a single Presto-dialect SQL statement to Spark SQL. */
   def translate(sql: String): String = {
     var out = rewriteQuotedIdentifiers(sql)
-    out = rewritePatternFn(out, "date_parse", "to_timestamp",
-      p => {
-        val j = PrestoCompat.prestoPatternToJava(p)
-        // 24-hour %T paired with %p means 12-hour intent (SURVEY F4)
-        if (j.contains("HH:mm:ss") && j.contains("a")) j.replace("HH:mm:ss", "hh:mm:ss") else j
-      })
-    out = rewritePatternFn(out, "date_format", "date_format",
-      PrestoCompat.prestoPatternToJava)
-    out = "(?i)\\bday_of_week\\s*\\(".r.replaceAllIn(out, "(weekday(")
-    // close the extra paren we opened: weekday(x) + 1 needs the original
-    // call's closing paren doubled — handled by rewriting the call shape:
-    out = fixDayOfWeekParens(out)
+    out = rewriteCalls(out, "date_parse") { inner =>
+      val (args, pat) = splitLastLiteral(inner)
+      if (pat.isEmpty) s"date_parse($inner)"
+      else s"to_timestamp($args'${PrestoCompat.parsePatternToJava(pat)}')"
+    }
+    out = rewriteCalls(out, "date_format") { inner =>
+      val (args, pat) = splitLastLiteral(inner)
+      if (pat.isEmpty) s"date_format($inner)"
+      else s"date_format($args'${PrestoCompat.prestoPatternToJava(pat)}')"
+    }
+    out = rewriteCalls(out, "day_of_week")(inner => s"(weekday($inner) + 1)")
     out
   }
 
-  /** `day_of_week(expr)` was rewritten to `(weekday(expr)` above; append
-    * `+ 1)` at the matching close paren. */
-  private def fixDayOfWeekParens(sql: String): String = {
-    val marker = "(weekday("
-    val sb = new StringBuilder
-    var i = 0
-    while (i < sql.length) {
-      val at = sql.indexOf(marker, i)
-      if (at < 0) { sb.append(sql.substring(i)); i = sql.length }
-      else {
-        sb.append(sql.substring(i, at)).append(marker)
-        var depth = 1
-        var j = at + marker.length
-        while (j < sql.length && depth > 0) {
-          val c = sql.charAt(j)
-          if (c == '(') depth += 1
-          else if (c == ')') depth -= 1
-          if (depth > 0) sb.append(c)
-          j += 1
-        }
-        sb.append(") + 1)")
-        i = j
-      }
-    }
-    sb.toString
+  /** Split "args..., '<pattern>'" at its LAST single-quoted literal;
+    * returns (everything through the opening quote, the literal body). */
+  private def splitLastLiteral(inner: String): (String, String) = {
+    val lastQuote = inner.lastIndexOf('\'')
+    val firstQuote = inner.lastIndexOf('\'', lastQuote - 1)
+    if (firstQuote < 0 || lastQuote <= firstQuote) (inner, "")
+    else (inner.substring(0, firstQuote + 1).dropRight(1),
+      inner.substring(firstQuote + 1, lastQuote))
   }
 
-  /** Rewrite `fn(args..., '<pattern>')` to `newFn(args..., '<translated>')`
-    * (pattern = last single-quoted literal inside the call). Paren-matching
-    * scanner rather than a regex so nested calls in the args are handled. */
-  private def rewritePatternFn(sql: String, fn: String, newFn: String,
-      translate: String => String): String = {
+  /** Find every call of `fn` OUTSIDE string literals (case-insensitive,
+    * optional whitespace before the paren, word-boundary checked), rewrite
+    * recursively-inner-first via `emit(innerArgs)`. */
+  private def rewriteCalls(sql: String, fn: String)(emit: String => String): String = {
     val lower = sql.toLowerCase
+    val f = fn.toLowerCase
     val sb = new StringBuilder
     var i = 0
+    var inStr = false
     while (i < sql.length) {
-      val at = lower.indexOf(fn.toLowerCase + "(", i) match {
-        case -1 => lower.indexOf(fn.toLowerCase + " (", i)
-        case x => x
-      }
-      val isWordStart = at >= 0 && (at == 0 || !sql.charAt(at - 1).isLetterOrDigit)
-      if (at < 0 || !isWordStart) {
-        if (at < 0) { sb.append(sql.substring(i)); i = sql.length }
-        else { sb.append(sql.substring(i, at + fn.length)); i = at + fn.length }
-      } else {
-        sb.append(sql.substring(i, at))
-        val open = sql.indexOf('(', at)
-        // scan to the matching close paren, tracking string literals
-        var depth = 1; var j = open + 1; var inStr = false
-        while (j < sql.length && depth > 0) {
-          val c = sql.charAt(j)
-          if (c == '\'') inStr = !inStr
-          else if (!inStr && c == '(') depth += 1
-          else if (!inStr && c == ')') depth -= 1
-          j += 1
-        }
-        val inner = sql.substring(open + 1, j - 1)
-        // recurse so nested calls of the same fn are rewritten first
-        val innerRw = rewritePatternFn(inner, fn, newFn, translate)
-        val lastQuote = innerRw.lastIndexOf('\'')
-        val firstQuote = innerRw.lastIndexOf('\'', lastQuote - 1)
-        if (firstQuote >= 0 && lastQuote > firstQuote) {
-          val pat = translate(innerRw.substring(firstQuote + 1, lastQuote))
-          sb.append(newFn).append('(')
-            .append(innerRw.substring(0, firstQuote + 1))
-            .append(pat).append(innerRw.substring(lastQuote))
-            .append(')')
-        } else {
-          sb.append(newFn).append('(').append(innerRw).append(')')
-        }
-        i = j
-      }
+      val c = sql.charAt(i)
+      if (c == '\'') { inStr = !inStr; sb.append(c); i += 1 }
+      else if (!inStr && lower.startsWith(f, i) &&
+        (i == 0 || !(sql.charAt(i - 1).isLetterOrDigit || sql.charAt(i - 1) == '_'))) {
+        // require '(' after optional whitespace, else it's not a call
+        var j = i + f.length
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          // scan to the matching close paren, literal-aware
+          var depth = 1; var k = j + 1; var inS = false
+          while (k < sql.length && depth > 0) {
+            val ch = sql.charAt(k)
+            if (ch == '\'') inS = !inS
+            else if (!inS && ch == '(') depth += 1
+            else if (!inS && ch == ')') depth -= 1
+            k += 1
+          }
+          val inner = rewriteCalls(sql.substring(j + 1, k - 1), fn)(emit)
+          sb.append(emit(inner))
+          i = k
+        } else { sb.append(sql.substring(i, j)); i = j }
+      } else { sb.append(c); i += 1 }
     }
     sb.toString
   }

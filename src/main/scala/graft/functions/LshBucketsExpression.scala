@@ -47,6 +47,10 @@ case class LshBuckets(child: Expression, weights: Seq[Seq[Double]],
     val vec = new Array[Double](n)
     var i = 0
     while (i < n) {
+      // null element: the composable formulation null-propagates the
+      // projection, making every CASE fall to the 0 branch — all-zero
+      // buckets. Reproduce that (the DuckDB oracle behaves identically).
+      if (emb.isNullAt(i)) return new GenericArrayData(new Array[Long](numTables))
       vec(i) = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
       i += 1
     }

@@ -73,7 +73,7 @@ object Similarity {
     * exact formula the DuckDB oracle recomputes in SQL. Precomputed on the
     * driver and inlined as array literals so executors don't re-hash
     * per row. */
-  private[operators] def planeWeight(p: Int, i: Int): Double = {
+  private[graft] def planeWeight(p: Int, i: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
     val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
@@ -108,7 +108,9 @@ object Similarity {
     val cand = q.hint("broadcast").join(c, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
-    val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // broadcast only the nQueries query vectors, never the corpus
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val ce = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     val scored = cand
       .join(qe.hint("broadcast"), Seq("query_id"))
@@ -154,7 +156,9 @@ object Similarity {
     val cand = probed.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("cand_id")).distinct()
-    val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // broadcast only the nQueries query vectors, never the corpus
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val ce = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     val scored = cand
       .join(qe.hint("broadcast"), Seq("query_id"))

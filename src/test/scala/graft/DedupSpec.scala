@@ -89,6 +89,29 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(2) >= 0.45))
   }
 
+  test("fused LshBuckets expression == composable HOF formulation") {
+    import org.apache.spark.sql.functions.{aggregate => agg_, _}
+    val emb = graft.engine.Tables.embeddings(spark, sf).limit(100)
+    val fused = Similarity.lshBucketed(emb)
+      .select($"vec_id", $"t", $"bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // reconstruct one table's bucket the composable way and compare
+    (0 until Similarity.NumTables).foreach { t =>
+      val bits = (0 until Similarity.PlanesPerTable).map { p =>
+        val w = typedLit((0 until 64).map(i =>
+          Similarity.planeWeight(t * Similarity.PlanesPerTable + p, i)))
+        val proj = agg_(zip_with($"embedding", w, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      val hof = emb.select($"vec_id", bits.reduce(_ + _).as("bucket"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      hof.foreach { case (id, b) =>
+        assert(fused((id, t)) == b, s"vec $id table $t")
+      }
+    }
+  }
+
   test("ANN LSH recall vs brute force at sf0.001") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, nQueries = 8, k = 10).collect()

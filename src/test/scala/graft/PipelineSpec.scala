@@ -79,12 +79,13 @@ class PipelineSpec extends AnyFunSuite {
     val dirs = freshDirs()
     Pipeline.run(spark, srcRows("2021-07-31"), dirs,
       since = "2021-01-01", fileDate = LocalDate.parse("2021-07-03"))
-    def snapshot(): Map[String, Set[String]] =
+    def snapshot(): Map[String, Seq[String]] =
       Seq("dependency1_violent_crimes", "count_by_crime_type",
         "arrest_pct_by_community_violent", "fixed_dates_violent").map { v =>
         val df = Pipeline.view(spark, v)
+        // sorted multiset, not a Set: a duplicated/dropped row must fail
         v -> df.select(df.columns.sorted.map(col): _*)
-          .collect().map(_.toString).toSet
+          .collect().map(_.toString).toSeq.sorted
       }.toMap
     Pipeline.refreshViews(spark, dirs.processed)
     val dataframePath = snapshot()

@@ -24,6 +24,22 @@ class PrestoSqlSpec extends AnyFunSuite {
     assert(!t.toLowerCase.contains("date_parse"))
   }
 
+  test("translation edge cases: literals untouched, spaced calls, idempotence") {
+    // function-like text inside string literals is never rewritten
+    val lit = PrestoSql.translate("SELECT 'day_of_week(' AS lbl, 'date_parse(x,' AS p FROM t")
+    assert(lit == "SELECT 'day_of_week(' AS lbl, 'date_parse(x,' AS p FROM t")
+    // spaced call form before an unspaced one — both rewritten
+    val spaced = PrestoSql.translate(
+      "SELECT date_parse (a, '%Y'), date_parse(b, '%Y') FROM t")
+    assert(!spaced.toLowerCase.contains("date_parse"), spaced)
+    assert(spaced.contains("to_timestamp (a, 'yyyy')") || spaced.contains("to_timestamp(a, 'yyyy')"))
+    // idempotent: translating already-translated SQL changes nothing
+    val once = PrestoSql.translate(
+      "SELECT DAY_OF_WEEK(date_parse(d, '%m/%d/%Y %T %p')) AS n FROM t")
+    assert(PrestoSql.translate(once) == once)
+    assert(once.contains("(weekday(to_timestamp(d, 'MM/dd/yyyy hh:mm:ss a')) + 1)"))
+  }
+
   test("translated view executes with Presto semantics end to end") {
     Seq(
       (1L, "06/15/2021 09:30:00 PM"), // Tuesday

@@ -14,12 +14,18 @@ class PricingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
     val exact = PricingQueries.distinctCounts(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactQuantiles = graft.engine.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.99))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
     exact.foreach { case (flag, exactDistinct) =>
       val (approxDistinct, quantiles) = approx(flag)
       val err = math.abs(approxDistinct - exactDistinct).toDouble / exactDistinct
       assert(err < 0.1, s"$flag: approx=$approxDistinct exact=$exactDistinct err=$err")
-      assert(quantiles.length == 2 && quantiles(0) <= quantiles(1),
-        "p50 <= p99")
+      // sketch quantiles within 2% relative error of exact percentiles
+      quantiles.zip(exactQuantiles(flag)).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.02, s"$flag quantile: approx=$a exact=$e")
+      }
     }
   }
 
