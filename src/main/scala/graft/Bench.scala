@@ -16,18 +16,27 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     // noop sink: forces full computation + materialization of every output
     // column (count() would let Catalyst prune the projections away).
+    // A failed query must NOT look like a timing: record -1 as its value
+    // and surface the message in an "errors" object, so a broken query
+    // can't silently pass the bench surface.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+    }
+    graft.operators.Dedup.clearShingleCaches()
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
+    val errs = results.collect { case (k, _, Some(m)) => s"\"" + k + "\":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -118,14 +118,17 @@ object PricingQueries {
     * the sketches Spark ships for 100 TB-scale cardinality/quantile work.
     * No oracle SQL — sketch implementations differ across engines — so
     * the driver records a rows-only check and PricingSpec asserts the
-    * estimates against exact values within the documented error bounds. */
+    * estimates against exact values within the documented error bounds.
+    * The quantiles surface as scalar columns (not one array column): the
+    * driver's compare sorts rows by every column and an array column is
+    * unhashable there. */
   def approxAggregates(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)")
-          .as("price_quantiles"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("price_p50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("price_p99"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 }

@@ -38,6 +38,28 @@ object Dedup {
     * DedupSpec asserts both agree). */
   val HashPrime = 2147483647L
 
+  /** Per-(session, input-plan) memo for the persisted intermediates below.
+    * Round-1 persisted a fresh structurally-identical DF per call and never
+    * unpersisted — CacheManager logged "already cached" per call and the
+    * entries outlived the whole 33-query run. The memo persists each
+    * distinct input exactly once; [[clearShingleCaches]] releases them. */
+  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+
+  private def memoPersist(docs: DataFrame, stage: String)
+                         (build: DataFrame => DataFrame): DataFrame =
+    shingleCache.computeIfAbsent(
+      (docs.sparkSession, stage, docs.queryExecution.analyzed.canonicalized),
+      _ => build(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist and forget every memoized signature/shingle cache — call
+    * once at the end of a pipeline/bench run. */
+  def clearShingleCaches(): Unit = {
+    shingleCache.values().forEach(df => { df.unpersist(); () })
+    shingleCache.clear()
+  }
+
   /** (doc_id, sig): MinHash signatures — the shared input of the
     * minhash/LSH stages. Cached: q12/q13/q14 and both sides of the LSH
     * self-join reuse the exact same plan, and Spark would otherwise
@@ -45,16 +67,14 @@ object Dedup {
     * consumer). The shingle-string arrays live in [[shingleSets]] —
     * only the Jaccard stage pays for them. */
   private[operators] def shingleBase(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"),
-        graft.functions.MinHashFns.minhashSignature(col("text"), NumHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    memoPersist(docs, "sig")(d => d.select(col("doc_id"),
+      graft.functions.MinHashFns.minhashSignature(col("text"), NumHashes).as("sig")))
 
   /** (doc_id, sh): distinct shingle sets (fused expression), cached for
     * the two-sided Jaccard join. */
   private[operators] def shingleSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), graft.functions.MinHashFns.shingleSet(col("text")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    memoPersist(docs, "shingles")(d =>
+      d.select(col("doc_id"), graft.functions.MinHashFns.shingleSet(col("text")).as("sh")))
 
   /** Exact dedup rollup: group by content hash, keep the canonical
     * (minimum) doc_id. `md5(text)` rather than raw text as the shuffle key
@@ -132,23 +152,94 @@ object Dedup {
           |    (v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
           |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("simhash"))
 
-  /** Embedding near-duplicates: pairs with cosine >= threshold. Brute-force
-    * pair join (test scale); [[Similarity.annLsh]] is the bucketed path. */
-  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    // per-vector norms once per side; the O(n²) pair loop then computes
-    // only the dot product. dot/(norm_a*norm_b) is bit-identical to the
-    // fused cosine (same accumulation order), verified by the oracle.
-    val withNorm = emb.select(col("vec_id"), col("embedding"),
-      Similarity.norm(col("embedding")).as("nrm"))
-    val a = withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
-      col("nrm").as("n_a"))
-    val b = withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
-      col("nrm").as("n_b"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(graft.functions.VectorFns.dotProduct(col("e_a"), col("e_b"))
-          / (col("n_a") * col("n_b")), 4).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+  /** Output row of the blocked near-dup kernel. */
+  final case class NearDupPair(vec_a: Long, vec_b: Long, cos_sim: Double)
+
+  /** Embedding near-duplicates: all pairs with cosine >= threshold, via a
+    * block-matrix kernel (the exact-join complement of the approximate
+    * [[Similarity.annLsh]] path).
+    *
+    * Round 1 expressed this as a `vec_a < vec_b` theta-join —
+    * BroadcastNestedLoopJoin materializing every pair row (2 × 64-float
+    * arrays each) through codegen: 90s for 2M pairs at sf0.1 and O(n²)
+    * join-row materialization at scale. Instead: assign each vector to one
+    * of `blocks` blocks, replicate it once per block *pair* it meets
+    * (factor `blocks` — the inherent cost of an exact all-pairs product),
+    * and run a tight primitive-array loop per pair group. ONE shuffle on a
+    * dense int key, no join operator at all; only above-threshold pairs
+    * are ever materialized as rows. At 100 TB, `blocks` is sized so a
+    * block pair fits one task (replication grows as sqrt of the pair
+    * count, the standard block-matrix trade).
+    *
+    * Numerics are bit-identical to round 1's oracle-verified formulation:
+    * dot and norm accumulate in double in index order, cosine =
+    * dot/(sqrt(ssq_a)·sqrt(ssq_b)), rounded HALF_UP at 4dp exactly like
+    * Spark's `round` (scala BigDecimal over `Double.toString`). */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.45,
+                        blocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val b = blocks
+    // one row per (vector, unordered block pair): pair_id = min*b + max
+    val exploded = emb
+      .select(col("vec_id").cast("long"), col("embedding"),
+        pmod(col("vec_id"), lit(b)).cast("int").as("blk"))
+      .select(col("vec_id"), col("embedding"), col("blk"),
+        explode(expr(
+          s"transform(sequence(0, ${b - 1}), p -> int(if(p < blk, p * $b + blk, blk * $b + p)))"))
+          .as("pair_id"))
+      .as[(Long, Seq[Float], Int, Int)]
+    exploded.groupByKey(_._4).flatMapGroups { (pid: Int, rows: Iterator[(Long, Seq[Float], Int, Int)]) =>
+      val i = pid / b
+      val j = pid % b
+      val aIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val aVec = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      val bIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val bVec = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      rows.foreach { case (id, v, blk, _) =>
+        if (blk == i) { aIds += id; aVec += v.toArray }
+        else { bIds += id; bVec += v.toArray }
+      }
+      def nrm(v: Array[Float]): Double = {
+        var s = 0.0; var k = 0
+        while (k < v.length) { val x = v(k).toDouble; s += x * x; k += 1 }
+        math.sqrt(s)
+      }
+      val aN = aVec.map(nrm)
+      val bN = bVec.map(nrm)
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+      // 1e-4 guard: rounding to 4dp moves a value by < 5e-5, so anything
+      // below threshold-1e-4 can't round up past the threshold — skip the
+      // BigDecimal for the overwhelming below-threshold majority.
+      def emit(ida: Long, va: Array[Float], na: Double,
+               idb: Long, vb: Array[Float], nb: Double): Unit = {
+        var s = 0.0; var k = 0
+        while (k < va.length) { s += va(k).toDouble * vb(k).toDouble; k += 1 }
+        val raw = s / (na * nb)
+        if (raw >= threshold - 1e-4) {
+          val r = BigDecimal(raw)
+            .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (r >= threshold)
+            out += (if (ida < idb) NearDupPair(ida, idb, r) else NearDupPair(idb, ida, r))
+        }
+      }
+      if (i == j) {
+        var x = 0
+        while (x < aIds.length) {
+          var y = x + 1
+          while (y < aIds.length) { emit(aIds(x), aVec(x), aN(x), aIds(y), aVec(y), aN(y)); y += 1 }
+          x += 1
+        }
+      } else {
+        var x = 0
+        while (x < aIds.length) {
+          var y = 0
+          while (y < bIds.length) { emit(aIds(x), aVec(x), aN(x), bIds(y), bVec(y), bN(y)); y += 1 }
+          x += 1
+        }
+      }
+      out.iterator
+    }.toDF()
   }
 
   // ---- SparkEntry wiring -------------------------------------------------

@@ -11,7 +11,7 @@ class PricingSpec extends AnyFunSuite {
 
   test("approximate aggregates land within documented error bounds of exact") {
     val approx = PricingQueries.approxAggregates(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), Seq(r.getDouble(2), r.getDouble(3)))).toMap
     val exact = PricingQueries.distinctCounts(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exactQuantiles = graft.engine.Tables.lineitem(spark, sf)
