@@ -53,6 +53,8 @@ object SparkEntry {
     "q31_ann_ivf"       -> (Similarity.qAnnIvf _),
     "q32_approx_aggs"   -> (PricingQueries.approxAggregates _),
     "q33_range_join"    -> (Events.qRangeJoin _),
+    "q34_lookup_join"   -> (Catalogs.lookupJoin _),
+    "q35_ann_ivf_kmeans" -> (Similarity.qAnnIvfKmeans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +95,9 @@ object SparkEntry {
     // sketches aren't reproducible across engines (driver rows-only check;
     // bounds asserted vs exact values in PricingSpec).
     "q33_range_join"    -> Events.qRangeJoinSql,
+    "q34_lookup_join"   -> Catalogs.lookupJoinSql,
+    // q35_ann_ivf_kmeans intentionally has NO oracle entry: k-means||
+    // centroids aren't reproducible across engines (driver rows-only
+    // check; recall-vs-brute-force asserted in DedupSpec).
   )
 }

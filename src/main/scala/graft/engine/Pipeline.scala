@@ -25,6 +25,17 @@ object Pipeline {
     refreshViews(spark, dirs.processed)
   }
 
+  /** [[run]] with the fetch stage going over real HTTP — the reference's
+    * actual topology (Lambda GET against Socrata with a SoQL `$where`,
+    * get_data_api.py:10-24). Identical downstream path. */
+  def runHttp(spark: SparkSession, endpoint: String, dirs: Dirs,
+      since: String, fileDate: LocalDate = LocalDate.now()): Unit = {
+    graft.sources.Ingest.fetchRecentHttp(endpoint, since, dirs.landing, fileDate)
+    graft.sources.Ingest.processNewFiles(
+      spark, dirs.landing, dirs.processed, dirs.checkpoint)
+    refreshViews(spark, dirs.processed)
+  }
+
   /** Register the four views over the processed zone in dependency order:
     * dependency1_violent_crimes first (its consumers read it by name),
     * matching the reference's NamedQuery set (CDK/cdk/athena_queries/). */

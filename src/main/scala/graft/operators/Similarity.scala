@@ -133,8 +133,11 @@ object Similarity {
   val NumCentroids = 16
   val NumProbe = 4
 
-  def annIvf(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
-    val cent = emb.filter(col("vec_id") < NumCentroids)
+  def annIvf(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      centroidFrom: Int = 0): DataFrame = {
+    val cent = emb
+      .filter(col("vec_id") >= centroidFrom &&
+        col("vec_id") < centroidFrom + NumCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
     // cell assignment: nearest centroid per vector (rounded-sim + cid tiebreak)
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -157,6 +160,59 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("cand_id")).distinct()
     // broadcast only the nQueries query vectors, never the corpus
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val ce = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val scored = cand
+      .join(qe.hint("broadcast"), Seq("query_id"))
+      .join(ce, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF with LEARNED centroids: an MLlib k-means pass (cosine distance,
+    * fixed seed) replaces [[annIvf]]'s seed-vector centroids; the cell
+    * assignment comes from `model.transform` and everything downstream
+    * (probe nprobe cells, candidate join on the cell id, exact re-score,
+    * top-k) is the same inverted-file shape. Better-centered cells →
+    * better recall at the same probe budget (asserted vs the seed-centroid
+    * variant in DedupSpec).
+    *
+    * Not oracle-reproducible (k-means|| isn't portable across engines) —
+    * rows-only driver check. At 100 TB, fit the model on a sample
+    * (`emb.sample(...)`) — centroid quality converges long before the full
+    * pass; assignment/transform stays a narrow per-row pass. */
+  def annIvfKmeans(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      numCentroids: Int = NumCentroids, nprobe: Int = NumProbe,
+      maxIter: Int = 20): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val feats = emb.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(numCentroids).setSeed(42L).setMaxIter(maxIter)
+      .setDistanceMeasure("cosine").setFeaturesCol("features")
+      .fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("prediction").as("cid"))
+    // learned centroids: K tiny driver-side rows, broadcast for probing
+    val cent = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cid", "cemb")
+    val probed = emb.filter(col("vec_id") < nQueries).crossJoin(broadcast(cent))
+      .select(col("vec_id").as("query_id"), col("cid"),
+        round(cosine(col("embedding"), col("cemb")), 4).as("csim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))))
+      .filter(col("rnk") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val cand = probed.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id")).distinct()
     val qe = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val ce = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
@@ -231,6 +287,9 @@ object Similarity {
 
   def qAnnLsh(s: SparkSession, d: String): DataFrame =
     annLsh(Tables.embeddings(s, d)).orderBy("query_id", "rnk")
+
+  def qAnnIvfKmeans(s: SparkSession, d: String): DataFrame =
+    annIvfKmeans(Tables.embeddings(s, d)).orderBy("query_id", "rnk")
 
   val qAnnLshSql: String = {
     def bucketExpr(t: Int): String = (0 until PlanesPerTable).map { p =>

@@ -26,6 +26,32 @@ import java.time.LocalDate
   */
 object Ingest {
 
+  /** Land a CSV text body under a dated key, or None when the extract was
+    * effectively empty — the reference's header-only guard
+    * (`len(text) > 250`, get_data_api.py:16). Never overwrites an
+    * already-landed file: the streaming bookmark keys seen files by PATH,
+    * so rewriting a processed path would silently drop the new rows
+    * forever. A same-day re-fetch lands under a unique suffixed name
+    * instead (the duplicates this can introduce are reference semantics —
+    * SURVEY.md §4 hazard 7). */
+  private def landCsv(body: String, landingDir: String,
+      fileDate: LocalDate): Option[Path] = {
+    if (body.length <= 250) return None
+    Files.createDirectories(Paths.get(landingDir))
+    val base = s"recent_source_data_$fileDate"
+    val out = Iterator.from(0)
+      .map(i => Paths.get(landingDir, if (i == 0) s"$base.csv" else s"$base-$i.csv"))
+      .find(!Files.exists(_)).get
+    Files.writeString(out, body, StandardOpenOption.CREATE_NEW)
+    Some(out)
+  }
+
+  /** Driver-side fetch is only safe for the reference's daily-delta
+    * volumes (10²–10³ rows/day, BASELINE.md); a misconfigured `since`
+    * must fail fast instead of collecting the full history into the
+    * driver. */
+  val MaxFetchRows = 500000
+
   /** Fetch source rows with `updated_on > since` and land them as a dated
     * CSV in `landingDir`. Returns the written path, or None when the
     * extract was effectively empty (header-only guard). */
@@ -34,27 +60,37 @@ object Ingest {
     import org.apache.spark.sql.functions.col
     val fresh = source.filter(col("updated_on") > since)
     val header = source.columns.mkString(",")
-    val rows = fresh.collect().map(_.toSeq.map {
+    val collected = fresh.limit(MaxFetchRows + 1).collect()
+    require(collected.length <= MaxFetchRows,
+      s"fetchRecent(since=$since) matched > $MaxFetchRows rows — refusing a " +
+        "driver-side collect of what is clearly not a daily delta")
+    val rows = collected.map(_.toSeq.map {
       case null => ""
       case s: String if s.exists(ch => ch == ',' || ch == '"' || ch == '\n' || ch == '\r') =>
         "\"" + s.replace("\"", "\"\"") + "\""
       case v => v.toString
     }.mkString(","))
-    val body = (header +: rows).mkString("\n")
-    // reference guard: only a header (<= 250 chars, get_data_api.py:16)
-    if (body.length <= 250) return None
-    Files.createDirectories(Paths.get(landingDir))
-    // Never overwrite an already-landed file: the streaming bookmark keys
-    // seen files by PATH, so rewriting a processed path would silently
-    // drop the new rows forever. A same-day re-fetch lands under a
-    // unique suffixed name instead (the duplicates this can introduce
-    // are reference semantics — SURVEY.md §4 hazard 7).
-    val base = s"recent_source_data_$fileDate"
-    val out = Iterator.from(0)
-      .map(i => Paths.get(landingDir, if (i == 0) s"$base.csv" else s"$base-$i.csv"))
-      .find(!Files.exists(_)).get
-    Files.writeString(out, body, StandardOpenOption.CREATE_NEW)
-    Some(out)
+    landCsv((header +: rows).mkString("\n"), landingDir, fileDate)
+  }
+
+  /** Real-HTTP variant of [[fetchRecent]], matching the reference Lambda
+    * byte for byte in behavior (get_data_api.py:10-24): GET the endpoint
+    * with the predicate pushed server-side as a SoQL `$where` parameter,
+    * apply the header-only guard to the response text, and land it
+    * verbatim under the dated key. The server owns filtering — the client
+    * never materializes unmatched rows (S3's "server-side predicate"). */
+  def fetchRecentHttp(endpoint: String, since: String, landingDir: String,
+      fileDate: LocalDate = LocalDate.now(),
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(180)): Option[Path] = {
+    val soql = java.net.URLEncoder.encode(s"updated_on > '$since'", "UTF-8")
+    val uri = java.net.URI.create(s"$endpoint?%24where=$soql")
+    val client = java.net.http.HttpClient.newBuilder().connectTimeout(timeout).build()
+    val req = java.net.http.HttpRequest.newBuilder(uri).GET()
+      .timeout(timeout).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"ingest fetch failed: HTTP ${resp.statusCode()} from $uri")
+    landCsv(resp.body(), landingDir, fileDate)
   }
 
   /** Crime CSV schema (the columns the reference reads, FIXTURES.md §B).
@@ -88,5 +124,72 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  // ---- crawler-style schema inference (SURVEY.md §2.1 S1) ----------------
+
+  import org.apache.spark.sql.types._
+
+  private val integralLadder: Seq[DataType] =
+    Seq(ByteType, ShortType, IntegerType, LongType)
+  private def isNumeric(t: DataType): Boolean =
+    integralLadder.contains(t) || t == FloatType || t == DoubleType
+
+  /** Widen two inferred scalar types the way the crawler's
+    * `CombineCompatibleSchemas` grouping policy (CDK/cdk/cdk_stack.py:110)
+    * reconciles drifting daily files: equal passes through, integrals
+    * widen up the ladder, any numeric mix widens to double, date widens
+    * into timestamp, anything else degrades to string (the crawler's
+    * "choice"-type resolution). */
+  private[sources] def widen(a: DataType, b: DataType): DataType =
+    if (a == b) a
+    else if (integralLadder.contains(a) && integralLadder.contains(b))
+      integralLadder(math.max(integralLadder.indexOf(a), integralLadder.indexOf(b)))
+    else if (isNumeric(a) && isNumeric(b)) DoubleType
+    else if (Set[DataType](DateType, TimestampType) == Set(a, b)) TimestampType
+    else StringType
+
+  /** Merge two per-file schemas: shared columns widen, new columns append
+    * in first-seen order (everything nullable — a column absent from one
+    * day's file is null for that day's rows). */
+  def mergeSchemas(a: StructType, b: StructType): StructType = {
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val merged = a.fields.map { f =>
+      bByName.get(f.name) match {
+        case Some(g) => StructField(f.name, widen(f.dataType, g.dataType), nullable = true)
+        case None    => f.copy(nullable = true)
+      }
+    }
+    val aNames = a.fieldNames.toSet
+    StructType(merged ++ b.fields.filterNot(f => aNames(f.name)).map(_.copy(nullable = true)))
+  }
+
+  /** Read every landed CSV with per-file schema inference — each daily
+    * file is crawled independently, exactly like a scheduled Glue crawler
+    * run over `input/` (CDK/cdk/cdk_stack.py:96-111) — then reconcile the
+    * drifted schemas with [[mergeSchemas]] and union the days by name.
+    * The declared-schema streaming path ([[processNewFiles]]) stays the
+    * steady-state reader; this is the day-0 / drift-audit path that
+    * discovers what the landing zone actually contains.
+    *
+    * Scale note: inference samples each file in a separate pass before the
+    * real read — at 100 TB cap it with `samplingRatio` or run inference on
+    * `limit(n)` heads; the reconcile+union itself is narrow (no shuffle). */
+  def readLandingInferred(spark: SparkSession, landingDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(Paths.get(landingDir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".csv")).toSeq.sorted
+    require(files.nonEmpty, s"no CSVs landed under $landingDir")
+    val perFile = files.map(f =>
+      spark.read.option("header", "true").option("inferSchema", "true").csv(f))
+    val target = perFile.map(_.schema).reduce(mergeSchemas)
+    perFile.map { df =>
+      val have = df.columns.toSet
+      df.select(target.fields.toSeq.map { fld =>
+        if (have(fld.name)) col(fld.name).cast(fld.dataType).as(fld.name)
+        else lit(null).cast(fld.dataType).as(fld.name)
+      }: _*)
+    }.reduce(_.unionByName(_))
   }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Catalogs, Pipeline}
+import java.time.LocalDate
+
+/** Persistent-catalog semantics (SURVEY.md §2.1 S6/S7): catalog tables and
+  * views must outlive the session that created them — a FRESH session over
+  * the same catalog (newSession: fresh session state, shared external
+  * catalog = shared warehouse) still resolves them, while temp views die
+  * with their session. This is the Glue-catalog behavior the reference
+  * relies on (crawler registers once, Athena queries forever). */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def processedZone(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    val dirs = Pipeline.Dirs(s"$root/input", s"$root/processed", s"$root/checkpoint")
+    import spark.implicits._
+    val src = Seq(
+      (1L, "06/15/2021 09:30:00 PM", "ROBBERY", "ARMED - HANDGUN", true, 25L, 2021L, "2021-06-16 01:00:00"),
+      (2L, "06/15/2021 11:00:00 AM", "THEFT", "OVER $500", false, 25L, 2021L, "2021-06-16 01:00:00"),
+      (3L, "07/01/2021 08:00:00 AM", "ASSAULT", "AGGRAVATED", true, 7L, 2021L, "2021-07-02 01:00:00"),
+    ).toDF("id", "date", "primary_type", "description", "arrest",
+        "community_area", "year", "updated_on")
+      .withColumn("case_number", concat(lit("JE"), col("id")))
+      .withColumn("domestic", lit(false))
+      .withColumn("latitude", lit(41.88))
+      .withColumn("longitude", lit(-87.63))
+      .select(graft.sources.Ingest.crimeSchemaDdl.split(",")
+        .map(_.trim.split(" ")(0)).map(col): _*)
+    Pipeline.run(spark, src, dirs, since = "2021-01-01",
+      fileDate = LocalDate.parse("2021-07-02"))
+    dirs.processed
+  }
+
+  test("persistent views survive into a fresh session; temp views do not") {
+    val processed = processedZone()
+    Pipeline.refreshViews(spark, processed) // temp-view path, for contrast
+    Catalogs.refreshViewsPersistent(spark, processed)
+
+    val fresh = spark.newSession()
+    // catalog objects: visible from the fresh session
+    assert(fresh.catalog.tableExists(s"${Catalogs.CrimeDb}.processed"))
+    assert(fresh.catalog.tableExists(s"${Catalogs.CrimeDb}.dependency1_violent_crimes"))
+    val violent = fresh.table(s"${Catalogs.CrimeDb}.dependency1_violent_crimes")
+    assert(violent.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // partition recovery registered both months' partitions
+    assert(fresh.table(s"${Catalogs.CrimeDb}.processed").count() == 3)
+    // temp views: session-scoped, gone in the fresh session
+    assert(!fresh.catalog.tableExists("dependency1_violent_crimes"))
+
+    // persistent views compute the same results as the temp-view path
+    val tempPct = Pipeline.view(spark, "arrest_pct_by_community_violent")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val persPct = fresh.table(s"${Catalogs.CrimeDb}.arrest_pct_by_community_violent")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(tempPct == persPct)
+    val dow = fresh.table(s"${Catalogs.CrimeDb}.fixed_dates_violent")
+      .select("id", "day_of_week", "day_of_week_num")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(dow.contains((1L, "Tuesday", 2L)))
+  }
+
+  test("second catalog domain: lookup table registered and broadcast-joined") {
+    Catalogs.registerNeighborhoodDb(spark, "/root/testdata/sf0.001")
+    val fresh = spark.newSession()
+    assert(fresh.catalog.tableExists(s"${Catalogs.NeighborhoodDb}.community_lookup"))
+    val out = Catalogs.lookupJoin(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.length == 15)
+    assert(rows.forall(r => r.getAs[String]("community_name") != null))
+    // the lookup side must be broadcast, never shuffled
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+}

@@ -136,6 +136,22 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("k-means IVF recall beats (or ties) seed-centroid IVF at sf0.001") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val seedRecall = recallOf(Similarity.annIvf(emb, nQueries = 8, k = 10))
+    val kmRecall = recallOf(Similarity.annIvfKmeans(emb, nQueries = 8, k = 10))
+    // learned centroids must not lose to arbitrary seed vectors at the
+    // same probe budget, and must stay far above the 2% random baseline
+    assert(kmRecall >= seedRecall, s"kmeans=$kmRecall seed=$seedRecall")
+    assert(kmRecall >= 0.2, s"recall=$kmRecall")
+  }
+
   test("brute-force top-k is exhaustive and correctly ranked") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val out = Similarity.bruteForceTopK(emb, nQueries = 2, k = 5).collect()

@@ -102,6 +102,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(dirs.landing, "recent_source_data_2022-01-01.csv")))
   }
 
+  // CSV lines in canonical crime column order (id, case_number, date,
+  // primary_type, description, arrest, domestic, community_area, year,
+  // updated_on, latitude, longitude)
+  val crimeHeader: String =
+    Ingest.crimeSchemaDdl.split(",").map(_.trim.split(" ")(0)).mkString(",")
+  def crimeCsvRows: Seq[SoqlTestServer.Row] = Seq(
+    SoqlTestServer.Row("2021-06-16 01:00:00",
+      "1,JE1,06/15/2021 09:30:00 PM,ROBBERY,ARMED - HANDGUN,true,false,25,2021,2021-06-16 01:00:00,41.88,-87.63"),
+    SoqlTestServer.Row("2021-06-16 01:00:00",
+      "2,JE2,06/15/2021 11:00:00 AM,THEFT,OVER $500,false,false,25,2021,2021-06-16 01:00:00,41.88,-87.63"),
+    SoqlTestServer.Row("2021-07-02 01:00:00",
+      "3,JE3,07/01/2021 08:00:00 AM,ASSAULT,AGGRAVATED - OTHER DANGEROUS WEAPON,true,false,7,2021,2021-07-02 01:00:00,41.88,-87.63"),
+    SoqlTestServer.Row("2021-07-03 01:00:00",
+      "4,JE4,07/02/2021 10:00:00 PM,BATTERY,SIMPLE ASSAULT OF A PROTECTED EMPLOYEE,false,false,7,2021,2021-07-03 01:00:00,41.88,-87.63"),
+  )
+
+  test("HTTP ingest: SoQL $where pushed server-side, guard, end-to-end to views") {
+    val dirs = freshDirs()
+    SoqlTestServer.withServer(crimeHeader, crimeCsvRows) { url =>
+      // header-only extract (future `since`) must not land a file
+      assert(Ingest.fetchRecentHttp(url, since = "2099-01-01",
+        dirs.landing, LocalDate.parse("2022-01-01")).isEmpty)
+      assert(!Files.exists(Paths.get(dirs.landing)))
+
+      // real fetch: server filters to the two July rows; pipeline runs
+      // through bookmark processing and view refresh unchanged
+      Pipeline.runHttp(spark, url, dirs,
+        since = "2021-06-30", fileDate = LocalDate.parse("2021-07-03"))
+      val landed = Files.readString(
+        Paths.get(dirs.landing, "recent_source_data_2021-07-03.csv"))
+      assert(landed.linesIterator.size == 3, "header + the 2 rows past `since`")
+      val processed = spark.read.parquet(dirs.processed)
+      assert(processed.select("id").as[Long].collect().toSet == Set(3L, 4L))
+      assert(Pipeline.view(spark, "dependency1_violent_crimes")
+        .select("id").as[Long].collect().toSet == Set(3L, 4L))
+    }
+  }
+
+  test("crawler-style inference reconciles two drifted daily CSVs") {
+    val dir = Files.createTempDirectory("graft-infer")
+    // day 1: integral community_area, no `beat` column
+    Files.writeString(dir.resolve("day1.csv"),
+      "id,primary_type,community_area\n1,THEFT,25\n2,ROBBERY,7\n")
+    // day 2 drifts: community_area became fractional, a new `beat` column
+    // appeared, and `id` stays integral
+    Files.writeString(dir.resolve("day2.csv"),
+      "id,primary_type,community_area,beat\n3,ASSAULT,7.5,1121\n4,BATTERY,25.0,2233\n")
+    val df = Ingest.readLandingInferred(spark, dir.toString)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("community_area") == "double", "int + double widens to double")
+    assert(types("beat") == "int", "new column adopted from day 2")
+    assert(df.count() == 4)
+    assert(df.filter(col("beat").isNull).count() == 2, "day-1 rows null-fill the new column")
+    assert(df.filter(col("id") === 1).select("community_area")
+      .as[Double].head() == 25.0)
+  }
+
   test("late re-fetch duplicates append (no dedup), matching reference") {
     val dirs = freshDirs()
     Pipeline.run(spark, srcRows("2021-07-31"), dirs,
