@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  private def processCpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,24 +32,41 @@ object Bench {
     // A failed query must NOT look like a timing: record -1 as its value
     // and surface the message in an "errors" object, so a broken query
     // can't silently pass the bench surface.
+    //
+    // Alongside wall seconds, record per-query PROCESS-CPU seconds and GC
+    // seconds: a query whose wall time vastly exceeds its cpu+gc time was
+    // stalled by something outside this JVM (host contention), not by its
+    // plan — bench runs on shared hosts have shown exactly that signature
+    // (e.g. a 3-s aggregation reading as 200 s wall with idle CPU).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val c0 = processCpuNanos
+      val g0 = gcMillis
       val err: Option[String] =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Some(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
-      (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = if (c0 < 0) -1.0 else (processCpuNanos - c0) / 1e9
+      val gc = (gcMillis - g0) / 1e3
+      (name, if (err.isEmpty) wall else -1.0, cpu, gc, err)
     }
     graft.operators.Dedup.clearShingleCaches()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def fmt(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cpus_ = results.map { case (k, _, c, _, _) => s"\"" + k + "\":" + fmt(c) }
+      .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, _, g, _) => s"\"" + k + "\":" + fmt(g) }
       .mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
-    val errs = results.collect { case (k, _, Some(m)) => s"\"" + k + "\":" + jstr(m) }
+    val errs = results.collect { case (k, _, _, _, Some(m)) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _, _, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpu_sec":$cpus_,"gc_sec":$gcs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine._
-import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,6 +55,9 @@ object SparkEntry {
     "q33_range_join"    -> (Events.qRangeJoin _),
     "q34_lookup_join"   -> (Catalogs.lookupJoin _),
     "q35_ann_ivf_kmeans" -> (Similarity.qAnnIvfKmeans _),
+    "q36_simhash_pairs" -> (Dedup.qSimhashPairs _),
+    "q37_dup_clusters"  -> (Dedup.qDupClusters _),
+    "q38_corpus_filter" -> (Corpus.qCorpusFilter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,6 +99,9 @@ object SparkEntry {
     // bounds asserted vs exact values in PricingSpec).
     "q33_range_join"    -> Events.qRangeJoinSql,
     "q34_lookup_join"   -> Catalogs.lookupJoinSql,
+    "q36_simhash_pairs" -> Dedup.qSimhashPairsSql,
+    "q37_dup_clusters"  -> Dedup.qDupClustersSql,
+    "q38_corpus_filter" -> Corpus.qCorpusFilterSql,
     // q35_ann_ivf_kmeans intentionally has NO oracle entry: k-means||
     // centroids aren't reproducible across engines (driver rows-only
     // check; recall-vs-brute-force asserted in DedupSpec).

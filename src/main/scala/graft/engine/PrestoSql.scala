@@ -20,9 +20,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - double-quoted identifiers (`"count"`) → backticks.
   *
   * Deliberately a targeted rewriter, not a SQL parser. All scanning is
-  * string-literal-aware (text inside '...' is never rewritten), and the
-  * DAY_OF_WEEK rewrite happens in one pass so `translate` is idempotent
-  * on its own output.
+  * string-literal-aware (text inside '...' is never rewritten), and
+  * `translate` is idempotent on its own output: DAY_OF_WEEK rewrites in
+  * one pass, and date_format patterns without a '%' (i.e. already-JDK
+  * output of a prior pass) are left untouched. The one trade: a Presto
+  * date_format whose pattern is pure literal text (no '%' codes at all)
+  * passes through unquoted — pathological, since such a call formats to
+  * a constant.
   */
 object PrestoSql {
 
@@ -36,7 +40,12 @@ object PrestoSql {
     }
     out = rewriteCalls(out, "date_format") { inner =>
       val (args, pat) = splitLastLiteral(inner)
-      if (pat.isEmpty) s"date_format($inner)"
+      // A pattern with no '%' is already a JDK pattern (Spark's
+      // date_format shares the name): rewriting it would quote its
+      // letters into literals ('EEEE' -> ''EEEE''). Leaving it alone is
+      // what makes translate(translate(x)) == translate(x) for
+      // date_format too, not just DAY_OF_WEEK.
+      if (pat.isEmpty || !pat.contains('%')) s"date_format($inner)"
       else s"date_format($args'${PrestoCompat.prestoPatternToJava(pat)}')"
     }
     out = rewriteCalls(out, "day_of_week")(inner => s"(weekday($inner) + 1)")

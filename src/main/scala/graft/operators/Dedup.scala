@@ -129,28 +129,124 @@ object Dedup {
           / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
   }
 
-  /** 16-bit SimHash over whitespace tokens: each token's 60-bit hash votes
+  /** SimHash over whitespace tokens: each token's 60-bit hash votes
     * ±1 per bit position; the sign vector packs into an integer. Near-dup
     * docs differ in few bits (compare via Hamming distance downstream).
     *
-    * Single pass: hash each word ONCE, fold a 16-counter vote array over
-    * the words, then pack sign bits — not 16 per-bit passes that would
-    * re-run md5 per bit (16× the cost, measured). */
+    * Single pass: hash each word ONCE, fold a `bits`-counter vote array
+    * over the words, then pack sign bits — not `bits` per-bit passes that
+    * would re-run md5 per bit (16× the cost at 16 bits, measured). */
+  private def simhashExpr(bits: Int): Column =
+    expr(
+      s"""aggregate(
+         |  zip_with(
+         |    aggregate(
+         |      transform(split(trim(text), '\\\\s+'), w ->
+         |        cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)),
+         |      array_repeat(cast(0 as bigint), $bits),
+         |      (acc, h) -> zip_with(acc, sequence(0, ${bits - 1}), (a, b) ->
+         |        a + if((shiftright(h, b) & 1) = 1, 1, -1))),
+         |    sequence(0, ${bits - 1}),
+         |    (v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+         |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
+
+  /** 16-bit SimHash (q15's compact fingerprint surface). */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      expr(
-        """aggregate(
-          |  zip_with(
-          |    aggregate(
-          |      transform(split(trim(text), '\\s+'), w ->
-          |        cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)),
-          |      array_repeat(cast(0 as bigint), 16),
-          |      (acc, h) -> zip_with(acc, sequence(0, 15), (a, b) ->
-          |        a + if((shiftright(h, b) & 1) = 1, 1, -1))),
-          |    sequence(0, 15),
-          |    (v, b) -> if(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
-          |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+    docs.select(col("doc_id"), simhashExpr(16).as("simhash"))
+
+  /** SimHash near-dup banding (q36). 60-bit SimHash (all the entropy the
+    * portable 60-bit word hash offers), banded into [[SimBands]] chunks of
+    * 15 bits. By pigeonhole, two docs within Hamming distance
+    * [[SimMaxHamming]] (< SimBands) share at least one untouched band, so
+    * the band-bucket self-join finds EVERY such pair — the banding is a
+    * complete index, not an approximation (the driver oracle brute-forces
+    * all pairs, which verifies exactly that).
+    *
+    * Scale: the only shuffle is the groupBy-shaped self-join on
+    * (band, band_key) — 15-bit near-uniform keys. Language/domain bias can
+    * skew one band value hot; AQE skew-join or key salting (Skew.scala)
+    * is the standard counter at 100 TB. The simhash pass itself is cached
+    * once ([[memoPersist]]) and shared by both join sides. */
+  val SimBits = 60
+  val SimBands = 4
+  val SimMaxHamming = 3
+
+  def simhash60(docs: DataFrame): DataFrame =
+    memoPersist(docs, "simhash60")(d =>
+      d.select(col("doc_id"), simhashExpr(SimBits).as("simhash")))
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = SimMaxHamming): DataFrame = {
+    val bitsPerBand = SimBits / SimBands
+    val mask = (1L << bitsPerBand) - 1
+    val banded = simhash60(docs)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(expr(s"transform(sequence(0, ${SimBands - 1}), b -> " +
+          s"shiftright(simhash, b * $bitsPerBand) & ${mask}L)")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val l = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val r = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(sim_a ^ sim_b) as bigint)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Duplicate-cluster assignment (q37): connected components over the
+    * near-dup graph (LSH candidates verified at `jaccard >= threshold`),
+    * labeling every document with the minimum doc_id reachable from it —
+    * the canonical representative a dedup pass keeps. Pairs only say "A
+    * duplicates B"; training-data dedup needs the transitive closure (A~B,
+    * B~C ⟹ one cluster), which no single join expresses.
+    *
+    * Algorithm: min-label propagation — each iteration every node takes
+    * the min of its own label and its neighbors' labels; fixpoint =
+    * exact components (deterministic regardless of execution order, so it
+    * is oracle-checkable against a recursive-CTE closure). Iterations =
+    * graph diameter; near-dup components are shallow (dups of a common
+    * original), so this converges in 2-4 rounds. `localCheckpoint` after
+    * each round truncates the otherwise-exponential join lineage — at
+    * 100 TB use reliable `checkpoint` instead, or graduate to the
+    * large-star/small-star formulation (same per-round shuffle shape,
+    * provably O(log n) rounds) if components can be deep. */
+  def duplicateClusters(docs: DataFrame, threshold: Double = 0.5,
+      maxIter: Int = 20): DataFrame = {
+    val edges = jaccardPairs(docs)
+      .filter(col("jaccard") >= threshold).select("doc_a", "doc_b")
+    val sym = edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("cluster_id").as("nbr_label")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      // labels only ever decrease: any strict decrease means not converged
+      converged = updated
+        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
+        .filter(col("cluster_id") < col("prev")).limit(1).isEmpty
+      labels = updated
+      iter += 1
+    }
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
 
   /** Output row of the blocked near-dup kernel. */
   final case class NearDupPair(vec_a: Long, vec_b: Long, cos_sim: Double)
@@ -300,9 +396,12 @@ object Dedup {
   def qJaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
 
-  val qJaccardPairsSql: String = {
+  /** Shared DuckDB CTE chain mirroring shingleBase → lshCandidatePairs →
+    * jaccardPairs: `jac` holds the verified (doc_a, doc_b, jaccard)
+    * candidates. Reused by q14 and the q37 component closure. */
+  private[operators] val jaccardCtesSql: String = {
     val rows = NumHashes / NumBands
-    s"""WITH sh AS (SELECT doc_id, $shinglesSqlExpr AS shg,
+    s"""sh AS (SELECT doc_id, $shinglesSqlExpr AS shg,
        |                   list_transform($shinglesSqlExpr, s -> $h0SqlExpr) AS h0s
        |            FROM documents),
        |sig AS (
@@ -316,14 +415,18 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |       ROUND(CAST(len(list_intersect(x.shg, y.shg)) AS DOUBLE)
-       |             / len(list_distinct(list_concat(x.shg, y.shg))), 6) AS jaccard
-       |FROM cand JOIN sh x ON cand.doc_a = x.doc_id
-       |          JOIN sh y ON cand.doc_b = y.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |         ROUND(CAST(len(list_intersect(x.shg, y.shg)) AS DOUBLE)
+       |               / len(list_distinct(list_concat(x.shg, y.shg))), 6) AS jaccard
+       |  FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+       |            JOIN sh y ON cand.doc_b = y.doc_id)""".stripMargin
   }
+
+  val qJaccardPairsSql: String =
+    s"""WITH $jaccardCtesSql
+       |SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b""".stripMargin
 
   def qSimhash(s: SparkSession, d: String): DataFrame =
     simhash(Tables.documents(s, d)).orderBy("doc_id")
@@ -338,6 +441,57 @@ object Dedup {
       |                     THEN 1 ELSE -1 END)) > 0
       |              THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
       |FROM t ORDER BY doc_id""".stripMargin
+
+  def qSimhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
+
+  /** The oracle brute-forces ALL pairs on the 60-bit simhash — comparing
+    * it against the banded Spark plan is exactly the pigeonhole-
+    * completeness proof (banding may only ever find a superset of
+    * nothing / subset of all-pairs; equality means zero missed pairs). */
+  val qSimhashPairsSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |sim AS (
+       |  SELECT doc_id,
+       |         list_sum(list_transform(range(0, $SimBits), b ->
+       |           CASE WHEN list_sum(list_transform(toks, w ->
+       |                  CASE WHEN ((('0x' || substr(md5(w), 1, 15))::BIGINT >> b) & 1) = 1
+       |                       THEN 1 ELSE -1 END)) > 0
+       |                THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+       |  FROM t)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def qDupClusters(s: SparkSession, d: String): DataFrame =
+    duplicateClusters(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Component-closure CTEs over `jac` (requires [[jaccardCtesSql]] in
+    * scope under WITH RECURSIVE): `lab` = (doc_id, cluster_id), `sz` =
+    * per-cluster sizes. Reused by q37 and the q38 corpus keep-list. */
+  private[operators] val clusterCtesSql: String =
+    """edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+      |        UNION SELECT doc_b, doc_a FROM edges),
+      |reach(node, root) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node),
+      |lab AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+      |        FROM reach GROUP BY node),
+      |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)""".stripMargin
+
+  /** Transitive closure as a recursive CTE over the SAME candidate+verify
+    * edge set the Spark side uses — the fixpoint of min-label propagation
+    * is the exact component labeling, so the two agree bit for bit. */
+  val qDupClustersSql: String =
+    s"""WITH RECURSIVE $jaccardCtesSql,
+       |$clusterCtesSql
+       |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+       |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
   def qEmbedNearDups(s: SparkSession, d: String): DataFrame =
     embeddingNearDups(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")

@@ -97,21 +97,30 @@ object Multimodal {
     extractFeatures(media).toDF().orderBy("media_id")
   }
 
+  /** Brightness sums the UTF-8 BYTES (hex(encode(text)) two chars per
+    * byte), exactly like the Spark side's `bytes(i) & 0xff` loop — a
+    * per-character `unicode(text[i])` formulation would only agree on
+    * ASCII input. */
   val qMediaFeaturesSql: String =
     """SELECT doc_id AS media_id,
-      |       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |       ['png', 'jpeg', 'wav'][(doc_id % 3 + 1)::INT] AS format,
-      |       octet_length(text::BLOB) % 640 AS width,
-      |       octet_length(text::BLOB) % 480 AS height,
-      |       list_sum(list_transform(range(1, len(text) + 1),
-      |                               i -> unicode(text[i])))::DOUBLE
-      |         / len(text) AS brightness,
+      |       octet_length(encode(text)) % 640 AS width,
+      |       octet_length(encode(text)) % 480 AS height,
+      |       list_sum(list_transform(range(0, octet_length(encode(text))),
+      |                               i -> ('0x' || substr(hex(encode(text)), (i*2+1)::INT, 2))::INT))::DOUBLE
+      |         / octet_length(encode(text)) AS brightness,
       |       md5(text) AS content_hash
       |FROM documents ORDER BY media_id""".stripMargin
 
   def qFrameSample(s: SparkSession, d: String): DataFrame =
     sampleFrames(mediaTable(Tables.documents(s, d))).orderBy("media_id", "frame_idx")
 
+  /** Chunking here is CHAR-indexed (`substr`/`len`) while Spark chunks
+    * the binary BYTE-wise; DuckDB cannot md5 a blob slice, so the oracle
+    * relies on the fixture contract that document text is pure ASCII
+    * (TESTDATA.md — one byte per char makes the two identical). The
+    * byte-exact q23 brightness above has no such dependency. */
   val qFrameSampleSql: String =
     """WITH idx AS (
       |  SELECT doc_id AS media_id, text,

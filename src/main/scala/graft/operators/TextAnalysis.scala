@@ -33,20 +33,36 @@ object TextAnalysis {
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Single-pass column builders over a `text` column — shared by the
+    * standalone queries below and the composed corpus pipeline
+    * ([[Corpus]]), so the combined pass never joins per-row features
+    * (three self-joins of the same scan would be the scale anti-pattern). */
+  private[operators] def punctRatioCol: org.apache.spark.sql.Column = {
+    val punct = expr("cast(size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)) as bigint)")
+    round(punct.cast("double") / length(col("text")).cast("double"), 6)
+  }
+  private[operators] def stopwordRatioCol: org.apache.spark.sql.Column = {
+    val toks = wsTokens(col("text"))
+    round(size(filter_(toks, t => t.isInCollection(stopwords))).cast("double")
+      / size(toks).cast("double"), 6)
+  }
+  private[operators] def qualityCol: org.apache.spark.sql.Column =
+    round(least(lit(1.0), size(wsTokens(col("text"))).cast("double") / 50.0)
+      * (lit(1.0) - least(lit(1.0), punctRatioCol * 5.0))
+      * least(lit(1.0), stopwordRatioCol * 4.0 + 0.2), 6)
+
   /** Quality heuristics: length, punctuation ratio, stopword ratio, mean
     * token length, and a composite score in [0,1]. Ratios are rounded so
     * the cross-engine compare is stable. */
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = wsTokens(col("text"))
     val nTok = size(toks).cast("double")
-    val stopHits = size(filter_(toks, t => t.isInCollection(stopwords))).cast("double")
-    val punct = expr("cast(size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)) as bigint)")
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
-      round(punct.cast("double") / length(col("text")).cast("double"), 6).as("punct_ratio"),
-      round(stopHits / nTok, 6).as("stopword_ratio"),
+      punctRatioCol.as("punct_ratio"),
+      stopwordRatioCol.as("stopword_ratio"),
       round(length(col("text")).cast("double") / nTok, 6).as("mean_token_len"))
       .withColumn("quality",
         round(least(lit(1.0), col("n_tokens").cast("double") / 50.0)
@@ -63,6 +79,23 @@ object TextAnalysis {
     "fr" -> Seq("les", "des", "une", "dans", "pour"),
     "zh" -> Seq("shi", "bu", "wo", "zai", "you"),
   )
+
+  /** The argmax language as a single column (same scores + priority-order
+    * tiebreak as [[langId]]) — for composed pipelines that fold language
+    * ID into an existing per-row pass. */
+  private[operators] def predLangCol: org.apache.spark.sql.Column = {
+    val toks = wsTokens(lower(col("text")))
+    def score(words: Seq[String]) =
+      round(size(filter_(toks, t => t.isInCollection(words))).cast("double")
+        / size(toks).cast("double"), 6)
+    val langs = langMarkers
+    langs.init.zipWithIndex.foldRight(lit(langs.last._1)) { case (((l, words), i), rest) =>
+      val ge = langs.drop(i + 1)
+        .map { case (_, ow) => score(words) >= score(ow) }
+        .reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+  }
 
   /** Language ID: marker-word hit rate per language, argmax with a fixed
     * priority order (the declaration order above) as tiebreak. */

@@ -56,6 +56,55 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(sh(1L), sh(3L)) <= 6)
   }
 
+  test("simhash banding finds exactly the brute-force hamming<=3 pairs") {
+    // banded plan vs driver-side brute force over the same 60-bit simhash:
+    // equality IS the pigeonhole-completeness property
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+    val sh = Dedup.simhash60(fixture).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ida, sa) <- sh; (idb, sb) <- sh if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= Dedup.SimMaxHamming
+    } yield (ida, idb, h.toLong)).toSet
+    val banded = Dedup.simhashPairs(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty) // fixture contains real near-dups
+  }
+
+  test("duplicate clusters: transitive closure with min-id labels and sizes") {
+    val chain = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // = 10
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // ~ 10/11
+      (20L, "totally separate subject matter discussed in this one text"),
+      (21L, "totally separate subject matter discussed in this one essay"), // ~ 20
+      (30L, "a lone document sharing nothing with the previous entries"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateClusters(chain, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 10-11 exact, 11-12 near: one component labeled by min id 10
+    assert(out(10L) == ((10L, 3L)) && out(11L) == ((10L, 3L)) && out(12L) == ((10L, 3L)))
+    assert(out(20L) == ((20L, 2L)) && out(21L) == ((20L, 2L)))
+    assert(out(30L) == ((30L, 1L)))
+  }
+
+  test("corpus filter: gates and canonical-keep all enforced") {
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.Corpus.corpusFilter(fixture).collect()
+    assert(out.nonEmpty)
+    val clusters = Dedup.duplicateClusters(fixture).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Double]("quality") >= graft.operators.Corpus.MinQuality)
+      assert(graft.operators.Corpus.KeepLangs.contains(r.getAs[String]("lang")))
+      val id = r.getAs[Long]("doc_id")
+      assert(clusters(id) == id, s"doc $id kept but is not its cluster canonical")
+    }
+    // at least one kept row absorbed duplicates
+    assert(out.exists(_.getAs[Long]("cluster_size") > 1L))
+  }
+
   test("fused MinHashSignature expression == composable HOF formulation") {
     import graft.functions.MinHashFns
     val d = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
@@ -144,7 +193,13 @@ class DedupSpec extends AnyFunSuite {
       val approx = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       (exact intersect approx).size.toDouble / exact.size
     }
-    val seedRecall = recallOf(Similarity.annIvf(emb, nQueries = 8, k = 10))
+    // Fair footing: q31's default seed centroids are vectors 0..15, which
+    // CONTAIN the 8 query vectors — every query then probes "its own"
+    // cell, holding its true neighbors, inflating recall (~0.9) in a way
+    // no disjoint centroid set can match. Compare against seed centroids
+    // drawn from vec_id >= 16 instead (measured ~0.46-0.49).
+    val seedRecall = recallOf(Similarity.annIvf(emb, nQueries = 8, k = 10,
+      centroidFrom = 16))
     val kmRecall = recallOf(Similarity.annIvfKmeans(emb, nQueries = 8, k = 10))
     // learned centroids must not lose to arbitrary seed vectors at the
     // same probe budget, and must stay far above the 2% random baseline

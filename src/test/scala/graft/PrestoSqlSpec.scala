@@ -38,6 +38,12 @@ class PrestoSqlSpec extends AnyFunSuite {
       "SELECT DAY_OF_WEEK(date_parse(d, '%m/%d/%Y %T %p')) AS n FROM t")
     assert(PrestoSql.translate(once) == once)
     assert(once.contains("(weekday(to_timestamp(d, 'MM/dd/yyyy hh:mm:ss a')) + 1)"))
+    // ...including for date_format: the first pass leaves a JDK pattern
+    // ('EEEE') under the same function name, which a second pass must not
+    // re-quote into a literal (''EEEE'')
+    val fmtOnce = PrestoSql.translate("SELECT date_format(ts, '%W') AS n FROM t")
+    assert(fmtOnce.contains("'EEEE'"))
+    assert(PrestoSql.translate(fmtOnce) == fmtOnce, PrestoSql.translate(fmtOnce))
   }
 
   test("translated view executes with Presto semantics end to end") {
