@@ -44,4 +44,23 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"narrow pipeline acquired a shuffle:\n$plan")
   }
+
+  test("q16/q36 near-dup plans contain no nested-loop or cartesian join") {
+    Seq("q16_embed_neardup", "q36_simhash_pairs").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q regressed to an all-pairs join:\n$plan")
+    }
+  }
+
+  test("q38 per-row feature stage is a single scan of documents") {
+    // quality + language gates must fold into ONE pass over the text
+    // column, not per-feature self-joins: exactly one documents scan on
+    // the probe side (total scans = feats + the dedup keep-list lineage)
+    val df = SparkEntry.queries("q38_corpus_filter")(spark, sf)
+    val scans = df.queryExecution.executedPlan.toString.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans <= 2, s"expected feats(1) + cluster-labels lineage, got $scans scans")
+  }
 }
