@@ -14,6 +14,11 @@ object Bench {
       case _ => -1L
     }
 
+  private def jitMillis: Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,6 +47,7 @@ object Bench {
       val t0 = System.nanoTime()
       val c0 = processCpuNanos
       val g0 = gcMillis
+      val j0 = jitMillis
       val err: Option[String] =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable =>
@@ -51,22 +57,25 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = if (c0 < 0) -1.0 else (processCpuNanos - c0) / 1e9
       val gc = (gcMillis - g0) / 1e3
-      (name, if (err.isEmpty) wall else -1.0, cpu, gc, err)
+      val jit = (jitMillis - j0) / 1e3
+      (name, if (err.isEmpty) wall else -1.0, cpu, gc, jit, err)
     }
     graft.operators.Dedup.clearShingleCaches()
     def fmt(v: Double) = f"$v%.3f"
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val cpus_ = results.map { case (k, _, c, _, _) => s"\"" + k + "\":" + fmt(c) }
+    val cpus_ = results.map { case (k, _, c, _, _, _) => s"\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, _, g, _) => s"\"" + k + "\":" + fmt(g) }
+    val gcs = results.map { case (k, _, _, g, _, _) => s"\"" + k + "\":" + fmt(g) }
+      .mkString("{", ",", "}")
+    val jits = results.map { case (k, _, _, _, j, _) => s"\"" + k + "\":" + fmt(j) }
       .mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
-    val errs = results.collect { case (k, _, _, _, Some(m)) => s"\"" + k + "\":" + jstr(m) }
+    val errs = results.collect { case (k, _, _, _, _, Some(m)) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, None) => v }.sum
+    val total = results.collect { case (_, v, _, _, _, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cpu_sec":$cpus_,"gc_sec":$gcs,"errors":$errs,"sf":"$sfDir"}""")
+      s""""cpu_sec":$cpus_,"gc_sec":$gcs,"jit_sec":$jits,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine._
-import graft.operators.{Corpus, Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Events, Multimodal, Similarity, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,9 @@ object SparkEntry {
     "q36_simhash_pairs" -> (Dedup.qSimhashPairs _),
     "q37_dup_clusters"  -> (Dedup.qDupClusters _),
     "q38_corpus_filter" -> (Corpus.qCorpusFilter _),
+    "q39_vocab_df"      -> (Vocab.qVocabDf _),
+    "q40_tfidf_topk"    -> (Vocab.qTfidfTopK _),
+    "q41_top_bigrams"   -> (Vocab.qTopBigrams _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -102,6 +105,9 @@ object SparkEntry {
     "q36_simhash_pairs" -> Dedup.qSimhashPairsSql,
     "q37_dup_clusters"  -> Dedup.qDupClustersSql,
     "q38_corpus_filter" -> Corpus.qCorpusFilterSql,
+    "q39_vocab_df"      -> Vocab.qVocabDfSql,
+    "q40_tfidf_topk"    -> Vocab.qTfidfTopKSql,
+    "q41_top_bigrams"   -> Vocab.qTopBigramsSql,
     // q35_ann_ivf_kmeans intentionally has NO oracle entry: k-means||
     // centroids aren't reproducible across engines (driver rows-only
     // check; recall-vs-brute-force asserted in DedupSpec).

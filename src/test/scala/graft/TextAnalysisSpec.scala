@@ -61,4 +61,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sh(1L) == Seq("a b c", "b c d"))
     assert(sh(2L) == Seq("only two"))
   }
+
+  test("vocab df/tf totals are exact on a hand corpus") {
+    val d = Seq(
+      (1L, "spark joins spark"),
+      (2L, "joins scale"),
+      (3L, "solo"),
+    ).toDF("doc_id", "text")
+    val v = graft.operators.Vocab.vocabDf(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("spark") == ((2L, 1L)))  // tf 2, in 1 doc
+    assert(v("joins") == ((2L, 2L)))  // tf 2, in 2 docs
+    assert(v("scale") == ((1L, 1L)) && v("solo") == ((1L, 1L)))
+  }
+
+  test("tfidf ranks rare terms above common ones") {
+    val d = Seq(
+      (1L, "common rare common"),
+      (2L, "common other"),
+      (3L, "common third"),
+    ).toDF("doc_id", "text")
+    val top = graft.operators.Vocab.tfidfTopK(d, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "common" appears in every doc -> idf ln(1)=0; the doc-unique term wins
+    assert(top(1L) == "rare" && top(2L) == "other" && top(3L) == "third")
+  }
+
+  test("bigrams: adjacent pairs only, single-token docs contribute none") {
+    val d = Seq((1L, "a b c"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val bg = graft.operators.Vocab.topBigrams(d, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bg == Map("a b" -> 2L, "b c" -> 1L))
+  }
 }
