@@ -85,6 +85,21 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: decorate the event stream with the static
+    * customer dimension (events.user_id is a customer key, the same
+    * convention as Events.asOfJoinOrders). Spark plans the static side as
+    * a broadcast re-resolved per micro-batch, so dimension updates
+    * between batches are picked up and the stream side never shuffles —
+    * the standard pattern for decorating a 100 TB/day event firehose
+    * with reference data. Stateless (inner join on a static side needs
+    * no watermark). */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      events("user_id") === col("c_custkey"), "inner")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment"))
+
   /** Run a streaming DataFrame to completion over existing files
     * (Trigger.AvailableNow ≈ Glue job-bookmark run) into an in-memory
     * table; returns the result. Test/driver utility. */

@@ -51,6 +51,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-static enrichment == the equivalent batch broadcast join") {
+    val customer = graft.engine.Tables.customer(spark, sf)
+    val stream = EventStreams.enrichWithCustomer(
+      EventStreams.readEvents(spark, eventsDir), customer)
+    val got = EventStreams.runAvailableNow(stream, "enr", "append")
+      .collect().map(r => (r.getLong(0), r.getString(5))).toSet
+    val want = EventStreams.enrichWithCustomer(
+      spark.read.parquet(eventsDir), customer)
+      .collect().map(r => (r.getLong(0), r.getString(5))).toSet
+    assert(got == want && got.nonEmpty)
+    // decoration, not expansion: one output row per (matched) input event
+    assert(got.size == spark.read.parquet(eventsDir)
+      .join(customer, col("user_id") === col("c_custkey")).count())
+  }
+
   test("watermark drops events later than 2 hours behind the max seen ts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
