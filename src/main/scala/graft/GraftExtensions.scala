@@ -16,26 +16,43 @@ import graft.functions.CosineSimilarity
   * deployment without forking Spark.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  /** (name, info, builder) descriptor for cosine_similarity(a, b). */
-  val cosineSimilarityDescriptor:
-      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("cosine_similarity"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+  import graft.functions.{DotProduct, MinHashSignature, ShingleSet}
+
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def descriptor(name: String, clazz: Class[_], arity: Int)
+      (build: Seq[Expression] => Expression): Descriptor = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
-      require(children.length == 2,
-        s"cosine_similarity expects 2 arguments, got ${children.length}")
-      CosineSimilarity(children.head, children(1))
+      require(children.length == arity,
+        s"$name expects $arity argument(s), got ${children.length}")
+      build(children)
     })
 
+  /** Every native expression, SQL-callable. `minhash_signature` fixes
+    * the engine's 16-hash family so SQL and DataFrame paths produce
+    * identical signatures. */
+  val descriptors: Seq[Descriptor] = Seq(
+    descriptor("cosine_similarity", classOf[CosineSimilarity], 2)(
+      c => CosineSimilarity(c.head, c(1))),
+    descriptor("dot_product", classOf[DotProduct], 2)(
+      c => DotProduct(c.head, c(1))),
+    descriptor("shingle_set", classOf[ShingleSet], 1)(
+      c => ShingleSet(c.head)),
+    descriptor("minhash_signature", classOf[MinHashSignature], 1)(
+      c => MinHashSignature(c.head, graft.operators.Dedup.NumHashes)),
+  )
+
   /** Register on an already-built session (local/testing convenience). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineSimilarityDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

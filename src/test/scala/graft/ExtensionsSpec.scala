@@ -22,6 +22,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.isNullAt(0))
   }
 
+  test("all native expressions are SQL-callable and agree with DataFrame path") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps over it")).toDF("doc_id", "text")
+      .createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT shingle_set(text) AS sh, minhash_signature(text) AS sig FROM ext_docs")
+      .collect().head
+    val viaDf = Seq((1L, "the quick brown fox jumps over it")).toDF("doc_id", "text")
+      .select(graft.functions.MinHashFns.shingleSet($"text").as("sh"),
+        graft.functions.MinHashFns.minhashSignature($"text").as("sig"))
+      .collect().head
+    assert(viaSql.getSeq[String](0) == viaDf.getSeq[String](0))
+    assert(viaSql.getSeq[Long](1) == viaDf.getSeq[Long](1))
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(dp == 11.0)
+  }
+
   test("expression agrees with the HOF formulation on fixture embeddings") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
