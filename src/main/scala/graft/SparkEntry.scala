@@ -61,6 +61,7 @@ object SparkEntry {
     "q39_vocab_df"      -> (Vocab.qVocabDf _),
     "q40_tfidf_topk"    -> (Vocab.qTfidfTopK _),
     "q41_top_bigrams"   -> (Vocab.qTopBigrams _),
+    "q42_region_volume" -> (PricingQueries.regionVolume(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +109,7 @@ object SparkEntry {
     "q39_vocab_df"      -> Vocab.qVocabDfSql,
     "q40_tfidf_topk"    -> Vocab.qTfidfTopKSql,
     "q41_top_bigrams"   -> Vocab.qTopBigramsSql,
+    "q42_region_volume" -> PricingQueries.regionVolumeSql,
     // q35_ann_ivf_kmeans intentionally has NO oracle entry: k-means||
     // centroids aren't reproducible across engines (driver rows-only
     // check; recall-vs-brute-force asserted in DedupSpec).

@@ -114,6 +114,58 @@ object PricingQueries {
       |       COUNT(*) AS n_rows
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** q42 — local-supplier volume (TPC-H Q5 shape): the five-way star
+    * chain region → nation → (customer, supplier) → orders → lineitem
+    * with the "local supplier" c_nationkey = s_nationkey constraint.
+    *
+    * Plan shape at 100 TB: region/nation/supplier/customer are dims —
+    * all broadcast (region prunes nation, nation prunes the other two
+    * BEFORE their fact joins, so the broadcasts shrink with the filter);
+    * the only shuffled joins are fact-to-fact lineitem ⋈ orders on
+    * orderkey, plus the final 5-key aggregation. */
+  def regionVolume(s: SparkSession, d: String, region: String = "ASIA"): DataFrame = {
+    val nat = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1999-01-01"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    Tables.lineitem(s, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)")
+        * (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,6)"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val regionVolumeSql: String =
+    """SELECT n_name,
+      |       SUM((l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(28,6))::DOUBLE AS revenue,
+      |       COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
   /** q32 — approximate aggregates (HLL distinct + approximate quantiles):
     * the sketches Spark ships for 100 TB-scale cardinality/quantile work.
     * No oracle SQL — sketch implementations differ across engines — so
