@@ -214,7 +214,16 @@ object Dedup {
     * large-star/small-star formulation (same per-round shuffle shape,
     * provably O(log n) rounds) if components can be deep. */
   def duplicateClusters(docs: DataFrame, threshold: Double = 0.5,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    // memoized like the shingle caches: the fixpoint is an ACTION-driven
+    // loop, so without the memo every consumer (q37, the q38 keep-list)
+    // would re-run the whole iteration; production materializes cluster
+    // labels once per corpus snapshot for exactly this reason
+    memoPersist(docs, s"clusters:$threshold:$maxIter")(d =>
+      computeClusters(d, threshold, maxIter))
+
+  private def computeClusters(docs: DataFrame, threshold: Double,
+      maxIter: Int): DataFrame = {
     val edges = jaccardPairs(docs)
       .filter(col("jaccard") >= threshold).select("doc_a", "doc_b")
     val sym = edges.union(
