@@ -54,6 +54,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("no query plans a cartesian product or unintended nested-loop join") {
+    // blanket guard over the whole surface: every broadcast in the engine
+    // is a hash join; BNLJ/cartesian would mean an equi-key was lost.
+    // (Building the plan executes iterative queries' driver loops, so
+    // this doubles as a smoke test that every query constructs at sf0.001.)
+    // q17 is the DOCUMENTED brute-force baseline: 8 broadcast query
+    // vectors against the streaming corpus under a non-equi predicate —
+    // a BNLJ with a constant-size build side is exactly its plan.
+    val intendedBnlj = Set("q17_cosine_topk")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
+      if (!intendedBnlj(q))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
+    }
+  }
+
   test("q38 per-row feature stage is a single scan of documents") {
     // quality + language gates must fold into ONE pass over the text
     // column, not per-feature self-joins: exactly one documents scan on
