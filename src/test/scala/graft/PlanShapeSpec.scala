@@ -59,10 +59,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // is a hash join; BNLJ/cartesian would mean an equi-key was lost.
     // (Building the plan executes iterative queries' driver loops, so
     // this doubles as a smoke test that every query constructs at sf0.001.)
-    // q17 is the DOCUMENTED brute-force baseline: 8 broadcast query
-    // vectors against the streaming corpus under a non-equi predicate —
-    // a BNLJ with a constant-size build side is exactly its plan.
-    val intendedBnlj = Set("q17_cosine_topk")
+    // Intended BNLJs — all with CONSTANT-size broadcast build sides,
+    // where a nested loop is the correct plan:
+    //  q17: documented brute-force baseline (8 query vectors × corpus)
+    //  q31/q35: IVF probing, corpus × 16 broadcast centroids
+    //  q40: broadcast single-row corpus count joined into the idf table
+    val intendedBnlj = Set("q17_cosine_topk", "q31_ann_ivf",
+      "q35_ann_ivf_kmeans", "q40_tfidf_topk")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val plan = executedPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
