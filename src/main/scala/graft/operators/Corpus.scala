@@ -51,6 +51,20 @@ object Corpus {
         col("n_tokens"), col("n_chars"), col("cluster_size"))
   }
 
+  /** Streaming twin of the per-row gate stage: the quality/language
+    * feature columns are pure per-row expressions, so the SAME builders
+    * run unchanged over an unbounded document stream (stateless — no
+    * watermark needed). Dedup stages are the batch-side counterpart: at
+    * scale the stream gates documents on arrival and a periodic batch
+    * pass reconciles near-dup clusters over the accumulated corpus. */
+  def gateStream(docs: DataFrame, minQuality: Double = MinQuality,
+      langs: Seq[String] = KeepLangs): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.qualityCol.as("quality"),
+      TextAnalysis.predLangCol.as("pred_lang"))
+      .filter(col("quality") >= minQuality && col("lang").isInCollection(langs))
+
   // ---- SparkEntry wiring -------------------------------------------------
 
   def qCorpusFilter(s: SparkSession, d: String): DataFrame =

@@ -66,6 +66,20 @@ class StreamingSpec extends AnyFunSuite {
       .join(customer, col("user_id") === col("c_custkey")).count())
   }
 
+  test("streaming corpus gate == batch gate (stateless per-row operators)") {
+    val docsDir = Files.createTempDirectory("graft-docs").toString
+    val batchDocs = spark.read.parquet(s"$sf/documents.parquet")
+    batchDocs.write.mode("overwrite").parquet(docsDir)
+    val schema = batchDocs.schema
+    val stream = graft.operators.Corpus.gateStream(
+      spark.readStream.schema(schema).parquet(docsDir))
+    val got = EventStreams.runAvailableNow(stream, "gate", "append")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val want = graft.operators.Corpus.gateStream(batchDocs)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("watermark drops events later than 2 hours behind the max seen ts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
