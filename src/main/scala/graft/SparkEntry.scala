@@ -62,6 +62,7 @@ object SparkEntry {
     "q40_tfidf_topk"    -> (Vocab.qTfidfTopK _),
     "q41_top_bigrams"   -> (Vocab.qTopBigrams _),
     "q42_region_volume" -> (PricingQueries.regionVolume(_, _)),
+    "q43_pq_topk"       -> (Similarity.qAnnPq _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,6 +111,7 @@ object SparkEntry {
     "q40_tfidf_topk"    -> Vocab.qTfidfTopKSql,
     "q41_top_bigrams"   -> Vocab.qTopBigramsSql,
     "q42_region_volume" -> PricingQueries.regionVolumeSql,
+    "q43_pq_topk"       -> Similarity.qAnnPqSql,
     // q35_ann_ivf_kmeans intentionally has NO oracle entry: k-means||
     // centroids aren't reproducible across engines (driver rows-only
     // check; recall-vs-brute-force asserted in DedupSpec).

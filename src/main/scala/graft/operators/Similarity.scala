@@ -227,6 +227,83 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Product quantization (PQ) ANN: compress each corpus vector to
+    * [[PqM]] one-byte codes (argmin-nearest codebook entry per
+    * subvector), then rank candidates by ASYMMETRIC distance — the
+    * full-precision query scored against each candidate's
+    * RECONSTRUCTION (codebook entries selected by its codes).
+    *
+    * Why it matters at 100 TB: the scan side shrinks from 256 bytes of
+    * floats to [[PqM]] bytes of codes per vector (32×), so the
+    * candidate sweep is memory-bandwidth-bound on codes, not vectors;
+    * production composes this with IVF (probe cells, then ADC over the
+    * cell's codes) and trains the codebook with per-subspace k-means.
+    * Here the codebook is the first [[PqK]] seed vectors' subvectors —
+    * deterministic, so the whole path is oracle-checkable (the same
+    * trade as [[annIvf]] vs [[annIvfKmeans]]).
+    *
+    * Numerics are engine-portable by construction: squares are `x*x`
+    * (never `pow`, whose libm paths differ across engines), all
+    * reductions run in index order inside list/aggregate expressions
+    * (never across an unordered SQL GROUP), ties in the argmin take the
+    * smallest code, and the final similarity is rounded to 4dp with a
+    * cand_id tiebreak. */
+  val PqM = 8          // subspaces
+  val PqD = 8          // dims per subspace (PqM * PqD = 64)
+  val PqK = 16         // codebook entries per subspace
+
+  def annPq(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    // codebook: first PqK vectors, collected driver-side like the
+    // k-means centroids (PqK tiny rows), shipped as one literal
+    val cb: Seq[Seq[Double]] = emb.filter(col("vec_id") < PqK)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val cbCol = typedlit(cb)
+    // encode: codes[m] = argmin_k ||sub(e, m) - sub(cb[k], m)||², first
+    // (smallest k) on ties via array_position of the min
+    val codesExpr = expr(
+      s"""transform(sequence(0, ${PqM - 1}), m ->
+         |  int(array_position(
+         |    transform(sequence(0, ${PqK - 1}), cdk ->
+         |      aggregate(sequence(0, ${PqD - 1}), cast(0.0 as double), (acc, d) ->
+         |        acc + (double(element_at(embedding, m * $PqD + d + 1))
+         |               - element_at(element_at(cbl, cdk + 1), m * $PqD + d + 1))
+         |            * (double(element_at(embedding, m * $PqD + d + 1))
+         |               - element_at(element_at(cbl, cdk + 1), m * $PqD + d + 1)))),
+         |    array_min(transform(sequence(0, ${PqK - 1}), cdk ->
+         |      aggregate(sequence(0, ${PqD - 1}), cast(0.0 as double), (acc, d) ->
+         |        acc + (double(element_at(embedding, m * $PqD + d + 1))
+         |               - element_at(element_at(cbl, cdk + 1), m * $PqD + d + 1))
+         |            * (double(element_at(embedding, m * $PqD + d + 1))
+         |               - element_at(element_at(cbl, cdk + 1), m * $PqD + d + 1)))))) - 1))""".stripMargin)
+    val encoded = emb.withColumn("cbl", cbCol)
+      .select(col("vec_id").as("cand_id"), codesExpr.as("codes"))
+    // reconstruction norm per candidate: ||concat_m cb[codes[m]] sub m||
+    val rnormExpr = expr(
+      s"""sqrt(aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double), (acc, m) ->
+         |  acc + aggregate(sequence(0, ${PqD - 1}), cast(0.0 as double), (a2, d) ->
+         |    a2 + element_at(element_at(cbl, element_at(codes, m + 1) + 1), m * $PqD + d + 1)
+         |       * element_at(element_at(cbl, element_at(codes, m + 1) + 1), m * $PqD + d + 1))))""".stripMargin)
+    // asymmetric dot: full-precision query × reconstruction
+    val adotExpr = expr(
+      s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double), (acc, m) ->
+         |  acc + aggregate(sequence(0, ${PqD - 1}), cast(0.0 as double), (a2, d) ->
+         |    a2 + double(element_at(q_emb, m * $PqD + d + 1))
+         |       * element_at(element_at(cbl, element_at(codes, m + 1) + 1), m * $PqD + d + 1)))""".stripMargin)
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
+    val scored = encoded.crossJoin(broadcast(qe))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cbl", cbCol)
+      .select(col("query_id"), col("cand_id"),
+        round(adotExpr / (col("q_norm") * rnormExpr), 4).as("approx_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   // ---- SparkEntry wiring -------------------------------------------------
 
   def qCosineTopK(s: SparkSession, d: String): DataFrame =
@@ -287,6 +364,47 @@ object Similarity {
 
   def qAnnLsh(s: SparkSession, d: String): DataFrame =
     annLsh(Tables.embeddings(s, d)).orderBy("query_id", "rnk")
+
+  def qAnnPq(s: SparkSession, d: String): DataFrame =
+    annPq(Tables.embeddings(s, d)).orderBy("query_id", "rnk")
+
+  /** Mirrors [[annPq]] step for step; every reduction is list-ordered and
+    * every square is an explicit product, so doubles agree bitwise. */
+  val qAnnPqSql: String = {
+    val m8 = s"m * $PqD + d + 1"
+    val diff = s"(e.embedding[$m8]::DOUBLE - cbl[cdk + 1][$m8]::DOUBLE)"
+    val distList =
+      s"""list_transform(range(0, $PqK), cdk ->
+         |  list_sum(list_transform(range(0, $PqD), d -> $diff * $diff)))""".stripMargin
+    val recon = s"cbl[codes[m + 1] + 1][$m8]::DOUBLE"
+    s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $PqK),
+       |cbt AS (SELECT list(embedding ORDER BY cid) AS cbl FROM cb),
+       |enc AS (
+       |  SELECT e.vec_id AS cand_id,
+       |         list_transform(range(0, $PqM), m ->
+       |           list_position($distList, list_min($distList)) - 1) AS codes
+       |  FROM embeddings e CROSS JOIN cbt),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+       |             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS q_norm
+       |      FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.query_id, enc.cand_id,
+       |         ROUND(
+       |           list_sum(list_transform(range(0, $PqM), m ->
+       |             list_sum(list_transform(range(0, $PqD), d ->
+       |               q.q_emb[$m8]::DOUBLE * $recon))))
+       |           / (q.q_norm * sqrt(list_sum(list_transform(range(0, $PqM), m ->
+       |               list_sum(list_transform(range(0, $PqD), d ->
+       |                 $recon * $recon)))))), 4) AS approx_cos
+       |  FROM enc CROSS JOIN q CROSS JOIN cbt
+       |  WHERE q.query_id <> enc.cand_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY approx_cos DESC, cand_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, cand_id, approx_cos, rnk::BIGINT AS rnk FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
 
   def qAnnIvfKmeans(s: SparkSession, d: String): DataFrame =
     annIvfKmeans(Tables.embeddings(s, d)).orderBy("query_id", "rnk")

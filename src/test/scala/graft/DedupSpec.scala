@@ -207,6 +207,18 @@ class DedupSpec extends AnyFunSuite {
     assert(kmRecall >= 0.2, s"recall=$kmRecall")
   }
 
+  test("PQ codes: 32x compression still recalls most true neighbors") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annPq(emb, nQueries = 8, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 8 bytes of codes per 256-byte vector; the seed codebook is the
+    // untrained floor — far above the 2% random baseline is the bar
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
   test("brute-force top-k is exhaustive and correctly ranked") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val out = Similarity.bruteForceTopK(emb, nQueries = 2, k = 5).collect()

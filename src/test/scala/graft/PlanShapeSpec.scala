@@ -64,8 +64,9 @@ class PlanShapeSpec extends AnyFunSuite {
     //  q17: documented brute-force baseline (8 query vectors × corpus)
     //  q31/q35: IVF probing, corpus × 16 broadcast centroids
     //  q40: broadcast single-row corpus count joined into the idf table
+    //  q43: ADC sweep, broadcast query set × corpus PQ codes
     val intendedBnlj = Set("q17_cosine_topk", "q31_ann_ivf",
-      "q35_ann_ivf_kmeans", "q40_tfidf_topk")
+      "q35_ann_ivf_kmeans", "q40_tfidf_topk", "q43_pq_topk")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val plan = executedPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
