@@ -38,19 +38,41 @@ object Dedup {
     * DedupSpec asserts both agree). */
   val HashPrime = 2147483647L
 
-  /** Per-(session, input-plan) memo for the persisted intermediates below.
+  /** Per-(session, input) memo for the persisted intermediates below.
     * Round-1 persisted a fresh structurally-identical DF per call and never
     * unpersisted — CacheManager logged "already cached" per call and the
     * entries outlived the whole 33-query run. The memo persists each
-    * distinct input exactly once; [[clearShingleCaches]] releases them. */
+    * distinct input exactly once; [[clearShingleCaches]] releases them.
+    *
+    * The key canonicalizes FILE inputs by their root paths: two separate
+    * `spark.read.parquet(same path)` calls build `LogicalRelation`s whose
+    * canonical plans compare by file-index REFERENCE, so a plan-keyed
+    * memo silently missed across queries and every consumer re-ran the
+    * whole intermediate (measured: the q38 cluster fixpoint re-ran 16 s
+    * of work q37 had just done). Local (in-memory test) relations key on
+    * their row data; anything else keys on identity — never a false hit. */
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+    (SparkSession, String, String), DataFrame]()
+
+  private def memoKey(docs: DataFrame, stage: String): (SparkSession, String, String) = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val analyzed = docs.queryExecution.analyzed
+    val leaves = analyzed.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => "files:" + fs.location.rootPaths.mkString(",")
+        case other => "rel:" + System.identityHashCode(other)
+      }
+      case lr: LocalRelation => "local:" + lr.data.hashCode
+      case other => "leaf:" + System.identityHashCode(other)
+    }
+    (docs.sparkSession, stage,
+      analyzed.canonicalized.toString + "|" + leaves.mkString(";"))
+  }
 
   private def memoPersist(docs: DataFrame, stage: String)
                          (build: DataFrame => DataFrame): DataFrame =
-    shingleCache.computeIfAbsent(
-      (docs.sparkSession, stage, docs.queryExecution.analyzed.canonicalized),
+    shingleCache.computeIfAbsent(memoKey(docs, stage),
       _ => build(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Unpersist and forget every memoized signature/shingle cache — call

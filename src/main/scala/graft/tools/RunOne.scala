@@ -23,8 +23,14 @@ object RunOne {
     val fn = graft.SparkEntry.queries(name)
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[runone] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val df = fn(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan // force analysis + optimization + planning
+      val t2 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t3 = System.nanoTime()
+      println(f"[runone] $name iter $i: build=${(t1 - t0) / 1e9}%.2f " +
+        f"plan=${(t2 - t1) / 1e9}%.2f exec=${(t3 - t2) / 1e9}%.2f s")
     }
     spark.stop()
   }
