@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by alternating large-star / small-star
+  * rounds (the MapReduce-and-beyond formulation: each round hangs every
+  * node under the minimum of its neighborhood, from two directions) — the
+  * O(log n)-round alternative to [[Dedup.duplicateClusters]]'s min-label
+  * propagation, for graphs whose components can be DEEP (chains) rather
+  * than the shallow stars near-dup clusters form.
+  *
+  * Both operations are join + partial-min aggregations on the node id —
+  * no per-node neighbor lists are ever collected, so a high-degree node
+  * costs a hash-agg combine, not memory:
+  *
+  *  - large-star: for every edge (u, v) with v > u, re-link v to
+  *    m(u) = min(neighborhood(u) ∪ u). Bounds the growth of high-degree
+  *    nodes and strictly shrinks tall trees.
+  *  - small-star: for every edge (u, v) with v <= u, re-link v to m(u)
+  *    (and u itself to m(u)). Flattens what large-star hung.
+  *
+  * Fixpoint: every node linked directly to its component minimum (a
+  * star). Deterministic — the fixpoint is unique, so results are
+  * engine-portable and comparable to a union-find oracle
+  * (PropertiesSpec).
+  */
+object Components {
+
+  /** Symmetric neighbor minima: for each node u over the symmetrized edge
+    * relation, m(u) = min(neighbors(u) ∪ u). */
+  private def neighborMin(sym: DataFrame): DataFrame =
+    sym.groupBy(col("u"))
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = symmetrize(e)
+    sym.join(neighborMin(sym), "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    val sym = symmetrize(e)
+    val m = neighborMin(sym)
+    sym.join(m, "u")
+      .filter(col("v") <= col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .union(m.select(col("u").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** (node, component) for every node appearing in `edges` (columns
+    * a, b), component = min node id of its component. Rounds are
+    * O(log n) in the worst case; each round is two join+agg shuffles on
+    * the node id with lineage truncated per round. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var e = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // fixpoint: the (distinct, oriented) edge sets are identical
+      converged = next.count() == e.count() &&
+        next.except(e).limit(1).isEmpty
+      e = next
+      round += 1
+    }
+    // at the fixpoint every edge is (node > component-min) -> (min);
+    // add the minima themselves as their own component roots
+    val nodes = e.select(col("a").as("node"), col("b").as("component"))
+    val roots = e.select(col("b").as("node")).distinct()
+      .select(col("node"), col("node").as("component"))
+    nodes.union(roots).distinct()
+  }
+}

@@ -82,4 +82,40 @@ class PropertiesSpec extends AnyFunSuite {
       assert(!r.getTimestamp(3).after(r.getTimestamp(4)), "start <= end")
     }
   }
+
+  test("large-star/small-star components == union-find on random graphs") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val edgeGen = for {
+      a <- Gen.choose(0L, 40L); b <- Gen.choose(0L, 40L)
+    } yield (a, b)
+    (1L to 3L).foreach { seed =>
+      val edges = sample(edgeGen, 60, seed).filter(e => e._1 != e._2)
+      val got = graft.operators.Components
+        .connectedComponents(edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges), s"seed=$seed")
+    }
+  }
+
+  test("large-star/small-star handles a deep chain in few rounds") {
+    // a 30-node path graph: diameter 29, the worst case for plain
+    // min-label propagation; the star alternation collapses it fast
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = graft.operators.Components.connectedComponents(chain, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to 30L).toSet)
+    assert(got.values.forall(_ == 1L))
+  }
 }
