@@ -61,7 +61,10 @@ object Bench {
       (name, if (err.isEmpty) wall else -1.0, cpu, gc, jit, err)
     }
     graft.operators.Dedup.clearShingleCaches()
-    def fmt(v: Double) = f"$v%.3f"
+    // Locale.ROOT: the default-locale f-interpolator renders 1.234 as
+    // "1,234" under comma-decimal locales — invalid JSON
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(v))
     val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val cpus_ = results.map { case (k, _, c, _, _, _) => s"\"" + k + "\":" + fmt(c) }

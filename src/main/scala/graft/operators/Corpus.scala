@@ -30,67 +30,82 @@ object Corpus {
   val MinQuality = 0.35
   val KeepLangs: Seq[String] = Seq("en", "de")
 
-  /** Final corpus rows: docs passing the quality gate and the language
-    * allowlist (on the catalog `lang`; the predicted language rides along
-    * for audit) that are the canonical representative of their near-dup
-    * cluster. `cluster_size` > 1 marks rows that absorbed duplicates. */
-  def corpusFilter(docs: DataFrame, minQuality: Double = MinQuality,
-      langs: Seq[String] = KeepLangs): DataFrame = {
-    val keep = Dedup.duplicateClusters(docs)
-      .filter(col("doc_id") === col("cluster_id"))
-      .select(col("doc_id"), col("cluster_size"))
-    val feats = docs.select(
+  /** The shared per-row gate: one narrow pass computing every feature
+    * column, then the quality + language filters. Used verbatim by the
+    * batch pipeline below and the streaming twin [[gateStream]] — one
+    * definition, no batch/stream drift. */
+  def gated(docs: DataFrame, minQuality: Double = MinQuality,
+      langs: Seq[String] = KeepLangs): DataFrame =
+    docs.select(
       col("doc_id"), col("lang"),
       length(col("text")).cast("long").as("n_chars"),
       size(wsTokens(col("text"))).cast("long").as("n_tokens"),
       TextAnalysis.qualityCol.as("quality"),
       TextAnalysis.predLangCol.as("pred_lang"))
       .filter(col("quality") >= minQuality && col("lang").isInCollection(langs))
-    feats.join(keep, "doc_id")
+
+  /** Final corpus rows: gate FIRST, then keep one representative (the
+    * minimum surviving doc_id) per near-dup cluster AMONG THE SURVIVORS.
+    * Order matters: keying the keep-list on the full-cluster canonical
+    * would silently drop an entire cluster whenever its minimum member
+    * happens to fail a gate, even though a passing near-duplicate
+    * exists. `cluster_size` counts the GATED members the kept row
+    * represents (> 1 ⇒ it absorbed duplicates). */
+  def corpusFilter(docs: DataFrame, minQuality: Double = MinQuality,
+      langs: Seq[String] = KeepLangs): DataFrame = {
+    val labels = Dedup.duplicateClusters(docs)
+      .select(col("doc_id"), col("cluster_id"))
+    val gatedLabeled = gated(docs, minQuality, langs).join(labels, "doc_id")
+    val keep = gatedLabeled.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("cluster_size"))
+    gatedLabeled.join(keep, "cluster_id")
+      .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("quality"),
         col("n_tokens"), col("n_chars"), col("cluster_size"))
   }
 
-  /** Streaming twin of the per-row gate stage: the quality/language
-    * feature columns are pure per-row expressions, so the SAME builders
-    * run unchanged over an unbounded document stream (stateless — no
-    * watermark needed). Dedup stages are the batch-side counterpart: at
-    * scale the stream gates documents on arrival and a periodic batch
-    * pass reconciles near-dup clusters over the accumulated corpus. */
+  /** Streaming twin of the per-row gate stage: [[gated]] IS the
+    * implementation — pure per-row expressions run unchanged over an
+    * unbounded document stream (stateless, no watermark needed). Dedup
+    * stages are the batch-side counterpart: at scale the stream gates
+    * documents on arrival and a periodic batch pass reconciles near-dup
+    * clusters over the accumulated corpus. */
   def gateStream(docs: DataFrame, minQuality: Double = MinQuality,
       langs: Seq[String] = KeepLangs): DataFrame =
-    docs.select(
-      col("doc_id"), col("lang"),
-      TextAnalysis.qualityCol.as("quality"),
-      TextAnalysis.predLangCol.as("pred_lang"))
-      .filter(col("quality") >= minQuality && col("lang").isInCollection(langs))
+    gated(docs, minQuality, langs)
 
   // ---- SparkEntry wiring -------------------------------------------------
 
   def qCorpusFilter(s: SparkSession, d: String): DataFrame =
     corpusFilter(Tables.documents(s, d)).orderBy("doc_id")
 
-  /** Composed oracle: the q37 closure chain builds the keep-list; the q8 /
-    * q9 statements run as subqueries for quality and predicted language.
-    * Filters mirror [[corpusFilter]] exactly. */
+  /** Composed oracle: the q37 closure chain labels clusters over ALL
+    * docs; the q8 / q9 statements run as subqueries for quality and
+    * predicted language; the keep-list is the minimum GATED member per
+    * cluster — gate-first, exactly like [[corpusFilter]]. */
   val qCorpusFilterSql: String = {
     val langList = KeepLangs.map(l => s"'$l'").mkString(", ")
     s"""WITH RECURSIVE ${Dedup.jaccardCtesSql},
        |${Dedup.clusterCtesSql},
-       |keep AS (
-       |  SELECT lab.doc_id, sz.cluster_size
-       |  FROM lab JOIN sz USING (cluster_id)
-       |  WHERE lab.doc_id = lab.cluster_id),
        |qual AS (SELECT doc_id, n_chars, n_tokens, quality
        |         FROM (${TextAnalysis.qQualityScoreSql}) ),
-       |pl AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.qLangIdSql}) )
-       |SELECT d.doc_id, d.lang, pl.pred_lang, qual.quality,
-       |       qual.n_tokens, qual.n_chars, keep.cluster_size
-       |FROM documents d
-       |JOIN qual USING (doc_id)
-       |JOIN pl USING (doc_id)
-       |JOIN keep USING (doc_id)
-       |WHERE qual.quality >= $MinQuality AND d.lang IN ($langList)
-       |ORDER BY d.doc_id""".stripMargin
+       |pl AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.qLangIdSql}) ),
+       |gated AS (
+       |  SELECT d.doc_id, d.lang, pl.pred_lang, qual.quality,
+       |         qual.n_tokens, qual.n_chars, lab.cluster_id
+       |  FROM documents d
+       |  JOIN qual USING (doc_id)
+       |  JOIN pl USING (doc_id)
+       |  JOIN lab USING (doc_id)
+       |  WHERE qual.quality >= $MinQuality AND d.lang IN ($langList)),
+       |keep AS (
+       |  SELECT cluster_id, MIN(doc_id) AS keep_id, COUNT(*) AS cluster_size
+       |  FROM gated GROUP BY 1)
+       |SELECT g.doc_id, g.lang, g.pred_lang, g.quality,
+       |       g.n_tokens, g.n_chars, keep.cluster_size
+       |FROM gated g JOIN keep USING (cluster_id)
+       |WHERE g.doc_id = keep.keep_id
+       |ORDER BY g.doc_id""".stripMargin
   }
 }

@@ -63,17 +63,42 @@ object Dedup {
         case fs: HadoopFsRelation => "files:" + fs.location.rootPaths.mkString(",")
         case other => "rel:" + System.identityHashCode(other)
       }
-      case lr: LocalRelation => "local:" + lr.data.hashCode
+      // md5 over the full rendered rows, not Seq.hashCode: a 32-bit
+      // collision between two same-schema test inputs would silently
+      // serve one input's cached dedup state for the other
+      case lr: LocalRelation =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        lr.data.foreach(r => md.update(r.toString.getBytes("UTF-8")))
+        "local:" + lr.data.length + ":" +
+          md.digest().map("%02x".format(_)).mkString
       case other => "leaf:" + System.identityHashCode(other)
     }
     (docs.sparkSession, stage,
       analyzed.canonicalized.toString + "|" + leaves.mkString(";"))
   }
 
+  /** NOT computeIfAbsent: the cluster memo's build function itself
+    * memoizes its shingle inputs, and a nested computeIfAbsent on the
+    * same ConcurrentHashMap throws IllegalStateException("Recursive
+    * update") whenever the inner key lands in the outer key's bin
+    * (observed as a hash-dependent test flake). A reentrant lock +
+    * double-checked get keeps builds single-flight and nest-safe. */
   private def memoPersist(docs: DataFrame, stage: String)
-                         (build: DataFrame => DataFrame): DataFrame =
-    shingleCache.computeIfAbsent(memoKey(docs, stage),
-      _ => build(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+                         (build: DataFrame => DataFrame): DataFrame = {
+    val key = memoKey(docs, stage)
+    val hit = shingleCache.get(key)
+    if (hit != null) hit
+    else shingleCache.synchronized {
+      val again = shingleCache.get(key)
+      if (again != null) again
+      else {
+        val built = build(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        shingleCache.put(key, built)
+        built
+      }
+    }
+  }
 
   /** Unpersist and forget every memoized signature/shingle cache — call
     * once at the end of a pipeline/bench run. */
@@ -198,6 +223,11 @@ object Dedup {
       d.select(col("doc_id"), simhashExpr(SimBits).as("simhash")))
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = SimMaxHamming): DataFrame = {
+    // pigeonhole completeness holds only below the band count: at
+    // maxHamming == SimBands every band can absorb one flipped bit and
+    // the banding would silently miss pairs
+    require(maxHamming < SimBands,
+      s"maxHamming=$maxHamming not < SimBands=$SimBands: banding would be incomplete")
     val bitsPerBand = SimBits / SimBands
     val mask = (1L << bitsPerBand) - 1
     val banded = simhash60(docs)
@@ -273,6 +303,13 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    // fail loudly rather than serve (and memoize) non-fixpoint labels:
+    // a diameter > maxIter graph means the data isn't the shallow
+    // near-dup shape this loop assumes — use the O(log n)
+    // Components.connectedComponents formulation there instead
+    require(converged,
+      s"duplicate-cluster propagation did not converge in $maxIter rounds " +
+        "(component diameter too deep) — use Components.connectedComponents")
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")

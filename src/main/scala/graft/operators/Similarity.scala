@@ -276,8 +276,15 @@ object Similarity {
          |               - element_at(element_at(cbl, cdk + 1), m * $PqD + d + 1))
          |            * (double(element_at(embedding, m * $PqD + d + 1))
          |               - element_at(element_at(cbl, cdk + 1), m * $PqD + d + 1)))))) - 1))""".stripMargin)
+    // The PQ index: codes + reconstruction norm, ONE row per candidate.
+    // localCheckpoint materializes it (production writes this table out)
+    // and acts as an optimizer barrier: without it CollapseProject
+    // inlines `codes` into every rnorm/adot reference, re-running the
+    // argmin per expression — and rnorm would otherwise be recomputed
+    // per (query, candidate) pair instead of once per candidate.
     val encoded = emb.withColumn("cbl", cbCol)
       .select(col("vec_id").as("cand_id"), codesExpr.as("codes"))
+      .localCheckpoint(false)
     // reconstruction norm per candidate: ||concat_m cb[codes[m]] sub m||
     val rnormExpr = expr(
       s"""sqrt(aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double), (acc, m) ->
@@ -293,11 +300,13 @@ object Similarity {
     val qe = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_norm"))
-    val scored = encoded.crossJoin(broadcast(qe))
+    val index = encoded.withColumn("cbl", cbCol)
+      .select(col("cand_id"), col("codes"), rnormExpr.as("rnorm"))
+    val scored = index.crossJoin(broadcast(qe))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cbl", cbCol)
       .select(col("query_id"), col("cand_id"),
-        round(adotExpr / (col("q_norm") * rnormExpr), 4).as("approx_cos"))
+        round(adotExpr / (col("q_norm") * col("rnorm")), 4).as("approx_cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))

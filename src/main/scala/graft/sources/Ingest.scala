@@ -82,7 +82,11 @@ object Ingest {
   def fetchRecentHttp(endpoint: String, since: String, landingDir: String,
       fileDate: LocalDate = LocalDate.now(),
       timeout: java.time.Duration = java.time.Duration.ofSeconds(180)): Option[Path] = {
-    val soql = java.net.URLEncoder.encode(s"updated_on > '$since'", "UTF-8")
+    // SoQL string literals escape quotes by doubling; without this a
+    // since value containing ' would break (or widen) the server-side
+    // predicate
+    val soqlSince = since.replace("'", "''")
+    val soql = java.net.URLEncoder.encode(s"updated_on > '$soqlSince'", "UTF-8")
     val uri = java.net.URI.create(s"$endpoint?%24where=$soql")
     val client = java.net.http.HttpClient.newBuilder().connectTimeout(timeout).build()
     val req = java.net.http.HttpRequest.newBuilder(uri).GET()
@@ -178,8 +182,11 @@ object Ingest {
   def readLandingInferred(spark: SparkSession, landingDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     import scala.jdk.CollectionConverters._
-    val files = Files.list(Paths.get(landingDir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".csv")).toSeq.sorted
+    val listing = Files.list(Paths.get(landingDir))
+    val files =
+      try listing.iterator().asScala
+        .map(_.toString).filter(_.endsWith(".csv")).toSeq.sorted
+      finally listing.close() // Files.list holds an open directory handle
     require(files.nonEmpty, s"no CSVs landed under $landingDir")
     val perFile = files.map(f =>
       spark.read.option("header", "true").option("inferSchema", "true").csv(f))

@@ -89,17 +89,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out(30L) == ((30L, 1L)))
   }
 
-  test("corpus filter: gates and canonical-keep all enforced") {
+  test("corpus filter: gates enforced, one minimum survivor kept per cluster") {
     val fixture = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.operators.Corpus.corpusFilter(fixture).collect()
     assert(out.nonEmpty)
     val clusters = Dedup.duplicateClusters(fixture).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gatedIds = graft.operators.Corpus.gated(fixture).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // expected keep per cluster = min GATED member (gate-first: a cluster
+    // whose overall canonical fails the gate still keeps a survivor)
+    val expectKeep = gatedIds.groupBy(clusters).map { case (c, ids) => c -> ids.min }
+    val kept = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == expectKeep.values.toSet)
     out.foreach { r =>
       assert(r.getAs[Double]("quality") >= graft.operators.Corpus.MinQuality)
       assert(graft.operators.Corpus.KeepLangs.contains(r.getAs[String]("lang")))
-      val id = r.getAs[Long]("doc_id")
-      assert(clusters(id) == id, s"doc $id kept but is not its cluster canonical")
     }
     // at least one kept row absorbed duplicates
     assert(out.exists(_.getAs[Long]("cluster_size") > 1L))

@@ -74,9 +74,9 @@ class StreamingSpec extends AnyFunSuite {
     val stream = graft.operators.Corpus.gateStream(
       spark.readStream.schema(schema).parquet(docsDir))
     val got = EventStreams.runAvailableNow(stream, "gate", "append")
-      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"))).toSet
     val want = graft.operators.Corpus.gateStream(batchDocs)
-      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"))).toSet
     assert(got == want && got.nonEmpty)
   }
 
