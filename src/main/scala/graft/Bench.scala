@@ -28,10 +28,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed generic warmup: JVM/codegen/parquet-reader init, so the
-    // alphabetically-first query doesn't absorb session startup.
+    // Untimed warmup: JVM/codegen/parquet-reader init, then ONE pass of
+    // every query at the smallest scale factor. Cold-run profiling showed
+    // 5-10 s of background JIT compilation charged to each heavy query's
+    // first execution (jit_sec column) — warming at sf0.001 moves that
+    // one-time cost out of the timed sf0.1 pass, so the reported seconds
+    // measure steady-state throughput of the PLAN, not HotSpot ramp-up.
+    // The cpu/gc/jit columns below stay in the output so any residual
+    // warm-up is visible rather than hidden.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
+      }
+    // timed queries rebuild their own caches at the benched scale
+    graft.operators.Dedup.clearShingleCaches()
     // noop sink: forces full computation + materialization of every output
     // column (count() would let Catalyst prune the projections away).
     // A failed query must NOT look like a timing: record -1 as its value
