@@ -63,6 +63,8 @@ object SparkEntry {
     "q41_top_bigrams"   -> (Vocab.qTopBigrams _),
     "q42_region_volume" -> (PricingQueries.regionVolume(_, _)),
     "q43_pq_topk"       -> (Similarity.qAnnPq _),
+    "q44_ann_recall"    -> (Similarity.qAnnRecall _),
+    "q45_profile"       -> (graft.operators.Profile.qProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,6 +114,8 @@ object SparkEntry {
     "q41_top_bigrams"   -> Vocab.qTopBigramsSql,
     "q42_region_volume" -> PricingQueries.regionVolumeSql,
     "q43_pq_topk"       -> Similarity.qAnnPqSql,
+    "q44_ann_recall"    -> Similarity.qAnnRecallSql,
+    "q45_profile"       -> graft.operators.Profile.qProfileSql,
     // q35_ann_ivf_kmeans intentionally has NO oracle entry: k-means||
     // centroids aren't reproducible across engines (driver rows-only
     // check; recall-vs-brute-force asserted in DedupSpec).

@@ -415,6 +415,39 @@ object Similarity {
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** q44 — retrieval evaluation as a first-class query: recall@k of the
+    * LSH ANN path against the brute-force ground truth, per query vector.
+    * The eval loop a production ANN deployment runs continuously —
+    * expressed as a join of the two (deterministic) result relations, so
+    * it is itself oracle-checkable. Scale: both inputs are top-k
+    * relations (|Q|×k rows) — the join is trivially broadcastable no
+    * matter how big the corpus that produced them. */
+  def annRecall(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = annLsh(emb, nQueries, k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / k, 4)
+        .as("recall_at_k"),
+        count(lit(1)).as("k"))
+  }
+
+  def qAnnRecall(s: SparkSession, d: String): DataFrame =
+    annRecall(Tables.embeddings(s, d)).orderBy("query_id")
+
+  // def, not val: qAnnLshSql is declared later in this object and a
+  // strict val here would capture null during object initialization
+  def qAnnRecallSql: String =
+    s"""WITH exact AS (SELECT query_id, cand_id FROM ($qCosineTopKSql)),
+       |approx AS (SELECT query_id, cand_id, 1 AS hit FROM ($qAnnLshSql))
+       |SELECT e.query_id,
+       |       ROUND(SUM(COALESCE(a.hit, 0))::DOUBLE / 10, 4) AS recall_at_k,
+       |       COUNT(*) AS k
+       |FROM exact e LEFT JOIN approx a USING (query_id, cand_id)
+       |GROUP BY 1 ORDER BY e.query_id""".stripMargin
+
   def qAnnIvfKmeans(s: SparkSession, d: String): DataFrame =
     annIvfKmeans(Tables.embeddings(s, d)).orderBy("query_id", "rnk")
 

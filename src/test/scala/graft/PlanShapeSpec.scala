@@ -65,8 +65,10 @@ class PlanShapeSpec extends AnyFunSuite {
     //  q31/q35: IVF probing, corpus × 16 broadcast centroids
     //  q40: broadcast single-row corpus count joined into the idf table
     //  q43: ADC sweep, broadcast query set × corpus PQ codes
+    //  q44: recall eval — its ground-truth side IS q17's brute force
     val intendedBnlj = Set("q17_cosine_topk", "q31_ann_ivf",
-      "q35_ann_ivf_kmeans", "q40_tfidf_topk", "q43_pq_topk")
+      "q35_ann_ivf_kmeans", "q40_tfidf_topk", "q43_pq_topk",
+      "q44_ann_recall")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val plan = executedPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")

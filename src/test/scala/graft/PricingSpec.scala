@@ -44,4 +44,19 @@ class PricingSpec extends AnyFunSuite {
     assert(got == direct)
     assert(got.values.sum > 0, "some events have prior neighbors")
   }
+
+  test("HLL column profile lands within 10% of the exact profile") {
+    val exact = graft.operators.Profile.qProfile(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val approx = graft.operators.Profile.profile(
+      graft.engine.Tables.orders(spark, "/root/testdata/sf0.001")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    exact.foreach { case (c, ex) =>
+      val ap = approx(c)
+      assert(math.abs(ap - ex) <= math.max(2L, (ex * 0.10).toLong),
+        s"$c: approx=$ap exact=$ex")
+    }
+  }
 }
