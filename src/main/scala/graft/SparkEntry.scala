@@ -65,6 +65,8 @@ object SparkEntry {
     "q43_pq_topk"       -> (Similarity.qAnnPq _),
     "q44_ann_recall"    -> (Similarity.qAnnRecall _),
     "q45_profile"       -> (graft.operators.Profile.qProfile _),
+    "q46_seq_packing"   -> (graft.operators.Sequencing.qPackSequences _),
+    "q47_token_chunks"  -> (graft.operators.Sequencing.qChunkTokens _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,6 +118,8 @@ object SparkEntry {
     "q43_pq_topk"       -> Similarity.qAnnPqSql,
     "q44_ann_recall"    -> Similarity.qAnnRecallSql,
     "q45_profile"       -> graft.operators.Profile.qProfileSql,
+    "q46_seq_packing"   -> graft.operators.Sequencing.qPackSequencesSql,
+    "q47_token_chunks"  -> graft.operators.Sequencing.qChunkTokensSql,
     // q35_ann_ivf_kmeans intentionally has NO oracle entry: k-means||
     // centroids aren't reproducible across engines (driver rows-only
     // check; recall-vs-brute-force asserted in DedupSpec).

@@ -93,4 +93,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bg == Map("a b" -> 2L, "b c" -> 1L))
   }
+
+  test("sequence packing: bins fill to the budget, oversized docs isolate") {
+    val d = Seq(
+      (1L, "en", ("w " * 300).trim),  // 300 tokens
+      (2L, "en", ("w " * 300).trim),  // still bin 0 (cum-n=300 < 512)
+      (3L, "en", ("w " * 300).trim),  // bin 1 (cum-n=600)
+      (4L, "en", ("w " * 900).trim),  // oversized: bin 1 (cum-n=900)
+      (5L, "de", ("w " * 10).trim),   // separate shard: bin 0
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.operators.Sequencing.packSequences(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("token chunking: stride starts, truncated tail, full coverage") {
+    val d = Seq((1L, ("t " * 100).trim)).toDF("doc_id", "text") // 100 tokens
+    val out = graft.operators.Sequencing.chunkTokens(d).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // starts 0, 48, 96 -> lens 64, 52, 4
+    assert(out == Map(0L -> 64L, 1L -> 52L, 2L -> 4L))
+  }
 }
