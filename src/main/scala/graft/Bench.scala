@@ -38,14 +38,19 @@ object Bench {
     // warm-up is visible rather than hidden.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
-        }
+    // warm at the smallest sibling scale of the benched dir (fall back
+    // to the benched dir itself — slower warmup but never silently none)
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.toString else sfDir
+    }
+    System.err.println(s"[bench] warmup pass over $warmDir")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
+    }
     // timed queries rebuild their own caches at the benched scale
     graft.operators.Dedup.clearShingleCaches()
     // noop sink: forces full computation + materialization of every output

@@ -31,7 +31,9 @@ object CorpusDemo {
     val nGated = gated.count()
     val corpus = graft.operators.Corpus.corpusFilter(docs)
     val nKept = corpus.count()
-    val nAbsorbed = corpus.agg(sum(col("cluster_size"))).collect()(0).getLong(0) - nKept
+    // sum() over zero rows is null — an all-filtered corpus still prints
+    val absorbedRow = corpus.agg(sum(col("cluster_size"))).collect()(0)
+    val nAbsorbed = (if (absorbedRow.isNullAt(0)) 0L else absorbedRow.getLong(0)) - nKept
 
     corpus.write.mode("overwrite").partitionBy("lang").parquet(s"$outDir/corpus")
     graft.operators.Vocab.vocabDf(docs)

@@ -61,6 +61,8 @@ object Components {
     * O(log n) in the worst case; each round is two join+agg shuffles on
     * the node id with lineage truncated per round. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val universe = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct().localCheckpoint()
     var e = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
       .distinct().localCheckpoint()
     var converged = false
@@ -73,11 +75,17 @@ object Components {
       e = next
       round += 1
     }
-    // at the fixpoint every edge is (node > component-min) -> (min);
-    // add the minima themselves as their own component roots
-    val nodes = e.select(col("a").as("node"), col("b").as("component"))
-    val roots = e.select(col("b").as("node")).distinct()
-      .select(col("node"), col("node").as("component"))
-    nodes.union(roots).distinct()
+    // never return (or let a caller cache) intermediate labels: a
+    // non-fixpoint edge set maps nodes to non-minimum labels
+    require(converged,
+      s"large-star/small-star did not converge in $maxRounds rounds — raise maxRounds")
+    // at the fixpoint every edge is (node > component-min) -> (min).
+    // Joining back to the node universe keeps nodes whose only edges
+    // were self-loops (filtered from e) as their own singletons.
+    val labeled = e.select(col("a").as("node"), col("b").as("component"))
+    universe.join(labeled, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+      .distinct()
   }
 }

@@ -73,8 +73,12 @@ object Dedup {
           md.digest().map("%02x".format(_)).mkString
       case other => "leaf:" + System.identityHashCode(other)
     }
+    // schema.json rides along because plan toString truncates field
+    // lists beyond spark.sql.debug.maxToStringFields — without it two
+    // wide projections differing only in late columns could collide
     (docs.sparkSession, stage,
-      analyzed.canonicalized.toString + "|" + leaves.mkString(";"))
+      analyzed.canonicalized.toString + "|" + docs.schema.json +
+        "|" + leaves.mkString(";"))
   }
 
   /** NOT computeIfAbsent: the cluster memo's build function itself

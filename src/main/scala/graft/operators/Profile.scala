@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 import graft.engine.Tables
@@ -13,44 +13,55 @@ import graft.engine.Tables
   * check it was missing.
   *
   * Scale: ONE pass over the scan — every metric is an aggregate in a
-  * single partial+final hash-less global aggregation (no per-column
-  * scans, no shuffle beyond the 1-row combine). Distinct counts use the
-  * HLL sketch (exact distinct per column would be one shuffle EACH);
+  * single global aggregation (no per-column scans, no shuffle beyond
+  * the 1-row combine). Distinct counts use the HLL sketch in
+  * [[profile]] (exact distinct per column would be one expand+shuffle);
   * at 100 TB this profiles at scan speed with constant memory.
   */
 object Profile {
 
-  /** One profile row per column: (column, n_rows, n_nulls, null_rate,
-    * approx_distinct, min_num, max_num). Numeric min/max are null for
-    * non-numeric columns; approx_distinct uses a 2% HLL. */
-  def profile(df: DataFrame): DataFrame = {
+  /** Shared profiling body. Internal aliases are POSITIONAL (`__n_0`…)
+    * so arbitrary column names — spaces, dots, quotes — never reach a
+    * SQL identifier; the real name appears only as an escaped string
+    * literal in the output column. */
+  private def profileWith(df: DataFrame, distinctAgg: Column => Column,
+      distinctName: String): DataFrame = {
     val cols = df.schema.fields
-    val aggs = cols.flatMap { f =>
-      val c = col(f.name)
+    val aggs = cols.zipWithIndex.flatMap { case (f, i) =>
+      // backquoted so dotted names ("a.b") resolve as one column, not a
+      // struct path
+      val c = col("`" + f.name.replace("`", "``") + "`")
       val isNum = f.dataType.isInstanceOf[NumericType]
       Seq(
-        count(lit(1)).as(s"__n_${f.name}"),
-        count(when(c.isNull, 1)).as(s"__nulls_${f.name}"),
-        approx_count_distinct(c, rsd = 0.02).as(s"__dist_${f.name}"),
+        count(lit(1)).as(s"__n_$i"),
+        count(when(c.isNull, 1)).as(s"__nulls_$i"),
+        distinctAgg(c).as(s"__dist_$i"),
         (if (isNum) min(c).cast("double") else lit(null).cast("double"))
-          .as(s"__min_${f.name}"),
+          .as(s"__min_$i"),
         (if (isNum) max(c).cast("double") else lit(null).cast("double"))
-          .as(s"__max_${f.name}"))
+          .as(s"__max_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // pivot the single wide row into one row per column (driver-side
     // reshape of a 1-row result — not a data-size operation)
-    val stack = cols.map { f =>
-      s"'${f.name}', __n_${f.name}, __nulls_${f.name}, __dist_${f.name}, " +
-        s"__min_${f.name}, __max_${f.name}"
+    val stack = cols.zipWithIndex.map { case (f, i) =>
+      val lit = "'" + f.name.replace("'", "''") + "'"
+      s"$lit, __n_$i, __nulls_$i, __dist_$i, __min_$i, __max_$i"
     }.mkString(", ")
     wide.selectExpr(s"stack(${cols.length}, $stack) AS " +
-      "(column_name, n_rows, n_nulls, approx_distinct, min_num, max_num)")
+      s"(column_name, n_rows, n_nulls, $distinctName, min_num, max_num)")
       .withColumn("null_rate",
         round(col("n_nulls").cast("double") / col("n_rows"), 6))
       .select("column_name", "n_rows", "n_nulls", "null_rate",
-        "approx_distinct", "min_num", "max_num")
+        distinctName, "min_num", "max_num")
   }
+
+  /** One profile row per column: (column, n_rows, n_nulls, null_rate,
+    * approx_distinct, min_num, max_num). Numeric min/max are null for
+    * non-numeric columns; approx_distinct uses a 2% HLL — the
+    * scan-speed production variant. */
+  def profile(df: DataFrame): DataFrame =
+    profileWith(df, c => approx_count_distinct(c, rsd = 0.02), "approx_distinct")
 
   // ---- SparkEntry wiring -------------------------------------------------
 
@@ -58,38 +69,14 @@ object Profile {
     * column, so this oracle-checked variant uses EXACT per-column
     * distinct counts (HLL sketches aren't engine-portable) — one
     * expand+shuffle over 5 columns, acceptable at oracle scale.
-    * [[profile]] above stays the HLL scan-speed variant for production
-    * use and is bounds-asserted against this in tests. */
-  def qProfile(s: SparkSession, d: String): DataFrame = {
-    val df = Tables.orders(s, d)
-      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderpriority")
-    val cols = df.schema.fields
-    val aggs = cols.flatMap { f =>
-      val c = col(f.name)
-      val isNum = f.dataType.isInstanceOf[NumericType]
-      Seq(
-        count(lit(1)).as(s"__n_${f.name}"),
-        count(when(c.isNull, 1)).as(s"__nulls_${f.name}"),
-        countDistinct(c).as(s"__dist_${f.name}"),
-        (if (isNum) min(c).cast("double") else lit(null).cast("double"))
-          .as(s"__min_${f.name}"),
-        (if (isNum) max(c).cast("double") else lit(null).cast("double"))
-          .as(s"__max_${f.name}"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stack = cols.map { f =>
-      s"'${f.name}', __n_${f.name}, __nulls_${f.name}, __dist_${f.name}, " +
-        s"__min_${f.name}, __max_${f.name}"
-    }.mkString(", ")
-    wide.selectExpr(s"stack(${cols.length}, $stack) AS " +
-      "(column_name, n_rows, n_nulls, exact_distinct, min_num, max_num)")
-      .withColumn("null_rate",
-        round(col("n_nulls").cast("double") / col("n_rows"), 6))
-      .select("column_name", "n_rows", "n_nulls", "null_rate",
-        "exact_distinct", "min_num", "max_num")
+    * [[profile]] stays the HLL scan-speed variant for production use
+    * and is bounds-asserted against this in tests. */
+  def qProfile(s: SparkSession, d: String): DataFrame =
+    profileWith(
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority"),
+      c => countDistinct(c), "exact_distinct")
       .orderBy("column_name")
-  }
 
   val qProfileSql: String = {
     val cols = Seq(

@@ -25,10 +25,13 @@ object Sequencing {
   val ChunkStride = 48   // tokens between chunk starts (16-token overlap)
 
   /** (doc_id, lang, n_tokens, seq_bin): documents assigned to
-    * consecutive bins of ~`budget` tokens per language shard, in doc_id
-    * order (the arrival order a streaming packer would see). A document
-    * larger than the budget gets its own bin; [[chunkTokens]] is the
-    * tool for splitting those. */
+    * consecutive bins per language shard, in doc_id order (the arrival
+    * order a streaming packer would see). seq_bin is the budget-
+    * quantized START offset of the document in the shard's token
+    * stream — so bins hold ~`budget` tokens of starts, and an
+    * oversized document overflows the bin containing its start rather
+    * than claiming one alone. Split oversized documents FIRST with
+    * [[chunkTokens]] when strict per-bin token bounds matter. */
   def packSequences(docs: DataFrame, budget: Int = PackBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
