@@ -67,6 +67,8 @@ object SparkEntry {
     "q45_profile"       -> (graft.operators.Profile.qProfile _),
     "q46_seq_packing"   -> (graft.operators.Sequencing.qPackSequences _),
     "q47_token_chunks"  -> (graft.operators.Sequencing.qChunkTokens _),
+    "q48_decontaminate" -> (Corpus.qDecontaminate _),
+    "q49_repetition"    -> (TextAnalysis.qRepetition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,6 +122,8 @@ object SparkEntry {
     "q45_profile"       -> graft.operators.Profile.qProfileSql,
     "q46_seq_packing"   -> graft.operators.Sequencing.qPackSequencesSql,
     "q47_token_chunks"  -> graft.operators.Sequencing.qChunkTokensSql,
+    "q48_decontaminate" -> Corpus.qDecontaminateSql,
+    "q49_repetition"    -> TextAnalysis.qRepetitionSql,
     // q35_ann_ivf_kmeans intentionally has NO oracle entry: k-means||
     // centroids aren't reproducible across engines (driver rows-only
     // check; recall-vs-brute-force asserted in DedupSpec).

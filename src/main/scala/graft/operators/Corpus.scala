@@ -75,7 +75,44 @@ object Corpus {
       langs: Seq[String] = KeepLangs): DataFrame =
     gated(docs, minQuality, langs)
 
+  /** Benchmark decontamination (q48): flag training documents sharing
+    * word-3-gram shingles with an evaluation/probe set — the overlap
+    * check every pretraining corpus runs against its eval benchmarks.
+    *
+    * Scale: the probe side (a benchmark suite) is tiny relative to the
+    * corpus, so its exploded shingle set BROADCASTS and the train side
+    * streams map-side — no shuffle of corpus shingles at all; only the
+    * per-train-doc aggregation shuffles (on doc_id, sized by the
+    * contaminated subset). Shingle sets come from the shared
+    * [[Dedup.shingleSets]] cache. */
+  def decontaminate(docs: DataFrame, probeMaxId: Long = 20): DataFrame = {
+    val sh = Dedup.shingleSets(docs)
+    val train = sh.filter(col("doc_id") >= probeMaxId)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val probe = sh.filter(col("doc_id") < probeMaxId)
+      .select(col("doc_id").as("probe_id"), explode(col("sh")).as("shingle"))
+    train.join(broadcast(probe), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("probe_id")).as("n_probe_docs"))
+  }
+
   // ---- SparkEntry wiring -------------------------------------------------
+
+  def qDecontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminate(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Mirrors the shingle definition via [[Dedup.jaccardCtesSql]]'s
+    * shingle fragment (same word-3-gram distinct sets). */
+  val qDecontaminateSql: String =
+    s"""WITH ${Dedup.jaccardCtesSql},
+       |train AS (SELECT doc_id, unnest(shg) AS shingle FROM sh WHERE doc_id >= 20),
+       |probe AS (SELECT doc_id AS probe_id, unnest(shg) AS shingle FROM sh WHERE doc_id < 20)
+       |SELECT t.doc_id,
+       |       COUNT(DISTINCT t.shingle) AS n_shared_shingles,
+       |       COUNT(DISTINCT p.probe_id) AS n_probe_docs
+       |FROM train t JOIN probe p USING (shingle)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   def qCorpusFilter(s: SparkSession, d: String): DataFrame =
     corpusFilter(Tables.documents(s, d)).orderBy("doc_id")

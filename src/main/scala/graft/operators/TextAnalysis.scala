@@ -117,6 +117,24 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** Repetition detection (q49): the repeated-shingle ratio
+    * 1 - distinct/total word-3-grams — degenerate machine-generated or
+    * boilerplate text repeats itself and scores high. Per-row narrow
+    * pass (the fused ShingleSet expression gives the distinct count;
+    * total is arithmetic on the token count) — scan-speed. */
+  def repetition(docs: DataFrame, flagAbove: Double = 0.2): DataFrame = {
+    val nTok = size(wsTokens(col("text")))
+    val total = greatest(nTok - 2, lit(1)).cast("long")
+    val distinctSh = size(graft.functions.MinHashFns.shingleSet(col("text"))).cast("long")
+    docs.select(
+      col("doc_id"),
+      total.as("n_shingles_total"),
+      distinctSh.as("n_shingles_distinct"),
+      round(lit(1.0) - distinctSh.cast("double") / total.cast("double"), 6)
+        .as("repetition_ratio"))
+      .withColumn("is_repetitive", col("repetition_ratio") > flagAbove)
+  }
+
   /** Normalized-content fingerprint groups: one row per distinct
     * fingerprint with the canonical (minimum) doc_id and group size —
     * the rollup a fingerprint-dedup pass keeps. */
@@ -226,6 +244,22 @@ object TextAnalysis {
     """SELECT doc_id, lang, n_chars FROM documents
       |WHERE ('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
       |ORDER BY doc_id""".stripMargin
+
+  def qRepetition(s: SparkSession, d: String): DataFrame =
+    repetition(Tables.documents(s, d)).orderBy("doc_id")
+
+  val qRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)::BIGINT AS n_shingles_total,
+      |         len(list_distinct(list_transform(
+      |           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+      |           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' '))))::BIGINT AS n_shingles_distinct
+      |  FROM documents)
+      |SELECT doc_id, n_shingles_total, n_shingles_distinct,
+      |       ROUND(1.0 - n_shingles_distinct::DOUBLE / n_shingles_total, 6) AS repetition_ratio,
+      |       (ROUND(1.0 - n_shingles_distinct::DOUBLE / n_shingles_total, 6) > 0.2) AS is_repetitive
+      |FROM t ORDER BY doc_id""".stripMargin
 
   def qFingerprint(s: SparkSession, d: String): DataFrame =
     fingerprintGroups(Tables.documents(s, d)).orderBy("fp")

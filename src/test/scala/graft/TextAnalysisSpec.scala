@@ -114,4 +114,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     // starts 0, 48, 96 -> lens 64, 52, 4
     assert(out == Map(0L -> 64L, 1L -> 52L, 2L -> 4L))
   }
+
+  test("repetition ratio flags degenerate text, passes varied text") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"), // 1 distinct / 8
+      (2L, "every single word in this sentence appears exactly once"),
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.repetition(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L)._2 && out(1L)._1 > 0.8)
+    assert(!out(2L)._2 && out(2L)._1 == 0.0)
+  }
+
+  test("decontamination finds planted probe overlap and only that") {
+    val d = Seq(
+      (1L, "the secret benchmark answer is forty two exactly"),      // probe
+      (30L, "model output copied the secret benchmark answer is forty two"), // contaminated
+      (31L, "an entirely clean training document with original words"),
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.decontaminate(d, probeMaxId = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(30L) && out(30L) >= 3) // shared 3-grams of the copied span
+    assert(!out.contains(31L))
+  }
 }
