@@ -261,21 +261,24 @@ object Similarity {
     val cbCol = typedlit(cb)
     // encode: codes[m] = argmin_k ||sub(e, m) - sub(cb[k], m)||², first
     // (smallest k) on ties via array_position of the min
+    // argmin by a single fold over (distance, code) pairs — the
+    // array_position(dd, array_min(dd)) formulation evaluates the whole
+    // distance list twice. Strict < keeps the FIRST (smallest code) on
+    // ties, matching array_position semantics exactly.
     val codesExpr = expr(
       s"""transform(sequence(0, ${PqM - 1}), m ->
-         |  int(array_position(
-         |    transform(sequence(0, ${PqK - 1}), cdk ->
-         |      aggregate(sequence(0, ${PqD - 1}), cast(0.0 as double), (acc, d) ->
-         |        acc + (double(element_at(embedding, m * $PqD + d + 1))
-         |               - element_at(element_at(cbl, cdk + 1), m * $PqD + d + 1))
-         |            * (double(element_at(embedding, m * $PqD + d + 1))
-         |               - element_at(element_at(cbl, cdk + 1), m * $PqD + d + 1)))),
-         |    array_min(transform(sequence(0, ${PqK - 1}), cdk ->
-         |      aggregate(sequence(0, ${PqD - 1}), cast(0.0 as double), (acc, d) ->
-         |        acc + (double(element_at(embedding, m * $PqD + d + 1))
-         |               - element_at(element_at(cbl, cdk + 1), m * $PqD + d + 1))
-         |            * (double(element_at(embedding, m * $PqD + d + 1))
-         |               - element_at(element_at(cbl, cdk + 1), m * $PqD + d + 1)))))) - 1))""".stripMargin)
+         |  aggregate(
+         |    zip_with(
+         |      transform(sequence(0, ${PqK - 1}), cdk ->
+         |        aggregate(sequence(0, ${PqD - 1}), cast(0.0 as double), (acc, d) ->
+         |          acc + (double(element_at(embedding, m * $PqD + d + 1))
+         |                 - element_at(element_at(cbl, cdk + 1), m * $PqD + d + 1))
+         |              * (double(element_at(embedding, m * $PqD + d + 1))
+         |                 - element_at(element_at(cbl, cdk + 1), m * $PqD + d + 1)))),
+         |      sequence(0, ${PqK - 1}),
+         |      (d, k) -> named_struct('d', d, 'k', k)),
+         |    named_struct('d', cast('Infinity' as double), 'k', $PqK),
+         |    (best, x) -> if(x.d < best.d, x, best)).k)""".stripMargin)
     // The PQ index: codes + reconstruction norm, ONE row per candidate.
     // localCheckpoint materializes it (production writes this table out)
     // and acts as an optimizer barrier: without it CollapseProject
