@@ -162,6 +162,89 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Asymmetric PQ dot product: full-precision query (array<float>)
+  * against the codebook reconstruction selected by a candidate's PQ
+  * codes (array<int>) — the hot loop of the ADC candidate sweep,
+  * evaluated once per (query, candidate) pair.
+  *
+  * Exists because the composable form (nested `aggregate`/`element_at`
+  * lambdas over the codebook literal) interprets ~subspaces×subDim
+  * lambda calls per pair. Accumulation mirrors the HOF formulation
+  * exactly — an inner per-subspace accumulator added to the outer sum —
+  * so results are bit-identical (asserted in DedupSpec).
+  *
+  * The codebook ships as a constructor parameter (driver-precomputed
+  * `Array[Array[Double]]`, one row per code, laid out as the full
+  * 64-dim vector) and reaches generated code via `addReferenceObj`.
+  */
+case class PqAdcDot(left: Expression, right: Expression,
+    codebook: Array[Array[Double]], subDim: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(t, _))
+        if t == org.apache.spark.sql.types.IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_dot expects (array<float>, array<int>), got " +
+            s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var total = 0.0
+    var mi = 0
+    while (mi < m) {
+      val row = codebook(codes.getInt(mi))
+      var inner = 0.0
+      var d = 0
+      while (d < subDim) {
+        val idx = mi * subDim + d
+        inner += q.getFloat(idx).toDouble * row(idx)
+        d += 1
+      }
+      total += inner
+      mi += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m"); val mi = ctx.freshName("mi")
+      val d = ctx.freshName("d"); val idx = ctx.freshName("idx")
+      val row = ctx.freshName("row"); val inner = ctx.freshName("inner")
+      val total = ctx.freshName("total")
+      s"""
+         |final int $m = $b.numElements();
+         |double $total = 0.0;
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  final double[] $row = $cbRef[$b.getInt($mi)];
+         |  double $inner = 0.0;
+         |  for (int $d = 0; $d < $subDim; $d++) {
+         |    final int $idx = $mi * $subDim + $d;
+         |    $inner += ((double) $a.getFloat($idx)) * $row[$idx];
+         |  }
+         |  $total += $inner;
+         |}
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFns {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -172,4 +255,10 @@ object VectorFns {
   /** Column wrapper for [[DotProduct]]. */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper for [[PqAdcDot]]. */
+  def pqAdcDot(q: Column, codes: Column, codebook: Seq[Seq[Double]],
+      subDim: Int): Column =
+    Bridge.column(PqAdcDot(Bridge.expression(q), Bridge.expression(codes),
+      codebook.map(_.toArray).toArray, subDim))
 }

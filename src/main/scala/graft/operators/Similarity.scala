@@ -295,21 +295,19 @@ object Similarity {
          |    a2 + element_at(element_at(cbl, element_at(codes, m + 1) + 1), m * $PqD + d + 1)
          |       * element_at(element_at(cbl, element_at(codes, m + 1) + 1), m * $PqD + d + 1))))""".stripMargin)
     // asymmetric dot: full-precision query × reconstruction
-    val adotExpr = expr(
-      s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double), (acc, m) ->
-         |  acc + aggregate(sequence(0, ${PqD - 1}), cast(0.0 as double), (a2, d) ->
-         |    a2 + double(element_at(q_emb, m * $PqD + d + 1))
-         |       * element_at(element_at(cbl, element_at(codes, m + 1) + 1), m * $PqD + d + 1)))""".stripMargin)
     val qe = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_norm"))
     val index = encoded.withColumn("cbl", cbCol)
       .select(col("cand_id"), col("codes"), rnormExpr.as("rnorm"))
+    // per-pair scoring runs the fused codegen'd PqAdcDot expression —
+    // the nested-HOF formulation it replaces is asserted bit-identical
+    // in DedupSpec
     val scored = index.crossJoin(broadcast(qe))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cbl", cbCol)
       .select(col("query_id"), col("cand_id"),
-        round(adotExpr / (col("q_norm") * col("rnorm")), 4).as("approx_cos"))
+        round(graft.functions.VectorFns.pqAdcDot(col("q_emb"), col("codes"), cb, PqD)
+          / (col("q_norm") * col("rnorm")), 4).as("approx_cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))

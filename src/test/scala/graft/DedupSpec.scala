@@ -224,6 +224,26 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("fused PqAdcDot expression == composable HOF formulation") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val cb: Seq[Seq[Double]] = emb.filter($"vec_id" < Similarity.PqK)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    // fixed fake codes (deterministic) over the first 50 vectors
+    val withCodes = emb.limit(50).select($"vec_id", $"embedding",
+      expr(s"transform(sequence(0, ${Similarity.PqM - 1}), m -> int((vec_id + m) % ${Similarity.PqK}))").as("codes"),
+      typedLit(cb).as("cbl"))
+    val hof = expr(
+      s"""aggregate(sequence(0, ${Similarity.PqM - 1}), cast(0.0 as double), (acc, m) ->
+         |  acc + aggregate(sequence(0, ${Similarity.PqD - 1}), cast(0.0 as double), (a2, d) ->
+         |    a2 + double(element_at(embedding, m * ${Similarity.PqD} + d + 1))
+         |       * element_at(element_at(cbl, element_at(codes, m + 1) + 1), m * ${Similarity.PqD} + d + 1)))""".stripMargin)
+    val rows = withCodes.select($"vec_id",
+      graft.functions.VectorFns.pqAdcDot($"embedding", $"codes", cb, Similarity.PqD).as("fused"),
+      hof.as("hofv")).collect()
+    rows.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"vec ${r.getLong(0)}"))
+  }
+
   test("brute-force top-k is exhaustive and correctly ranked") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val out = Similarity.bruteForceTopK(emb, nQueries = 2, k = 5).collect()
