@@ -19,6 +19,24 @@ object Bench {
     if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
   }
 
+  /** Accumulates task-level IO/shuffle metrics so each query's row in the
+    * JSON carries its actual data movement — the evidence behind the
+    * plan-shape claims (a "narrow" query must show ~zero shuffle bytes). */
+  private class IoListener extends org.apache.spark.scheduler.SparkListener {
+    val input = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        input.addAndGet(m.inputMetrics.bytesRead)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snapshot: (Long, Long, Long) = (input.get, shuffleRead.get, shuffleWrite.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,6 +71,8 @@ object Bench {
     }
     // timed queries rebuild their own caches at the benched scale
     graft.operators.Dedup.clearShingleCaches()
+    val io = new IoListener
+    spark.sparkContext.addSparkListener(io)
     // noop sink: forces full computation + materialization of every output
     // column (count() would let Catalyst prune the projections away).
     // A failed query must NOT look like a timing: record -1 as its value
@@ -69,6 +89,7 @@ object Bench {
       val c0 = processCpuNanos
       val g0 = gcMillis
       val j0 = jitMillis
+      val (in0, sr0, sw0) = io.snapshot
       val err: Option[String] =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable =>
@@ -79,27 +100,36 @@ object Bench {
       val cpu = if (c0 < 0) -1.0 else (processCpuNanos - c0) / 1e9
       val gc = (gcMillis - g0) / 1e3
       val jit = (jitMillis - j0) / 1e3
-      (name, if (err.isEmpty) wall else -1.0, cpu, gc, jit, err)
+      // listener events are posted asynchronously; drain before snapshot
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext, 10000)
+      val (in1, sr1, sw1) = io.snapshot
+      val mb = ((in1 - in0) / 1048576.0, (sr1 - sr0) / 1048576.0,
+        (sw1 - sw0) / 1048576.0)
+      (name, if (err.isEmpty) wall else -1.0, cpu, gc, jit, mb, err)
     }
     graft.operators.Dedup.clearShingleCaches()
     // Locale.ROOT: the default-locale f-interpolator renders 1.234 as
     // "1,234" under comma-decimal locales — invalid JSON
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       java.lang.Double.valueOf(v))
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val cpus_ = results.map { case (k, _, c, _, _, _) => s"\"" + k + "\":" + fmt(c) }
+    val cpus_ = results.map { case (k, _, c, _, _, _, _) => s"\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, _, g, _, _) => s"\"" + k + "\":" + fmt(g) }
+    val gcs = results.map { case (k, _, _, g, _, _, _) => s"\"" + k + "\":" + fmt(g) }
       .mkString("{", ",", "}")
-    val jits = results.map { case (k, _, _, _, j, _) => s"\"" + k + "\":" + fmt(j) }
+    val jits = results.map { case (k, _, _, _, j, _, _) => s"\"" + k + "\":" + fmt(j) }
+      .mkString("{", ",", "}")
+    val shuffles = results.map { case (k, _, _, _, _, (im, srm, swm), _) =>
+      s"\"" + k + "\":" + s"""{"input":${fmt(im)},"shuffle_read":${fmt(srm)},"shuffle_write":${fmt(swm)}}""" }
       .mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
-    val errs = results.collect { case (k, _, _, _, _, Some(m)) => s"\"" + k + "\":" + jstr(m) }
+    val errs = results.collect { case (k, _, _, _, _, _, Some(m)) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, _, None) => v }.sum
+    val total = results.collect { case (_, v, _, _, _, _, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cpu_sec":$cpus_,"gc_sec":$gcs,"jit_sec":$jits,"errors":$errs,"sf":"$sfDir"}""")
+      s""""cpu_sec":$cpus_,"gc_sec":$gcs,"jit_sec":$jits,"io_mb":$shuffles,""" +
+      s""""errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

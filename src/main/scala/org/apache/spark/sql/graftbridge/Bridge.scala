@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Block until queued listener events are delivered (listenerBus is
+    * `private[spark]`) — used by the bench to attribute task IO metrics
+    * to the query that just ran. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMillis: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMillis)
 }
