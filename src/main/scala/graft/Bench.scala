@@ -100,8 +100,13 @@ object Bench {
       val cpu = if (c0 < 0) -1.0 else (processCpuNanos - c0) / 1e9
       val gc = (gcMillis - g0) / 1e3
       val jit = (jitMillis - j0) / 1e3
-      // listener events are posted asynchronously; drain before snapshot
-      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext, 10000)
+      // listener events are posted asynchronously; drain before snapshot.
+      // A drain timeout must only degrade io_mb accuracy for this query,
+      // never abort the bench (the JSON prints at the very end).
+      try org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext, 10000)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        System.err.println(s"[bench] listener drain timed out after $name; io_mb may lag")
+      }
       val (in1, sr1, sw1) = io.snapshot
       val mb = ((in1 - in0) / 1048576.0, (sr1 - sr0) / 1048576.0,
         (sw1 - sw0) / 1048576.0)

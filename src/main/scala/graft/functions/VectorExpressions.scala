@@ -202,11 +202,18 @@ case class PqAdcDot(left: Expression, right: Expression,
     var total = 0.0
     var mi = 0
     while (mi < m) {
-      val row = codebook(codes.getInt(mi))
+      // null elements and out-of-range codes (e.g. the encoder's
+      // all-null sentinel) → null result, matching the HOF formulation's
+      // null propagation — never a silent 0 contribution or an AIOOBE
+      if (codes.isNullAt(mi)) return null
+      val code = codes.getInt(mi)
+      if (code < 0 || code >= codebook.length) return null
+      val row = codebook(code)
       var inner = 0.0
       var d = 0
       while (d < subDim) {
         val idx = mi * subDim + d
+        if (q.isNullAt(idx)) return null
         inner += q.getFloat(idx).toDouble * row(idx)
         d += 1
       }
@@ -222,20 +229,24 @@ case class PqAdcDot(left: Expression, right: Expression,
       val m = ctx.freshName("m"); val mi = ctx.freshName("mi")
       val d = ctx.freshName("d"); val idx = ctx.freshName("idx")
       val row = ctx.freshName("row"); val inner = ctx.freshName("inner")
-      val total = ctx.freshName("total")
+      val total = ctx.freshName("total"); val code = ctx.freshName("code")
       s"""
          |final int $m = $b.numElements();
          |double $total = 0.0;
-         |for (int $mi = 0; $mi < $m; $mi++) {
-         |  final double[] $row = $cbRef[$b.getInt($mi)];
+         |for (int $mi = 0; $mi < $m && !${ev.isNull}; $mi++) {
+         |  if ($b.isNullAt($mi)) { ${ev.isNull} = true; break; }
+         |  final int $code = $b.getInt($mi);
+         |  if ($code < 0 || $code >= $cbRef.length) { ${ev.isNull} = true; break; }
+         |  final double[] $row = $cbRef[$code];
          |  double $inner = 0.0;
          |  for (int $d = 0; $d < $subDim; $d++) {
          |    final int $idx = $mi * $subDim + $d;
+         |    if ($a.isNullAt($idx)) { ${ev.isNull} = true; break; }
          |    $inner += ((double) $a.getFloat($idx)) * $row[$idx];
          |  }
          |  $total += $inner;
          |}
-         |${ev.value} = $total;
+         |if (!${ev.isNull}) { ${ev.value} = $total; }
        """.stripMargin
     })
   }

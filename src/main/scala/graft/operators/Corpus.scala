@@ -85,7 +85,9 @@ object Corpus {
     * per-train-doc aggregation shuffles (on doc_id, sized by the
     * contaminated subset). Shingle sets come from the shared
     * [[Dedup.shingleSets]] cache. */
-  def decontaminate(docs: DataFrame, probeMaxId: Long = 20): DataFrame = {
+  val DefaultProbeMaxId = 20L
+
+  def decontaminate(docs: DataFrame, probeMaxId: Long = DefaultProbeMaxId): DataFrame = {
     val sh = Dedup.shingleSets(docs)
     val train = sh.filter(col("doc_id") >= probeMaxId)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -102,12 +104,14 @@ object Corpus {
   def qDecontaminate(s: SparkSession, d: String): DataFrame =
     decontaminate(Tables.documents(s, d)).orderBy("doc_id")
 
-  /** Mirrors the shingle definition via [[Dedup.jaccardCtesSql]]'s
-    * shingle fragment (same word-3-gram distinct sets). */
+  /** Minimal shingle CTE (the full [[Dedup.jaccardCtesSql]] chain would
+    * also compute the unused minhash column per doc); probe bound
+    * interpolated from [[DefaultProbeMaxId]] so the Spark/SQL pair can't
+    * drift. */
   val qDecontaminateSql: String =
-    s"""WITH ${Dedup.jaccardCtesSql},
-       |train AS (SELECT doc_id, unnest(shg) AS shingle FROM sh WHERE doc_id >= 20),
-       |probe AS (SELECT doc_id AS probe_id, unnest(shg) AS shingle FROM sh WHERE doc_id < 20)
+    s"""WITH sh AS (SELECT doc_id, ${Dedup.shinglesSqlExpr} AS shg FROM documents),
+       |train AS (SELECT doc_id, unnest(shg) AS shingle FROM sh WHERE doc_id >= $DefaultProbeMaxId),
+       |probe AS (SELECT doc_id AS probe_id, unnest(shg) AS shingle FROM sh WHERE doc_id < $DefaultProbeMaxId)
        |SELECT t.doc_id,
        |       COUNT(DISTINCT t.shingle) AS n_shared_shingles,
        |       COUNT(DISTINCT p.probe_id) AS n_probe_docs

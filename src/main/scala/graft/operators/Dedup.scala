@@ -421,7 +421,7 @@ object Dedup {
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
   /** Shared DuckDB fragment: word-3-gram shingle set of `text`. */
-  private val shinglesSqlExpr: String =
+  private[operators] val shinglesSqlExpr: String =
     """list_distinct(list_transform(
       |      range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
       |      i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' ')))""".stripMargin

@@ -122,7 +122,9 @@ object TextAnalysis {
     * boilerplate text repeats itself and scores high. Per-row narrow
     * pass (the fused ShingleSet expression gives the distinct count;
     * total is arithmetic on the token count) — scan-speed. */
-  def repetition(docs: DataFrame, flagAbove: Double = 0.2): DataFrame = {
+  val RepetitionFlagThreshold = 0.2
+
+  def repetition(docs: DataFrame, flagAbove: Double = RepetitionFlagThreshold): DataFrame = {
     val nTok = size(wsTokens(col("text")))
     val total = greatest(nTok - 2, lit(1)).cast("long")
     val distinctSh = size(graft.functions.MinHashFns.shingleSet(col("text"))).cast("long")
@@ -249,16 +251,16 @@ object TextAnalysis {
     repetition(Tables.documents(s, d)).orderBy("doc_id")
 
   val qRepetitionSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id,
-      |         greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)::BIGINT AS n_shingles_total,
+      |         greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1)::BIGINT AS n_shingles_total,
       |         len(list_distinct(list_transform(
-      |           range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
-      |           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' '))))::BIGINT AS n_shingles_distinct
+      |           range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1),
+      |           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 2), ' '))))::BIGINT AS n_shingles_distinct
       |  FROM documents)
       |SELECT doc_id, n_shingles_total, n_shingles_distinct,
       |       ROUND(1.0 - n_shingles_distinct::DOUBLE / n_shingles_total, 6) AS repetition_ratio,
-      |       (ROUND(1.0 - n_shingles_distinct::DOUBLE / n_shingles_total, 6) > 0.2) AS is_repetitive
+      |       (ROUND(1.0 - n_shingles_distinct::DOUBLE / n_shingles_total, 6) > $RepetitionFlagThreshold) AS is_repetitive
       |FROM t ORDER BY doc_id""".stripMargin
 
   def qFingerprint(s: SparkSession, d: String): DataFrame =
