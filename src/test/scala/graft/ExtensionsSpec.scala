@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
 
 /** SQL-surface registration of the native expressions. */
 class ExtensionsSpec extends AnyFunSuite {
@@ -53,5 +54,31 @@ class ExtensionsSpec extends AnyFunSuite {
       (Similarity.dot(col("embedding"), col("e2"))
         / (Similarity.norm(col("embedding")) * Similarity.norm(col("e2")))).as("hof_cos"))
     assert(cmp.filter(abs(col("expr_cos") - col("hof_cos")) > 1e-12).count() == 0)
+  }
+
+  test("pure-SQL minhash dedup pipeline via registered functions") {
+    // a SQL-only user of the library: signatures -> LSH bands ->
+    // candidate pairs without touching the DataFrame API, equal to the
+    // DataFrame path's q13 result
+    GraftExtensions.register(spark)
+    graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("sqldocs")
+    val rows = Dedup.NumHashes / Dedup.NumBands
+    val viaSql = spark.sql(
+      s"""WITH sig AS (SELECT doc_id, minhash_signature(text) AS sig FROM sqldocs),
+         |bands AS (
+         |  SELECT doc_id, b.pos AS band,
+         |         md5(concat_ws(',', transform(slice(sig, b.pos * $rows + 1, $rows),
+         |                                      x -> cast(x as string)))) AS band_hash
+         |  FROM sig LATERAL VIEW posexplode(sequence(1, ${Dedup.NumBands})) b)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDf = Dedup.lshCandidatePairs(
+      graft.engine.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == viaDf && viaSql.nonEmpty)
   }
 }
