@@ -69,6 +69,7 @@ object SparkEntry {
     "q47_token_chunks"  -> (graft.operators.Sequencing.qChunkTokens _),
     "q48_decontaminate" -> (Corpus.qDecontaminate _),
     "q49_repetition"    -> (TextAnalysis.qRepetition _),
+    "q50_source_stats"  -> (Corpus.qSourceStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,6 +125,7 @@ object SparkEntry {
     "q47_token_chunks"  -> graft.operators.Sequencing.qChunkTokensSql,
     "q48_decontaminate" -> Corpus.qDecontaminateSql,
     "q49_repetition"    -> TextAnalysis.qRepetitionSql,
+    "q50_source_stats"  -> Corpus.qSourceStatsSql,
     // q35_ann_ivf_kmeans intentionally has NO oracle entry: k-means||
     // centroids aren't reproducible across engines (driver rows-only
     // check; recall-vs-brute-force asserted in DedupSpec).

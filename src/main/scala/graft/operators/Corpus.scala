@@ -99,7 +99,55 @@ object Corpus {
         countDistinct(col("probe_id")).as("n_probe_docs"))
   }
 
+  /** Per-source curation stats (q50): the domain-level view a web-corpus
+    * pipeline uses to DROP whole sources — document count, exact mean
+    * quality and token count (decimal-summed, order-independent), and
+    * the duplication rate (share of docs in multi-member clusters).
+    *
+    * Scale: one narrow feature pass ⋈ cluster labels on doc_id, then a
+    * partial+final agg on the low-cardinality source key. */
+  def sourceStats(docs: DataFrame): DataFrame = {
+    val labeled = Dedup.duplicateClusters(docs)
+      .select(col("doc_id"), col("cluster_size"))
+    docs.select(col("doc_id"), col("source"),
+      size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+      TextAnalysis.qualityCol.as("quality"))
+      .join(labeled, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("quality").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_quality"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+          .as("mean_tokens"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("dup_docs"))
+      .withColumn("dup_rate",
+        round(col("dup_docs").cast("double") / col("n_docs"), 6))
+  }
+
   // ---- SparkEntry wiring -------------------------------------------------
+
+  def qSourceStats(s: SparkSession, d: String): DataFrame =
+    sourceStats(Tables.documents(s, d)).orderBy("source")
+
+  val qSourceStatsSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardCtesSql},
+       |${Dedup.clusterCtesSql},
+       |qual AS (SELECT doc_id, n_tokens, quality
+       |         FROM (${TextAnalysis.qQualityScoreSql}) ),
+       |j AS (
+       |  SELECT d.doc_id, d.source, qual.n_tokens, qual.quality,
+       |         sz.cluster_size
+       |  FROM documents d
+       |  JOIN qual USING (doc_id)
+       |  JOIN lab USING (doc_id)
+       |  JOIN sz USING (cluster_id))
+       |SELECT source, COUNT(*) AS n_docs,
+       |       ROUND(SUM(quality::DECIMAL(18,6))::DOUBLE / COUNT(*), 6) AS mean_quality,
+       |       ROUND(SUM(n_tokens)::DOUBLE / COUNT(*), 6) AS mean_tokens,
+       |       SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_docs,
+       |       ROUND(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS dup_rate
+       |FROM j GROUP BY 1 ORDER BY source""".stripMargin
 
   def qDecontaminate(s: SparkSession, d: String): DataFrame =
     decontaminate(Tables.documents(s, d)).orderBy("doc_id")
