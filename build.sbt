@@ -23,8 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap is CLAMPED to 16g regardless of SPARK_DRIVER_MEM: this workload's
+// working set is < 4 GB at sf0.1, and measured end-to-end bench runs
+// DEGRADE progressively under a ~90 GB G1 heap (same build: 63 s total
+// at 8g vs 390-800 s at 96g, wall ≈ cpu, zero full GCs, empty JIT
+// queues — mutator-side slowdown as the giant heap fills between rare
+// collections). A right-sized heap is faster than a huge one here.
+def clampHeap(v: String): String = {
+  val gb = v.trim.toLowerCase match {
+    case s if s.endsWith("g") => s.dropRight(1).toDouble
+    case s if s.endsWith("m") => s.dropRight(1).toDouble / 1024
+    case s => s.toDouble / (1L << 30)
+  }
+  if (gb > 16) "16g" else v
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${clampHeap(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
 )

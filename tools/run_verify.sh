@@ -9,6 +9,11 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"; done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"; done
-exec java $ADDOPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+# heap clamped: a ~90GB heap degrades this workload (see build.sbt note)
+MEM=${SPARK_DRIVER_MEM:-8g}
+case "$MEM" in
+  *[0-9]g) [ "${MEM%g}" -gt 16 ] 2>/dev/null && MEM=16g ;;
+esac
+exec java $ADDOPENS -Xmx$MEM \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
