@@ -10,9 +10,13 @@ import graft.functions.TextFns._
   *
   *  - [[packSequences]] (q46): assign documents to fixed-token-budget
   *    bins ("sequence packing") by running token count, per language
-  *    shard. Packing is inherently sequential, so the distributed form
-  *    packs WITHIN a shard (here `lang`; at 100 TB any shard key that
-  *    bounds a partition): one window cumsum per shard, no global order.
+  *    shard. Packing is a prefix sum — inherently sequential — so the
+  *    distributed form is TWO-LEVEL: cumsum within bounded (lang,
+  *    doc_id-range) blocks, then add each block's exclusive prefix
+  *    total (computed on the tiny one-row-per-block aggregate). No
+  *    single task ever sorts more than `blockWidth` documents, so the
+  *    plan survives a corpus where one language is half the data —
+  *    the failure mode of the naive `partitionBy(lang)` window.
   *  - [[chunkTokens]] (q47): split each document into overlapping
   *    fixed-size token windows (context-window chunking for embedding /
   *    pretraining) — a narrow explode, scan-speed, the text analog of
@@ -24,6 +28,13 @@ object Sequencing {
   val ChunkSize = 64     // tokens per chunk
   val ChunkStride = 48   // tokens between chunk starts (16-token overlap)
 
+  /** Docs per packing block. Bounds every window-sort task to this many
+    * rows regardless of language skew. The prefix relation is
+    * n_docs/blockWidth rows (~24 B each): 10^11 docs → ~1.5M rows
+    * ≈ 36 MB broadcast — within the default 8g-executor budget; raise
+    * blockWidth to shrink it further at extreme doc counts. */
+  val PackBlockWidth: Long = 65536L
+
   /** (doc_id, lang, n_tokens, seq_bin): documents assigned to
     * consecutive bins per language shard, in doc_id order (the arrival
     * order a streaming packer would see). seq_bin is the budget-
@@ -31,16 +42,41 @@ object Sequencing {
     * stream — so bins hold ~`budget` tokens of starts, and an
     * oversized document overflows the bin containing its start rather
     * than claiming one alone. Split oversized documents FIRST with
-    * [[chunkTokens]] when strict per-bin token bounds matter. */
-  def packSequences(docs: DataFrame, budget: Int = PackBudget): DataFrame = {
+    * [[chunkTokens]] when strict per-bin token bounds matter.
+    *
+    * The blocked prefix sum is an exact reformulation: for any
+    * `blockWidth`, `local_cum(doc) + blk_offset(block)` equals the
+    * global per-lang cumsum, so the result is blockWidth-invariant
+    * (property-tested in SequencingSpec). `doc_id div blockWidth` is
+    * monotone in doc_id, so (blk, doc_id) order == doc_id order. */
+  def packSequences(docs: DataFrame, budget: Int = PackBudget,
+      blockWidth: Long = PackBlockWidth): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col("lang"),
+    val base = docs.select(col("doc_id"), col("lang"),
       size(wsTokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("blk", floor(col("doc_id") / lit(blockWidth)).cast("long"))
+    // level 1: cumsum within (lang, block) — each sort task bounded by
+    // blockWidth rows, independent of how skewed the lang mix is
+    val wLocal = Window.partitionBy(col("lang"), col("blk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    // level 2: exclusive prefix of block totals within each lang. The
+    // input here is the one-row-per-block AGGREGATE (n_docs/blockWidth
+    // rows), so the lang-partitioned window is over a tiny relation —
+    // this is the "driver-side prefix pass" done as a plan node.
+    val wPrefix = Window.partitionBy(col("lang")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(col("lang"), col("blk"))
+      .agg(sum(col("n_tokens")).as("blk_tokens"))
+      .withColumn("blk_offset",
+        sum(col("blk_tokens")).over(wPrefix) - col("blk_tokens"))
+      .select("lang", "blk", "blk_offset")
+    // offsets is blockWidth× smaller than the doc-meta relation (36 MB
+    // at 10^11 docs / 64k width) → broadcast beats re-shuffling `local`
+    local.join(broadcast(offsets), Seq("lang", "blk"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        expr(s"(cum - n_tokens) div $budget").as("seq_bin"))
+        expr(s"(local_cum + blk_offset - n_tokens) div $budget").as("seq_bin"))
   }
 
   /** (doc_id, chunk_id, chunk_len, chunk_hash): overlapping token

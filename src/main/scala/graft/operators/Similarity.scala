@@ -133,6 +133,10 @@ object Similarity {
   val NumCentroids = 16
   val NumProbe = 4
 
+  /** Cap on rows the k-means fit pass sees (the sample bound behind
+    * [[annIvfKmeans]]'s default `fitFraction`). */
+  val MaxKmeansFitRows: Long = 100000L
+
   def annIvf(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
       centroidFrom: Int = 0): DataFrame = {
     val cent = emb
@@ -183,20 +187,32 @@ object Similarity {
     * variant in DedupSpec).
     *
     * Not oracle-reproducible (k-means|| isn't portable across engines) —
-    * rows-only driver check. At 100 TB, fit the model on a sample
-    * (`emb.sample(...)`) — centroid quality converges long before the full
-    * pass; assignment/transform stays a narrow per-row pass. */
+    * rows-only driver check.
+    *
+    * The fit runs on a BOUNDED SAMPLE by default: maxIter(20) full passes
+    * over 10^11 vectors would dominate the whole job, and centroid
+    * quality converges long before the full pass (the fit needs O(K)
+    * well-spread points per centroid, not the corpus). `fitFraction`
+    * defaults to min(1, [[MaxKmeansFitRows]]/n) — full data at test
+    * scale (bit-identical to the unsampled fit), ~100k rows at any
+    * larger scale. Assignment/transform stays a full-corpus narrow
+    * per-row pass either way. */
   def annIvfKmeans(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
       numCentroids: Int = NumCentroids, nprobe: Int = NumProbe,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, fitFraction: Option[Double] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val feats = emb.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+    val frac = fitFraction.getOrElse(
+      math.min(1.0, MaxKmeansFitRows.toDouble / math.max(1L, emb.count())))
+    val fitSet =
+      if (frac >= 1.0) feats
+      else feats.sample(withReplacement = false, frac, seed = 42L)
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(numCentroids).setSeed(42L).setMaxIter(maxIter)
       .setDistanceMeasure("cosine").setFeaturesCol("features")
-      .fit(feats)
+      .fit(fitSet)
     val assigned = model.transform(feats)
       .select(col("vec_id"), col("prediction").as("cid"))
     // learned centroids: K tiny driver-side rows, broadcast for probing

@@ -16,10 +16,16 @@ import graft.functions.TextFns._
   *    so stopword skew is absorbed map-side by the combiner, not by a
   *    hot reducer. count_distinct(doc_id) expands to Spark's standard
   *    two-phase distinct aggregation on the same key.
-  *  - TF-IDF (q40) joins the big (doc, token, tf) relation to the SMALL
-  *    per-token df table: the df side is an aggregate over the vocab
-  *    (≪ corpus), so it broadcasts; the only big shuffle is the per-doc
-  *    top-k window, partitioned by doc_id.
+  *  - TF-IDF (q40) joins the big (doc, token, tf) relation to the
+  *    per-token idf table with a SHUFFLE hash join on `token`: the idf
+  *    side has one row per distinct token, and a web-scale corpus has
+  *    10^8–10^9 of those (~tens of GB with strings) — far past any
+  *    broadcast threshold (10^9 tokens × ~30 B ≈ 30 GB vs the 8 GB
+  *    executor budget; even 10^7 tokens ≈ 300 MB is 30× the default
+  *    10 MB autoBroadcast limit). Both sides arrive pre-aggregated on
+  *    token-containing keys with map-side combine, so the shuffle keys
+  *    are near-uniform; the remaining big shuffle is the per-doc top-k
+  *    window, partitioned by doc_id.
   *  - bigrams (q41) is the same wordcount shape over 2-gram keys; global
   *    top-k is TakeOrderedAndProject (no global sort).
   */
@@ -48,7 +54,9 @@ object Vocab {
           .as("idf"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token"))
-    tf.join(broadcast(idf), "token")
+    // vocab-sized build side: hint shuffle_hash so the plan stays a
+    // shuffled join even where AQE would broadcast at toy scale
+    tf.join(idf.hint("shuffle_hash"), "token")
       .select(col("doc_id"), col("token"), col("tf"),
         round(col("tf").cast("double") * col("idf"), 6).as("tfidf"))
       .withColumn("rnk", row_number().over(w).cast("long"))
