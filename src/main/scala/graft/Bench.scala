@@ -117,7 +117,7 @@ object Bench {
     // "1,234" under comma-decimal locales — invalid JSON
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       java.lang.Double.valueOf(v))
-    val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val cpus_ = results.map { case (k, _, c, _, _, _, _) => s"\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
@@ -132,9 +132,26 @@ object Bench {
     val errs = results.collect { case (k, _, _, _, _, _, Some(m)) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _, _, _, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // The harness that invokes this main captures only the last few KB of
+    // stdout and parses the ONE JSON line it finds there. The full
+    // diagnostic payload (per-query cpu/gc/jit/io) is ~7 KB for 50
+    // queries — printing it on stdout pushed the line's START out of the
+    // capture window and the parse failed (BENCH_r03/r04 "parsed": null).
+    // So: diagnostics go to stderr AND a detail file; stdout gets only the
+    // compact contract line, printed LAST so it sits at the tail.
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""cpu_sec":$cpus_,"gc_sec":$gcs,"jit_sec":$jits,"io_mb":$shuffles,""" +
-      s""""errors":$errs,"sf":"$sfDir"}""")
+      s""""errors":$errs,"sf":"$sfDir"}"""
+    System.err.println(s"[bench-detail] $detail")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

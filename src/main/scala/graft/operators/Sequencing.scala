@@ -48,13 +48,24 @@ object Sequencing {
     * `blockWidth`, `local_cum(doc) + blk_offset(block)` equals the
     * global per-lang cumsum, so the result is blockWidth-invariant
     * (property-tested in SequencingSpec). `doc_id div blockWidth` is
-    * monotone in doc_id, so (blk, doc_id) order == doc_id order. */
+    * exact integer division (not a double quotient — inexact past 2^53
+    * and boundary docs would silently change block), and is monotone in
+    * doc_id, so (blk, doc_id) order == doc_id order.
+    *
+    * PRECONDITION for the size analysis above: doc_ids are DENSE
+    * (roughly consecutive, as a corpus snapshot or `zipWithIndex`-style
+    * assignment produces). With sparse/hashed doc_ids each block holds
+    * ~1 doc and `offsets` degrades to corpus-sized — still CORRECT
+    * (the join below is not forced to broadcast; AQE falls back to a
+    * shuffled join), but the packing loses its "tiny prefix relation"
+    * property. Re-key such a corpus first (e.g. a one-off
+    * `row_number`-style dense id assignment) before packing. */
   def packSequences(docs: DataFrame, budget: Int = PackBudget,
       blockWidth: Long = PackBlockWidth): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"), col("lang"),
       size(wsTokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("blk", floor(col("doc_id") / lit(blockWidth)).cast("long"))
+      .withColumn("blk", expr(s"cast(doc_id div $blockWidth as long)"))
     // level 1: cumsum within (lang, block) — each sort task bounded by
     // blockWidth rows, independent of how skewed the lang mix is
     val wLocal = Window.partitionBy(col("lang"), col("blk"))
@@ -73,8 +84,12 @@ object Sequencing {
         sum(col("blk_tokens")).over(wPrefix) - col("blk_tokens"))
       .select("lang", "blk", "blk_offset")
     // offsets is blockWidth× smaller than the doc-meta relation (36 MB
-    // at 10^11 docs / 64k width) → broadcast beats re-shuffling `local`
-    local.join(broadcast(offsets), Seq("lang", "blk"))
+    // at 10^11 dense doc_ids / 64k width) and AQE promotes the join to
+    // broadcast at runtime when it measures small. Deliberately NOT a
+    // broadcast() hint: with sparse/hashed doc_ids offsets is corpus-
+    // sized and a forced broadcast would OOM the driver — unhinted, the
+    // planner keeps the shuffled-join escape hatch.
+    local.join(offsets, Seq("lang", "blk"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr(s"(local_cum + blk_offset - n_tokens) div $budget").as("seq_bin"))
   }

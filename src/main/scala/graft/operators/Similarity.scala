@@ -192,11 +192,16 @@ object Similarity {
     * The fit runs on a BOUNDED SAMPLE by default: maxIter(20) full passes
     * over 10^11 vectors would dominate the whole job, and centroid
     * quality converges long before the full pass (the fit needs O(K)
-    * well-spread points per centroid, not the corpus). `fitFraction`
-    * defaults to min(1, [[MaxKmeansFitRows]]/n) — full data at test
-    * scale (bit-identical to the unsampled fit), ~100k rows at any
-    * larger scale. Assignment/transform stays a full-corpus narrow
-    * per-row pass either way. */
+    * well-spread points per centroid, not the corpus). The default bound
+    * is `limit(MaxKmeansFitRows)` — the full corpus whenever it is
+    * smaller than the cap, a first-partitions prefix otherwise, and
+    * crucially NO eager count job at DataFrame-construction time (an
+    * exact `count()` here would add a full corpus scan just to pick a
+    * sample rate, and would fire even for plan-only callers). Callers
+    * who need an unbiased fit set at scale pass `fitFraction` (a
+    * Bernoulli sample, seed-pinned) instead of relying on the prefix
+    * cap. Assignment/transform stays a full-corpus narrow per-row pass
+    * either way. */
   def annIvfKmeans(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
       numCentroids: Int = NumCentroids, nprobe: Int = NumProbe,
       maxIter: Int = 20, fitFraction: Option[Double] = None): DataFrame = {
@@ -204,11 +209,11 @@ object Similarity {
     import spark.implicits._
     val feats = emb.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding")))
-    val frac = fitFraction.getOrElse(
-      math.min(1.0, MaxKmeansFitRows.toDouble / math.max(1L, emb.count())))
-    val fitSet =
-      if (frac >= 1.0) feats
-      else feats.sample(withReplacement = false, frac, seed = 42L)
+    val fitSet = fitFraction match {
+      case Some(f) if f < 1.0 => feats.sample(withReplacement = false, f, seed = 42L)
+      case Some(_)            => feats
+      case None               => feats.limit(MaxKmeansFitRows.toInt)
+    }
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(numCentroids).setSeed(42L).setMaxIter(maxIter)
       .setDistanceMeasure("cosine").setFeaturesCol("features")

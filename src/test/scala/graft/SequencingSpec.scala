@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sequencing
+
+/** Properties of the two-level sequence packer that the oracle query
+  * cannot see: the fixture's doc_ids all fall inside one 65536-wide
+  * block, so the cross-block offset path (blk_offset != 0) is only
+  * exercised here, with a tiny blockWidth forcing many blocks. */
+class SequencingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def packed(blockWidth: Long): Seq[(Long, Long)] =
+    Sequencing.packSequences(
+        graft.engine.Tables.documents(spark, sf), blockWidth = blockWidth)
+      .select(col("doc_id").cast("long"), col("seq_bin").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  test("packing is blockWidth-invariant (blocked cumsum == global cumsum)") {
+    // width 2 → ~n/2 blocks, so nearly every row takes the blk_offset
+    // path; width 7 is coprime with the id spacing; 1<<30 ≈ unblocked.
+    val reference = packed(1L << 30)
+    assert(reference.nonEmpty)
+    for (w <- Seq(2L, 7L, 64L)) {
+      assert(packed(w) == reference,
+        s"blockWidth=$w changed seq_bin assignment")
+    }
+  }
+
+  test("bins are contiguous from 0 per lang and starts stay under budget") {
+    val rows = Sequencing.packSequences(
+        graft.engine.Tables.documents(spark, sf), blockWidth = 16L)
+      .select("lang", "doc_id", "n_tokens", "seq_bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val ordered = docs.sortBy(_._2)
+      // reconstruct the global cumsum and check each doc's bin is the
+      // budget-quantized start offset — the packer's defining equation
+      var cum = 0L
+      ordered.foreach { case (_, id, n, bin) =>
+        assert(bin == cum / Sequencing.PackBudget,
+          s"$lang doc $id: bin $bin != ${cum / Sequencing.PackBudget}")
+        cum += n
+      }
+      assert(ordered.head._4 == 0L, s"$lang does not start at bin 0")
+    }
+  }
+
+  test("packing plan does not force a broadcast of the offsets relation") {
+    // a broadcast() HINT would OOM on sparse/hashed doc_ids where the
+    // per-block aggregate degrades to corpus size; AQE may still CHOOSE
+    // broadcast at runtime (fine) — assert the logical plan is unhinted
+    val logical = Sequencing.packSequences(
+      graft.engine.Tables.documents(spark, sf)).queryExecution.logical.toString
+    assert(!logical.toLowerCase.contains("unresolvedhint") &&
+      !logical.contains("ResolvedHint"),
+      s"offsets join carries a broadcast hint:\n$logical")
+  }
+}
