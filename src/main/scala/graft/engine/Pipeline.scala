@@ -27,10 +27,12 @@ object Pipeline {
 
   /** [[run]] with the fetch stage going over real HTTP — the reference's
     * actual topology (Lambda GET against Socrata with a SoQL `$where`,
-    * get_data_api.py:10-24). Identical downstream path. */
+    * get_data_api.py:10-24), via the `soql` DSv2 connector. A failed
+    * fetch (non-200) skips the day, reference-laxity style, and the rest
+    * of the run still processes whatever is already landed. */
   def runHttp(spark: SparkSession, endpoint: String, dirs: Dirs,
       since: String, fileDate: LocalDate = LocalDate.now()): Unit = {
-    graft.sources.Ingest.fetchRecentHttp(endpoint, since, dirs.landing, fileDate)
+    graft.sources.Ingest.fetchRecentHttp(spark, endpoint, since, dirs.landing, fileDate)
     graft.sources.Ingest.processNewFiles(
       spark, dirs.landing, dirs.processed, dirs.checkpoint)
     refreshViews(spark, dirs.processed)

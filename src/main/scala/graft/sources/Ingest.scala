@@ -52,49 +52,74 @@ object Ingest {
     * driver. */
   val MaxFetchRows = 500000
 
+  private def csvLine(values: Seq[Any]): String = values.map {
+    case null => ""
+    case s: String if s.exists(ch => ch == ',' || ch == '"' || ch == '\n' || ch == '\r') =>
+      "\"" + s.replace("\"", "\"\"") + "\""
+    case v => v.toString
+  }.mkString(",")
+
+  /** Collect a bounded daily delta to the driver and land it as header +
+    * CSV rows, or None when empty (header-only guard shared with the
+    * HTTP path). */
+  private def collectAndLand(fresh: DataFrame, header: String, since: String,
+      landingDir: String, fileDate: LocalDate): Option[Path] = {
+    val collected = fresh.limit(MaxFetchRows + 1).collect()
+    require(collected.length <= MaxFetchRows,
+      s"fetchRecent(since=$since) matched > $MaxFetchRows rows — refusing a " +
+        "driver-side collect of what is clearly not a daily delta")
+    val rows = collected.map(r => csvLine(r.toSeq))
+    landCsv((header +: rows.toSeq).mkString("\n"), landingDir, fileDate)
+  }
+
   /** Fetch source rows with `updated_on > since` and land them as a dated
     * CSV in `landingDir`. Returns the written path, or None when the
     * extract was effectively empty (header-only guard). */
   def fetchRecent(source: DataFrame, since: String, landingDir: String,
       fileDate: LocalDate = LocalDate.now()): Option[Path] = {
     import org.apache.spark.sql.functions.col
-    val fresh = source.filter(col("updated_on") > since)
-    val header = source.columns.mkString(",")
-    val collected = fresh.limit(MaxFetchRows + 1).collect()
-    require(collected.length <= MaxFetchRows,
-      s"fetchRecent(since=$since) matched > $MaxFetchRows rows — refusing a " +
-        "driver-side collect of what is clearly not a daily delta")
-    val rows = collected.map(_.toSeq.map {
-      case null => ""
-      case s: String if s.exists(ch => ch == ',' || ch == '"' || ch == '\n' || ch == '\r') =>
-        "\"" + s.replace("\"", "\"\"") + "\""
-      case v => v.toString
-    }.mkString(","))
-    landCsv((header +: rows).mkString("\n"), landingDir, fileDate)
+    collectAndLand(source.filter(col("updated_on") > since),
+      source.columns.mkString(","), since, landingDir, fileDate)
   }
 
-  /** Real-HTTP variant of [[fetchRecent]], matching the reference Lambda
-    * byte for byte in behavior (get_data_api.py:10-24): GET the endpoint
-    * with the predicate pushed server-side as a SoQL `$where` parameter,
-    * apply the header-only guard to the response text, and land it
-    * verbatim under the dated key. The server owns filtering — the client
-    * never materializes unmatched rows (S3's "server-side predicate"). */
-  def fetchRecentHttp(endpoint: String, since: String, landingDir: String,
-      fileDate: LocalDate = LocalDate.now(),
+  /** Real-HTTP variant of [[fetchRecent]] (reference contract:
+    * get_data_api.py:10-24), built on the `soql` DataSource-V2 connector
+    * ([[SoqlDataSource]]): the `updated_on > since` filter enters the
+    * plan as an ordinary Catalyst predicate and reaches the server as the
+    * SoQL `$where` via `SupportsPushDownFilters` — the server owns
+    * filtering and unmatched rows never cross the wire, with Spark's
+    * client-side residual re-check guarding against a server that
+    * ignores the predicate.
+    *
+    * ERROR LAXITY matches the reference Lambda: get_data_api.py:14 writes
+    * only `if req.ok` — a non-OK response means the day is silently
+    * skipped, never an aborted schedule. Here a non-200 anywhere in the
+    * fetch logs a warning and returns None; pass `strict = true` to get
+    * a throwing fetch for interactive/backfill use where silence would
+    * hide a misconfigured endpoint. Connection-level failures (refused,
+    * DNS, timeout) throw in BOTH modes — the reference only guards the
+    * status code, and its Lambda equally crashes on a transport error. */
+  def fetchRecentHttp(spark: SparkSession, endpoint: String, since: String,
+      landingDir: String, fileDate: LocalDate = LocalDate.now(),
+      strict: Boolean = false,
       timeout: java.time.Duration = java.time.Duration.ofSeconds(180)): Option[Path] = {
-    // SoQL string literals escape quotes by doubling; without this a
-    // since value containing ' would break (or widen) the server-side
-    // predicate
-    val soqlSince = since.replace("'", "''")
-    val soql = java.net.URLEncoder.encode(s"updated_on > '$soqlSince'", "UTF-8")
-    val uri = java.net.URI.create(s"$endpoint?%24where=$soql")
-    val client = java.net.http.HttpClient.newBuilder().connectTimeout(timeout).build()
-    val req = java.net.http.HttpRequest.newBuilder(uri).GET()
-      .timeout(timeout).build()
-    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() == 200,
-      s"ingest fetch failed: HTTP ${resp.statusCode()} from $uri")
-    landCsv(resp.body(), landingDir, fileDate)
+    def isHttpStatus(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+        .exists(_.isInstanceOf[SoqlHttpException])
+    try {
+      import org.apache.spark.sql.functions.col
+      val page = spark.read.format("soql")
+        .option("endpoint", endpoint)
+        .option("timeoutMs", timeout.toMillis.toString)
+        .load()
+        .filter(col("updated_on") > since)
+      collectAndLand(page, page.columns.mkString(","), since, landingDir, fileDate)
+    } catch {
+      case e: Throwable if !strict && isHttpStatus(e) =>
+        System.err.println(s"[ingest] skipping $fileDate: ${e.getMessage} " +
+          s"(reference laxity — get_data_api.py:14 lands nothing unless req.ok)")
+        None
+    }
   }
 
   /** Crime CSV schema (the columns the reference reads, FIXTURES.md §B).

@@ -1,0 +1,294 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("soql")` — a DataSource-V2 connector for
+  * Socrata-style CSV endpoints, the "proper version" of the driver-side
+  * [[Ingest.fetchRecentHttp]] helper (SURVEY.md §4 row 1; reference
+  * contract: Additional_Data_Function/get_data_api.py:13, a Lambda GET
+  * with the date predicate in a SoQL `$where`).
+  *
+  * What gets pushed server-side:
+  *  - filters (`SupportsPushDownFilters`) translate to one ANDed SoQL
+  *    `$where` — comparisons, null tests, And/Or, starts_with;
+  *  - column pruning (`SupportsPushDownRequiredColumns`) translates to
+  *    `$select`.
+  *
+  * Pushdown is BEST-EFFORT, the same contract parquet row-group filters
+  * use: every filter is ALSO returned as a residual from `pushFilters`,
+  * so Spark re-evaluates it client-side and correctness never depends on
+  * the remote API honoring (or correctly implementing) the predicate —
+  * the `$where` only determines how many bytes cross the wire. Likewise
+  * the reader maps CSV columns by HEADER NAME, so a server that ignores
+  * `$select` still yields correct (just wider) responses.
+  *
+  * Scale shape: one InputPartition per read — a daily-delta REST API is
+  * a small-payload source by construction and its server is the
+  * bottleneck, not Spark parallelism. The HTTP GET and CSV decode run on
+  * an EXECUTOR (never the driver), so a misconfigured `$where` that
+  * matches the full history saturates one task, not the driver heap —
+  * that is the bound [[Ingest.MaxFetchRows]] enforces on the legacy
+  * driver-side path. Sharding a large REST source would page with
+  * `$limit`/`$offset` per partition; deliberately out of scope while the
+  * reference's source is one page per day. */
+class SoqlDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "soql"
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Schema-less reads GET one row (`$limit=1` — public Socrata paging
+    * param; harmless if ignored) and type every header column string —
+    * REST CSV carries no types, so callers cast downstream or declare a
+    * schema up front. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val endpoint = SoqlSource.endpointOf(options)
+    val body = SoqlSource.httpGet(s"$endpoint?%24limit=1", SoqlSource.timeoutOf(options))
+    val header = SoqlSource.parseCsv(body).headOption.getOrElse(
+      throw new IllegalArgumentException(s"soql: empty response from $endpoint"))
+    StructType(header.map(c => StructField(c, StringType, nullable = true)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SoqlTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] class SoqlTable(tableSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"soql(${SoqlSource.endpointOf(options)})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new SoqlScanBuilder(tableSchema, SoqlSource.endpointOf(options),
+      SoqlSource.timeoutOf(options))
+}
+
+private[sources] class SoqlScanBuilder(fullSchema: StructType,
+    endpoint: String, timeoutMs: Long) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => SoqlSource.toSoqlPredicate(f).isDefined)
+    filters // all residual: best-effort push, Spark re-checks client-side
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    // `a > x` (etc.) already implies `a IS NOT NULL` in SoQL's 3-valued
+    // logic, and Catalyst routinely pairs the two — drop the redundant
+    // null-checks so the wire `$where` is the minimal predicate
+    val implied: Set[String] = pushed.collect {
+      case EqualTo(a, _) => a
+      case GreaterThan(a, _) => a
+      case GreaterThanOrEqual(a, _) => a
+      case LessThan(a, _) => a
+      case LessThanOrEqual(a, _) => a
+      case StringStartsWith(a, _) => a
+    }.toSet
+    val effective = pushed.filterNot {
+      case IsNotNull(a) => implied(a)
+      case _ => false
+    }
+    val where = effective.flatMap(SoqlSource.toSoqlPredicate)
+      .reduceOption((a, b) => s"($a AND $b)")
+    new SoqlScan(endpoint, required, where, timeoutMs)
+  }
+}
+
+private[sources] class SoqlScan(endpoint: String, required: StructType,
+    where: Option[String], timeoutMs: Long) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"soql $endpoint where=${where.getOrElse("<none>")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val params =
+      (if (required.isEmpty) Nil
+       else List(s"%24select=${enc(required.fieldNames.mkString(","))}")) ++
+        where.map(w => s"%24where=${enc(w)}").toList
+    val url = if (params.isEmpty) endpoint else s"$endpoint?${params.mkString("&")}"
+    Array(SoqlInputPartition(url, timeoutMs))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new SoqlReaderFactory(required)
+}
+
+private[sources] case class SoqlInputPartition(url: String, timeoutMs: Long)
+  extends InputPartition
+
+private[sources] class SoqlReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SoqlInputPartition]
+    new SoqlPartitionReader(sp.url, sp.timeoutMs, required)
+  }
+}
+
+/** Fetches the whole page, then iterates records. Columns resolve by
+  * header name (case-insensitive) so response column ORDER and WIDTH are
+  * both free to differ from the requested schema; requested columns the
+  * server did not return read as null. */
+private[sources] class SoqlPartitionReader(url: String, timeoutMs: Long,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private lazy val records: Iterator[Array[String]] = {
+    val all = SoqlSource.parseCsv(SoqlSource.httpGet(url, timeoutMs))
+    if (all.isEmpty) Iterator.empty
+    else {
+      val headerIdx = all.head.iterator.zipWithIndex
+        .map { case (c, i) => c.toLowerCase(java.util.Locale.ROOT) -> i }.toMap
+      val fieldIdx = required.fields.map(f =>
+        headerIdx.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT), -1))
+      all.iterator.drop(1).map { rec =>
+        fieldIdx.map(i => if (i >= 0 && i < rec.length) rec(i) else null)
+      }
+    }
+  }
+  private var current: Array[String] = _
+
+  override def next(): Boolean =
+    if (records.hasNext) { current = records.next(); true } else false
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(current.iterator.zip(required.fields.iterator).map {
+      case (v, f) => SoqlSource.convert(v, f.dataType)
+    }.toSeq)
+
+  override def close(): Unit = ()
+}
+
+/** Non-200 from the endpoint. A QUERY over a REST table fails loud (a
+  * silently-empty scan would corrupt results); the scheduled-ingest
+  * laxity of the reference Lambda (skip the day on error) lives in
+  * [[Ingest.fetchRecentHttp]], which catches exactly this type. */
+class SoqlHttpException(val statusCode: Int, val uri: String)
+  extends RuntimeException(s"soql: HTTP $statusCode from $uri")
+
+private[sources] object SoqlSource {
+
+  def endpointOf(options: CaseInsensitiveStringMap): String = {
+    val e = options.get("endpoint")
+    require(e != null && e.nonEmpty, "soql source requires option(\"endpoint\", url)")
+    e
+  }
+  def timeoutOf(options: CaseInsensitiveStringMap): Long =
+    options.getLong("timeoutms", 180000L)
+
+  def httpGet(url: String, timeoutMs: Long): String = {
+    val t = java.time.Duration.ofMillis(timeoutMs)
+    val client = java.net.http.HttpClient.newBuilder().connectTimeout(t).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .GET().timeout(t).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200) throw new SoqlHttpException(resp.statusCode(), url)
+    resp.body()
+  }
+
+  // -- SoQL predicate rendering ---------------------------------------------
+
+  private val Ident = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def lit(v: Any): Option[String] = v match {
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case n: java.lang.Number => Some(n.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case d @ (_: java.sql.Date | _: java.sql.Timestamp |
+              _: java.time.LocalDate | _: java.time.Instant) =>
+      Some("'" + d.toString + "'")
+    case _ => None // arrays/structs/binary: not expressible, stays client-side
+  }
+  private def cmp(a: String, op: String, v: Any): Option[String] =
+    if (Ident.matches(a)) lit(v).map(l => s"$a $op $l") else None
+
+  /** Render one Catalyst source filter as a SoQL boolean expression, or
+    * None when it has no SoQL form (then it is simply not pushed — the
+    * client-side residual still enforces it). */
+  def toSoqlPredicate(f: Filter): Option[String] = f match {
+    case EqualTo(a, v)            => cmp(a, "=", v)
+    case GreaterThan(a, v)        => cmp(a, ">", v)
+    case GreaterThanOrEqual(a, v) => cmp(a, ">=", v)
+    case LessThan(a, v)           => cmp(a, "<", v)
+    case LessThanOrEqual(a, v)    => cmp(a, "<=", v)
+    case IsNull(a) if Ident.matches(a)    => Some(s"$a IS NULL")
+    case IsNotNull(a) if Ident.matches(a) => Some(s"$a IS NOT NULL")
+    case StringStartsWith(a, p) if Ident.matches(a) =>
+      Some(s"starts_with($a, '${p.replace("'", "''")}')")
+    case And(l, r) =>
+      for { a <- toSoqlPredicate(l); b <- toSoqlPredicate(r) } yield s"($a AND $b)"
+    case Or(l, r) =>
+      for { a <- toSoqlPredicate(l); b <- toSoqlPredicate(r) } yield s"($a OR $b)"
+    case Not(c) => toSoqlPredicate(c).map(x => s"NOT ($x)")
+    case _ => None
+  }
+
+  // -- CSV --------------------------------------------------------------------
+
+  /** RFC-4180 record parser (quoted fields, doubled-quote escapes,
+    * embedded newlines, CRLF). The payloads here are one REST page, so a
+    * simple in-memory scan is the right tool — file-scale CSV goes
+    * through Spark's own reader ([[Ingest.processNewFiles]]). */
+  def parseCsv(body: String): Vector[Array[String]] = {
+    val out = Vector.newBuilder[Array[String]]
+    val rec = scala.collection.mutable.ArrayBuffer.empty[String]
+    val field = new java.lang.StringBuilder
+    var inQuotes = false
+    var sawAny = false // distinguishes "" from a record of one empty field
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < body.length && body.charAt(i + 1) == '"') { field.append('"'); i += 1 }
+          else inQuotes = false
+        } else field.append(c)
+      } else c match {
+        case '"'  => inQuotes = true; sawAny = true
+        case ','  => rec += field.toString; field.setLength(0); sawAny = true
+        case '\r' => // swallowed; the \n closes the record
+        case '\n' =>
+          if (sawAny || field.length > 0) { rec += field.toString; out += rec.toArray }
+          rec.clear(); field.setLength(0); sawAny = false
+        case o    => field.append(o); sawAny = true
+      }
+      i += 1
+    }
+    if (sawAny || field.length > 0) { rec += field.toString; out += rec.toArray }
+    out.result()
+  }
+
+  /** CSV cell → Catalyst value for the declared type. Empty cells are
+    * null for every non-string type (CSV cannot distinguish "" from
+    * null); richer types (dates, decimals) are intentionally absent —
+    * declare strings and cast in the plan, where Catalyst's casts are
+    * codegen'd and timezone-aware. */
+  def convert(s: String, dt: DataType): Any = {
+    if (s == null) return null
+    dt match {
+      case StringType  => UTF8String.fromString(s)
+      case _ if s.isEmpty => null
+      case LongType    => s.trim.toLong
+      case IntegerType => s.trim.toInt
+      case ShortType   => s.trim.toShort
+      case ByteType    => s.trim.toByte
+      case DoubleType  => s.trim.toDouble
+      case FloatType   => s.trim.toFloat
+      case BooleanType => s.trim.toBoolean
+      case other => throw new IllegalArgumentException(
+        s"soql: unsupported read type $other — declare string and cast")
+    }
+  }
+}

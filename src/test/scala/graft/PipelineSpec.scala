@@ -120,9 +120,9 @@ class PipelineSpec extends AnyFunSuite {
 
   test("HTTP ingest: SoQL $where pushed server-side, guard, end-to-end to views") {
     val dirs = freshDirs()
-    SoqlTestServer.withServer(crimeHeader, crimeCsvRows) { url =>
+    SoqlTestServer.withInstrumentedServer(crimeHeader, crimeCsvRows) { (url, log) =>
       // header-only extract (future `since`) must not land a file
-      assert(Ingest.fetchRecentHttp(url, since = "2099-01-01",
+      assert(Ingest.fetchRecentHttp(spark, url, since = "2099-01-01",
         dirs.landing, LocalDate.parse("2022-01-01")).isEmpty)
       assert(!Files.exists(Paths.get(dirs.landing)))
 
@@ -137,6 +137,73 @@ class PipelineSpec extends AnyFunSuite {
       assert(processed.select("id").as[Long].collect().toSet == Set(3L, 4L))
       assert(Pipeline.view(spark, "dependency1_violent_crimes")
         .select("id").as[Long].collect().toSet == Set(3L, 4L))
+
+      // the server-side log is the pushdown proof: the scan request
+      // carried the minimal $where (no redundant IS NOT NULL), and the
+      // server served ONLY the matched rows — unmatched rows never
+      // crossed the wire
+      val whereReqs = log.requests.filter(_.contains("$where="))
+      assert(whereReqs.nonEmpty, s"no $$where reached the server: ${log.requests}")
+      assert(whereReqs.exists(_.contains("updated_on > '2021-06-30'")),
+        s"predicate not in server log: $whereReqs")
+      assert(log.rowsServed.filter(_ >= 0).forall(_ <= 2),
+        s"server served unmatched rows: ${log.rowsServed}")
+    }
+  }
+
+  test("soql DSv2 source: filter + column pruning reach the server; residual re-check") {
+    SoqlTestServer.withInstrumentedServer(crimeHeader, crimeCsvRows) { (url, log) =>
+      val df = spark.read.format("soql").option("endpoint", url).load()
+        .filter(col("updated_on") > "2021-06-30")
+        .select("id", "primary_type")
+      val rows = df.as[(String, String)].collect().toSet
+      assert(rows == Set(("3", "ASSAULT"), ("4", "BATTERY")))
+      // explain surface: pushed filter visible, scan is the soql table
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") || plan.contains("soql"),
+        s"scan not recognizable in plan:\n$plan")
+      val scanReq = log.requests.filter(_.contains("$where=")).head
+      assert(scanReq.contains("updated_on > '2021-06-30'"))
+      assert(!scanReq.contains("IS NOT NULL"),
+        s"redundant null-check crossed the wire: $scanReq")
+      // $select pruning: only the needed columns requested (updated_on
+      // rides along for the residual re-check of the pushed filter)
+      assert(scanReq.contains("$select="))
+      assert(!scanReq.contains("latitude") && !scanReq.contains("description"),
+        s"unpruned $$select: $scanReq")
+    }
+  }
+
+  test("soql DSv2 source: declared schema with typed columns") {
+    SoqlTestServer.withInstrumentedServer(crimeHeader, crimeCsvRows) { (url, _) =>
+      val df = spark.read.format("soql")
+        .schema("id long, primary_type string, arrest boolean, latitude double")
+        .option("endpoint", url).load()
+      val got = df.filter(col("arrest")).select("id", "latitude")
+        .as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 41.88), (3L, 41.88)))
+    }
+  }
+
+  test("transient 503 skips the day (reference laxity); strict mode throws") {
+    val dirs = freshDirs()
+    SoqlTestServer.withInstrumentedServer(crimeHeader, crimeCsvRows) { (url, log) =>
+      log.failNext(100) // every request this scheduled "day" 503s
+      assert(Ingest.fetchRecentHttp(spark, url, since = "2021-06-30",
+        dirs.landing, LocalDate.parse("2021-07-03")).isEmpty,
+        "non-200 must skip, not abort (get_data_api.py:14 lands only if req.ok)")
+      assert(!Files.exists(Paths.get(dirs.landing)), "nothing lands on a failed day")
+
+      log.failNext(1)
+      intercept[Exception] {
+        Ingest.fetchRecentHttp(spark, url, since = "2021-06-30",
+          dirs.landing, LocalDate.parse("2021-07-03"), strict = true)
+      }
+
+      // next scheduled day: server recovered, fetch lands normally
+      log.failNext(0)
+      assert(Ingest.fetchRecentHttp(spark, url, since = "2021-06-30",
+        dirs.landing, LocalDate.parse("2021-07-04")).isDefined)
     }
   }
 
