@@ -70,6 +70,7 @@ object SparkEntry {
     "q48_decontaminate" -> (Corpus.qDecontaminate _),
     "q49_repetition"    -> (TextAnalysis.qRepetition _),
     "q50_source_stats"  -> (Corpus.qSourceStats _),
+    "q51_incremental_dedup" -> (graft.operators.IncrementalDedup.qIncremental _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,6 +127,7 @@ object SparkEntry {
     "q48_decontaminate" -> Corpus.qDecontaminateSql,
     "q49_repetition"    -> TextAnalysis.qRepetitionSql,
     "q50_source_stats"  -> Corpus.qSourceStatsSql,
+    "q51_incremental_dedup" -> graft.operators.IncrementalDedup.qIncrementalSql,
     // q35_ann_ivf_kmeans intentionally has NO oracle entry: k-means||
     // centroids aren't reproducible across engines (driver rows-only
     // check; recall-vs-brute-force asserted in DedupSpec).

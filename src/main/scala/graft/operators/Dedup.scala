@@ -170,15 +170,20 @@ object Dedup {
 
   /** Exact word-3-gram Jaccard for the LSH candidates (verification stage
     * of MinHash dedup). Only candidate pairs pay the set-intersection cost. */
-  def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sets = shingleSets(docs)
-    lshCandidatePairs(docs)
+  def jaccardPairs(docs: DataFrame): DataFrame =
+    verifyJaccard(lshCandidatePairs(docs), shingleSets(docs))
+
+  /** Jaccard-verify an arbitrary candidate relation (doc_a, doc_b) against
+    * a shingle-set relation (doc_id, sh) — shared by the full-corpus path
+    * above and [[IncrementalDedup.admitBatch]], so the two paths are
+    * numerics-identical by construction (same round-6dp expression). */
+  private[operators] def verifyJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
+    cand
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
-  }
 
   /** SimHash over whitespace tokens: each token's 60-bit hash votes
     * ±1 per bit position; the sign vector packs into an integer. Near-dup

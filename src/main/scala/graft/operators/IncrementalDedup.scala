@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Persisted dedup state between daily batches — the production shape of
+  * incremental near-duplicate clustering. Everything needed to admit a new
+  * batch WITHOUT touching old document text lives in four relations a real
+  * deployment would keep as tables next to the corpus:
+  *
+  *  - `labels`   (doc_id, cluster_id)        — current component labeling
+  *  - `sizes`    (cluster_id, cluster_size)  — maintained incrementally
+  *  - `bands`    (doc_id, band, band_hash)   — the LSH index (bucketed on
+  *                                             (band, band_hash) at scale)
+  *  - `shingles` (doc_id, sh)                — shingle sets for the exact
+  *                                             Jaccard verify stage
+  *
+  * The reference's defining semantic is incremental processing — Glue job
+  * bookmarks (`CDK/cdk/cdk_stack.py:165`) and the daily delta fetch
+  * (`Additional_Data_Function/get_data_api.py:11-13`) re-process only new
+  * arrivals. [[Dedup.duplicateClusters]] is the batch (bootstrap) path;
+  * this operator is its daily-delta twin.
+  */
+final case class DedupState(labels: DataFrame, sizes: DataFrame,
+                            bands: DataFrame, shingles: DataFrame)
+
+/** Incremental duplicate clustering: admit a new day's batch against
+  * persisted cluster labels without re-running the fixpoint over the whole
+  * corpus.
+  *
+  * Why this is safe (incremental ≡ batch): the old labeling is exactly a
+  * contracted representation of the old near-dup graph — every old doc is
+  * connected to its component minimum. Components of
+  * (old-label edges ∪ new edges) therefore equal components of
+  * (old edges ∪ new edges), i.e. a full recompute over the grown corpus.
+  * q51's oracle is that statement: the incremental Spark result is
+  * hash-compared against a DuckDB recursive-CTE closure, and equals what
+  * [[Dedup.duplicateClusters]] would produce from scratch (asserted in
+  * IncrementalDedupSpec).
+  *
+  * Scale design (100 TB corpus, ~0.1% daily batch):
+  *  - the ONLY per-corpus-sized work is (a) the band-index lookup — a join
+  *    of the new batch's bands against the stored index, bucketed on
+  *    (band, band_hash) so it's a pruned bucket probe, not a scan of old
+  *    text (old text is never an input at all — structurally enforced:
+  *    `admitBatch` does not take the old corpus); (b) the label remap —
+  *    a map-side broadcast join of the frontier-sized remap table against
+  *    `labels` (a table of two longs per doc, ~10⁻⁴ of corpus bytes; with
+  *    a Delta/Iceberg-style store this becomes a merge-on-write of only
+  *    remapped cluster ids).
+  *  - the component fixpoint runs on the CONTRACTED frontier graph only:
+  *    nodes are new doc ids plus the old cluster representatives the new
+  *    edges touch — O(batch), not O(corpus).
+  *  - `sizes` is updated without a corpus-sized shuffle: untouched rows
+  *    pass through a broadcast anti join (map-side, no exchange); only the
+  *    frontier-sized touched set re-aggregates.
+  */
+object IncrementalDedup {
+
+  /** Bootstrap: full batch clustering + the persisted index relations.
+    * This is the day-0 cost a deployment pays once; every later day pays
+    * [[admitBatch]] instead. */
+  def initialState(docs: DataFrame, threshold: Double = 0.5): DedupState = {
+    val lab = Dedup.duplicateClusters(docs, threshold)
+    DedupState(
+      labels = lab.select(col("doc_id"), col("cluster_id")),
+      sizes = lab.select(col("cluster_id"), col("cluster_size")).distinct(),
+      bands = Dedup.lshBands(docs),
+      shingles = Dedup.shingleSets(docs))
+  }
+
+  /** Admit `newDocs` (the new day's drop) into `state`. Returns the updated
+    * state; old document TEXT is never read (it isn't an input). New edges
+    * may merge existing clusters — a new doc bridging two old clusters
+    * relabels the higher-labeled one via the remap join. */
+  def admitBatch(state: DedupState, newDocs: DataFrame,
+                 threshold: Double = 0.5): DedupState = {
+    val newBands = Dedup.lshBands(newDocs)
+    val newShingles = Dedup.shingleSets(newDocs)
+    val allBands = state.bands.union(newBands)
+    val allShingles = state.shingles.union(newShingles)
+
+    // candidate pairs touching the new batch: probe the band index with
+    // the batch's bands. least/greatest canonicalizes the new-new pairs
+    // that appear from both sides of the self-overlapping probe.
+    val cand = newBands
+      .select(col("band"), col("band_hash"), col("doc_id").as("qid"))
+      .join(allBands.select(col("band"), col("band_hash"), col("doc_id").as("cid")),
+        Seq("band", "band_hash"))
+      .filter(col("qid") =!= col("cid"))
+      .select(least(col("qid"), col("cid")).as("doc_a"),
+        greatest(col("qid"), col("cid")).as("doc_b"))
+      .distinct()
+
+    val newEdges = Dedup.verifyJaccard(cand, allShingles)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+
+    // contract endpoints through the persisted labels: old docs collapse
+    // to their cluster representative, new docs stand for themselves.
+    // `newEdges` is frontier-sized, so Spark broadcasts it against the
+    // corpus-sized labels relation (no labels shuffle).
+    val lab = state.labels
+    val contracted = newEdges
+      .join(lab.select(col("doc_id").as("doc_a"), col("cluster_id").as("rep_a")),
+        Seq("doc_a"), "left")
+      .join(lab.select(col("doc_id").as("doc_b"), col("cluster_id").as("rep_b")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("rep_a"), col("doc_a")).as("a"),
+        coalesce(col("rep_b"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+    // the fixpoint — on the contracted frontier graph only. Its nodes are
+    // new doc ids and touched old cluster reps; since every old rep is the
+    // MIN doc_id of its members, min-over-contracted-nodes equals
+    // min-over-all-members, so component labels match a full recompute.
+    val comp = Components.connectedComponents(contracted).localCheckpoint()
+
+    val newIds = newDocs.select(col("doc_id"))
+    val newAssign = newIds
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+
+    // remap: old cluster rep -> merged component label. comp rows whose
+    // node is a new doc id never match an old cluster_id, so no filter is
+    // needed. broadcast() both because it's frontier-sized and to pin the
+    // no-shuffle plan over `labels` regardless of stats.
+    val remap = comp.select(col("node").as("cluster_id"),
+      col("component").as("merged"))
+    val oldRelabeled = lab.join(broadcast(remap), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("merged"), col("cluster_id")).as("cluster_id"))
+
+    // sizes: untouched clusters pass through map-side (broadcast anti);
+    // only remapped clusters + new-batch counts hit a (tiny) shuffle.
+    val newCounts = newAssign.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("delta"))
+    val untouched = state.sizes
+      .join(broadcast(remap.select(col("cluster_id"))), Seq("cluster_id"), "left_anti")
+    val touched = state.sizes.join(broadcast(remap), Seq("cluster_id"))
+      .select(col("merged").as("cluster_id"), col("cluster_size").as("delta"))
+      .union(newCounts)
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("delta")).as("cluster_size"))
+
+    DedupState(
+      labels = oldRelabeled.union(newAssign),
+      sizes = untouched.union(touched),
+      bands = allBands,
+      shingles = allShingles)
+  }
+
+  /** (doc_id, cluster_id, cluster_size) — the [[Dedup.duplicateClusters]]
+    * output shape, from a state. */
+  def labelsWithSizes(state: DedupState): DataFrame =
+    state.labels.join(state.sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+
+  // ---- SparkEntry wiring -------------------------------------------------
+
+  /** q51: day-1 corpus = doc_id % 5 != 0, day-2 drop = doc_id % 5 == 0.
+    * The modulo split scatters duplicate groups across both days, so the
+    * batch exercises every incremental case: new docs joining old
+    * clusters, new-new pairs, a new doc BRIDGING two old clusters (merge),
+    * and new docs whose id becomes the merged cluster's minimum label. */
+  def qIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val newBatch = docs.filter(col("doc_id") % 5 === 0)
+    labelsWithSizes(admitBatch(initialState(oldDocs), newBatch))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle mirrors the incremental semantics literally: cluster the day-1
+    * subset with a recursive closure, then close over
+    * (old labels ∪ edges touching the day-2 batch) — and because the old
+    * labeling contracts the old graph exactly, this equals a full-corpus
+    * recompute. `jac` (candidate+verify chain) is [[Dedup.jaccardCtesSql]],
+    * shared with q14/q37; per-pair band collisions are subset-invariant, so
+    * filtering full-corpus `jac` by day is identical to banding each day's
+    * subset separately. */
+  val qIncrementalSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardCtesSql},
+       |old_edges AS (
+       |  SELECT doc_a, doc_b FROM jac
+       |  WHERE jaccard >= 0.5 AND doc_a % 5 <> 0 AND doc_b % 5 <> 0),
+       |new_edges AS (
+       |  SELECT doc_a, doc_b FROM jac
+       |  WHERE jaccard >= 0.5 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)),
+       |old_sym AS (SELECT doc_a AS a, doc_b AS b FROM old_edges
+       |            UNION SELECT doc_b, doc_a FROM old_edges),
+       |old_reach(node, root) AS (
+       |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 5 <> 0
+       |  UNION
+       |  SELECT s.b, r.root FROM old_reach r JOIN old_sym s ON s.a = r.node),
+       |old_lab AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+       |            FROM old_reach GROUP BY node),
+       |inc_edges AS (
+       |  SELECT doc_id AS a, cluster_id AS b FROM old_lab
+       |  UNION SELECT doc_a, doc_b FROM new_edges),
+       |inc_sym AS (SELECT a, b FROM inc_edges UNION SELECT b, a FROM inc_edges),
+       |inc_reach(node, root) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.b, r.root FROM inc_reach r JOIN inc_sym s ON s.a = r.node),
+       |lab AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+       |        FROM inc_reach GROUP BY node),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+       |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
+}
