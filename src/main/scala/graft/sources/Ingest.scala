@@ -94,18 +94,22 @@ object Ingest {
     * ERROR LAXITY matches the reference Lambda: get_data_api.py:14 writes
     * only `if req.ok` — a non-OK response means the day is silently
     * skipped, never an aborted schedule. Here a non-200 anywhere in the
-    * fetch logs a warning and returns None; pass `strict = true` to get
-    * a throwing fetch for interactive/backfill use where silence would
-    * hide a misconfigured endpoint. Connection-level failures (refused,
-    * DNS, timeout) throw in BOTH modes — the reference only guards the
-    * status code, and its Lambda equally crashes on a transport error. */
+    * fetch logs a warning and returns None, and so does a 200 with an
+    * EMPTY body (no header to infer from — the reference's header-only
+    * guard at get_data_api.py:16 equally lands nothing for it); pass
+    * `strict = true` to get a throwing fetch for interactive/backfill use
+    * where silence would hide a misconfigured endpoint. Connection-level
+    * failures (refused, DNS, timeout) throw in BOTH modes — the reference
+    * only guards the status code, and its Lambda equally crashes on a
+    * transport error. */
   def fetchRecentHttp(spark: SparkSession, endpoint: String, since: String,
       landingDir: String, fileDate: LocalDate = LocalDate.now(),
       strict: Boolean = false,
       timeout: java.time.Duration = java.time.Duration.ofSeconds(180)): Option[Path] = {
     def isHttpStatus(e: Throwable): Boolean =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
-        .exists(_.isInstanceOf[SoqlHttpException])
+        .exists(t => t.isInstanceOf[SoqlHttpException] ||
+          t.isInstanceOf[SoqlEmptyResponseException])
     try {
       import org.apache.spark.sql.functions.col
       val page = spark.read.format("soql")

@@ -31,15 +31,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * the reader maps CSV columns by HEADER NAME, so a server that ignores
   * `$select` still yields correct (just wider) responses.
   *
-  * Scale shape: one InputPartition per read — a daily-delta REST API is
-  * a small-payload source by construction and its server is the
-  * bottleneck, not Spark parallelism. The HTTP GET and CSV decode run on
-  * an EXECUTOR (never the driver), so a misconfigured `$where` that
+  * Scale shape: ONE InputPartition per read by default — a daily-delta
+  * REST API is a small-payload source by construction and its server is
+  * the bottleneck, not Spark parallelism. The HTTP GET and CSV decode run
+  * on an EXECUTOR (never the driver), so a misconfigured `$where` that
   * matches the full history saturates one task, not the driver heap —
   * that is the bound [[Ingest.MaxFetchRows]] enforces on the legacy
-  * driver-side path. Sharding a large REST source would page with
-  * `$limit`/`$offset` per partition; deliberately out of scope while the
-  * reference's source is one page per day. */
+  * driver-side path. For a LARGE REST source (e.g. the full multi-million
+  * row export the reference bootstrapped from), pass
+  * `option("pageSize", n)`: the scan issues one driver-side
+  * `$select=count(*)` request (with the same `$where`) to size the page
+  * grid, then plans ceil(count/n) InputPartitions, each fetching one
+  * `$order`-pinned `$limit`/`$offset` window in parallel. `$order`
+  * defaults to Socrata's `:id` system column (override with
+  * `option("pageOrder", col)`) — offset paging without a total order may
+  * repeat or skip rows server-side. Rows added between the count and the
+  * page fetches land past the last window and surface on the next daily
+  * run — same best-effort snapshot semantics as any REST read. */
 class SoqlDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "soql"
   override def supportsExternalMetadata(): Boolean = true
@@ -47,12 +55,15 @@ class SoqlDataSource extends TableProvider with DataSourceRegister {
   /** Schema-less reads GET one row (`$limit=1` — public Socrata paging
     * param; harmless if ignored) and type every header column string —
     * REST CSV carries no types, so callers cast downstream or declare a
-    * schema up front. */
+    * schema up front. NOTE: this GET runs on the DRIVER at plan time, once
+    * per `.load()` — callers on a hot path (or planning many reads)
+    * should declare the schema and skip the round-trip entirely. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val endpoint = SoqlSource.endpointOf(options)
-    val body = SoqlSource.httpGet(s"$endpoint?%24limit=1", SoqlSource.timeoutOf(options))
+    val url = SoqlSource.withParams(endpoint, List("%24limit=1"))
+    val body = SoqlSource.httpGet(url, SoqlSource.timeoutOf(options))
     val header = SoqlSource.parseCsv(body).headOption.getOrElse(
-      throw new IllegalArgumentException(s"soql: empty response from $endpoint"))
+      throw new SoqlEmptyResponseException(endpoint))
     StructType(header.map(c => StructField(c, StringType, nullable = true)))
   }
 
@@ -69,11 +80,14 @@ private[sources] class SoqlTable(tableSchema: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SoqlScanBuilder(tableSchema, SoqlSource.endpointOf(options),
-      SoqlSource.timeoutOf(options))
+      SoqlSource.timeoutOf(options), SoqlSource.pagingOf(options))
 }
 
+/** `pageSize = None` is the single-partition daily-delta default. */
+private[sources] case class SoqlPaging(pageSize: Option[Int], pageOrder: String)
+
 private[sources] class SoqlScanBuilder(fullSchema: StructType,
-    endpoint: String, timeoutMs: Long) extends ScanBuilder
+    endpoint: String, timeoutMs: Long, paging: SoqlPaging) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -105,12 +119,13 @@ private[sources] class SoqlScanBuilder(fullSchema: StructType,
     }
     val where = effective.flatMap(SoqlSource.toSoqlPredicate)
       .reduceOption((a, b) => s"($a AND $b)")
-    new SoqlScan(endpoint, required, where, timeoutMs)
+    new SoqlScan(endpoint, required, where, timeoutMs, paging)
   }
 }
 
 private[sources] class SoqlScan(endpoint: String, required: StructType,
-    where: Option[String], timeoutMs: Long) extends Scan with Batch {
+    where: Option[String], timeoutMs: Long, paging: SoqlPaging)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -118,12 +133,33 @@ private[sources] class SoqlScan(endpoint: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    val params =
+    val base =
       (if (required.isEmpty) Nil
        else List(s"%24select=${enc(required.fieldNames.mkString(","))}")) ++
         where.map(w => s"%24where=${enc(w)}").toList
-    val url = if (params.isEmpty) endpoint else s"$endpoint?${params.mkString("&")}"
-    Array(SoqlInputPartition(url, timeoutMs))
+    paging.pageSize match {
+      case None =>
+        Array(SoqlInputPartition(SoqlSource.withParams(endpoint, base), timeoutMs))
+      case Some(ps) =>
+        // One driver-side COUNT request (same $where) sizes the page grid;
+        // each partition then fetches one $order-pinned offset window on an
+        // executor. A server that cannot answer count(*) degrades to the
+        // single-partition read rather than failing the scan.
+        val countUrl = SoqlSource.withParams(endpoint,
+          List(s"%24select=${enc("count(*)")}") ++
+            where.map(w => s"%24where=${enc(w)}").toList)
+        SoqlSource.fetchCount(countUrl, timeoutMs) match {
+          case None =>
+            Array(SoqlInputPartition(SoqlSource.withParams(endpoint, base), timeoutMs))
+          case Some(n) =>
+            val pages = math.max(1L, (n + ps - 1) / ps)
+            (0L until pages).map { p =>
+              SoqlInputPartition(SoqlSource.withParams(endpoint, base ++ List(
+                s"%24order=${enc(paging.pageOrder)}", s"%24limit=$ps",
+                s"%24offset=${p * ps}")), timeoutMs)
+            }.toArray
+        }
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory = new SoqlReaderFactory(required)
 }
@@ -179,7 +215,14 @@ private[sources] class SoqlPartitionReader(url: String, timeoutMs: Long,
 class SoqlHttpException(val statusCode: Int, val uri: String)
   extends RuntimeException(s"soql: HTTP $statusCode from $uri")
 
-private[sources] object SoqlSource {
+/** 200-OK with an empty body: nothing to serve AND no header to infer a
+  * schema from. The scheduled-ingest path treats this exactly like a
+  * non-OK day — skip, don't abort — because the reference's header-only
+  * guard (get_data_api.py:16) equally lands nothing for it. */
+class SoqlEmptyResponseException(val uri: String)
+  extends RuntimeException(s"soql: empty response from $uri")
+
+private[graft] object SoqlSource {
 
   def endpointOf(options: CaseInsensitiveStringMap): String = {
     val e = options.get("endpoint")
@@ -188,6 +231,35 @@ private[sources] object SoqlSource {
   }
   def timeoutOf(options: CaseInsensitiveStringMap): Long =
     options.getLong("timeoutms", 180000L)
+  def pagingOf(options: CaseInsensitiveStringMap): SoqlPaging = {
+    val ps = options.getInt("pagesize", 0)
+    require(ps >= 0, s"soql pageSize must be positive, got $ps")
+    // `:id` is Socrata's always-present system row id — the documented
+    // stable paging order for datasets with no natural unique column
+    SoqlPaging(if (ps > 0) Some(ps) else None, options.getOrDefault("pageorder", ":id"))
+  }
+
+  /** Append query params with '?' or '&' depending on whether the
+    * endpoint already carries a query string (e.g. a Socrata URL with an
+    * `$$app_token=` baked in). */
+  def withParams(endpoint: String, params: Seq[String]): String =
+    if (params.isEmpty) endpoint
+    else endpoint + (if (endpoint.contains('?')) "&" else "?") + params.mkString("&")
+
+  /** Driver-side `$select=count(*)` probe for page-grid sizing: the first
+    * data cell of the response, whatever the server named the column.
+    * None when the server errors or answers nonsense — paging then
+    * degrades to the single-partition read instead of failing the scan. */
+  def fetchCount(countUrl: String, timeoutMs: Long): Option[Long] =
+    try {
+      parseCsv(httpGet(countUrl, timeoutMs)).drop(1).headOption
+        .flatMap(_.headOption).map(_.trim.toLong)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[soql] count(*) probe failed (${e.getMessage}); " +
+          "falling back to a single-partition read")
+        None
+    }
 
   def httpGet(url: String, timeoutMs: Long): String = {
     val t = java.time.Duration.ofMillis(timeoutMs)
@@ -202,13 +274,20 @@ private[sources] object SoqlSource {
   // -- SoQL predicate rendering ---------------------------------------------
 
   private val Ident = "[A-Za-z_][A-Za-z0-9_]*".r
+  // SoQL floating timestamps are ISO-8601 'T'-separated; java.sql types
+  // toString with a space separator, which a real Socrata endpoint 400s —
+  // a LOUD failure of an otherwise valid query, so render explicitly.
+  private val IsoTs = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS", java.util.Locale.ROOT)
   private def lit(v: Any): Option[String] = v match {
     case s: String => Some("'" + s.replace("'", "''") + "'")
     case n: java.lang.Number => Some(n.toString)
     case b: java.lang.Boolean => Some(b.toString)
-    case d @ (_: java.sql.Date | _: java.sql.Timestamp |
-              _: java.time.LocalDate | _: java.time.Instant) =>
-      Some("'" + d.toString + "'")
+    case t: java.sql.Timestamp => Some("'" + t.toLocalDateTime.format(IsoTs) + "'")
+    case t: java.time.Instant => Some("'" +
+      java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC).format(IsoTs) + "'")
+    case d: java.sql.Date => Some("'" + d.toLocalDate.toString + "'")
+    case d: java.time.LocalDate => Some("'" + d.toString + "'")
     case _ => None // arrays/structs/binary: not expressible, stays client-side
   }
   private def cmp(a: String, op: String, v: Any): Option[String] =

@@ -207,6 +207,72 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("200 with an empty body skips the day (laxity), strict throws") {
+    val dirs = freshDirs()
+    // a server whose dataset is entirely empty: 200, zero bytes, no header
+    SoqlTestServer.withInstrumentedServer("", Nil) { (url, _) =>
+      assert(Ingest.fetchRecentHttp(spark, url, since = "2021-06-30",
+        dirs.landing, LocalDate.parse("2021-07-03")).isEmpty,
+        "empty 200 must skip the day like the header-only guard, not abort")
+      assert(!Files.exists(Paths.get(dirs.landing)))
+      intercept[Exception] {
+        Ingest.fetchRecentHttp(spark, url, since = "2021-06-30",
+          dirs.landing, LocalDate.parse("2021-07-03"), strict = true)
+      }
+    }
+  }
+
+  test("soql source: endpoint already carrying a query string joins with '&'") {
+    SoqlTestServer.withInstrumentedServer(crimeHeader, crimeCsvRows) { (url, log) =>
+      val df = spark.read.format("soql")
+        .option("endpoint", s"$url?app_token=tok123").load()
+        .filter(col("updated_on") > "2021-06-30").select("id")
+      assert(df.as[String].collect().toSet == Set("3", "4"))
+      // every request (infer + scan) kept the token AND parsed cleanly —
+      // a '?'-joined URL would have produced `...?app_token=tok123?$limit=1`
+      assert(log.requests.nonEmpty)
+      assert(log.requests.forall(_.contains("app_token=tok123")), log.requests)
+      assert(log.requests.forall(!_.contains("?")), s"double-'?' url: ${log.requests}")
+    }
+  }
+
+  test("soql source: pageSize plans offset-window partitions; union == unpaged") {
+    // 7 rows, pageSize 3 -> count probe + pages [0,3) [3,6) [6,7)
+    val rows = (1 to 7).map(i => SoqlTestServer.Row(s"2021-07-0$i 01:00:00",
+      s"$i,JE$i,07/0$i/2021 09:00:00 PM,THEFT,OVER $$500,false,false,25,2021,2021-07-0$i 01:00:00,41.88,-87.63"))
+    SoqlTestServer.withInstrumentedServer(crimeHeader, rows) { (url, log) =>
+      val unpaged = spark.read.format("soql").option("endpoint", url).load()
+        .select("id").as[String].collect().toSeq
+      val paged = spark.read.format("soql").option("endpoint", url)
+        .option("pageSize", "3").load().select("id")
+      assert(paged.rdd.getNumPartitions == 3, "ceil(7/3) = 3 input partitions")
+      assert(paged.as[String].collect().sorted.toSeq == unpaged.sorted)
+      val pageReqs = log.requests.filter(_.contains("$offset="))
+      assert(pageReqs.size == 3, s"expected 3 paged requests: ${log.requests}")
+      for (off <- Seq(0, 3, 6))
+        assert(pageReqs.exists(r => r.contains(s"$$offset=$off") &&
+          r.contains("$limit=3") && r.contains("$order=:id")), pageReqs)
+      assert(log.requests.exists(_.contains("count(*)")), "no count probe sent")
+      // offset windows: no paged request was served more than one page
+      val servedByReq = log.requests.zip(log.rowsServed)
+      assert(servedByReq.collect { case (r, n) if r.contains("$offset=") => n }
+        .forall(_ <= 3), servedByReq)
+    }
+  }
+
+  test("soql pushdown renders timestamp/date literals as ISO-8601") {
+    import org.apache.spark.sql.sources.GreaterThan
+    assert(graft.sources.SoqlSource.toSoqlPredicate(GreaterThan("updated_on",
+      java.sql.Timestamp.valueOf("2021-06-30 01:02:03")))
+      .contains("updated_on > '2021-06-30T01:02:03.000'"))
+    assert(graft.sources.SoqlSource.toSoqlPredicate(GreaterThan("updated_on",
+      java.sql.Date.valueOf("2021-06-30")))
+      .contains("updated_on > '2021-06-30'"))
+    assert(graft.sources.SoqlSource.toSoqlPredicate(GreaterThan("updated_on",
+      java.time.Instant.parse("2021-06-30T01:02:03Z")))
+      .contains("updated_on > '2021-06-30T01:02:03.000'"))
+  }
+
   test("crawler-style inference reconciles two drifted daily CSVs") {
     val dir = Files.createTempDirectory("graft-infer")
     // day 1: integral community_area, no `beat` column

@@ -64,10 +64,22 @@ object SoqlTestServer {
           case Some(WherePattern(since)) => rows.filter(_.updatedOn > since)
           case _                         => rows
         }
-        // $limit: first-n paging
+        // $select=count(*): the page-grid sizing probe
+        if (param(query, "select").exists(_.trim == "count(*)")) {
+          log.served.add(1)
+          val body = s"count\n${keep0.size}".getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", "text/csv")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          ex.getResponseBody.write(body)
+          ex.close()
+          return
+        }
+        // $offset + $limit: offset-window paging ($order accepted and
+        // logged; the fixture rows are already served in a stable order)
+        val off = param(query, "offset").map(_.trim.toInt).getOrElse(0)
         val keep = param(query, "limit").map(_.trim.toInt) match {
-          case Some(n) => keep0.take(n)
-          case None    => keep0
+          case Some(n) => keep0.drop(off).take(n)
+          case None    => keep0.drop(off)
         }
         // $select: project columns by header position
         val headerCols = header.split(",", -1)
