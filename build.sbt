@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness captures `sbt "runMain graft.Bench"` stdout
+// (2>&1) and tail-parses the LAST line as JSON. Two sbt behaviors broke
+// that (BENCH_r05 "parsed": null): forked-process output was routed
+// through sbt's logger with an "[info] " prefix, and an "[success] Total
+// time" line printed AFTER the JSON. StdoutOutput passes the forked
+// process's stdout/stderr through verbatim; showSuccess drops the
+// trailer. (Bench additionally prints its JSON after SparkSession.stop()
+// so no late Spark output can land behind it.)
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -150,8 +150,13 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
     }
+    // stop BEFORE printing the contract line: the harness tail-parses the
+    // last stdout line as JSON, and stop()'s shutdown logging (stderr, but
+    // captured 2>&1) must not land behind it
+    try spark.stop() catch { case e: Exception =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }
