@@ -137,6 +137,40 @@ object Similarity {
     * [[annIvfKmeans]]'s default `fitFraction`). */
   val MaxKmeansFitRows: Long = 100000L
 
+  /** Bounded fit set for [[annIvfKmeans]] (see its doc for the design):
+    * pass-through when the plan's row ESTIMATE is under the cap (no
+    * exchange added), an explicit seed-pinned Bernoulli sample when
+    * `fitFraction` is given, else a deterministic value-hash gate keeping
+    * ~[[MaxKmeansFitRows]] rows — unbiased under any partition layout. */
+  private[graft] def kmeansFitSet(feats: DataFrame,
+      fitFraction: Option[Double]): DataFrame = fitFraction match {
+    case Some(f) if f < 1.0 => feats.sample(withReplacement = false, f, seed = 42L)
+    case Some(_)            => feats
+    case None =>
+      val stats = feats.queryExecution.optimizedPlan.stats
+      // rows ≈ sizeInBytes / schema-derived row width — the same width
+      // formula the estimator's own getSizePerRow uses (8 B overhead +
+      // defaultSize per column), so the division is exact for plans whose
+      // sizeInBytes was propagated from row counts. For a parquet LEAF,
+      // sizeInBytes is compressed file bytes and defaultSize undercounts
+      // array columns, so this OVER-estimates rows — the gate engages
+      // early and thins harder, never later (overthinning is bounded by
+      // the real-width/defaultSize ratio, ~16x for a 64-dim float column,
+      // leaving ≥ ~6k fit rows at the cap boundary — hundreds per
+      // centroid, ample for a 16-centroid fit).
+      val rowWidth = (8L + feats.schema.map(_.dataType.defaultSize.toLong).sum) max 1L
+      val rowEst = stats.rowCount.map(_.toLong)
+        .getOrElse((stats.sizeInBytes.toLong / rowWidth) max 1L)
+      if (rowEst <= MaxKmeansFitRows) feats
+      else {
+        val keepPerMillion = (MaxKmeansFitRows * 1000000L / rowEst) max 1L
+        System.err.println(s"[similarity] k-means fit gated: ~$rowEst rows " +
+          s"estimated, keeping $keepPerMillion/1e6 via hash(vec_id)")
+        feats.filter(pmod(xxhash64(col("vec_id"), lit(42L)), lit(1000000L))
+          < lit(keepPerMillion))
+      }
+  }
+
   def annIvf(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
       centroidFrom: Int = 0): DataFrame = {
     val cent = emb
@@ -193,15 +227,20 @@ object Similarity {
     * over 10^11 vectors would dominate the whole job, and centroid
     * quality converges long before the full pass (the fit needs O(K)
     * well-spread points per centroid, not the corpus). The default bound
-    * is `limit(MaxKmeansFitRows)` — the full corpus whenever it is
-    * smaller than the cap, a first-partitions prefix otherwise, and
-    * crucially NO eager count job at DataFrame-construction time (an
-    * exact `count()` here would add a full corpus scan just to pick a
-    * sample rate, and would fire even for plan-only callers). Callers
-    * who need an unbiased fit set at scale pass `fitFraction` (a
-    * Bernoulli sample, seed-pinned) instead of relying on the prefix
-    * cap. Assignment/transform stays a full-corpus narrow per-row pass
-    * either way. */
+    * derives a row estimate from the optimized plan's STATS (rowCount
+    * when available, else sizeInBytes over a conservative bytes/row
+    * floor) — crucially NO eager count job at DataFrame-construction
+    * time. When the estimate is under [[MaxKmeansFitRows]] the corpus
+    * fits as-is (no limit, no exchange — the toy-scale plan is
+    * untouched); above it, a DETERMINISTIC hash gate on vec_id keeps a
+    * seed-independent-of-layout Bernoulli subset of ~the cap — unbiased
+    * under any partition order, unlike a first-partitions `limit()`
+    * prefix, and stable across retries/repartitioning because it hashes
+    * VALUES, not positions. A conservative (low) bytes/row floor only
+    * over-estimates rows, which over-thins the fit set — never an OOM.
+    * Callers can still pass `fitFraction` to pick the rate explicitly.
+    * Assignment/transform stays a full-corpus narrow per-row pass either
+    * way. */
   def annIvfKmeans(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
       numCentroids: Int = NumCentroids, nprobe: Int = NumProbe,
       maxIter: Int = 20, fitFraction: Option[Double] = None): DataFrame = {
@@ -209,11 +248,7 @@ object Similarity {
     import spark.implicits._
     val feats = emb.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding")))
-    val fitSet = fitFraction match {
-      case Some(f) if f < 1.0 => feats.sample(withReplacement = false, f, seed = 42L)
-      case Some(_)            => feats
-      case None               => feats.limit(MaxKmeansFitRows.toInt)
-    }
+    val fitSet = kmeansFitSet(feats, fitFraction)
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(numCentroids).setSeed(42L).setMaxIter(maxIter)
       .setDistanceMeasure("cosine").setFeaturesCol("features")

@@ -212,6 +212,36 @@ class DedupSpec extends AnyFunSuite {
     assert(kmRecall >= 0.2, s"recall=$kmRecall")
   }
 
+  test("k-means fit set: pass-through under the cap, unbiased hash gate above") {
+    import org.apache.spark.sql.functions._
+    // under the cap: the fit set IS the input — no limit, no filter, no
+    // exchange added (the q35 toy-scale plan must stay untouched)
+    val small = graft.engine.Tables.embeddings(spark, sf)
+      .withColumn("features", col("embedding"))
+    val passthrough = Similarity.kmeansFitSet(small, None)
+    assert(passthrough.queryExecution.optimizedPlan eq
+      small.queryExecution.optimizedPlan, "under-cap fit set must be the input as-is")
+
+    // over the cap (spark.range carries an exact rowCount stat): the gate
+    // keeps ~cap rows, and the KEPT SET is a function of vec_id values —
+    // identical under any partition layout, unlike a limit() prefix
+    val big = spark.range(250000).select(col("id").as("vec_id"),
+      array(col("id") % 7, col("id") % 13).as("features"))
+    val gated = Similarity.kmeansFitSet(big, None)
+    // the gate is sized from plan ESTIMATES (sizeInBytes/row-width), which
+    // differ from true counts by small per-node constant factors — the
+    // contract is "within a small factor of the cap", not exact
+    val n = gated.count()
+    assert(n < 250000, s"gate did not thin: kept $n of 250000")
+    assert(n >= Similarity.MaxKmeansFitRows * 0.3 &&
+      n <= Similarity.MaxKmeansFitRows * 3.0,
+      s"gate kept $n of 250000 (cap ${Similarity.MaxKmeansFitRows})")
+    val ids = gated.select("vec_id").as[Long].collect().toSet
+    val idsRepart = Similarity.kmeansFitSet(big.repartition(7), None)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids == idsRepart, "hash gate must be layout-invariant")
+  }
+
   test("PQ codes: 32x compression still recalls most true neighbors") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, nQueries = 8, k = 10).collect()
