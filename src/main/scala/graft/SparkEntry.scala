@@ -71,6 +71,7 @@ object SparkEntry {
     "q49_repetition"    -> (TextAnalysis.qRepetition _),
     "q50_source_stats"  -> (Corpus.qSourceStats _),
     "q51_incremental_dedup" -> (graft.operators.IncrementalDedup.qIncremental _),
+    "q52_simhash_salted" -> (Dedup.qSimhashPairsSalted _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,6 +129,9 @@ object SparkEntry {
     "q49_repetition"    -> TextAnalysis.qRepetitionSql,
     "q50_source_stats"  -> Corpus.qSourceStatsSql,
     "q51_incremental_dedup" -> graft.operators.IncrementalDedup.qIncrementalSql,
+    // q52 is q36's salted twin: SAME brute-force oracle — equality proves
+    // the salt grid decomposes the band join exactly
+    "q52_simhash_salted" -> Dedup.qSimhashPairsSql,
     // q35_ann_ivf_kmeans intentionally has NO oracle entry: k-means||
     // centroids aren't reproducible across engines (driver rows-only
     // check; recall-vs-brute-force asserted in DedupSpec).

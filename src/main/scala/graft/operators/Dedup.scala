@@ -231,7 +231,14 @@ object Dedup {
     memoPersist(docs, "simhash60")(d =>
       d.select(col("doc_id"), simhashExpr(SimBits).as("simhash")))
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = SimMaxHamming): DataFrame = {
+  /** @param saltBuckets > 1 engages [[Skew.saltGridSides]] on the band
+    *   join — the hot-band path for corpora whose language/boilerplate
+    *   bias makes one (band, band_key) value carry a large share of the
+    *   docs. Row-set-identical to the unsalted join (asserted in
+    *   DedupSpec, and q52 shares q36's brute-force oracle); default 1
+    *   keeps the toy-scale plan free of the ~(B/2+1)× replication. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = SimMaxHamming,
+      saltBuckets: Int = 1): DataFrame = {
     // pigeonhole completeness holds only below the band count: at
     // maxHamming == SimBands every band can absorb one flipped bit and
     // the banding would silently miss pairs
@@ -245,16 +252,27 @@ object Dedup {
           s"shiftright(simhash, b * $bitsPerBand) & ${mask}L)")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val l = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val r = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("cast(bit_count(sim_a ^ sim_b) as bigint)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    val salted = saltBuckets > 1
+    val (lSide, rSide) =
+      if (salted) Skew.saltGridSides(banded, "doc_id", saltBuckets)
+      else (banded, banded)
+    val cellKeys = if (salted) Seq("__cell_lo", "__cell_hi") else Nil
+    val l = lSide.select((Seq("band", "band_key") ++ cellKeys).map(col) :+
+      col("doc_id").as("doc_a") :+ col("simhash").as("sim_a"): _*)
+    val r = rSide.select((Seq("band", "band_key") ++ cellKeys).map(col) :+
+      col("doc_id").as("doc_b") :+ col("simhash").as("sim_b"): _*)
+    val joined = l.join(r, Seq("band", "band_key") ++ cellKeys)
+      .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
+    // grid cells orient cross-block pairs by salt, not id — canonicalize
+    // with least/greatest there (hamming is symmetric); the unsalted join
+    // keeps the cheaper one-sided inequality
+    val pairs =
+      if (salted) joined.filter(col("doc_a") =!= col("doc_b"))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("hamming"))
+      else joined.filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    pairs.filter(col("hamming") <= maxHamming).distinct()
   }
 
   /** Duplicate-cluster assignment (q37): connected components over the
@@ -521,6 +539,13 @@ object Dedup {
 
   def qSimhashPairs(s: SparkSession, d: String): DataFrame =
     simhashPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
+
+  /** q52: the hot-band salted variant of q36, against the SAME
+    * brute-force oracle — the correctness proof that the salt grid is an
+    * exact decomposition of the band self-join. */
+  def qSimhashPairsSalted(s: SparkSession, d: String): DataFrame =
+    simhashPairs(Tables.documents(s, d), saltBuckets = 4)
+      .orderBy("doc_a", "doc_b")
 
   /** The oracle brute-forces ALL pairs on the 60-bit simhash — comparing
     * it against the banded Spark plan is exactly the pigeonhole-

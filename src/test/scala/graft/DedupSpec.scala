@@ -212,6 +212,33 @@ class DedupSpec extends AnyFunSuite {
     assert(kmRecall >= 0.2, s"recall=$kmRecall")
   }
 
+  test("salted simhash band join is row-identical to unsalted on a hot band") {
+    import org.apache.spark.sql.functions.col
+    // deliberately skewed: 40 near-identical docs (every band collides in
+    // ONE hot bucket) + unrelated singletons. Each hot doc perturbs one
+    // trailing token so hammings spread around the <= 3 cutoff instead of
+    // all being 0.
+    val hot = (0 until 40).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog variant token_$i"))
+    val cold = Seq(
+      (100L, "completely different material about databases and storage"),
+      (101L, "yet another unrelated document concerning weather patterns"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unsalted = pairSet(Dedup.simhashPairs(docs))
+    assert(unsalted.nonEmpty, "fixture produced no near-dup pairs — not a skew test")
+    for (b <- Seq(2, 4, 7)) {
+      val salted = pairSet(Dedup.simhashPairs(docs, saltBuckets = b))
+      assert(salted == unsalted, s"saltBuckets=$b diverged: " +
+        s"missing=${unsalted -- salted} extra=${salted -- unsalted}")
+    }
+    // and on the real corpus fixture at sf0.001
+    val corpus = graft.engine.Tables.documents(spark, sf)
+    assert(pairSet(Dedup.simhashPairs(corpus, saltBuckets = 4)) ==
+      pairSet(Dedup.simhashPairs(corpus)))
+  }
+
   test("k-means fit set: pass-through under the cap, unbiased hash gate above") {
     import org.apache.spark.sql.functions._
     // under the cap: the fit set IS the input — no limit, no filter, no
