@@ -17,4 +17,13 @@ object Bridge {
     * to the query that just ran. */
   def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMillis: Long): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMillis)
+
+  /** DataFrame over an arbitrary logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — used by plan-shape tests to EXECUTE a subtree of
+    * an optimized plan (e.g. a Window operator's child) and measure its
+    * actual key distribution. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -87,6 +87,57 @@ class IncrementalDedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("admitBatch never shuffles the corpus-sized labels relation") {
+    // The frontier-only scale claim, pinned on the physical plan: `labels`
+    // (two longs per corpus doc — the big persisted relation) must only
+    // ever flow through map-side operators (scan → broadcast joins);
+    // `sizes` may feed ONE aggregation shuffle, but only AFTER the inner
+    // broadcast join with the frontier-sized remap has filtered it.
+    // AQE off so the static plan (with its explicit broadcast() pins) is
+    // what's inspected.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_plan").toString
+    val st0 = IncrementalDedup.initialState(oldDocs)
+    st0.labels.write.parquet(s"$dir/labels")
+    st0.sizes.write.parquet(s"$dir/sizes")
+    st0.bands.write.parquet(s"$dir/bands")
+    st0.shingles.write.parquet(s"$dir/shingles")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val st = IncrementalDedup.admitBatch(
+        DedupState(
+          labels = spark.read.parquet(s"$dir/labels"),
+          sizes = spark.read.parquet(s"$dir/sizes"),
+          bands = spark.read.parquet(s"$dir/bands"),
+          shingles = spark.read.parquet(s"$dir/shingles")),
+        newBatch)
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan, name: String) =
+        p.collect { case f: FileSourceScanExec => f }
+          .filter(_.metadata.get("Location").exists(_.contains(s"/$name")))
+      val labelsPlan = st.labels.queryExecution.executedPlan
+      assert(scansOf(labelsPlan, "labels").nonEmpty, s"no labels scan?\n$labelsPlan")
+      val labelShuffles = labelsPlan.collect {
+        case e: ShuffleExchangeExec if scansOf(e.child, "labels").nonEmpty => e
+      }
+      assert(labelShuffles.isEmpty,
+        s"labels relation crosses a shuffle:\n$labelsPlan")
+      val sizesPlan = st.sizes.queryExecution.executedPlan
+      val sizeShuffles = sizesPlan.collect {
+        case e: ShuffleExchangeExec if scansOf(e.child, "sizes").nonEmpty => e
+      }
+      sizeShuffles.foreach { e =>
+        val guarded = e.child.collect {
+          case b: BroadcastHashJoinExec if scansOf(b, "sizes").nonEmpty => b
+        }
+        assert(guarded.nonEmpty,
+          s"sizes reaches a shuffle un-filtered by the remap broadcast join:\n$sizesPlan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("batch with no near-dups leaves old clusters untouched, adds singletons") {
     val lone = Seq(
       (50L, "completely fresh words never seen in any older document"),

@@ -77,6 +77,55 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("no window in the surface partitions an unbounded input on a tiny key") {
+    // Blanket guard for the q46 failure class: a window partitioned on a
+    // constant-cardinality key (e.g. lang) over a corpus-sized input
+    // funnels the corpus through a handful of sort tasks at 100 TB. For
+    // every logical Window in every query plan require, in order:
+    //  1. a non-empty, non-all-literal partitionSpec (no global windows);
+    //  2. AND one of
+    //     a. the window's child subtree contains an Aggregate — the input
+    //        was already reduced (q6's per-customer rollup, q46's
+    //        one-row-per-block prefix stage, tf-idf's per-doc tf), or
+    //     b. measured at sf0.001, the hottest partition key holds ≤ 64
+    //        rows OR ≤ 10% of the window's input (per-entity windows —
+    //        sessions per user, tokens per chunk — are bounded by the
+    //        entity; a constant-cardinality key like lang necessarily
+    //        holds a constant FRACTION of the input, which is what
+    //        actually fails to scale), or
+    //     c. the query is in a documented exemption set: the per-query
+    //        ANN rankers (windows bounded by the candidate-generation
+    //        stage, already audited by intendedBnlj above), and q46 —
+    //        whose level-1 window is bounded by PackBlockWidth (65536)
+    //        BY CONSTRUCTION, a constant larger than the sf0.001 corpus,
+    //        so it cannot be measured here; SequencingSpec's blockWidth-
+    //        invariance property test pins that bound with small widths.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val annExempt = Set("q17_cosine_topk", "q18_ann_lsh", "q31_ann_ivf",
+      "q35_ann_ivf_kmeans", "q43_pq_topk", "q44_ann_recall",
+      "q46_seq_packing")
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(annExempt).foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      plan.collect { case w: LWindow => w }.foreach { w =>
+        assert(w.partitionSpec.nonEmpty && w.partitionSpec.exists(!_.foldable),
+          s"$q has a global (unpartitioned) window: ${w.windowExpressions}")
+        val reduced = w.child.collectFirst { case a: Aggregate => a }.isDefined
+        if (!reduced) {
+          val child = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, w.child)
+          val keys = w.partitionSpec.map(e =>
+            org.apache.spark.sql.graftbridge.Bridge.column(e))
+          import org.apache.spark.sql.functions.{max, sum}
+          val row = child.groupBy(keys: _*).count()
+            .agg(max("count"), sum("count")).head()
+          val (hottest, total) = (row.getLong(0), row.getLong(1))
+          assert(hottest <= 64 || hottest <= total / 10,
+            s"$q windows an unreduced input whose hottest partition key " +
+              s"holds $hottest of $total rows at sf0.001 on ${w.partitionSpec}")
+        }
+      }
+    }
+  }
+
   test("q38 per-row feature stage is a single scan of documents") {
     // quality + language gates must fold into ONE pass over the text
     // column, not per-feature self-joins: exactly one documents scan on
