@@ -38,6 +38,19 @@ object Pipeline {
     refreshViews(spark, dirs.processed)
   }
 
+  /** The reference's full scheduled topology: the EventBridge weekday
+    * cron firing the fetch→process→views chain. Each tick fetches rows
+    * updated since the PREVIOUS day (get_data_api.py:11-13's
+    * `date.today() - timedelta(days=1)`) and lands them under the fire
+    * date; a failed day skips (laxity inside [[runHttp]]'s fetch), the
+    * schedule itself keeps ticking. */
+  def runHttpScheduled(spark: SparkSession, endpoint: String, dirs: Dirs,
+      scheduler: Scheduler, times: Int, hour: Int = 10): Unit =
+    scheduler.runDaily(times, hour) { fireDate =>
+      runHttp(spark, endpoint, dirs,
+        since = fireDate.minusDays(1).toString, fileDate = fireDate)
+    }
+
   /** Register the four views over the processed zone in dependency order:
     * dependency1_violent_crimes first (its consumers read it by name),
     * matching the reference's NamedQuery set (CDK/cdk/athena_queries/). */
