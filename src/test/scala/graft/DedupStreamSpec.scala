@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, IncrementalDedup}
+import graft.streaming.DedupStream
+import java.nio.file.Files
+
+/** Streaming admission of daily document drops into the persisted dedup
+  * state: file-drop bookkeeping (checkpoint bookmark), versioned state
+  * commits, and batch≡streaming equivalence. Fixture words mirror
+  * IncrementalDedupSpec's searched seed (bridge doc merges two old
+  * clusters at the j=0.5 threshold with verified band collisions). */
+class DedupStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def w(is: Range): String = is.map(i => s"w23_$i").mkString(" ")
+
+  def day1 = Seq(
+    (10L, w(0 until 8)), (11L, w(0 until 8)),
+    (20L, w(4 until 12)), (21L, w(4 until 12)),
+    (30L, "an unrelated old singleton document about nothing shared"),
+  ).toDF("doc_id", "text")
+  def day2 = Seq(
+    (1L, w(2 until 10)), // bridges clusters {10,11} and {20,21}; new min
+    (40L, "a fresh singleton about entirely novel material today"),
+  ).toDF("doc_id", "text")
+
+  test("daily drops stream into versioned state; equals batch recompute") {
+    val root = Files.createTempDirectory("dedup_stream").toString
+    val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
+
+    // day 1: bootstrap commit (v0)
+    day1.write.parquet(s"$docs/day1")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+    val v0 = DedupStream.loadState(spark, state).get
+    assert(IncrementalDedup.labelsWithSizes(v0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap ==
+      Map(10L -> (10L, 2L), 11L -> (10L, 2L), 20L -> (20L, 2L),
+        21L -> (20L, 2L), 30L -> (30L, 1L)))
+
+    // day 2 drop: only the NEW file is processed (bookmark), the bridge
+    // doc merges both old clusters, and the streamed state equals a
+    // from-scratch batch recompute over day1 ∪ day2
+    day2.write.parquet(s"$docs/day2")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+    val v1 = DedupStream.loadState(spark, state).get
+    val streamed = IncrementalDedup.labelsWithSizes(v1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Dedup.duplicateClusters(day1.union(day2)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    assert(streamed(1L) == (1L, 5L) && streamed(21L) == (1L, 5L))
+
+    // no new drops: AvailableNow drains without a commit
+    val before = Files.readString(java.nio.file.Paths.get(state, "CURRENT"))
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+    assert(Files.readString(java.nio.file.Paths.get(state, "CURRENT")) == before,
+      "an empty run must not publish a new state version")
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+}
