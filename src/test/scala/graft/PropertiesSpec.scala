@@ -74,6 +74,47 @@ class PropertiesSpec extends AnyFunSuite {
     assert(direct == salted)
   }
 
+  test("salt-grid self-join is an exact pair decomposition on random relations") {
+    // property: for random bucketed relations and any bucket count, the
+    // grid sides joined on (key, cell) yield EXACTLY the unordered pairs
+    // of the naive within-bucket self-join — every pair once, none lost,
+    // none invented (the completeness claim behind q52 == q36's oracle)
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import org.scalatest.prop.Configuration
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.choose(0, 3) // few buckets → plenty of intra-bucket pairs
+        id <- Gen.choose(0L, 40L)
+      } yield (key, id))
+      buckets <- Gen.choose(2, 9)
+    } yield (rows.distinct, buckets)
+    val prop = forAll(gen) { case (rows, buckets) =>
+      val rel = rows.toDF("bucket", "id")
+      val naive = {
+        val l = rel.select($"bucket", $"id".as("a"))
+        val r = rel.select($"bucket", $"id".as("b"))
+        l.join(r, "bucket").filter($"a" < $"b")
+          .select($"a", $"b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      }
+      val (gl, gr) = Skew.saltGridSides(rel, "id", buckets)
+      val grid = gl.select($"bucket", $"__cell_lo", $"__cell_hi", $"id".as("a"))
+        .join(gr.select($"bucket", $"__cell_lo", $"__cell_hi", $"id".as("b")),
+          Seq("bucket", "__cell_lo", "__cell_hi"))
+        .filter($"a" =!= $"b")
+        .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+        .distinct().collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      grid == naive
+    }
+    org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+      .status match {
+      case org.scalacheck.Test.Passed | org.scalacheck.Test.Proved(_) => ()
+      case other => fail(s"property failed: $other")
+    }
+  }
+
   test("sessionize: every event in exactly one session; session bounds ordered") {
     val events = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
     val sessions = Events.sessionize(events).collect()
