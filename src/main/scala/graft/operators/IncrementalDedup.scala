@@ -73,7 +73,15 @@ object IncrementalDedup {
   /** Admit `newDocs` (the new day's drop) into `state`. Returns the updated
     * state; old document TEXT is never read (it isn't an input). New edges
     * may merge existing clusters — a new doc bridging two old clusters
-    * relabels the higher-labeled one via the remap join. */
+    * relabels the higher-labeled one via the remap join.
+    *
+    * PRECONDITION: `newDocs.doc_id` must be NEW ids (disjoint from the
+    * ids already in `state.labels`) — a re-delivered id would enter
+    * `labels` twice and over-count its cluster's size. This is the
+    * delivery-dedup contract the file bookmark upstream provides
+    * ([[graft.streaming.DedupStream.admitNewDrops]] processes each drop
+    * exactly once); content-duplicate re-fetches under FRESH ids are
+    * fine — that is precisely the near-dup case this operator clusters. */
   def admitBatch(state: DedupState, newDocs: DataFrame,
                  threshold: Double = 0.5): DedupState = {
     val newBands = Dedup.lshBands(newDocs)
