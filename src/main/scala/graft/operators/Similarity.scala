@@ -244,6 +244,15 @@ object Similarity {
   def annIvfKmeans(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
       numCentroids: Int = NumCentroids, nprobe: Int = NumProbe,
       maxIter: Int = 20, fitFraction: Option[Double] = None): DataFrame = {
+    val (cent, assigned) = kmeansIndex(emb, numCentroids, maxIter, fitFraction)
+    ivfSearch(emb, cent, assigned, nQueries, k, nprobe)
+  }
+
+  /** Learned-IVF index relations: `(cid, cemb)` centroids (K tiny rows)
+    * and `(vec_id, cid)` cell assignments (one narrow row per corpus
+    * vector). The fit is bounded by [[kmeansFitSet]]. */
+  private def kmeansIndex(emb: DataFrame, numCentroids: Int, maxIter: Int,
+      fitFraction: Option[Double]): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val feats = emb.withColumn("features",
@@ -259,6 +268,39 @@ object Similarity {
     val cent = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
       .toSeq.toDF("cid", "cemb")
+    (cent, assigned)
+  }
+
+  /** Persist the learned-IVF index next to the corpus: the one-time
+    * build cost (k-means fit + full-corpus assignment pass) amortizes
+    * over every later [[annIvfIndexed]] query batch — the index tables
+    * are what a deployment keeps beside `embeddings` (bucket/partition
+    * `assignments` by `cid` at scale so probes prune to nprobe cells). */
+  def buildIvfIndex(emb: DataFrame, indexDir: String,
+      numCentroids: Int = NumCentroids, maxIter: Int = 20,
+      fitFraction: Option[Double] = None): Unit = {
+    val (cent, assigned) = kmeansIndex(emb, numCentroids, maxIter, fitFraction)
+    cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assigned.write.mode("overwrite").parquet(s"$indexDir/assignments")
+  }
+
+  /** Query a PERSISTED IVF index: no fit, no assignment pass — load the
+    * K-row centroid table (broadcast) and the narrow assignments
+    * relation, then the same probe → candidate join → exact re-score →
+    * top-k as [[annIvfKmeans]]. Row-identical to rebuilding (the fit is
+    * seed-pinned), asserted in DedupSpec. */
+  def annIvfIndexed(emb: DataFrame, indexDir: String, nQueries: Int = 8,
+      k: Int = 10, nprobe: Int = NumProbe): DataFrame = {
+    val spark = emb.sparkSession
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val assigned = spark.read.parquet(s"$indexDir/assignments")
+    ivfSearch(emb, cent, assigned, nQueries, k, nprobe)
+  }
+
+  /** Shared IVF search stage: probe nprobe nearest cells per query,
+    * candidates from the cell assignments, exact cosine re-score, top-k. */
+  private def ivfSearch(emb: DataFrame, cent: DataFrame, assigned: DataFrame,
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val probed = emb.filter(col("vec_id") < nQueries).crossJoin(broadcast(cent))
       .select(col("vec_id").as("query_id"), col("cid"),
         round(cosine(col("embedding"), col("cemb")), 4).as("csim"))

@@ -269,6 +269,23 @@ class DedupSpec extends AnyFunSuite {
     assert(ids == idsRepart, "hash gate must be layout-invariant")
   }
 
+  test("persisted IVF index: build once, query equals the rebuild path") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Similarity.buildIvfIndex(emb, dir)
+    def rs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet // (query, cand, rnk)
+    // seed-pinned fit -> identical centroids -> identical results
+    assert(rs(Similarity.annIvfIndexed(emb, dir)) ==
+      rs(Similarity.annIvfKmeans(emb)))
+    // the indexed query must not refit: its plan reads the persisted
+    // assignments instead of carrying a kmeans stage
+    val plan = Similarity.annIvfIndexed(emb, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("assignments"), s"no index scan in plan:\n$plan")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("PQ codes: 32x compression still recalls most true neighbors") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, nQueries = 8, k = 10).collect()
