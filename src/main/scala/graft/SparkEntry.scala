@@ -108,9 +108,9 @@ object SparkEntry {
     "q29_length_percentiles" -> TextAnalysis.qLengthPercentilesSql,
     "q30_stratified_sample" -> TextAnalysis.qStratifiedSampleSql,
     "q31_ann_ivf"       -> Similarity.qAnnIvfSql,
-    // q32_approx_aggs intentionally has NO oracle entry: HLL/quantile
-    // sketches aren't reproducible across engines (driver rows-only check;
-    // bounds asserted vs exact values in PricingSpec).
+    // q32 emits its deterministic derivative (exact values + within-bound
+    // booleans); the oracle recomputes the exacts and pins booleans TRUE.
+    "q32_approx_aggs"   -> PricingQueries.approxAggregatesSql,
     "q33_range_join"    -> Events.qRangeJoinSql,
     "q34_lookup_join"   -> Catalogs.lookupJoinSql,
     "q36_simhash_pairs" -> Dedup.qSimhashPairsSql,
@@ -132,8 +132,8 @@ object SparkEntry {
     // q52 is q36's salted twin: SAME brute-force oracle — equality proves
     // the salt grid decomposes the band join exactly
     "q52_simhash_salted" -> Dedup.qSimhashPairsSql,
-    // q35_ann_ivf_kmeans intentionally has NO oracle entry: k-means||
-    // centroids aren't reproducible across engines (driver rows-only
-    // check; recall-vs-brute-force asserted in DedupSpec).
+    // q35 emits its deterministic derivative (per-query recall@k >= floor
+    // vs the brute-force ground truth); the oracle pins the boolean TRUE.
+    "q35_ann_ivf_kmeans" -> Similarity.qAnnIvfKmeansSql,
   )
 }

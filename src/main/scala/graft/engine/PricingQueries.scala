@@ -166,15 +166,11 @@ object PricingQueries {
       |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
       |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
 
-  /** q32 — approximate aggregates (HLL distinct + approximate quantiles):
-    * the sketches Spark ships for 100 TB-scale cardinality/quantile work.
-    * No oracle SQL — sketch implementations differ across engines — so
-    * the driver records a rows-only check and PricingSpec asserts the
-    * estimates against exact values within the documented error bounds.
-    * The quantiles surface as scalar columns (not one array column): the
-    * driver's compare sorts rows by every column and an array column is
-    * unhashable there. */
-  def approxAggregates(s: SparkSession, d: String): DataFrame =
+  /** Raw q32 sketch surface — HLL distinct + approximate quantiles: the
+    * sketches Spark ships for 100 TB-scale cardinality/quantile work.
+    * PricingSpec asserts these estimates against exact values within the
+    * documented error bounds ([[HllRelBound]], [[QuantileRelBound]]). */
+  def approxAggregatesRaw(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
@@ -183,4 +179,54 @@ object PricingQueries {
         expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("price_p99"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  /** Error bounds the q32 booleans pin. HLL at rsd=0.02 is well inside
+    * 10% relative; approx_percentile at accuracy=10000 is well inside 2%.
+    * Both sketches are deterministic for a fixed dataset, so the booleans
+    * are stable — the same bounds PricingSpec has asserted numerically
+    * since round 4. */
+  val HllRelBound = 0.10
+  val QuantileRelBound = 0.02
+
+  /** q32 — approximate aggregates, emitted as their deterministic,
+    * oracle-checkable derivative (same treatment as q35's recall floor):
+    * exact per-group values (DuckDB recomputes them) plus
+    * `abs(approx − exact)/exact <= bound` booleans the oracle pins TRUE.
+    * Sketch values themselves aren't engine-portable; the claim "the
+    * sketch lands within its documented bound of the exact answer" is,
+    * and a Spark-side sketch drifting out of bound hash-mismatches.
+    * One aggregation pass computes exact + approx together (exact
+    * countDistinct already shuffles on the group key; the sketches ride
+    * the same exchange). */
+  def approxAggregates(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        expr("percentile(l_extendedprice, array(0.5, 0.99))").as("exact_q"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)")
+          .as("approx_q"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        col("n_rows"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          / col("exact_parts") <= lit(HllRelBound)).as("parts_ok"),
+        (abs(col("approx_q")(0) - col("exact_q")(0)) / col("exact_q")(0)
+          <= lit(QuantileRelBound)).as("p50_ok"),
+        (abs(col("approx_q")(1) - col("exact_q")(1)) / col("exact_q")(1)
+          <= lit(QuantileRelBound)).as("p99_ok"))
+      .orderBy("l_returnflag")
+
+  /** The oracle recomputes the exact values and pins every bound boolean:
+    * DuckDB can't rerun Spark's sketches, but it CAN assert each group's
+    * exact cardinality/row count and that Spark claims in-bound accuracy. */
+  val approxAggregatesSql: String =
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_partkey) AS exact_parts,
+      |       COUNT(*) AS n_rows,
+      |       TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p99_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -212,6 +212,20 @@ class DedupSpec extends AnyFunSuite {
     assert(kmRecall >= 0.2, s"recall=$kmRecall")
   }
 
+  test("q35 per-query recall clears KmeansRecallFloor for every query") {
+    // The q35 oracle (qAnnIvfKmeansSql) pins recall_ok = TRUE per query;
+    // this test pins the same per-query floor so the oracle boolean can't
+    // flap: any single query dipping below the floor fails here first.
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val rows = Similarity.ivfKmeansRecall(emb).collect()
+    assert(rows.length == 8, s"expected 8 query rows, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("recall_ok")),
+        s"query ${r.get(r.fieldIndex("query_id"))} recall below " +
+          s"${Similarity.KmeansRecallFloor}")
+    }
+  }
+
   test("salted simhash band join is row-identical to unsalted on a hot band") {
     import org.apache.spark.sql.functions.col
     // deliberately skewed: 40 near-identical docs (every band collides in

@@ -10,7 +10,7 @@ class PricingSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.01"
 
   test("approximate aggregates land within documented error bounds of exact") {
-    val approx = PricingQueries.approxAggregates(spark, sf).collect()
+    val approx = PricingQueries.approxAggregatesRaw(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), Seq(r.getDouble(2), r.getDouble(3)))).toMap
     val exact = PricingQueries.distinctCounts(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -25,6 +25,18 @@ class PricingSpec extends AnyFunSuite {
       // sketch quantiles within 2% relative error of exact percentiles
       quantiles.zip(exactQuantiles(flag)).foreach { case (a, e) =>
         assert(math.abs(a - e) / e < 0.02, s"$flag quantile: approx=$a exact=$e")
+      }
+    }
+  }
+
+  test("q32 derivative pins every within-bound boolean TRUE at oracle scale") {
+    // Same role as DedupSpec's q35 floor test: the oracle pins TRUE per
+    // group; this fails first if a sketch ever drifts out of bound.
+    val rows = PricingQueries.approxAggregates(spark, sf).collect()
+    assert(rows.length == 3, s"expected 3 return flags, got ${rows.length}")
+    rows.foreach { r =>
+      Seq("parts_ok", "p50_ok", "p99_ok").foreach { c =>
+        assert(r.getBoolean(r.fieldIndex(c)), s"${r.getString(0)}: $c is false")
       }
     }
   }
