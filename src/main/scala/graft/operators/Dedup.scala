@@ -189,10 +189,14 @@ object Dedup {
     * ±1 per bit position; the sign vector packs into an integer. Near-dup
     * docs differ in few bits (compare via Hamming distance downstream).
     *
-    * Single pass: hash each word ONCE, fold a `bits`-counter vote array
-    * over the words, then pack sign bits — not `bits` per-bit passes that
-    * would re-run md5 per bit (16× the cost at 16 bits, measured). */
-  private def simhashExpr(bits: Int): Column =
+    * Production path is the fused native expression
+    * ([[graft.functions.SimHash]]): one hand-written per-row loop, zero
+    * boxed lambdas. This composable HOF formulation is kept as the
+    * readable reference — DedupSpec asserts the two agree row-for-row
+    * (they share the q15/q36/q52 oracles). The HOF costs ~2·bits boxed
+    * ops per token (zip_with reallocates the vote array per token): 2.5×
+    * q15 wall at 16 bits, worse at 60. */
+  private[graft] def simhashExprHof(bits: Int): Column =
     expr(
       s"""aggregate(
          |  zip_with(
@@ -208,7 +212,8 @@ object Dedup {
 
   /** 16-bit SimHash (q15's compact fingerprint surface). */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhashExpr(16).as("simhash"))
+    docs.select(col("doc_id"),
+      graft.functions.SimHashFns.simhash(col("text"), 16).as("simhash"))
 
   /** SimHash near-dup banding (q36). 60-bit SimHash (all the entropy the
     * portable 60-bit word hash offers), banded into [[SimBands]] chunks of
@@ -229,7 +234,8 @@ object Dedup {
 
   def simhash60(docs: DataFrame): DataFrame =
     memoPersist(docs, "simhash60")(d =>
-      d.select(col("doc_id"), simhashExpr(SimBits).as("simhash")))
+      d.select(col("doc_id"),
+        graft.functions.SimHashFns.simhash(col("text"), SimBits).as("simhash")))
 
   /** @param saltBuckets > 1 engages [[Skew.saltGridSides]] on the band
     *   join — the hot-band path for corpora whose language/boilerplate

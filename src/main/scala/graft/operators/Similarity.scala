@@ -211,7 +211,8 @@ object Similarity {
   }
 
   /** (vec_id, cid) cell assignments via [[nearestCentroid]] — one narrow
-    * projection over the corpus (PlanShapeSpec pins no Exchange/Window). */
+    * projection over the corpus (PlanShapeSpec's "IVF cell assignment"
+    * test pins no Exchange/Window/Join in the executed plan). */
   private[graft] def assignCells(emb: DataFrame,
       centroids: Seq[(Long, Seq[Float])]): DataFrame =
     emb.select(col("vec_id"),
@@ -266,7 +267,7 @@ object Similarity {
   /** Learned-IVF index relations: `(cid, cemb)` centroids (K tiny rows)
     * and `(vec_id, cid)` cell assignments (one narrow row per corpus
     * vector). The fit is bounded by [[kmeansFitSet]]. */
-  private def kmeansIndex(emb: DataFrame, numCentroids: Int, maxIter: Int,
+  private[graft] def kmeansIndex(emb: DataFrame, numCentroids: Int, maxIter: Int,
       fitFraction: Option[Double]): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._

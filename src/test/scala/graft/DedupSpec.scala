@@ -128,6 +128,23 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("fused SimHash expression == composable HOF formulation") {
+    import graft.functions.SimHashFns
+    // sf docs plus the edge shapes where tokenization could diverge:
+    // empty, whitespace-only, single-token, multi-space runs
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(100).select($"doc_id", $"text")
+      .union(Seq((9001L, ""), (9002L, "   "), (9003L, "one"),
+        (9004L, "a  b\t c\n d")).toDF("doc_id", "text"))
+    for (bits <- Seq(16, Dedup.SimBits)) {
+      val hof = docs.select($"doc_id", Dedup.simhashExprHof(bits).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fused = docs.select($"doc_id", SimHashFns.simhash($"text", bits).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hof == fused, s"bits=$bits")
+    }
+  }
+
   test("hash60 matches the DuckDB formula on a known value") {
     // DuckDB: ('0x'||substr(md5('abc'),1,15))::BIGINT = 648541476951500027
     val got = spark.range(1)

@@ -126,6 +126,29 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF cell assignment is one narrow projection: no Exchange/Window/Join") {
+    // The regression guard for the r06 scale-killer: assignment once
+    // shuffled N×K (vec, centroid) rows through a window to take a
+    // per-row argmax (~1.6e12 shuffled rows at 1e11 vectors). Both the
+    // seed-centroid (q31) and learned (q35) assignment stages must stay
+    // narrow — anyone reintroducing the crossJoin+row_number formulation
+    // fails here.
+    import graft.operators.Similarity
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val seedAssigned = Similarity.assignCells(emb,
+      Similarity.collectCentroids(emb, 0, Similarity.NumCentroids))
+    val (_, kmAssigned) = Similarity.kmeansIndex(emb,
+      Similarity.NumCentroids, maxIter = 2, fitFraction = None)
+    Seq("q31 seed-centroid" -> seedAssigned, "q35 k-means" -> kmAssigned)
+      .foreach { case (label, assigned) =>
+        val plan = assigned.queryExecution.executedPlan.toString
+        Seq("Exchange", "Window", "Join").foreach { op =>
+          assert(!plan.contains(op),
+            s"$label assignment plan contains $op:\n$plan")
+        }
+      }
+  }
+
   test("q38 per-row feature stage is a single scan of documents") {
     // quality + language gates must fold into ONE pass over the text
     // column, not per-feature self-joins: exactly one documents scan on
