@@ -117,6 +117,46 @@ object Bench {
     // "1,234" under comma-decimal locales — invalid JSON
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       java.lang.Double.valueOf(v))
+    // q51 attribution: its headline number above is dominated by the
+    // day-0 bootstrap fixpoint (a one-time deployment cost), which made
+    // the query read as if every day paid it. Time the two phases apart,
+    // then chain 10 daily admissions through the PERSISTED-state path
+    // (DedupStream commit per day — each day reloads committed parquet,
+    // so lineage is bounded by construction and per-day wall must stay
+    // flat, not compound). Supplemental: detail JSON only, not the
+    // contract line's total.
+    val q51Split: Option[String] = try {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.engine.Tables.documents(spark, sfDir)
+      val t0 = System.nanoTime()
+      val st0 = graft.operators.IncrementalDedup.initialState(
+        docs.filter(col("doc_id") % 5 =!= 0))
+      Seq(st0.labels, st0.sizes, st0.bands, st0.shingles)
+        .foreach(_.write.format("noop").mode("overwrite").save())
+      val boot = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val st1 = graft.operators.IncrementalDedup.admitBatch(st0,
+        docs.filter(col("doc_id") % 5 === 0))
+      graft.operators.IncrementalDedup.labelsWithSizes(st1)
+        .write.format("noop").mode("overwrite").save()
+      val admit = (System.nanoTime() - t1) / 1e9
+      graft.operators.Dedup.clearShingleCaches()
+      val root = java.nio.file.Files.createTempDirectory("graft-chain").toString
+      val days = (0 until 10).map { d =>
+        docs.filter(col("doc_id") % 10 === d).write.parquet(s"$root/docs/day$d")
+        val s = System.nanoTime()
+        graft.streaming.DedupStream.admitNewDrops(
+          spark, s"$root/docs/*", s"$root/state", s"$root/ckpt")
+        (System.nanoTime() - s) / 1e9
+      }
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      catch { case _: Exception => }
+      Some(s"""{"bootstrap_sec":${fmt(boot)},"admit_sec":${fmt(admit)},""" +
+        s""""chain_admit_sec":[${days.map(fmt).mkString(",")}]}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] q51 split failed: ${e.getMessage}"); None
+    }
+    graft.operators.Dedup.clearShingleCaches()
     val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val cpus_ = results.map { case (k, _, c, _, _, _, _) => s"\"" + k + "\":" + fmt(c) }
@@ -141,6 +181,7 @@ object Bench {
     // compact contract line, printed LAST so it sits at the tail.
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""cpu_sec":$cpus_,"gc_sec":$gcs,"jit_sec":$jits,"io_mb":$shuffles,""" +
+      q51Split.map(s => s""""q51_split":$s,""").getOrElse("") +
       s""""errors":$errs,"sf":"$sfDir"}"""
     System.err.println(s"[bench-detail] $detail")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",

@@ -82,6 +82,29 @@ object Catalogs {
     ).foreach(spark.sql(_))
   }
 
+  /** E3's verbatim contract: execute reference-dialect view DDL TEXT
+    * as-is — the byte-for-byte content of the four Athena NamedQuery
+    * .txt files (CDK/cdk/athena_queries/), which qualify their reads as
+    * `"glue_crime_db"."processed"` / `"glue_crime_db"."dependency1_…"`
+    * and create unqualified view names (Athena resolves those against the
+    * QueryExecutionContext database; Spark against the current database).
+    * So: register the processed zone under the TEXT'S database name,
+    * point the current database there for the duration, translate each
+    * statement's Presto-isms via [[PrestoSql]] (quoted identifiers,
+    * date_parse/date_format patterns, DAY_OF_WEEK) and run it as a
+    * PERSISTENT view. Statements may carry a trailing `;` (one file
+    * does); callers pass the file contents untouched, in dependency
+    * order. Row-equality to the paraphrased [[Pipeline.refreshViews]]
+    * path is asserted in CatalogSpec. */
+  def refreshViewsVerbatim(spark: SparkSession, processedDir: String,
+      ddls: Seq[String], db: String = "glue_crime_db"): Unit = {
+    registerProcessedTable(spark, processedDir, db)
+    val prev = spark.catalog.currentDatabase
+    spark.catalog.setCurrentDatabase(db)
+    try ddls.foreach(d => PrestoSql.executeView(spark, d.trim.stripSuffix(";")))
+    finally spark.catalog.setCurrentDatabase(prev)
+  }
+
   /** Register the supporting lookup domain: `nation` as the
     * community-area-name lookup (the star schema's analog of the
     * reference's neighborhood data under `supporting/`). DROP+CREATE so a

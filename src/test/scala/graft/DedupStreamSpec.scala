@@ -60,4 +60,41 @@ class DedupStreamSpec extends AnyFunSuite {
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("10 chained daily admissions: bounded lineage, equals batch recompute") {
+    // The compounding hazard of incremental state: if day N's state were a
+    // DataFrame chained over day N-1's (unions on unions), plan size would
+    // grow with the day count and day-10 admission would replay the whole
+    // history. The persisted-state path must instead reload committed
+    // parquet each day — plan size CONSTANT in the day index — and still
+    // equal a from-scratch batch recompute over all 10 days.
+    val root = Files.createTempDirectory("dedup_chain").toString
+    val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
+    // day d brings one duplicate of the day-0 doc (guaranteed band
+    // collision + jaccard 1.0 — every day merges into the same growing
+    // cluster through the full LSH+verify path) plus one singleton
+    def dayDocs(d: Int) = Seq(
+      (d * 10L, w(0 until 8)),
+      (d * 10L + 1, s"standalone document for day $d with unshared words")
+    ).toDF("doc_id", "text")
+    val planSizes = (0 until 10).map { d =>
+      dayDocs(d).write.parquet(s"$docs/day$d")
+      DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+      val st = DedupStream.loadState(spark, state).get
+      st.labels.queryExecution.optimizedPlan.collect { case p => p }.size
+    }
+    assert(planSizes.distinct.size == 1,
+      s"labels plan size grew across chained days: $planSizes")
+    val streamed = IncrementalDedup.labelsWithSizes(
+        DedupStream.loadState(spark, state).get).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Dedup.duplicateClusters(
+        (0 until 10).map(dayDocs).reduce(_ union _)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    // the rolling w-window chains day d to day d-1: all chained docs in
+    // ONE cluster labeled by day 0's doc, built up over 10 separate admits
+    assert(streamed(90L)._1 == 0L, s"chained merge broke: ${streamed(90L)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
