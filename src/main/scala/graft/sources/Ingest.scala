@@ -197,6 +197,78 @@ object Ingest {
     StructType(merged ++ b.fields.filterNot(f => aNames(f.name)).map(_.copy(nullable = true)))
   }
 
+  /** The crawler's DELETE policy surface (`DEPRECATE_IN_DATABASE`,
+    * CDK/cdk/cdk_stack.py:106-108): a column that vanishes from the
+    * newest daily files is never DROPPED from the catalog schema — old
+    * rows still carry it, and [[mergeSchemas]] keeps it nullable forever —
+    * but it IS marked deprecated so consumers can migrate off it. Pure
+    * schema policy over per-file schemas in landing (day) order: a column
+    * is deprecated when some file has it but NONE of the newest `lastK`
+    * files do. Returns one row per ever-seen column, first-seen order:
+    * (column, merged data_type, first_seen index, last_seen index,
+    * deprecated) — the audit relation a catalog keeps as column
+    * parameters. */
+  def columnAudits(schemas: Seq[StructType],
+      lastK: Int = 1): Seq[(String, String, Int, Int, Boolean)] = {
+    require(schemas.nonEmpty, "no schemas to audit")
+    require(lastK >= 1, s"lastK must be >= 1, got $lastK")
+    val seen = scala.collection.mutable.LinkedHashMap[String, (DataType, Int, Int)]()
+    schemas.zipWithIndex.foreach { case (s, i) =>
+      s.fields.foreach { f =>
+        seen.get(f.name) match {
+          case Some((t, first, _)) => seen(f.name) = (widen(t, f.dataType), first, i)
+          case None                => seen(f.name) = (f.dataType, i, i)
+        }
+      }
+    }
+    val cutoff = schemas.length - lastK
+    seen.toSeq.map { case (n, (t, first, last)) =>
+      (n, t.simpleString, first, last, last < cutoff)
+    }
+  }
+
+  /** [[mergeSchemas]] over all days plus the deprecation flags folded into
+    * field METADATA (`deprecated`, `last_seen_file`) — the merged schema a
+    * crawler with `DEPRECATE_IN_DATABASE` would publish: width never
+    * shrinks, retirement is visible. */
+  def mergeSchemasWithPolicy(schemas: Seq[StructType],
+      lastK: Int = 1): StructType = {
+    val flags = columnAudits(schemas, lastK)
+      .map { case (n, _, _, last, dep) => n -> (last, dep) }.toMap
+    StructType(schemas.reduce(mergeSchemas).fields.map { f =>
+      val (last, dep) = flags(f.name)
+      if (!dep) f
+      else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putBoolean("deprecated", true).putLong("last_seen_file", last).build())
+    })
+  }
+
+  /** [[columnAudits]] over the landing zone's inferred per-file schemas
+    * (one crawl per daily CSV, file-name order = day order), with file
+    * names in place of indices — the queryable deprecation audit. */
+  def landingSchemaAudit(spark: SparkSession, landingDir: String,
+      lastK: Int = 1): DataFrame = {
+    import spark.implicits._
+    val files = landedCsvs(landingDir)
+    val schemas = files.map(f =>
+      spark.read.option("header", "true").option("inferSchema", "true").csv(f).schema)
+    def base(i: Int) = Paths.get(files(i)).getFileName.toString
+    columnAudits(schemas, lastK)
+      .map { case (n, t, first, last, dep) => (n, t, base(first), base(last), dep) }
+      .toDF("column", "data_type", "first_seen", "last_seen", "deprecated")
+  }
+
+  private def landedCsvs(landingDir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(Paths.get(landingDir))
+    val files =
+      try listing.iterator().asScala
+        .map(_.toString).filter(_.endsWith(".csv")).toSeq.sorted
+      finally listing.close() // Files.list holds an open directory handle
+    require(files.nonEmpty, s"no CSVs landed under $landingDir")
+    files
+  }
+
   /** Read every landed CSV with per-file schema inference — each daily
     * file is crawled independently, exactly like a scheduled Glue crawler
     * run over `input/` (CDK/cdk/cdk_stack.py:96-111) — then reconcile the
@@ -210,14 +282,7 @@ object Ingest {
     * `limit(n)` heads; the reconcile+union itself is narrow (no shuffle). */
   def readLandingInferred(spark: SparkSession, landingDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    import scala.jdk.CollectionConverters._
-    val listing = Files.list(Paths.get(landingDir))
-    val files =
-      try listing.iterator().asScala
-        .map(_.toString).filter(_.endsWith(".csv")).toSeq.sorted
-      finally listing.close() // Files.list holds an open directory handle
-    require(files.nonEmpty, s"no CSVs landed under $landingDir")
-    val perFile = files.map(f =>
+    val perFile = landedCsvs(landingDir).map(f =>
       spark.read.option("header", "true").option("inferSchema", "true").csv(f))
     val target = perFile.map(_.schema).reduce(mergeSchemas)
     perFile.map { df =>

@@ -292,6 +292,44 @@ class PipelineSpec extends AnyFunSuite {
       .as[Double].head() == 25.0)
   }
 
+  test("deprecation policy: column gone from the newest days is flagged, never dropped") {
+    val dir = Files.createTempDirectory("graft-deprecate")
+    // `beat` lives through day2 then vanishes; `ward` appears only in the
+    // newest file; core columns persist throughout
+    Files.writeString(dir.resolve("day1.csv"),
+      "id,primary_type,beat\n1,THEFT,1121\n")
+    Files.writeString(dir.resolve("day2.csv"),
+      "id,primary_type,beat\n2,ROBBERY,2233\n")
+    Files.writeString(dir.resolve("day3.csv"),
+      "id,primary_type,ward\n3,ASSAULT,42\n")
+    val audit = Ingest.landingSchemaAudit(spark, dir.toString)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(2), r.getString(3), r.getBoolean(4))).toMap
+    assert(audit("beat") == (("day1.csv", "day2.csv", true)),
+      "beat must deprecate: absent from the newest crawl")
+    assert(audit("ward") == (("day3.csv", "day3.csv", false)),
+      "a newly appeared column is live, not deprecated")
+    assert(audit("id")._3 == false && audit("primary_type")._3 == false)
+
+    // DEPRECATE, not DELETE: the merged schema still carries `beat`
+    // (nullable; day-3 rows null-fill it) with the flag in field metadata
+    val schemas = Seq("day1.csv", "day2.csv", "day3.csv").map(f =>
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(dir.resolve(f).toString).schema)
+    val merged = Ingest.mergeSchemasWithPolicy(schemas)
+    val beat = merged.fields.find(_.name == "beat").get
+    assert(beat.metadata.getBoolean("deprecated"))
+    assert(beat.metadata.getLong("last_seen_file") == 1L)
+    assert(!merged.fields.find(_.name == "ward").get.metadata.contains("deprecated"))
+    val df = Ingest.readLandingInferred(spark, dir.toString)
+    assert(df.filter(col("beat").isNull).count() == 1, "day-3 row null-fills beat")
+
+    // policy window: with lastK=2 the newest TWO files count as current,
+    // so beat (last seen in file index 1 of 3) is still live
+    assert(!Ingest.columnAudits(schemas, lastK = 2)
+      .find(_._1 == "beat").get._5)
+  }
+
   test("late re-fetch duplicates append (no dedup), matching reference") {
     val dirs = freshDirs()
     Pipeline.run(spark, srcRows("2021-07-31"), dirs,
