@@ -181,32 +181,49 @@ object PricingQueries {
       .orderBy("l_returnflag")
 
   /** Error bounds the q32 booleans pin. HLL at rsd=0.02 is well inside
-    * 10% relative; approx_percentile at accuracy=10000 is well inside 2%.
-    * Both sketches are deterministic for a fixed dataset, so the booleans
-    * are stable — the same bounds PricingSpec has asserted numerically
-    * since round 4. */
+    * 10% relative (PricingSpec has asserted that numerically since
+    * round 4). The quantile check is a RANK bound: approx_percentile's
+    * contract is that the returned value's rank is within
+    * n/accuracy = n·1e-4 of the target rank, so the fraction of rows at
+    * or below it must sit within ~1e-4 (+ tie mass + rank granularity at
+    * tiny n) of the target quantile — 0.005 covers all three with a wide
+    * deterministic margin. */
   val HllRelBound = 0.10
-  val QuantileRelBound = 0.02
+  val QuantileRankBound = 0.005
 
   /** q32 — approximate aggregates, emitted as their deterministic,
     * oracle-checkable derivative (same treatment as q35's recall floor):
-    * exact per-group values (DuckDB recomputes them) plus
-    * `abs(approx − exact)/exact <= bound` booleans the oracle pins TRUE.
-    * Sketch values themselves aren't engine-portable; the claim "the
-    * sketch lands within its documented bound of the exact answer" is,
-    * and a Spark-side sketch drifting out of bound hash-mismatches.
-    * One aggregation pass computes exact + approx together (exact
-    * countDistinct already shuffles on the group key; the sketches ride
-    * the same exchange). */
-  def approxAggregates(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    * exact per-group values (DuckDB recomputes them) plus within-bound
+    * booleans the oracle pins TRUE. Sketch values themselves aren't
+    * engine-portable; the claim "the sketch lands within its documented
+    * bound" is, and a Spark-side sketch drifting out of bound
+    * hash-mismatches.
+    *
+    * The quantile booleans are verified by RANK, not value: join the
+    * 3-row approx results back (broadcast) and count the fraction of
+    * rows at or below each approx percentile — O(1) state per group.
+    * The value-comparison alternative (exact `percentile`) buffers every
+    * distinct value per group in the aggregation state: measured 10×
+    * q32's cost at sf0.1 and corpus-sized state at 100 TB, for a check
+    * the rank bound makes for free. Two scans, both scale-safe shapes
+    * (hash-agg + broadcast-join + hash-agg). */
+  def approxAggregates(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_returnflag", "l_partkey",
+      "l_extendedprice")
+    val approx = li.groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap99"))
+    li.join(broadcast(approx), Seq("l_returnflag"))
       .groupBy("l_returnflag")
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        expr("percentile(l_extendedprice, array(0.5, 0.99))").as("exact_q"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)")
-          .as("approx_q"),
+        first(col("approx_parts")).as("approx_parts"),
+        sum(when(col("l_extendedprice") <= col("ap50"), 1L).otherwise(0L))
+          .as("n_le_p50"),
+        sum(when(col("l_extendedprice") <= col("ap99"), 1L).otherwise(0L))
+          .as("n_le_p99"),
         count(lit(1)).as("n_rows"))
       .select(
         col("l_returnflag"),
@@ -214,11 +231,12 @@ object PricingQueries {
         col("n_rows"),
         (abs(col("approx_parts") - col("exact_parts")).cast("double")
           / col("exact_parts") <= lit(HllRelBound)).as("parts_ok"),
-        (abs(col("approx_q")(0) - col("exact_q")(0)) / col("exact_q")(0)
-          <= lit(QuantileRelBound)).as("p50_ok"),
-        (abs(col("approx_q")(1) - col("exact_q")(1)) / col("exact_q")(1)
-          <= lit(QuantileRelBound)).as("p99_ok"))
+        (abs(col("n_le_p50").cast("double") / col("n_rows") - lit(0.5))
+          <= lit(QuantileRankBound)).as("p50_ok"),
+        (abs(col("n_le_p99").cast("double") / col("n_rows") - lit(0.99))
+          <= lit(QuantileRankBound)).as("p99_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** The oracle recomputes the exact values and pins every bound boolean:
     * DuckDB can't rerun Spark's sketches, but it CAN assert each group's
