@@ -72,6 +72,7 @@ object SparkEntry {
     "q50_source_stats"  -> (Corpus.qSourceStats _),
     "q51_incremental_dedup" -> (graft.operators.IncrementalDedup.qIncremental _),
     "q52_simhash_salted" -> (Dedup.qSimhashPairsSalted _),
+    "q53_corpus_mix"    -> (Corpus.qMixCorpus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,5 +136,6 @@ object SparkEntry {
     // q35 emits its deterministic derivative (per-query recall@k >= floor
     // vs the brute-force ground truth); the oracle pins the boolean TRUE.
     "q35_ann_ivf_kmeans" -> Similarity.qAnnIvfKmeansSql,
+    "q53_corpus_mix"    -> Corpus.qMixCorpusSql,
   )
 }

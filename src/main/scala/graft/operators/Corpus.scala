@@ -125,6 +125,35 @@ object Corpus {
         round(col("dup_docs").cast("double") / col("n_docs"), 6))
   }
 
+  /** Deterministic corpus mixing (q53): downsample every source to the
+    * uniform target mixture — the data-mixing step a training pipeline
+    * runs after curation, when one crawl dwarfs the others and the
+    * corpus must hit target source proportions WITHOUT a random sample
+    * that changes on every run. The minimum per-source count `m` is the
+    * achievable uniform share; each source keeps rows whose portable
+    * 60-bit hash of doc_id falls under `m*1e6 div n_s` — integer
+    * arithmetic end to end, so DuckDB computes the identical boundary
+    * and the kept set is hash-verifiable row for row (no RNG, no
+    * ordering dependence: the gate hashes VALUES, not positions, like
+    * the k-means fit gate).
+    *
+    * Scale: one partial+final count on the low-cardinality source key;
+    * the S-row threshold relation broadcasts back; the gate itself is a
+    * narrow per-row filter — the corpus never shuffles. Non-uniform
+    * target mixes are the same shape with integer weight parts in place
+    * of the uniform 1. */
+  def mixCorpus(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val mrel = counts.agg(min(col("n")).as("m"))
+    val thresholds = counts.crossJoin(broadcast(mrel))
+      .select(col("source"),
+        expr("m * CAST(1000000 AS BIGINT) div n").as("thresh"))
+    docs.join(broadcast(thresholds), "source")
+      .filter(pmod(graft.functions.TextFns.hash60(col("doc_id").cast("string")),
+        lit(1000000L)) < col("thresh"))
+      .select(col("doc_id"), col("source"))
+  }
+
   // ---- SparkEntry wiring -------------------------------------------------
 
   def qSourceStats(s: SparkSession, d: String): DataFrame =
@@ -165,6 +194,35 @@ object Corpus {
        |       COUNT(DISTINCT p.probe_id) AS n_probe_docs
        |FROM train t JOIN probe p USING (shingle)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** The driver's synthetic sources are perfectly uniform (25 docs each
+    * at sf0.01), where the mix gate degenerates to a no-op — so the q53
+    * surface first SKEWS the fixture deterministically (halve three
+    * sources; the stride predicate is on `doc_id div 20` because ids are
+    * round-robin over sources, so a plain parity test would empty one
+    * source and leave the rest untouched) and then mixes: the oracle run
+    * exercises real gating, not just the pass-through path. */
+  def qMixCorpus(s: SparkSession, d: String): DataFrame =
+    mixCorpus(Tables.documents(s, d).filter(
+      !(col("source").isin("src0", "src1", "src2") &&
+        expr("(doc_id div 20) % 2 = 1"))))
+      .orderBy("doc_id")
+
+  /** The oracle recomputes the skew, counts, integer thresholds, and the
+    * same md5-derived hash gate — the kept set must match row for row. */
+  val qMixCorpusSql: String =
+    """WITH skewed AS (
+      |  SELECT doc_id, source FROM documents
+      |  WHERE NOT (source IN ('src0','src1','src2') AND (doc_id // 20) % 2 = 1)),
+      |counts AS (SELECT source, COUNT(*) AS n FROM skewed GROUP BY source),
+      |rates AS (
+      |  SELECT source,
+      |         ((SELECT MIN(n) FROM counts) * CAST(1000000 AS BIGINT)) // n AS thresh
+      |  FROM counts)
+      |SELECT d.doc_id, d.source
+      |FROM skewed d JOIN rates USING (source)
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < rates.thresh
+      |ORDER BY d.doc_id""".stripMargin
 
   def qCorpusFilter(s: SparkSession, d: String): DataFrame =
     corpusFilter(Tables.documents(s, d)).orderBy("doc_id")

@@ -66,9 +66,12 @@ class PlanShapeSpec extends AnyFunSuite {
     //  q40: broadcast single-row corpus count joined into the idf table
     //  q43: ADC sweep, broadcast query set × corpus PQ codes
     //  q44: recall eval — its ground-truth side IS q17's brute force
+    //  q53: broadcast single-row min-count joined into the S-row
+    //       per-source threshold table (the corpus side stays a
+    //       broadcast HASH join + narrow filter)
     val intendedBnlj = Set("q17_cosine_topk", "q31_ann_ivf",
       "q35_ann_ivf_kmeans", "q40_tfidf_topk", "q43_pq_topk",
-      "q44_ann_recall")
+      "q44_ann_recall", "q53_corpus_mix")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val plan = executedPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")

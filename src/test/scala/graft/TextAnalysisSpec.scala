@@ -137,4 +137,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.contains(30L) && out(30L) >= 3) // shared 3-grams of the copied span
     assert(!out.contains(31L))
   }
+
+  test("corpus mixing gates the big source to the uniform share, keeps minima whole") {
+    // skewed mixture: one 8-doc crawl vs two 3-doc sources -> m = 3
+    val d = ((1L to 8L).map(i => (i, "web")) ++
+      (101L to 103L).map(i => (i, "books")) ++
+      (201L to 203L).map(i => (i, "code"))).toDF("doc_id", "source")
+    val kept = graft.operators.Corpus.mixCorpus(d).collect()
+      .map(r => r.getLong(0)).toSet
+    // minimum-count sources hit threshold 1e6: every row survives
+    assert((101L to 103L).forall(kept) && (201L to 203L).forall(kept))
+    // the big source is gated at exactly 3*1e6 div 8 = 375000 of hash
+    // space — recompute the portable 60-bit hash here and demand the
+    // EXACT kept set (value-hashed gate: no RNG, no order dependence)
+    def h60(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var h = 0L
+      (0 until 7).foreach(i => h = (h << 8) | (dig(i) & 0xffL))
+      (h << 4) | ((dig(7) & 0xf0L) >> 4)
+    }
+    val expectedWeb = (1L to 8L).filter(i => h60(i.toString) % 1000000L < 375000L).toSet
+    assert(kept.filter(_ < 100L) == expectedWeb, s"kept=$kept")
+    // deterministic: a second run returns the identical set
+    assert(graft.operators.Corpus.mixCorpus(d).collect()
+      .map(_.getLong(0)).toSet == kept)
+  }
 }
