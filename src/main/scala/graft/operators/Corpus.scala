@@ -142,12 +142,26 @@ object Corpus {
     * narrow per-row filter — the corpus never shuffles. Non-uniform
     * target mixes are the same shape with integer weight parts in place
     * of the uniform 1. */
-  def mixCorpus(docs: DataFrame): DataFrame = {
+  /** @param parts optional mixing recipe in integer weight parts
+    *   ("2 parts web, 1 part books"); sources absent from a non-empty
+    *   recipe are DROPPED. Empty (default) = uniform: 1 part per
+    *   observed source. With `u = min_s (n_s div parts_s)` achievable
+    *   whole units, source s targets `u * parts_s` rows via threshold
+    *   `(u * parts_s * 1e6) div n_s` — integer arithmetic throughout,
+    *   so any engine computes the identical boundary. */
+  def mixCorpus(docs: DataFrame,
+      parts: Map[String, Long] = Map.empty): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(parts.values.forall(_ > 0), "weight parts must be positive")
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
-    val mrel = counts.agg(min(col("n")).as("m"))
-    val thresholds = counts.crossJoin(broadcast(mrel))
+    val weighted =
+      if (parts.isEmpty) counts.withColumn("part", lit(1L))
+      else counts.join(broadcast(parts.toSeq.toDF("source", "part")), "source")
+    val urel = weighted.agg(min(expr("n div part")).as("u"))
+    val thresholds = weighted.crossJoin(broadcast(urel))
       .select(col("source"),
-        expr("m * CAST(1000000 AS BIGINT) div n").as("thresh"))
+        expr("u * part * CAST(1000000 AS BIGINT) div n").as("thresh"))
     docs.join(broadcast(thresholds), "source")
       .filter(pmod(graft.functions.TextFns.hash60(col("doc_id").cast("string")),
         lit(1000000L)) < col("thresh"))

@@ -163,4 +163,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(graft.operators.Corpus.mixCorpus(d).collect()
       .map(_.getLong(0)).toSet == kept)
   }
+
+  test("weighted corpus mixing follows the recipe and drops unlisted sources") {
+    val d = ((1L to 8L).map(i => (i, "web")) ++
+      (101L to 103L).map(i => (i, "books")) ++
+      (201L to 203L).map(i => (i, "code"))).toDF("doc_id", "source")
+    // 2 parts web : 1 part books; code not in the recipe -> dropped.
+    // u = min(8 div 2, 3 div 1) = 3 -> web thresh 3*2*1e6 div 8 = 750000,
+    // books thresh 3*1e6 div 3 = 1e6 (kept whole)
+    val kept = graft.operators.Corpus
+      .mixCorpus(d, parts = Map("web" -> 2L, "books" -> 1L))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(!kept.exists(_ >= 200L), "unlisted source must be dropped")
+    assert((101L to 103L).forall(kept), "1-part source under budget keeps all")
+    def h60(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var h = 0L
+      (0 until 7).foreach(i => h = (h << 8) | (dig(i) & 0xffL))
+      (h << 4) | ((dig(7) & 0xf0L) >> 4)
+    }
+    val expectedWeb = (1L to 8L).filter(i => h60(i.toString) % 1000000L < 750000L).toSet
+    assert(kept.filter(_ < 100L) == expectedWeb, s"kept=$kept")
+  }
 }
