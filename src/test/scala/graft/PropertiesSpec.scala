@@ -150,6 +150,37 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("deprecation audit: flagged iff absent from newest K; merged schema keeps union") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val pool = ('a' to 'j').map(_.toString)
+    val fileGen: Gen[StructType] = Gen.someOf(pool).suchThat(_.nonEmpty)
+      .map(cols => StructType(cols.sorted.map(c => StructField(c, LongType)).toSeq))
+    (1L to 5L).foreach { seed =>
+      val schemas = sample(fileGen, 8, seed)
+      (1 to 3).foreach { k =>
+        val audits = graft.sources.Ingest.columnAudits(schemas, lastK = k)
+        val everSeen = schemas.flatMap(_.fieldNames).toSet
+        assert(audits.map(_._1).toSet == everSeen, s"seed=$seed k=$k: audit covers every column once")
+        audits.foreach { case (name, _, first, last, dep) =>
+          val present = schemas.zipWithIndex.collect {
+            case (s, i) if s.fieldNames.contains(name) => i
+          }
+          assert(first == present.min && last == present.max, s"seed=$seed k=$k $name")
+          val inNewestK = present.exists(_ >= schemas.length - k)
+          assert(dep == !inNewestK,
+            s"seed=$seed k=$k $name: deprecated=$dep but inNewestK=$inNewestK")
+        }
+        val merged = graft.sources.Ingest.mergeSchemasWithPolicy(schemas, lastK = k)
+        assert(merged.fieldNames.toSet == everSeen,
+          s"seed=$seed k=$k: deprecate never drops a column")
+        merged.fields.foreach { f =>
+          val dep = audits.find(_._1 == f.name).get._5
+          assert(f.metadata.contains("deprecated") == dep, s"seed=$seed k=$k ${f.name}")
+        }
+      }
+    }
+  }
+
   test("large-star/small-star handles a deep chain in few rounds") {
     // a 30-node path graph: diameter 29, the worst case for plain
     // min-label propagation; the star alternation collapses it fast
