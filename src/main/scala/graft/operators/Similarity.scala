@@ -289,15 +289,20 @@ object Similarity {
 
   /** Persist the learned-IVF index next to the corpus: the one-time
     * build cost (k-means fit + full-corpus assignment pass) amortizes
-    * over every later [[annIvfIndexed]] query batch — the index tables
-    * are what a deployment keeps beside `embeddings` (bucket/partition
-    * `assignments` by `cid` at scale so probes prune to nprobe cells). */
+    * over every later [[annIvfIndexed]] query batch. `assignments` is
+    * written PARTITIONED BY cid — the inverted-file layout proper: a
+    * probe touching nprobe cells reads nprobe directories, not the whole
+    * relation. The probe side arrives as a join (cids are computed at
+    * query time), so the static read can't prune; Spark's dynamic
+    * partition pruning inserts the runtime cid filter into the scan
+    * (asserted in DedupSpec). */
   def buildIvfIndex(emb: DataFrame, indexDir: String,
       numCentroids: Int = NumCentroids, maxIter: Int = 20,
       fitFraction: Option[Double] = None): Unit = {
     val (cent, assigned) = kmeansIndex(emb, numCentroids, maxIter, fitFraction)
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    assigned.write.mode("overwrite").parquet(s"$indexDir/assignments")
+    assigned.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$indexDir/assignments")
   }
 
   /** Query a PERSISTED IVF index: no fit, no assignment pass — load the

@@ -314,6 +314,13 @@ class DedupSpec extends AnyFunSuite {
     val plan = Similarity.annIvfIndexed(emb, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("assignments"), s"no index scan in plan:\n$plan")
+    // inverted-file layout proper: assignments live as cid= partitions on
+    // disk, and the probe join prunes the scan at runtime (dynamic
+    // partition pruning) — probing nprobe cells must not read all K
+    assert(new java.io.File(dir, "assignments/cid=0").isDirectory,
+      "assignments not laid out as cid= partitions")
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the assignments scan:\n$plan")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
