@@ -122,8 +122,9 @@ object Dedup {
       graft.functions.MinHashFns.minhashSignature(col("text"), NumHashes).as("sig")))
 
   /** (doc_id, sh): distinct shingle sets (fused expression), cached for
-    * the two-sided Jaccard join. */
-  private[operators] def shingleSets(docs: DataFrame): DataFrame =
+    * the two-sided Jaccard join. `private[graft]`: also the shingle
+    * append-log delta in [[graft.streaming.DedupStream]]'s state commit. */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
     memoPersist(docs, "shingles")(d =>
       d.select(col("doc_id"), graft.functions.MinHashFns.shingleSet(col("text")).as("sh")))
 

@@ -85,6 +85,24 @@ class DedupStreamSpec extends AnyFunSuite {
     }
     assert(planSizes.distinct.size == 1,
       s"labels plan size grew across chained days: $planSizes")
+    // the write-amplification hazard: bands/shingles are append-only, so
+    // each day must commit ONE batch-sized log segment — flat in the day
+    // index — rather than rewriting the O(corpus) relation (the old
+    // scheme's day-9 write would be ~10x day-1's)
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      if (!d.isDirectory) 0L
+      else org.apache.commons.io.FileUtils.sizeOfDirectory(d)
+    }
+    val segBytes = (0 until 10).map { d =>
+      dirBytes(s"$state/bands/seg$d") + dirBytes(s"$state/shingles/seg$d") }
+    assert(segBytes.forall(_ > 0), s"missing per-day log segment: $segBytes")
+    assert(segBytes.max <= 3 * segBytes.min,
+      s"per-day state write is not batch-sized: $segBytes")
+    // labels/sizes version retention: only current + previous survive
+    val vdirs = new java.io.File(state).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).toSet
+    assert(vdirs == Set("v8", "v9"), s"stale versions not pruned: $vdirs")
     val streamed = IncrementalDedup.labelsWithSizes(
         DedupStream.loadState(spark, state).get).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
