@@ -119,40 +119,97 @@ object Bench {
       java.lang.Double.valueOf(v))
     // q51 attribution: its headline number above is dominated by the
     // day-0 bootstrap fixpoint (a one-time deployment cost), which made
-    // the query read as if every day paid it. Time the two phases apart,
-    // then chain 10 daily admissions through the PERSISTED-state path
+    // the query read as if every day paid it. Time the two phases apart
+    // (each with its Spark JOB COUNT — admit's wall at toy scale is the
+    // fixed overhead of its multi-action chain, not data volume), then
+    // chain 10 daily admissions through the PERSISTED-state path
     // (DedupStream commit per day — each day reloads committed parquet,
     // so lineage is bounded by construction and per-day wall must stay
-    // flat, not compound). Supplemental: detail JSON only, not the
-    // contract line's total.
+    // flat, not compound). The chain runs n=3 with per-day cpu/gc/
+    // state-write/job columns so a wall spike is attributable: host
+    // variance shows wall >> cpu+gc with flat jobs/writes, a real
+    // compounding cost shows cpu or write bytes growing with the day
+    // index. Supplemental: detail JSON only, not the contract line's
+    // total.
     val q51Split: Option[String] = try {
       import org.apache.spark.sql.functions.col
+      val jobCount = new java.util.concurrent.atomic.AtomicLong
+      val jobListener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(jobListener)
+      def jobsNow: Long = {
+        try org.apache.spark.sql.graftbridge.Bridge
+          .drainListenerBus(spark.sparkContext, 10000)
+        catch { case _: java.util.concurrent.TimeoutException => }
+        jobCount.get
+      }
       val docs = graft.engine.Tables.documents(spark, sfDir)
-      val t0 = System.nanoTime()
+      val t0 = System.nanoTime(); val bj0 = jobsNow
       val st0 = graft.operators.IncrementalDedup.initialState(
         docs.filter(col("doc_id") % 5 =!= 0))
       Seq(st0.labels, st0.sizes, st0.bands, st0.shingles)
         .foreach(_.write.format("noop").mode("overwrite").save())
       val boot = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
+      val bootJobs = jobsNow - bj0
+      val t1 = System.nanoTime(); val aj0 = jobsNow
       val st1 = graft.operators.IncrementalDedup.admitBatch(st0,
         docs.filter(col("doc_id") % 5 === 0))
       graft.operators.IncrementalDedup.labelsWithSizes(st1)
         .write.format("noop").mode("overwrite").save()
       val admit = (System.nanoTime() - t1) / 1e9
-      graft.operators.Dedup.clearShingleCaches()
-      val root = java.nio.file.Files.createTempDirectory("graft-chain").toString
-      val days = (0 until 10).map { d =>
-        docs.filter(col("doc_id") % 10 === d).write.parquet(s"$root/docs/day$d")
-        val s = System.nanoTime()
-        graft.streaming.DedupStream.admitNewDrops(
-          spark, s"$root/docs/*", s"$root/state", s"$root/ckpt")
-        (System.nanoTime() - s) / 1e9
+      val admitJobs = jobsNow - aj0
+      // bytes actually WRITTEN to the state dir this day = sizes of files
+      // that did not exist before (the version-retention prune deletes
+      // old files, so a plain directory-size delta would understate)
+      def fileSizes(dir: java.io.File): Map[String, Long] =
+        if (!dir.isDirectory) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          org.apache.commons.io.FileUtils.listFiles(dir, null, true)
+            .asScala.map(f => f.getPath -> f.length).toMap
+        }
+      val chainRuns = (0 until 3).map { r =>
+        graft.operators.Dedup.clearShingleCaches()
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-chain$r").toString
+        val stateDir = new java.io.File(s"$root/state")
+        val days = (0 until 10).map { d =>
+          docs.filter(col("doc_id") % 10 === d)
+            .write.parquet(s"$root/docs/day$d")
+          val before = fileSizes(stateDir)
+          val s = System.nanoTime(); val c0 = processCpuNanos
+          val g0 = gcMillis; val dj0 = jobsNow
+          graft.streaming.DedupStream.admitNewDrops(
+            spark, s"$root/docs/*", s"$root/state", s"$root/ckpt")
+          val wall = (System.nanoTime() - s) / 1e9
+          val cpu = if (c0 < 0) -1.0 else (processCpuNanos - c0) / 1e9
+          val gc = (gcMillis - g0) / 1e3
+          val nJobs = jobsNow - dj0
+          val writtenMb = fileSizes(stateDir)
+            .collect { case (p, n) if !before.contains(p) => n }
+            .sum / 1048576.0
+          (wall, cpu, gc, writtenMb, nJobs)
+        }
+        try org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root))
+        catch { case _: Exception => }
+        days
       }
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
-      catch { case _: Exception => }
-      Some(s"""{"bootstrap_sec":${fmt(boot)},"admit_sec":${fmt(admit)},""" +
-        s""""chain_admit_sec":[${days.map(fmt).mkString(",")}]}""")
+      spark.sparkContext.removeSparkListener(jobListener)
+      def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
+      val runsJson = chainRuns.map { days =>
+        s"""{"wall_sec":${arr(days.map(_._1))},"cpu_sec":${arr(days.map(_._2))},""" +
+          s""""gc_sec":${arr(days.map(_._3))},"state_write_mb":${arr(days.map(_._4))},""" +
+          s""""n_jobs":${days.map(_._5).mkString("[", ",", "]")}}"""
+      }.mkString("[", ",", "]")
+      Some(s"""{"bootstrap_sec":${fmt(boot)},"bootstrap_jobs":$bootJobs,""" +
+        s""""admit_sec":${fmt(admit)},"admit_jobs":$admitJobs,""" +
+        s""""chain_admit_sec":${arr(chainRuns.head.map(_._1))},""" +
+        s""""chain_runs":$runsJson}""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] q51 split failed: ${e.getMessage}"); None
     }

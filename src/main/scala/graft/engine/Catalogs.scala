@@ -89,20 +89,22 @@ object Catalogs {
     * and create unqualified view names (Athena resolves those against the
     * QueryExecutionContext database; Spark against the current database).
     * So: register the processed zone under the TEXT'S database name,
-    * point the current database there for the duration, translate each
-    * statement's Presto-isms via [[PrestoSql]] (quoted identifiers,
-    * date_parse/date_format patterns, DAY_OF_WEEK) and run it as a
-    * PERSISTENT view. Statements may carry a trailing `;` (one file
-    * does); callers pass the file contents untouched, in dependency
-    * order. Row-equality to the paraphrased [[Pipeline.refreshViews]]
-    * path is asserted in CatalogSpec. */
+    * run the batch in a CLONED session (shared external catalog,
+    * private session state) whose current database points there — the
+    * caller's session never sees a current-database change, so
+    * concurrent queries on it keep resolving unqualified names as
+    * before — translate each statement's Presto-isms via [[PrestoSql]]
+    * (quoted identifiers, date_parse/date_format patterns, DAY_OF_WEEK)
+    * and run it as a PERSISTENT view. Statements may carry a trailing
+    * `;` (one file does); callers pass the file contents untouched, in
+    * dependency order. Row-equality to the paraphrased
+    * [[Pipeline.refreshViews]] path is asserted in CatalogSpec. */
   def refreshViewsVerbatim(spark: SparkSession, processedDir: String,
       ddls: Seq[String], db: String = "glue_crime_db"): Unit = {
     registerProcessedTable(spark, processedDir, db)
-    val prev = spark.catalog.currentDatabase
-    spark.catalog.setCurrentDatabase(db)
-    try ddls.foreach(d => PrestoSql.executeView(spark, d.trim.stripSuffix(";")))
-    finally spark.catalog.setCurrentDatabase(prev)
+    val ddlSession = spark.newSession()
+    ddlSession.catalog.setCurrentDatabase(db)
+    ddls.foreach(d => PrestoSql.executeView(ddlSession, d.trim.stripSuffix(";")))
   }
 
   /** Register the supporting lookup domain: `nation` as the

@@ -16,13 +16,14 @@ object Pipeline {
 
   /** One scheduled run (reference cadence: weekdays 10:00 UTC,
     * CDK/cdk/cdk_stack.py:50-53): fetch yesterday's updates → land CSV →
-    * process only new files → refresh views. */
+    * process only new files → refresh views ([[refreshCatalog]]: the
+    * stored NamedQuery texts run verbatim when the store is present). */
   def run(spark: SparkSession, source: DataFrame, dirs: Dirs,
       since: String, fileDate: LocalDate = LocalDate.now()): Unit = {
     graft.sources.Ingest.fetchRecent(source, since, dirs.landing, fileDate)
     graft.sources.Ingest.processNewFiles(
       spark, dirs.landing, dirs.processed, dirs.checkpoint)
-    refreshViews(spark, dirs.processed)
+    refreshCatalog(spark, dirs.processed)
   }
 
   /** [[run]] with the fetch stage going over real HTTP — the reference's
@@ -35,7 +36,7 @@ object Pipeline {
     graft.sources.Ingest.fetchRecentHttp(spark, endpoint, since, dirs.landing, fileDate)
     graft.sources.Ingest.processNewFiles(
       spark, dirs.landing, dirs.processed, dirs.checkpoint)
-    refreshViews(spark, dirs.processed)
+    refreshCatalog(spark, dirs.processed)
   }
 
   /** The reference's full scheduled topology: the EventBridge weekday
@@ -51,9 +52,57 @@ object Pipeline {
         since = fireDate.minusDays(1).toString, fileDate = fireDate)
     }
 
-  /** Register the four views over the processed zone in dependency order:
-    * dependency1_violent_crimes first (its consumers read it by name),
-    * matching the reference's NamedQuery set (CDK/cdk/athena_queries/). */
+  /** The four reference view names, in dependency order
+    * (dependency1_violent_crimes first — its consumers read it by name). */
+  val ViewNames: Seq[String] = Seq("dependency1_violent_crimes",
+    "count_by_crime_type", "arrest_pct_by_community_violent",
+    "fixed_dates_violent")
+
+  /** The stored-NamedQuery store: a directory holding the four Athena
+    * view DDL texts, the analog of the NamedQuery objects the reference
+    * keeps in its Athena workgroup (CDK/cdk/cdk_stack.py:307-326) and
+    * executes per run (:331-339). Resolution order: the
+    * `graft.namedquery.dir` system property / `GRAFT_NAMEDQUERY_DIR`
+    * env var, else the reference tree's query directory when mounted.
+    * Returns the file TEXTS untouched, in dependency order, or None
+    * when no complete store is found (callers fall back to the
+    * paraphrased views). */
+  def storedNamedQueries(): Option[Seq[String]] = {
+    val dir = sys.props.get("graft.namedquery.dir")
+      .orElse(sys.env.get("GRAFT_NAMEDQUERY_DIR"))
+      .getOrElse("/root/reference/CDK/cdk/athena_queries")
+    val files = Seq("dependency1_violent_crimes.txt", "count_by_crime_type.txt",
+      "arrest_pct_by_community_VIOLENT.txt", "fixed_dates_violent.txt")
+    val root = java.nio.file.Paths.get(dir)
+    if (files.forall(f => java.nio.file.Files.isRegularFile(root.resolve(f))))
+      Some(files.map(f => new String(
+        java.nio.file.Files.readAllBytes(root.resolve(f)), "UTF-8")))
+    else None
+  }
+
+  /** The pipeline's default refresh stage — the reference's E3 contract
+    * executes the STORED NamedQuery texts, not a paraphrase
+    * (CDK/cdk/cdk_stack.py:331-339): when the query store resolves, run
+    * the texts byte-for-byte via [[Catalogs.refreshViewsVerbatim]]
+    * (persistent views over the cataloged processed zone) and point the
+    * session-level view names at them, so every downstream read flows
+    * through the verbatim definitions. Without a store (embedded/library
+    * use), fall back to the paraphrased [[refreshViews]] — that remains
+    * the library-facing API and is row-equal by CatalogSpec's assertion. */
+  def refreshCatalog(spark: SparkSession, processedDir: String): Unit =
+    storedNamedQueries() match {
+      case Some(ddls) =>
+        Catalogs.refreshViewsVerbatim(spark, processedDir, ddls)
+        spark.read.parquet(processedDir).createOrReplaceTempView("processed")
+        ViewNames.foreach(v =>
+          spark.table(s"glue_crime_db.$v").createOrReplaceTempView(v))
+      case None => refreshViews(spark, processedDir)
+    }
+
+  /** Register the four views over the processed zone in dependency order,
+    * from the PARAPHRASED DataFrame definitions — the library-facing API
+    * ([[refreshCatalog]] prefers the verbatim stored texts when present;
+    * CatalogSpec asserts the two are row-equal). */
   def refreshViews(spark: SparkSession, processedDir: String): Unit = {
     val processed = spark.read.parquet(processedDir)
     processed.createOrReplaceTempView("processed")

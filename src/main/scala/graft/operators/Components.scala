@@ -65,14 +65,18 @@ object Components {
       .union(edges.select(col("b").as("node"))).distinct().localCheckpoint()
     var e = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
       .distinct().localCheckpoint()
+    // carry each round's count forward: recounting the (checkpointed)
+    // previous edge set would be one avoidable Spark job per round
+    var eCount = e.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextCount = next.count()
       // fixpoint: the (distinct, oriented) edge sets are identical
-      converged = next.count() == e.count() &&
-        next.except(e).limit(1).isEmpty
+      converged = nextCount == eCount && next.except(e).limit(1).isEmpty
       e = next
+      eCount = nextCount
       round += 1
     }
     // never return (or let a caller cache) intermediate labels: a

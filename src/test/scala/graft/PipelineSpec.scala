@@ -75,6 +75,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(fixed.contains((1L, "Tuesday", 2L)))
   }
 
+  test("pipeline default refresh executes the stored NamedQuery texts (E3 verbatim)") {
+    assume(Pipeline.storedNamedQueries().isDefined, "NamedQuery store not mounted")
+    val dirs = freshDirs()
+    Pipeline.run(spark, srcRows("2021-07-31"), dirs,
+      since = "2021-01-01", fileDate = LocalDate.parse("2021-07-03"))
+    // the run created the verbatim persistent views in the text's database
+    assert(spark.catalog.tableExists("glue_crime_db.arrest_pct_by_community_violent"))
+    // and pointed the session names at them: the session view carries the
+    // VERBATIM column order (tot_arrests before tot_reports — the stored
+    // text's fingerprint; the paraphrased refreshViews orders tot_reports
+    // first), so downstream reads flow through the stored definitions
+    val sessionView = Pipeline.view(spark, "arrest_pct_by_community_violent")
+    assert(sessionView.columns.take(3).toSeq ==
+      Seq("community_area", "tot_arrests", "tot_reports"),
+      s"session view not verbatim-backed: ${sessionView.columns.toSeq}")
+    val pct = sessionView.collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(pct(25L) == 100.0 && pct(7L) == 50.0)
+  }
+
   test("SQL-path view refresh (Presto dialect DDL) equals the DataFrame path") {
     val dirs = freshDirs()
     Pipeline.run(spark, srcRows("2021-07-31"), dirs,
