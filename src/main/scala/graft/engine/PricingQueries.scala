@@ -184,10 +184,13 @@ object PricingQueries {
     * 10% relative (PricingSpec has asserted that numerically since
     * round 4). The quantile check is a RANK bound: approx_percentile's
     * contract is that the returned value's rank is within
-    * n/accuracy = n·1e-4 of the target rank, so the fraction of rows at
-    * or below it must sit within ~1e-4 (+ tie mass + rank granularity at
-    * tiny n) of the target quantile — 0.005 covers all three with a wide
-    * deterministic margin. */
+    * n/accuracy = n·1e-4 of the target rank. The effective bound is
+    * max(QuantileRankBound, 2/n) — scale-aware so rank granularity at
+    * tiny n can never flip the boolean; tie mass at the percentile
+    * value is excluded by checking the strict-below and
+    * at-or-below rank fractions SEPARATELY (the value's occupied rank
+    * RANGE must cover the target quantile within the bound), so the
+    * boolean certifies only sketch error on any data distribution. */
   val HllRelBound = 0.10
   val QuantileRankBound = 0.005
 
@@ -199,42 +202,57 @@ object PricingQueries {
     * bound" is, and a Spark-side sketch drifting out of bound
     * hash-mismatches.
     *
-    * The quantile booleans are verified by RANK, not value: join the
-    * 3-row approx results back (broadcast) and count the fraction of
-    * rows at or below each approx percentile — O(1) state per group.
+    * One scan computes the exact cardinality AND the sketches together —
+    * the comparison needs both, and a separate exact pass (the previous
+    * shape: countDistinct inside the joined second pass) roughly doubled
+    * the query's cpu. The quantile booleans are verified by RANK, not
+    * value, which inherently needs a second pass — rows can only be
+    * counted against the percentile values once those are known — but
+    * that pass is a narrow scan + plain hash-agg (no distinct expand).
     * The value-comparison alternative (exact `percentile`) buffers every
     * distinct value per group in the aggregation state: measured 10×
     * q32's cost at sf0.1 and corpus-sized state at 100 TB, for a check
-    * the rank bound makes for free. Two scans, both scale-safe shapes
-    * (hash-agg + broadcast-join + hash-agg). */
+    * the rank bound makes for free. Both scans are scale-safe shapes
+    * (hash-agg; broadcast-join + hash-agg); the final join is 3×3 rows. */
   def approxAggregates(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_returnflag", "l_partkey",
       "l_extendedprice")
-    val approx = li.groupBy("l_returnflag")
-      .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
-        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap99"))
-    li.join(broadcast(approx), Seq("l_returnflag"))
-      .groupBy("l_returnflag")
+    val firstPass = li.groupBy("l_returnflag")
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        first(col("approx_parts")).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap99"),
+        count(lit(1)).as("n_rows"))
+    val ranks = li
+      .join(broadcast(firstPass.select("l_returnflag", "ap50", "ap99")),
+        Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("l_extendedprice") < col("ap50"), 1L).otherwise(0L))
+          .as("n_lt_p50"),
         sum(when(col("l_extendedprice") <= col("ap50"), 1L).otherwise(0L))
           .as("n_le_p50"),
+        sum(when(col("l_extendedprice") < col("ap99"), 1L).otherwise(0L))
+          .as("n_lt_p99"),
         sum(when(col("l_extendedprice") <= col("ap99"), 1L).otherwise(0L))
-          .as("n_le_p99"),
-        count(lit(1)).as("n_rows"))
+          .as("n_le_p99"))
+    val bound = greatest(lit(QuantileRankBound), lit(2.0) / col("n_rows"))
+    // the approx value's occupied rank range [n_lt, n_le], widened by the
+    // bound, must cover the target rank — ties sit inside the range, so
+    // only sketch error can push the target outside it
+    def quantileOk(q: Double, lt: String, le: String) =
+      (col(lt).cast("double") / col("n_rows") <= lit(q) + bound) &&
+        (col(le).cast("double") / col("n_rows") >= lit(q) - bound)
+    firstPass.join(ranks, "l_returnflag")
       .select(
         col("l_returnflag"),
         col("exact_parts"),
         col("n_rows"),
         (abs(col("approx_parts") - col("exact_parts")).cast("double")
           / col("exact_parts") <= lit(HllRelBound)).as("parts_ok"),
-        (abs(col("n_le_p50").cast("double") / col("n_rows") - lit(0.5))
-          <= lit(QuantileRankBound)).as("p50_ok"),
-        (abs(col("n_le_p99").cast("double") / col("n_rows") - lit(0.99))
-          <= lit(QuantileRankBound)).as("p99_ok"))
+        quantileOk(0.5, "n_lt_p50", "n_le_p50").as("p50_ok"),
+        quantileOk(0.99, "n_lt_p99", "n_le_p99").as("p99_ok"))
       .orderBy("l_returnflag")
   }
 

@@ -159,9 +159,19 @@ object Corpus {
       if (parts.isEmpty) counts.withColumn("part", lit(1L))
       else counts.join(broadcast(parts.toSeq.toDF("source", "part")), "source")
     val urel = weighted.agg(min(expr("n div part")).as("u"))
+    // fail LOUDLY on an infeasible recipe: a source with fewer rows than
+    // its weight parts makes u = 0, which would zero every threshold and
+    // silently emit an empty corpus — raise at execution instead, naming
+    // the undersized source
     val thresholds = weighted.crossJoin(broadcast(urel))
       .select(col("source"),
-        expr("u * part * CAST(1000000 AS BIGINT) div n").as("thresh"))
+        expr("""CASE WHEN n div part > 0
+               |     THEN u * part * CAST(1000000 AS BIGINT) div n
+               |     ELSE CAST(raise_error(concat('mixCorpus: source ', source,
+               |            ' has fewer rows (', n, ') than its weight parts (',
+               |            part, ') — no achievable whole unit, the mix would',
+               |            ' be empty')) AS BIGINT)
+               |END""".stripMargin).as("thresh"))
     docs.join(broadcast(thresholds), "source")
       .filter(pmod(graft.functions.TextFns.hash60(col("doc_id").cast("string")),
         lit(1000000L)) < col("thresh"))

@@ -186,4 +186,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     val expectedWeb = (1L to 8L).filter(i => h60(i.toString) % 1000000L < 750000L).toSet
     assert(kept.filter(_ < 100L) == expectedWeb, s"kept=$kept")
   }
+
+  test("infeasible mixing recipe fails loudly instead of returning an empty mix") {
+    // books has 3 rows but owes 4 parts -> 3 div 4 = 0 achievable units;
+    // the old behavior zeroed every threshold and silently emitted an
+    // empty corpus
+    val d = ((1L to 8L).map(i => (i, "web")) ++
+      (101L to 103L).map(i => (i, "books"))).toDF("doc_id", "source")
+    val e = intercept[Exception] {
+      graft.operators.Corpus
+        .mixCorpus(d, parts = Map("web" -> 1L, "books" -> 4L)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("mixCorpus") && m.contains("books")),
+      s"expected the undersized source named in: ${messages(e)}")
+  }
 }
