@@ -202,41 +202,27 @@ object PricingQueries {
     * bound" is, and a Spark-side sketch drifting out of bound
     * hash-mismatches.
     *
-    * One scan computes the exact cardinality AND the sketches together —
-    * the comparison needs both, and a separate exact pass (the previous
-    * shape: countDistinct inside the joined second pass) roughly doubled
-    * the query's cpu. The quantile booleans are verified by RANK, not
-    * value, which inherently needs a second pass — rows can only be
-    * counted against the percentile values once those are known — but
-    * that pass is a narrow scan + plain hash-agg (no distinct expand).
+    * The quantile booleans are verified by RANK, not value: join the
+    * 3-row approx results back (broadcast) and count each percentile's
+    * strict-below / at-or-below rank fractions — O(1) state per group.
     * The value-comparison alternative (exact `percentile`) buffers every
     * distinct value per group in the aggregation state: measured 10×
     * q32's cost at sf0.1 and corpus-sized state at 100 TB, for a check
-    * the rank bound makes for free. Both scans are scale-safe shapes
-    * (hash-agg; broadcast-join + hash-agg); the final join is 3×3 rows. */
+    * the rank bound makes for free. Two scans, both scale-safe shapes
+    * (hash-agg + broadcast-join + hash-agg). The exact cardinality
+    * rides the SECOND pass: hoisting countDistinct into the sketch
+    * aggregate instead plans an Expand that doubles the rows flowing
+    * through the (expensive) percentile sketch evaluators — measured
+    * +55% cpu at sf0.1 — while here the distinct expand doubles only
+    * the cheap conditional-count pass. */
   def approxAggregates(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select("l_returnflag", "l_partkey",
       "l_extendedprice")
-    val firstPass = li.groupBy("l_returnflag")
+    val approx = li.groupBy("l_returnflag")
       .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
-        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap99"),
-        count(lit(1)).as("n_rows"))
-    val ranks = li
-      .join(broadcast(firstPass.select("l_returnflag", "ap50", "ap99")),
-        Seq("l_returnflag"))
-      .groupBy("l_returnflag")
-      .agg(
-        sum(when(col("l_extendedprice") < col("ap50"), 1L).otherwise(0L))
-          .as("n_lt_p50"),
-        sum(when(col("l_extendedprice") <= col("ap50"), 1L).otherwise(0L))
-          .as("n_le_p50"),
-        sum(when(col("l_extendedprice") < col("ap99"), 1L).otherwise(0L))
-          .as("n_lt_p99"),
-        sum(when(col("l_extendedprice") <= col("ap99"), 1L).otherwise(0L))
-          .as("n_le_p99"))
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap99"))
     val bound = greatest(lit(QuantileRankBound), lit(2.0) / col("n_rows"))
     // the approx value's occupied rank range [n_lt, n_le], widened by the
     // bound, must cover the target rank — ties sit inside the range, so
@@ -244,7 +230,20 @@ object PricingQueries {
     def quantileOk(q: Double, lt: String, le: String) =
       (col(lt).cast("double") / col("n_rows") <= lit(q) + bound) &&
         (col(le).cast("double") / col("n_rows") >= lit(q) - bound)
-    firstPass.join(ranks, "l_returnflag")
+    li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        first(col("approx_parts")).as("approx_parts"),
+        sum(when(col("l_extendedprice") < col("ap50"), 1L).otherwise(0L))
+          .as("n_lt_p50"),
+        sum(when(col("l_extendedprice") <= col("ap50"), 1L).otherwise(0L))
+          .as("n_le_p50"),
+        sum(when(col("l_extendedprice") < col("ap99"), 1L).otherwise(0L))
+          .as("n_lt_p99"),
+        sum(when(col("l_extendedprice") <= col("ap99"), 1L).otherwise(0L))
+          .as("n_le_p99"),
+        count(lit(1)).as("n_rows"))
       .select(
         col("l_returnflag"),
         col("exact_parts"),
