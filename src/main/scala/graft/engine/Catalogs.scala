@@ -111,12 +111,19 @@ object Catalogs {
     * community-area-name lookup (the star schema's analog of the
     * reference's neighborhood data under `supporting/`). DROP+CREATE so a
     * re-register against a different scale dir can't serve a stale
-    * location. */
+    * location. The location is absolutized first: a relative `LOCATION`
+    * resolves against the warehouse dir, not the process CWD, so a
+    * caller passing `target/scale/sf0.5` would register an empty path. */
   def registerNeighborhoodDb(spark: SparkSession, sfDir: String): Unit = {
+    val loc = s"$sfDir/nation.parquet"
+    // only local scheme-less paths need absolutizing; URIs (s3://, hdfs://,
+    // file://) already resolve unambiguously
+    val abs = if (java.net.URI.create(loc).getScheme == null)
+      new java.io.File(loc).getAbsolutePath else loc
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $NeighborhoodDb")
     spark.sql(s"DROP TABLE IF EXISTS $NeighborhoodDb.community_lookup")
     spark.sql(s"CREATE TABLE $NeighborhoodDb.community_lookup USING parquet " +
-      s"LOCATION '$sfDir/nation.parquet'")
+      s"LOCATION '$abs'")
   }
 
   /** q34 — the broadcast-lookup join the reference wires but never runs:
