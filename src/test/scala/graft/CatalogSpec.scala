@@ -111,4 +111,21 @@ class CatalogSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("lookup registration survives a RELATIVE sf dir") {
+    // regression: CREATE TABLE ... LOCATION resolves a relative path
+    // against the warehouse dir, not the CWD — registering from e.g.
+    // target/scale/sf0.5 used to point at an empty path and fail with
+    // UNABLE_TO_INFER_SCHEMA at first read
+    val rel = "target/catalogspec-rel"
+    val abs = new java.io.File(rel)
+    org.apache.commons.io.FileUtils.deleteQuietly(abs)
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.parquet(s"$rel/nation.parquet")
+    try {
+      Catalogs.registerNeighborhoodDb(spark, rel)
+      assert(spark.table(s"${Catalogs.NeighborhoodDb}.community_lookup")
+        .count() == 25)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(abs)
+  }
 }
