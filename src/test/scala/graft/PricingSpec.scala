@@ -41,6 +41,31 @@ class PricingSpec extends AnyFunSuite {
     }
   }
 
+  test("q32 booleans survive tie mass at the percentile and tiny n") {
+    // 96% of rows share ONE price, so both p50 and p99 land on the tied
+    // value and its at-or-below rank fraction is ~1.0 — the old check
+    // (|n_le/n - q| <= 0.005) read that as sketch error and flipped the
+    // boolean; the rank-RANGE check (strict-below vs at-or-below
+    // bracketing the target, bound widened to 2/n) certifies only sketch
+    // error regardless of tie mass or rank granularity.
+    import spark.implicits._
+    val dir = "target/pricingspec-ties"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (1 to 200).map { i =>
+      val price = if (i <= 192) 100.0 else 100.0 + i // 96% tied at 100.0
+      ("T", i.toLong, price)
+    }.toDF("l_returnflag", "l_partkey", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    try {
+      val rows = PricingQueries.approxAggregates(spark, dir).collect()
+      assert(rows.length == 1)
+      Seq("parts_ok", "p50_ok", "p99_ok").foreach { c =>
+        assert(rows(0).getBoolean(rows(0).fieldIndex(c)), s"$c is false on ties")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("bucketed range join equals the direct range predicate") {
     val events = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
     val got = Events.rangeJoinPriorCount(events).collect()
