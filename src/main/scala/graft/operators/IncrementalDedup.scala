@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
@@ -11,10 +11,19 @@ import graft.engine.Tables
   *
   *  - `labels`   (doc_id, cluster_id)        — current component labeling
   *  - `sizes`    (cluster_id, cluster_size)  — maintained incrementally
-  *  - `bands`    (doc_id, band, band_hash)   — the LSH index (bucketed on
-  *                                             (band, band_hash) at scale)
+  *  - `bands`    (doc_id, band, band_hash)   — the LSH index, persisted
+  *                                             bucketed on (band, band_hash)
   *  - `shingles` (doc_id, sh)                — shingle sets for the exact
-  *                                             Jaccard verify stage
+  *                                             Jaccard verify stage,
+  *                                             persisted bucketed on doc_id
+  *
+  * When the state comes from a bucketed store ([[graft.streaming.DedupStream
+  * .loadState]]), `buckets` carries the layout's bucket count and the
+  * `bands`/`shingles` relations carry a `bucket` partition column;
+  * [[admitBatch]] then prunes both probes to the buckets the batch can
+  * touch ([[prunedBands]]/[[prunedShingles]]) instead of scanning all
+  * accumulated state. An in-memory state (e.g. [[initialState]]) has
+  * `buckets = None` and is probed unpruned.
   *
   * The reference's defining semantic is incremental processing — Glue job
   * bookmarks (`CDK/cdk/cdk_stack.py:165`) and the daily delta fetch
@@ -23,7 +32,8 @@ import graft.engine.Tables
   * this operator is its daily-delta twin.
   */
 final case class DedupState(labels: DataFrame, sizes: DataFrame,
-                            bands: DataFrame, shingles: DataFrame)
+                            bands: DataFrame, shingles: DataFrame,
+                            buckets: Option[Int] = None)
 
 /** Incremental duplicate clustering: admit a new day's batch against
   * persisted cluster labels without re-running the fixpoint over the whole
@@ -58,6 +68,56 @@ final case class DedupState(labels: DataFrame, sizes: DataFrame,
   */
 object IncrementalDedup {
 
+  /** Bucket of a band-index row — the persisted layout key for `bands`.
+    * Any state row joinable with a batch row shares (band, band_hash), so
+    * it shares this bucket: filtering the stored index to the batch's
+    * buckets before the probe join loses no candidate. */
+  def bandBucket(band: Column, bandHash: Column, n: Int): Column =
+    pmod(xxhash64(band, bandHash), lit(n.toLong)).cast("int")
+
+  /** Bucket of a shingle-set row — the persisted layout key for
+    * `shingles` (verify-stage lookups are by doc_id). */
+  def docBucket(docId: Column, n: Int): Column =
+    pmod(xxhash64(docId), lit(n.toLong)).cast("int")
+
+  private def dropBucket(df: DataFrame): DataFrame =
+    if (df.columns.contains("bucket")) df.drop("bucket") else df
+
+  /** The band-index probe side: when the state is bucketed, restrict the
+    * stored index to the buckets the batch's own (band, band_hash) keys
+    * hash into — a partition-pruned scan of the touched buckets, not the
+    * whole accumulated index. The touched-bucket set is collected on the
+    * driver: it is at most `buckets` ints (a layout constant, ≤ thousands
+    * at cluster scale), the same K-bounded index material the ANN
+    * operators collect. */
+  private[graft] def prunedBands(state: DedupState,
+      newBands: DataFrame): DataFrame = state.buckets match {
+    case Some(n) if state.bands.columns.contains("bucket") =>
+      val touched = newBands
+        .select(bandBucket(col("band"), col("band_hash"), n).as("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) state.bands.filter(lit(false)).drop("bucket")
+      else state.bands.filter(col("bucket").isin(touched: _*)).drop("bucket")
+    case _ => dropBucket(state.bands)
+  }
+
+  /** The verify-stage shingle side: when the state is bucketed, restrict
+    * the stored shingle sets (the LARGEST state relation — text-sized
+    * arrays) to the buckets holding a candidate endpoint. `cand` must be
+    * materialized (the caller localCheckpoints it) so collecting its
+    * endpoint buckets doesn't re-run the band probe. */
+  private[graft] def prunedShingles(state: DedupState,
+      cand: DataFrame): DataFrame = state.buckets match {
+    case Some(n) if state.shingles.columns.contains("bucket") =>
+      val touched = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .select(docBucket(col("d"), n).as("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) state.shingles.filter(lit(false)).drop("bucket")
+      else state.shingles.filter(col("bucket").isin(touched: _*)).drop("bucket")
+    case _ => dropBucket(state.shingles)
+  }
+
   /** Bootstrap: full batch clustering + the persisted index relations.
     * This is the day-0 cost a deployment pays once; every later day pays
     * [[admitBatch]] instead. */
@@ -86,13 +146,13 @@ object IncrementalDedup {
                  threshold: Double = 0.5): DedupState = {
     val newBands = Dedup.lshBands(newDocs)
     val newShingles = Dedup.shingleSets(newDocs)
-    val allBands = state.bands.union(newBands)
-    val allShingles = state.shingles.union(newShingles)
+    val bucketed = state.buckets.isDefined
+    val allBands = prunedBands(state, newBands).union(newBands)
 
     // candidate pairs touching the new batch: probe the band index with
     // the batch's bands. least/greatest canonicalizes the new-new pairs
     // that appear from both sides of the self-overlapping probe.
-    val cand = newBands
+    val candLazy = newBands
       .select(col("band"), col("band_hash"), col("doc_id").as("qid"))
       .join(allBands.select(col("band"), col("band_hash"), col("doc_id").as("cid")),
         Seq("band", "band_hash"))
@@ -100,8 +160,13 @@ object IncrementalDedup {
       .select(least(col("qid"), col("cid")).as("doc_a"),
         greatest(col("qid"), col("cid")).as("doc_b"))
       .distinct()
+    // bucketed path: pin the frontier-sized candidate set before
+    // prunedShingles collects its endpoint buckets, so the band probe
+    // runs once, not once per downstream consumer
+    val cand = if (bucketed) candLazy.localCheckpoint() else candLazy
 
-    val newEdges = Dedup.verifyJaccard(cand, allShingles)
+    val newEdges = Dedup.verifyJaccard(cand,
+        prunedShingles(state, cand).union(newShingles))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
 
@@ -154,11 +219,16 @@ object IncrementalDedup {
       .groupBy(col("cluster_id"))
       .agg(sum(col("delta")).as("cluster_size"))
 
+    // the returned relations are the FULL grown state (the pruned probe
+    // views above are admission-internal). Callers on the persisted path
+    // never execute these — they commit the batch deltas instead
+    // ([[graft.streaming.DedupStream.commitState]]); the in-memory
+    // chaining path (buckets = None) unions at zero extra cost.
     DedupState(
       labels = oldRelabeled.union(newAssign),
       sizes = untouched.union(touched),
-      bands = allBands,
-      shingles = allShingles)
+      bands = dropBucket(state.bands).union(newBands),
+      shingles = dropBucket(state.shingles).union(newShingles))
   }
 
   /** (doc_id, cluster_id, cluster_size) — the [[Dedup.duplicateClusters]]

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.operators.{DedupState, IncrementalDedup}
 
@@ -19,13 +20,31 @@ import graft.operators.{DedupState, IncrementalDedup}
   *
   * Layout exploits that `bands` and `shingles` are APPEND-ONLY by
   * construction ([[IncrementalDedup.admitBatch]] only ever unions the
-  * new batch's rows in): they live as day-partitioned log segments
-  * (`bands/seg0 … segN`) and each commit writes ONLY the new batch's
-  * segment — per-day state-write bytes are batch-sized, not
-  * corpus-sized (asserted in DedupStreamSpec). Readers list segments
-  * `0..CURRENT` as multiple root paths of one scan, so a crashed
-  * segment write (pointer never moved) is invisible and plan size stays
-  * constant in the day index. Only `labels`/`sizes` — the two relations
+  * new batch's rows in). It is a two-tier log — an LSM in miniature:
+  *
+  *  - RECENT day segments (`bands/seg$i`): each commit writes ONLY the
+  *    new batch's rows, so per-day state-write bytes are batch-sized.
+  *  - a BUCKETED BASE (`bands/base/cpart=$j/bucket=$k/`): every
+  *    [[MaxLiveSegments]]-th commit folds the live segments into one
+  *    compaction partitioned by the probe key's bucket
+  *    ([[IncrementalDedup.bandBucket]] / [[IncrementalDedup.docBucket]]),
+  *    sorted by key within each bucket. The fold rewrites only those
+  *    few batch-sized segments — amortized write stays O(batch)/day
+  *    (every row is written exactly twice: once as a segment, once into
+  *    its compaction) — and it is what makes the daily READ prunable:
+  *    [[IncrementalDedup.admitBatch]] probes only the buckets the batch
+  *    touches, a partition-pruned scan instead of an O(accumulated
+  *    corpus) pass (asserted on the physical plan in DedupStreamSpec).
+  *
+  * Each version's `MANIFEST` (written before the pointer moves) records
+  * which compactions and which segment range constitute the committed
+  * state, plus the layout's bucket count. Crash-safety is unchanged: a
+  * half-written segment sits above CURRENT and is never listed; a
+  * half-written compaction is above the committed compaction count and
+  * is never listed (and the retried fold overwrites it). Folded
+  * segments are deleted only once neither the current nor the previous
+  * committed manifest references them, so in-flight readers of the
+  * prior version stay valid. Only `labels`/`sizes` — the two relations
   * incremental admission actually mutates, two longs per doc / per
   * cluster — are rewritten per version (`v$N/`), which is the residual
   * cost a merge-on-write table format (Delta/Iceberg/Hudi) would remove.
@@ -33,9 +52,22 @@ import graft.operators.{DedupState, IncrementalDedup}
   * Scale notes: the per-batch compute is [[IncrementalDedup.admitBatch]]'s
   * frontier-sized plan (labels never shuffle — plan-pinned in
   * IncrementalDedupSpec); the per-batch WRITE is the new segment plus
-  * the labels/sizes rewrite.
+  * the labels/sizes rewrite plus the amortized fold; the per-batch READ
+  * is the touched buckets of the base plus at most [[MaxLiveSegments]]
+  * batch-sized segments — file listing and plan size stay bounded in
+  * the day index (one multi-root scan per tier).
   */
 object DedupStream {
+
+  /** Bucket count of the persisted bands/shingles layout, fixed at the
+    * state's first commit. 32 keeps test states from exploding into
+    * thousands of files; a 100 TB deployment sizes this so one bucket ≈
+    * a few HDFS-block-sized files (e.g. 4096). */
+  val StateBuckets = 32
+
+  /** Fold the live segments into the bucketed base once this many have
+    * accumulated; also the bound on segments a daily probe reads. */
+  val MaxLiveSegments = 4
 
   private def versionOf(stateDir: String): Option[Long] = {
     val f = new java.io.File(stateDir, "CURRENT")
@@ -43,19 +75,91 @@ object DedupStream {
     else None
   }
 
+  /** (compactions, segFrom, buckets) of a committed version. Versions
+    * committed before the bucketed layout have no MANIFEST — they read
+    * as (0, 0, 0): all segments live, no base, unbucketed. */
+  private def manifestOf(stateDir: String, v: Long): Option[(Int, Long, Int)] = {
+    val f = new java.io.File(stateDir, s"v$v/MANIFEST")
+    if (!f.isFile) None
+    else {
+      val pat = """\{"compactions":(\d+),"segFrom":(\d+),"buckets":(\d+)\}""".r
+      java.nio.file.Files.readString(f.toPath).trim match {
+        case pat(c, fr, b) => Some((c.toInt, fr.toLong, b.toInt))
+        case other => throw new IllegalStateException(
+          s"unreadable state manifest v$v: $other")
+      }
+    }
+  }
+
+  private def isDir(p: String): Boolean = new java.io.File(p).isDirectory
+
+  /** A compaction dir that actually holds bucket partitions (an empty
+    * fold writes only _SUCCESS; listing it would fail schema inference). */
+  private def hasBucketDirs(p: String): Boolean = {
+    val d = new java.io.File(p)
+    d.isDirectory && d.listFiles.exists(f =>
+      f.isDirectory && f.getName.startsWith("bucket="))
+  }
+
   /** Load the last committed state, or None before the first commit.
-    * `bands`/`shingles` come from the append log: every segment up to
-    * the committed version, read as multiple root paths of ONE scan
-    * (constant plan size; uncommitted/garbage segments above CURRENT
-    * are never listed). */
+    * `bands`/`shingles` each come from two multi-root scans — the
+    * committed compactions of the bucketed base (carrying the `bucket`
+    * partition column for pruning) and the live segments (bucket
+    * recomputed as a column so the union is uniform); uncommitted
+    * garbage above CURRENT / above the committed compaction count is
+    * never listed. */
   def loadState(spark: SparkSession, stateDir: String): Option[DedupState] =
     versionOf(stateDir).map { v =>
       def rd(t: String) = spark.read.parquet(s"$stateDir/v$v/$t")
-      def log(t: String) = spark.read.parquet(
-        (0L to v).map(i => s"$stateDir/$t/seg$i")
-          .filter(p => new java.io.File(p).isDirectory): _*)
-      DedupState(rd("labels"), rd("sizes"), log("bands"), log("shingles"))
+      val (c, segFrom, b) = manifestOf(stateDir, v).getOrElse((0, 0L, 0))
+      def log(t: String, bucketCol: Int => Column) = {
+        val segPaths = (segFrom to v).map(i => s"$stateDir/$t/seg$i")
+          .filter(isDir)
+        val basePaths = (0 until c).map(j => s"$stateDir/$t/base/cpart=$j")
+          .filter(hasBucketDirs)
+        val segDf =
+          if (segPaths.isEmpty) None
+          else {
+            val raw = spark.read.parquet(segPaths: _*)
+            Some(if (b > 0) raw.withColumn("bucket", bucketCol(b)) else raw)
+          }
+        // basePath so the committed cpart roots read as one partitioned
+        // tree (partition columns cpart, bucket); cpart is only commit
+        // bookkeeping — drop it, keep bucket for probe-time pruning
+        val baseDf =
+          if (basePaths.isEmpty) None
+          else Some(spark.read.option("basePath", s"$stateDir/$t/base")
+            .parquet(basePaths: _*).drop("cpart"))
+        (baseDf.toSeq ++ segDf.toSeq).reduceOption(_ unionByName _)
+          .getOrElse(throw new IllegalStateException(
+            s"committed state v$v has no $t data under $stateDir"))
+      }
+      DedupState(rd("labels"), rd("sizes"),
+        log("bands",
+          n => IncrementalDedup.bandBucket(col("band"), col("band_hash"), n)),
+        log("shingles", n => IncrementalDedup.docBucket(col("doc_id"), n)),
+        buckets = if (b > 0) Some(b) else None)
     }
+
+  /** Fold segments [from, to] of one log into compaction `cpart`,
+    * partitioned by the probe key's bucket and sorted by the key within
+    * each bucket (row groups arrive key-clustered for future min/max
+    * pruning). `repartition(bucket)` first so each bucket directory is
+    * written by exactly one task — one file per bucket per fold. Write
+    * mode is overwrite: a crashed fold's leftovers (never referenced by
+    * a manifest) are wiped by the retry. */
+  private def compactSegments(spark: SparkSession, stateDir: String, t: String,
+      from: Long, to: Long, cpart: Int, bucketCol: Column,
+      sortKey: Column): Unit = {
+    val segs = (from to to).map(i => s"$stateDir/$t/seg$i").filter(isDir)
+    if (segs.nonEmpty)
+      spark.read.parquet(segs: _*)
+        .withColumn("bucket", bucketCol)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), sortKey)
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$stateDir/$t/base/cpart=$cpart")
+  }
 
   /** Write the next state version and promote it. Materializes every
     * relation BEFORE the pointer moves, so a failed write never
@@ -63,18 +167,26 @@ object DedupStream {
     *
     * `newBands`/`newShingles` are the CURRENT BATCH's rows only — the
     * append-log delta. Because both relations are append-only by
-    * construction, the previous segments already hold everything else
-    * and the commit writes O(batch) bytes for them, not O(corpus).
-    * Omitting the deltas is only legal on the very first commit (the
-    * full snapshot IS the delta there); passing a later full state
-    * without deltas would double-count rows against the existing log,
-    * so it fails loudly instead. After the pointer moves, version
-    * directories older than the previous one are pruned — `labels`/
-    * `sizes` history would otherwise grow O(days · corpus). */
+    * construction, the previous segments/compactions already hold
+    * everything else and the commit writes O(batch) bytes for them, not
+    * O(corpus). Omitting the deltas is only legal on the very first
+    * commit (the full snapshot IS the delta there); passing a later
+    * full state without deltas would double-count rows against the
+    * existing log, so it fails loudly instead. Every
+    * [[MaxLiveSegments]]-th commit additionally folds the live segments
+    * into the bucketed base (amortized O(batch)/day — see the object
+    * doc). After the pointer moves, version directories older than the
+    * previous one are pruned — `labels`/`sizes` history would otherwise
+    * grow O(days · corpus) — and segments referenced by neither the
+    * current nor the previous manifest are deleted, bounding the live
+    * segment count. */
   def commitState(st: DedupState, stateDir: String,
       newBands: Option[DataFrame] = None,
-      newShingles: Option[DataFrame] = None): Long = {
-    val next = versionOf(stateDir).getOrElse(-1L) + 1
+      newShingles: Option[DataFrame] = None,
+      buckets: Int = StateBuckets,
+      maxLiveSegments: Int = MaxLiveSegments): Long = {
+    val prevVersion = versionOf(stateDir)
+    val next = prevVersion.getOrElse(-1L) + 1
     require(next == 0 || (newBands.isDefined && newShingles.isDefined),
       "commitState on an existing state requires the batch deltas for the " +
         "bands/shingles append log (a full rewrite would double-count)")
@@ -83,19 +195,43 @@ object DedupStream {
     wr(st.labels, s"v$next/labels"); wr(st.sizes, s"v$next/sizes")
     wr(newBands.getOrElse(st.bands), s"bands/seg$next")
     wr(newShingles.getOrElse(st.shingles), s"shingles/seg$next")
+    // layout constants are fixed by the FIRST commit's manifest; later
+    // commits inherit them (a pre-manifest legacy state inherits the
+    // defaults — its old segments simply all read as live until folded)
+    val (prevC, prevF, b) = prevVersion.flatMap(v => manifestOf(stateDir, v))
+      .getOrElse((0, 0L, buckets))
+    val spark = st.labels.sparkSession
+    val (newC, newF) =
+      if (next - prevF + 1 >= maxLiveSegments) {
+        compactSegments(spark, stateDir, "bands", prevF, next, prevC,
+          IncrementalDedup.bandBucket(col("band"), col("band_hash"), b),
+          col("band_hash"))
+        compactSegments(spark, stateDir, "shingles", prevF, next, prevC,
+          IncrementalDedup.docBucket(col("doc_id"), b), col("doc_id"))
+        (prevC + 1, next + 1)
+      } else (prevC, prevF)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stateDir, s"v$next", "MANIFEST"),
+      s"""{"compactions":$newC,"segFrom":$newF,"buckets":$b}""")
     val tmp = java.nio.file.Paths.get(stateDir, s".CURRENT.$next.tmp")
     java.nio.file.Files.writeString(tmp, next.toString)
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(stateDir, "CURRENT"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def rmQuiet(d: java.io.File): Unit =
+      try org.apache.commons.io.FileUtils.deleteDirectory(d)
+      catch { case _: Exception => } // stale history is harmless
     // retention: keep current + previous version (in-flight readers of
-    // the prior commit stay valid); the append log is never touched
+    // the prior commit stay valid)
     (0L until next - 1).map(i => new java.io.File(stateDir, s"v$i"))
-      .filter(_.isDirectory)
-      .foreach { d =>
-        try org.apache.commons.io.FileUtils.deleteDirectory(d)
-        catch { case _: Exception => } // stale history is harmless
-      }
+      .filter(_.isDirectory).foreach(rmQuiet)
+    // segments below BOTH manifests' ranges are folded into the base and
+    // unreferenced — delete them (current needs newF.., previous prevF..)
+    Seq("bands", "shingles").foreach { t =>
+      (0L until math.min(newF, prevF))
+        .map(i => new java.io.File(stateDir, s"$t/seg$i"))
+        .filter(_.isDirectory).foreach(rmQuiet)
+    }
     next
   }
 

@@ -77,28 +77,72 @@ class DedupStreamSpec extends AnyFunSuite {
       (d * 10L, w(0 until 8)),
       (d * 10L + 1, s"standalone document for day $d with unshared words")
     ).toDF("doc_id", "text")
-    val planSizes = (0 until 10).map { d =>
-      dayDocs(d).write.parquet(s"$docs/day$d")
-      DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
-      val st = DedupStream.loadState(spark, state).get
-      st.labels.queryExecution.optimizedPlan.collect { case p => p }.size
+    // per-day WRITE deltas: sizes of files that did not exist before the
+    // day's admit (retention deletes old files, so a plain directory-size
+    // delta would understate)
+    def fileSizes(p: String): Map[String, Long] = {
+      val d = new java.io.File(p)
+      if (!d.isDirectory) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        org.apache.commons.io.FileUtils.listFiles(d, null, true)
+          .asScala.map(f => f.getPath -> f.length).toMap
+      }
     }
+    val (planSizes, dayWrites) = (0 until 10).map { d =>
+      dayDocs(d).write.parquet(s"$docs/day$d")
+      val before = fileSizes(state)
+      DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+      val written = fileSizes(state)
+        .collect { case (p, n) if !before.contains(p) => n }.sum
+      val st = DedupStream.loadState(spark, state).get
+      (st.labels.queryExecution.optimizedPlan.collect { case p => p }.size,
+        written)
+    }.unzip
     assert(planSizes.distinct.size == 1,
       s"labels plan size grew across chained days: $planSizes")
     // the write-amplification hazard: bands/shingles are append-only, so
-    // each day must commit ONE batch-sized log segment — flat in the day
-    // index — rather than rewriting the O(corpus) relation (the old
-    // scheme's day-9 write would be ~10x day-1's)
-    def dirBytes(p: String): Long = {
-      val d = new java.io.File(p)
-      if (!d.isDirectory) 0L
-      else org.apache.commons.io.FileUtils.sizeOfDirectory(d)
+    // a NON-FOLD day must commit ONE batch-sized log segment — flat in
+    // the day index — rather than rewriting the O(corpus) relation (the
+    // old scheme's day-9 write would be ~10x day-1's). Every K-th commit
+    // (K = MaxLiveSegments = 4 → days 3 and 7 here) additionally folds
+    // the K live segments into the bucketed base: that day's write is
+    // O(K·batch) rows — amortized the log writes every row exactly
+    // twice. At toy scale the fold's bytes are dominated by per-file
+    // parquet overhead (one file per touched bucket), so the fold days
+    // are asserted structurally below, not byte-compared.
+    val foldDays = Set(3, 7)
+    val flatDays = dayWrites.indices.filterNot(foldDays).map(dayWrites)
+    assert(flatDays.forall(_ > 0), s"a day committed nothing: $dayWrites")
+    assert(flatDays.max <= 3 * flatDays.min,
+      s"non-fold per-day state write is not batch-sized: $dayWrites")
+    // two-tier layout after day 9: base holds compactions cpart=0
+    // (days 0-3) and cpart=1 (days 4-7), bucket-partitioned; only the
+    // unfolded segments 8 and 9 stay live — folded segments are deleted
+    // once no committed manifest references them, so the daily probe
+    // reads at most MaxLiveSegments segments plus touched base buckets.
+    Seq("bands", "shingles").foreach { t =>
+      val segs = new java.io.File(s"$state/$t").listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("seg"))
+        .map(_.getName).toSet
+      assert(segs == Set("seg8", "seg9"), s"$t live segments: $segs")
+      (0 to 1).foreach { c =>
+        val buckets = new java.io.File(s"$state/$t/base/cpart=$c").listFiles
+        assert(buckets != null && buckets.exists(_.getName.startsWith("bucket=")),
+          s"$t base compaction cpart=$c missing bucket partitions")
+      }
     }
-    val segBytes = (0 until 10).map { d =>
-      dirBytes(s"$state/bands/seg$d") + dirBytes(s"$state/shingles/seg$d") }
-    assert(segBytes.forall(_ > 0), s"missing per-day log segment: $segBytes")
-    assert(segBytes.max <= 3 * segBytes.min,
-      s"per-day state write is not batch-sized: $segBytes")
+    // the stored bucket partition value must agree with the probe-side
+    // bucket expression — the layout contract pruning relies on
+    import graft.operators.IncrementalDedup.{bandBucket, docBucket}
+    import org.apache.spark.sql.functions.col
+    val n = DedupStream.StateBuckets
+    assert(spark.read.parquet(s"$state/bands/base/cpart=0")
+      .filter(bandBucket(col("band"), col("band_hash"), n) =!= col("bucket"))
+      .isEmpty, "stored bands bucket disagrees with bandBucket()")
+    assert(spark.read.parquet(s"$state/shingles/base/cpart=1")
+      .filter(docBucket(col("doc_id"), n) =!= col("bucket"))
+      .isEmpty, "stored shingles bucket disagrees with docBucket()")
     // labels/sizes version retention: only current + previous survive
     val vdirs = new java.io.File(state).listFiles
       .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).toSet
@@ -113,6 +157,72 @@ class DedupStreamSpec extends AnyFunSuite {
     // the rolling w-window chains day d to day d-1: all chained docs in
     // ONE cluster labeled by day 0's doc, built up over 10 separate admits
     assert(streamed(90L)._1 == 0L, s"chained merge broke: ${streamed(90L)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("compacted state: the daily admit probe prunes to touched buckets") {
+    // The 100 TB contract of the bucketed layout: a batch's band probe
+    // and candidate verify must READ only the base buckets their keys
+    // hash into — partition-pruned scans — not the whole accumulated
+    // index/shingle store. Build a state that lives entirely in the
+    // bucketed base (4 commits → fold at commit 3 → zero live segments),
+    // then pin the pruning on the physical plan: the base scan carries a
+    // partition filter on `bucket` and selects strictly fewer partition
+    // directories than exist.
+    import graft.operators.{Dedup, IncrementalDedup}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("dedup_prune").toString
+    val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
+    (0 until 4).foreach { d =>
+      Seq((d * 10L, w(d until d + 8)),
+        (d * 10L + 1, s"filler text for day $d nothing shared here"))
+        .toDF("doc_id", "text").write.parquet(s"$docs/day$d")
+      DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+    }
+    val st = DedupStream.loadState(spark, state).get
+    assert(st.buckets.contains(DedupStream.StateBuckets))
+    assert(st.bands.columns.contains("bucket"))
+    def bucketDirs(t: String): Int =
+      new java.io.File(s"$state/$t/base/cpart=0").listFiles
+        .count(_.getName.startsWith("bucket="))
+    def baseScan(df: org.apache.spark.sql.DataFrame, t: String) = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains(s"$t/base")) => f
+      }
+      assert(scans.nonEmpty, s"no $t base scan in:\n${df.queryExecution}")
+      scans.head
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // one-doc batch: 4 band keys → at most 4 of the 32 buckets
+      val batch = Seq((100L, w(0 until 8))).toDF("doc_id", "text")
+      val probe = IncrementalDedup.prunedBands(st, Dedup.lshBands(batch))
+      val bs = baseScan(probe, "bands")
+      assert(bs.partitionFilters.exists(_.toString.contains("bucket")),
+        s"bands base scan has no bucket partition filter: $bs")
+      val bandParts = bs.selectedPartitions.partitionCount
+      assert(bandParts > 0 && bandParts <= Dedup.NumBands &&
+        bandParts < bucketDirs("bands"),
+        s"bands probe read $bandParts of ${bucketDirs("bands")} buckets")
+      // two-endpoint candidate set → at most 2 shingle buckets
+      val cand = Seq((0L, 100L)).toDF("doc_a", "doc_b")
+      val verify = IncrementalDedup.prunedShingles(st, cand)
+      val ss = baseScan(verify, "shingles")
+      assert(ss.partitionFilters.exists(_.toString.contains("bucket")),
+        s"shingles base scan has no bucket partition filter: $ss")
+      val shParts = ss.selectedPartitions.partitionCount
+      assert(shParts > 0 && shParts <= 2 && shParts < bucketDirs("shingles"),
+        s"shingles probe read $shParts of ${bucketDirs("shingles")} buckets")
+      // pruning loses nothing: the pruned probe holds every state row
+      // joinable with the batch (the day-0 twin's bands land in the
+      // probed buckets by the shared-key argument)
+      assert(probe.filter(col("doc_id") === 0L).count() == Dedup.NumBands)
+      assert(verify.filter(col("doc_id") === 0L).count() == 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    Dedup.clearShingleCaches()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 }
