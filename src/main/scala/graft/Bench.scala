@@ -19,6 +19,16 @@ object Bench {
     if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
   }
 
+  /** 1-minute host load average — stamped into the output so a bench run
+    * captured in a contended window self-identifies (r05/r09 both needed
+    * the wall≫cpu lockstep argument re-derived in prose; a machine-
+    * readable load field replaces it). On a 32-cpu host, load well above
+    * 32 at either end means other processes were competing for the cores
+    * the whole run assumes. -1 when the JVM can't read it. */
+  private def hostLoad: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   /** Accumulates task-level IO/shuffle metrics so each query's row in the
     * JSON carries its actual data movement — the evidence behind the
     * plan-shape claims (a "narrow" query must show ~zero shuffle bytes). */
@@ -84,6 +94,7 @@ object Bench {
     // stalled by something outside this JVM (host contention), not by its
     // plan — bench runs on shared hosts have shown exactly that signature
     // (e.g. a 3-s aggregation reading as 200 s wall with idle CPU).
+    val loadStart = hostLoad
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val c0 = processCpuNanos
@@ -131,7 +142,7 @@ object Bench {
     // compounding cost shows cpu or write bytes growing with the day
     // index. Supplemental: detail JSON only, not the contract line's
     // total.
-    val q51Split: Option[String] = try {
+    val q51Split: Option[(String, Seq[Double])] = try {
       import org.apache.spark.sql.functions.col
       val jobCount = new java.util.concurrent.atomic.AtomicLong
       val jobListener = new org.apache.spark.scheduler.SparkListener {
@@ -174,6 +185,7 @@ object Bench {
         }
       val chainRuns = (0 until 3).map { r =>
         graft.operators.Dedup.clearShingleCaches()
+        val runLoad = hostLoad
         val root = java.nio.file.Files
           .createTempDirectory(s"graft-chain$r").toString
         val stateDir = new java.io.File(s"$root/state")
@@ -197,19 +209,26 @@ object Bench {
         try org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(root))
         catch { case _: Exception => }
-        days
+        (runLoad, days)
       }
       spark.sparkContext.removeSparkListener(jobListener)
       def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
-      val runsJson = chainRuns.map { days =>
-        s"""{"wall_sec":${arr(days.map(_._1))},"cpu_sec":${arr(days.map(_._2))},""" +
+      val runsJson = chainRuns.map { case (runLoad, days) =>
+        s"""{"host_load":${fmt(runLoad)},"wall_sec":${arr(days.map(_._1))},""" +
+          s""""cpu_sec":${arr(days.map(_._2))},""" +
           s""""gc_sec":${arr(days.map(_._3))},"state_write_mb":${arr(days.map(_._4))},""" +
           s""""n_jobs":${days.map(_._5).mkString("[", ",", "]")}}"""
       }.mkString("[", ",", "]")
-      Some(s"""{"bootstrap_sec":${fmt(boot)},"bootstrap_jobs":$bootJobs,""" +
+      // per-day MEDIAN wall across the n=3 runs — the chain is the
+      // production shape, so its round-over-round trend must be diffable
+      // from the contract line alone (the detail file keeps the raw runs)
+      val medians = chainRuns.head._2.indices.map { d =>
+        chainRuns.map(_._2(d)._1).sorted.apply(chainRuns.size / 2)
+      }
+      Some((s"""{"bootstrap_sec":${fmt(boot)},"bootstrap_jobs":$bootJobs,""" +
         s""""admit_sec":${fmt(admit)},"admit_jobs":$admitJobs,""" +
-        s""""chain_admit_sec":${arr(chainRuns.head.map(_._1))},""" +
-        s""""chain_runs":$runsJson}""")
+        s""""chain_admit_sec":${arr(chainRuns.head._2.map(_._1))},""" +
+        s""""chain_runs":$runsJson}""", medians))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] q51 split failed: ${e.getMessage}"); None
     }
@@ -236,10 +255,17 @@ object Bench {
     // capture window and the parse failed (BENCH_r03/r04 "parsed": null).
     // So: diagnostics go to stderr AND a detail file; stdout gets only the
     // compact contract line, printed LAST so it sits at the tail.
+    val loadEnd = hostLoad
+    val loadJson =
+      s""""host_load":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}}"""
+    val chainJson = q51Split
+      .map { case (_, m) =>
+        s""""chain_per_day_sec":${m.map(fmt).mkString("[", ",", "]")},""" }
+      .getOrElse("")
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""cpu_sec":$cpus_,"gc_sec":$gcs,"jit_sec":$jits,"io_mb":$shuffles,""" +
-      q51Split.map(s => s""""q51_split":$s,""").getOrElse("") +
-      s""""errors":$errs,"sf":"$sfDir"}"""
+      q51Split.map { case (s, _) => s""""q51_split":$s,""" }.getOrElse("") +
+      chainJson + loadJson + s""","errors":$errs,"sf":"$sfDir"}"""
     System.err.println(s"[bench-detail] $detail")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
@@ -255,6 +281,6 @@ object Bench {
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s""""queries":$qs,$chainJson$loadJson,"errors":$errs,"sf":"$sfDir"}""")
   }
 }
