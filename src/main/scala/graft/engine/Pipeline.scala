@@ -61,24 +61,33 @@ object Pipeline {
   /** The stored-NamedQuery store: a directory holding the four Athena
     * view DDL texts, the analog of the NamedQuery objects the reference
     * keeps in its Athena workgroup (CDK/cdk/cdk_stack.py:307-326) and
-    * executes per run (:331-339). Resolution order: the
-    * `graft.namedquery.dir` system property / `GRAFT_NAMEDQUERY_DIR`
-    * env var, else the reference tree's query directory when mounted.
-    * Returns the file TEXTS untouched, in dependency order, or None
-    * when no complete store is found (callers fall back to the
-    * paraphrased views). */
-  def storedNamedQueries(): Option[Seq[String]] = {
-    val dir = sys.props.get("graft.namedquery.dir")
+    * executes per run (:331-339). The store location is EXPLICIT
+    * configuration — the `graft.namedquery.dir` system property or the
+    * `GRAFT_NAMEDQUERY_DIR` env var; a deployment that wants verbatim
+    * execution must point one of them at its query store (there is no
+    * baked-in default path). Returns the file TEXTS untouched, in
+    * dependency order; None when unconfigured or when the configured
+    * store is incomplete (logged — callers fall back to the paraphrased
+    * views). */
+  def storedNamedQueries(): Option[Seq[String]] =
+    sys.props.get("graft.namedquery.dir")
       .orElse(sys.env.get("GRAFT_NAMEDQUERY_DIR"))
-      .getOrElse("/root/reference/CDK/cdk/athena_queries")
-    val files = Seq("dependency1_violent_crimes.txt", "count_by_crime_type.txt",
-      "arrest_pct_by_community_VIOLENT.txt", "fixed_dates_violent.txt")
-    val root = java.nio.file.Paths.get(dir)
-    if (files.forall(f => java.nio.file.Files.isRegularFile(root.resolve(f))))
-      Some(files.map(f => new String(
-        java.nio.file.Files.readAllBytes(root.resolve(f)), "UTF-8")))
-    else None
-  }
+      .flatMap { dir =>
+        val files = Seq("dependency1_violent_crimes.txt",
+          "count_by_crime_type.txt", "arrest_pct_by_community_VIOLENT.txt",
+          "fixed_dates_violent.txt")
+        val root = java.nio.file.Paths.get(dir)
+        val missing =
+          files.filterNot(f => java.nio.file.Files.isRegularFile(root.resolve(f)))
+        if (missing.isEmpty)
+          Some(files.map(f => new String(
+            java.nio.file.Files.readAllBytes(root.resolve(f)), "UTF-8")))
+        else {
+          System.err.println(s"[graft] NamedQuery store $dir is missing " +
+            s"${missing.mkString(", ")}; falling back to paraphrased views")
+          None
+        }
+      }
 
   /** The pipeline's default refresh stage — the reference's E3 contract
     * executes the STORED NamedQuery texts, not a paraphrase
@@ -86,9 +95,10 @@ object Pipeline {
     * the texts byte-for-byte via [[Catalogs.refreshViewsVerbatim]]
     * (persistent views over the cataloged processed zone) and point the
     * session-level view names at them, so every downstream read flows
-    * through the verbatim definitions. Without a store (embedded/library
-    * use), fall back to the paraphrased [[refreshViews]] — that remains
-    * the library-facing API and is row-equal by CatalogSpec's assertion. */
+    * through the verbatim definitions. Without a configured store
+    * (embedded/library use), fall back to the paraphrased
+    * [[refreshViews]] with a logged notice — that remains the
+    * library-facing API and is row-equal by CatalogSpec's assertion. */
   def refreshCatalog(spark: SparkSession, processedDir: String): Unit =
     storedNamedQueries() match {
       case Some(ddls) =>
@@ -96,7 +106,11 @@ object Pipeline {
         spark.read.parquet(processedDir).createOrReplaceTempView("processed")
         ViewNames.foreach(v =>
           spark.table(s"glue_crime_db.$v").createOrReplaceTempView(v))
-      case None => refreshViews(spark, processedDir)
+      case None =>
+        System.err.println("[graft] no NamedQuery store configured " +
+          "(graft.namedquery.dir / GRAFT_NAMEDQUERY_DIR); refreshing the " +
+          "paraphrased views")
+        refreshViews(spark, processedDir)
     }
 
   /** Register the four views over the processed zone in dependency order,

@@ -76,20 +76,93 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("pipeline default refresh executes the stored NamedQuery texts (E3 verbatim)") {
-    assume(Pipeline.storedNamedQueries().isDefined, "NamedQuery store not mounted")
+    // Store-PRESENT path, with the store as explicit configuration (no
+    // baked-in path): the spec provisions its own NamedQuery directory —
+    // Athena-dialect texts whose arrest view orders tot_arrests BEFORE
+    // tot_reports, the fingerprint distinguishing the stored text from
+    // the paraphrased refreshViews (which orders tot_reports first) —
+    // and points graft.namedquery.dir at it. (CatalogSpec separately
+    // runs the reference tree's actual texts byte-for-byte when mounted.)
+    val store = java.nio.file.Files.createTempDirectory("nq_store")
+    def put(name: String, ddl: String): Unit =
+      java.nio.file.Files.writeString(store.resolve(name), ddl)
+    put("dependency1_violent_crimes.txt",
+      """CREATE OR REPLACE VIEW dependency1_violent_crimes AS
+        |SELECT * FROM "glue_crime_db"."processed"
+        |WHERE (primary_type = 'ROBBERY' AND description LIKE '%ARMED%')
+        |  OR primary_type = 'ASSAULT' OR primary_type = 'BATTERY'
+        |  OR primary_type = 'HOMICIDE'
+        |  OR primary_type = 'CRIMINAL SEXUAL ASSAULT'""".stripMargin)
+    put("count_by_crime_type.txt",
+      """CREATE OR REPLACE VIEW count_by_crime_type AS
+        |SELECT primary_type || ' - ' || description AS crime_type,
+        |  COUNT(*) AS "count"
+        |FROM "glue_crime_db"."processed"
+        |GROUP BY primary_type || ' - ' || description""".stripMargin)
+    put("arrest_pct_by_community_VIOLENT.txt",
+      """CREATE OR REPLACE VIEW arrest_pct_by_community_VIOLENT AS
+        |SELECT tr.community_area, ta.tot_arrests, tr.tot_reports,
+        |  ROUND(CAST(ta.tot_arrests AS double)
+        |    / CAST(tr.tot_reports AS double) * 100, 2) AS arrest_pct
+        |FROM (SELECT COUNT(*) AS tot_reports, community_area
+        |      FROM "glue_crime_db"."dependency1_violent_crimes"
+        |      GROUP BY community_area) tr
+        |INNER JOIN (SELECT COUNT(*) AS tot_arrests, community_area
+        |            FROM "glue_crime_db"."dependency1_violent_crimes"
+        |            WHERE arrest = true
+        |            GROUP BY community_area) ta
+        |ON tr.community_area = ta.community_area
+        |ORDER BY tot_reports DESC
+        |LIMIT 15""".stripMargin)
+    put("fixed_dates_violent.txt",
+      """CREATE OR REPLACE VIEW fixed_dates_violent AS
+        |SELECT date_format("date_timestamp", '%W') AS day_of_week,
+        |  DAY_OF_WEEK("date_timestamp") AS day_of_week_num, *
+        |FROM (SELECT date_parse("date", '%m/%d/%Y %T %p') AS date_timestamp, *
+        |      FROM "glue_crime_db"."dependency1_violent_crimes")""".stripMargin)
+    sys.props("graft.namedquery.dir") = store.toString
+    try {
+      assert(Pipeline.storedNamedQueries().isDefined)
+      val dirs = freshDirs()
+      Pipeline.run(spark, srcRows("2021-07-31"), dirs,
+        since = "2021-01-01", fileDate = LocalDate.parse("2021-07-03"))
+      // the run created the verbatim persistent views in the text's database
+      assert(spark.catalog.tableExists("glue_crime_db.arrest_pct_by_community_violent"))
+      // and pointed the session names at them: the session view carries
+      // the stored text's column order, so downstream reads flow through
+      // the stored definitions
+      val sessionView = Pipeline.view(spark, "arrest_pct_by_community_violent")
+      assert(sessionView.columns.take(3).toSeq ==
+        Seq("community_area", "tot_arrests", "tot_reports"),
+        s"session view not verbatim-backed: ${sessionView.columns.toSeq}")
+      val pct = sessionView.collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(pct(25L) == 100.0 && pct(7L) == 50.0)
+    } finally sys.props -= "graft.namedquery.dir"
+  }
+
+  test("refresh without a configured NamedQuery store falls back to paraphrase") {
+    // Store-ABSENT path: no graft.namedquery.dir / GRAFT_NAMEDQUERY_DIR
+    // → refreshCatalog serves the paraphrased DataFrame views (session
+    // temp views, paraphrase column order: tot_reports first). An
+    // incomplete store must behave the same, not half-execute.
+    assume(sys.env.get("GRAFT_NAMEDQUERY_DIR").isEmpty, "env store configured")
+    sys.props -= "graft.namedquery.dir"
+    assert(Pipeline.storedNamedQueries().isEmpty)
+    val incomplete = java.nio.file.Files.createTempDirectory("nq_partial")
+    java.nio.file.Files.writeString(
+      incomplete.resolve("dependency1_violent_crimes.txt"), "CREATE ...")
+    sys.props("graft.namedquery.dir") = incomplete.toString
+    try assert(Pipeline.storedNamedQueries().isEmpty,
+      "incomplete store must read as absent")
+    finally sys.props -= "graft.namedquery.dir"
     val dirs = freshDirs()
     Pipeline.run(spark, srcRows("2021-07-31"), dirs,
       since = "2021-01-01", fileDate = LocalDate.parse("2021-07-03"))
-    // the run created the verbatim persistent views in the text's database
-    assert(spark.catalog.tableExists("glue_crime_db.arrest_pct_by_community_violent"))
-    // and pointed the session names at them: the session view carries the
-    // VERBATIM column order (tot_arrests before tot_reports — the stored
-    // text's fingerprint; the paraphrased refreshViews orders tot_reports
-    // first), so downstream reads flow through the stored definitions
     val sessionView = Pipeline.view(spark, "arrest_pct_by_community_violent")
     assert(sessionView.columns.take(3).toSeq ==
-      Seq("community_area", "tot_arrests", "tot_reports"),
-      s"session view not verbatim-backed: ${sessionView.columns.toSeq}")
+      Seq("community_area", "tot_reports", "tot_arrests"),
+      s"expected paraphrase-backed view: ${sessionView.columns.toSeq}")
     val pct = sessionView.collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(pct(25L) == 100.0 && pct(7L) == 50.0)
