@@ -117,8 +117,10 @@ object Catalogs {
   def registerNeighborhoodDb(spark: SparkSession, sfDir: String): Unit = {
     val loc = s"$sfDir/nation.parquet"
     // only local scheme-less paths need absolutizing; URIs (s3://, hdfs://,
-    // file://) already resolve unambiguously
-    val abs = if (java.net.URI.create(loc).getScheme == null)
+    // file://) already resolve unambiguously. Scheme detection goes through
+    // hadoop Path, which tolerates URI-illegal characters (spaces) the way
+    // Spark's own LOCATION parsing does — strict java.net.URI would throw
+    val abs = if (new org.apache.hadoop.fs.Path(loc).toUri.getScheme == null)
       new java.io.File(loc).getAbsolutePath else loc
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $NeighborhoodDb")
     spark.sql(s"DROP TABLE IF EXISTS $NeighborhoodDb.community_lookup")

@@ -128,4 +128,20 @@ class CatalogSpec extends AnyFunSuite {
         .count() == 25)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(abs)
   }
+
+  test("lookup registration survives a path with spaces") {
+    // regression: scheme detection used java.net.URI.create, which throws
+    // IllegalArgumentException on URI-illegal characters — a path a
+    // filesystem happily allows and Spark's LOCATION parsing tolerates
+    val rel = "target/catalogspec dir with spaces"
+    val abs = new java.io.File(rel)
+    org.apache.commons.io.FileUtils.deleteQuietly(abs)
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.parquet(s"$rel/nation.parquet")
+    try {
+      Catalogs.registerNeighborhoodDb(spark, rel)
+      assert(spark.table(s"${Catalogs.NeighborhoodDb}.community_lookup")
+        .count() == 25)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(abs)
+  }
 }

@@ -42,12 +42,14 @@ class PricingSpec extends AnyFunSuite {
   }
 
   test("q32 booleans survive tie mass at the percentile and tiny n") {
-    // 96% of rows share ONE price, so both p50 and p99 land on the tied
-    // value and its at-or-below rank fraction is ~1.0 — the old check
+    // 96% of rows share ONE price. p50 lands on the tied value, whose
+    // at-or-below rank fraction is ~1.0 — the old check
     // (|n_le/n - q| <= 0.005) read that as sketch error and flipped the
-    // boolean; the rank-RANGE check (strict-below vs at-or-below
-    // bracketing the target, bound widened to 2/n) certifies only sketch
-    // error regardless of tie mass or rank granularity.
+    // boolean; p99's target rank (198) falls in the 8-row distinct tail,
+    // so it exercises rank granularity at tiny n (1/n steps against the
+    // 2/n bound), not tie mass. The rank-RANGE check (strict-below vs
+    // at-or-below bracketing the target, bound widened to
+    // greatest(0.005, 2/n)) certifies only sketch error in both regimes.
     import spark.implicits._
     val dir = "target/pricingspec-ties"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
