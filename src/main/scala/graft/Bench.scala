@@ -183,6 +183,15 @@ object Bench {
           org.apache.commons.io.FileUtils.listFiles(dir, null, true)
             .asScala.map(f => f.getPath -> f.length).toMap
         }
+      // the chain fixture's day-batch is 10% of the corpus — its band
+      // keys cover every bucket, so the layout's probe pruning cannot
+      // show in the per-day numbers at toy scale. This A/B isolates it
+      // at the DEPLOYMENT ratio (batch ≪ corpus/buckets): a 4-doc batch
+      // admitted against the final accumulated state, once with the
+      // bucketed probe and once forced to the full-state scan
+      // (buckets=None on the same loaded state), comparing input bytes
+      // and wall on identical semantics.
+      var probeAb: Option[String] = None
       val chainRuns = (0 until 3).map { r =>
         graft.operators.Dedup.clearShingleCaches()
         val runLoad = hostLoad
@@ -206,6 +215,36 @@ object Bench {
             .sum / 1048576.0
           (wall, cpu, gc, writtenMb, nJobs)
         }
+        if (r == 2) probeAb =
+          try {
+            val st = graft.streaming.DedupStream
+              .loadState(spark, s"$root/state").get
+            val tiny = docs.orderBy("doc_id").limit(4)
+              .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+              .localCheckpoint()
+            def measure(s: graft.operators.DedupState): (Double, Double) = {
+              graft.operators.Dedup.clearShingleCaches()
+              val (i0, _, _) = io.snapshot
+              val t = System.nanoTime()
+              val res = graft.operators.IncrementalDedup.admitBatch(s, tiny)
+              graft.operators.IncrementalDedup.labelsWithSizes(res)
+                .write.format("noop").mode("overwrite").save()
+              val wall = (System.nanoTime() - t) / 1e9
+              try org.apache.spark.sql.graftbridge.Bridge
+                .drainListenerBus(spark.sparkContext, 10000)
+              catch { case _: java.util.concurrent.TimeoutException => }
+              val (i1, _, _) = io.snapshot
+              (wall, (i1 - i0) / 1048576.0)
+            }
+            val (prunedSec, prunedMb) = measure(st)
+            val (fullSec, fullMb) = measure(st.copy(buckets = None))
+            Some(s"""{"batch_docs":4,"pruned_sec":${fmt(prunedSec)},""" +
+              s""""pruned_input_mb":${fmt(prunedMb)},""" +
+              s""""full_sec":${fmt(fullSec)},"full_input_mb":${fmt(fullMb)}}""")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] probe A/B failed: ${e.getMessage}")
+            None
+          }
         try org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(root))
         catch { case _: Exception => }
@@ -228,6 +267,7 @@ object Bench {
       Some((s"""{"bootstrap_sec":${fmt(boot)},"bootstrap_jobs":$bootJobs,""" +
         s""""admit_sec":${fmt(admit)},"admit_jobs":$admitJobs,""" +
         s""""chain_admit_sec":${arr(chainRuns.head._2.map(_._1))},""" +
+        probeAb.map(ab => s""""probe_ab":$ab,""").getOrElse("") +
         s""""chain_runs":$runsJson}""", medians))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] q51 split failed: ${e.getMessage}"); None
