@@ -221,6 +221,20 @@ class DedupStreamSpec extends AnyFunSuite {
       // probed buckets by the shared-key argument)
       assert(probe.filter(col("doc_id") === 0L).count() == Dedup.NumBands)
       assert(verify.filter(col("doc_id") === 0L).count() == 1)
+      // and the full admission is semantics-identical: the same batch
+      // admitted through the bucketed probe and through the full-state
+      // scan (buckets=None on the same loaded state) yields the same
+      // labeling
+      def labels(s: graft.operators.DedupState) = {
+        Dedup.clearShingleCaches()
+        IncrementalDedup.labelsWithSizes(IncrementalDedup.admitBatch(s, batch))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      }
+      val viaPruned = labels(st)
+      val viaFull = labels(st.copy(buckets = None))
+      assert(viaPruned == viaFull, "pruned admission diverged from full scan")
+      assert(viaPruned.exists { case (d, c, n) => d == 100L && c == 0L && n >= 2 },
+        s"batch twin did not join day-0's cluster: $viaPruned")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     Dedup.clearShingleCaches()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
