@@ -22,8 +22,11 @@ import graft.engine.Tables
   * `bands`/`shingles` relations carry a `bucket` partition column;
   * [[admitBatch]] then prunes both probes to the buckets the batch can
   * touch ([[prunedBands]]/[[prunedShingles]]) instead of scanning all
-  * accumulated state. An in-memory state (e.g. [[initialState]]) has
-  * `buckets = None` and is probed unpruned.
+  * accumulated state — adaptively: only when the batch's keys cover a
+  * strict subset of the buckets, i.e. when pruning actually reduces the
+  * read (always, at deployment batch-to-corpus ratios). An in-memory
+  * state (e.g. [[initialState]]) has `buckets = None` and is probed
+  * unpruned.
   *
   * The reference's defining semantic is incremental processing — Glue job
   * bookmarks (`CDK/cdk/cdk_stack.py:165`) and the daily delta fetch
@@ -83,29 +86,48 @@ object IncrementalDedup {
   private def dropBucket(df: DataFrame): DataFrame =
     if (df.columns.contains("bucket")) df.drop("bucket") else df
 
-  /** The band-index probe side: when the state is bucketed, restrict the
-    * stored index to the buckets the batch's own (band, band_hash) keys
-    * hash into — a partition-pruned scan of the touched buckets, not the
-    * whole accumulated index. The touched-bucket set is collected on the
-    * driver: it is at most `buckets` ints (a layout constant, ≤ thousands
-    * at cluster scale), the same K-bounded index material the ANN
-    * operators collect. */
-  private[graft] def prunedBands(state: DedupState,
-      newBands: DataFrame): DataFrame = state.buckets match {
+  /** Band buckets the batch's own (band, band_hash) keys hash into —
+    * defined only when the state is bucketed AND the keys cover a STRICT
+    * subset of the layout's buckets. Full coverage returns None: pruning
+    * then cannot reduce the read, and its bookkeeping (the candidate
+    * checkpoint below, the endpoint collect) is pure overhead — measured
+    * as a growing per-day cpu term (sf1 chain day-cpu 22→100 s vs
+    * 17→34 s unpruned) when a toy fixture's day-batch is 10% of the
+    * corpus. At deployment ratios (daily batch ≪ corpus / buckets)
+    * coverage is partial and the pruned path wins — the bench's probe
+    * A/B measures a 4-doc admit against the grown state both ways. The
+    * collect itself is O(batch) work returning at most `buckets` ints
+    * (a layout constant), the same K-bounded driver-side index material
+    * the ANN operators keep. */
+  private def touchedBandBuckets(state: DedupState,
+      newBands: DataFrame): Option[Seq[Int]] = state.buckets match {
     case Some(n) if state.bands.columns.contains("bucket") =>
       val touched = newBands
         .select(bandBucket(col("band"), col("band_hash"), n).as("bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      if (touched.isEmpty) state.bands.filter(lit(false)).drop("bucket")
-      else state.bands.filter(col("bucket").isin(touched: _*)).drop("bucket")
-    case _ => dropBucket(state.bands)
+      if (touched.size < n) Some(touched) else None
+    case _ => None
   }
+
+  /** The band-index probe side: the stored index restricted to the
+    * batch's touched buckets — a partition-pruned scan — when that
+    * strictly reduces the read; the full index otherwise. */
+  private[graft] def prunedBands(state: DedupState,
+      newBands: DataFrame): DataFrame =
+    touchedBandBuckets(state, newBands) match {
+      case Some(touched) =>
+        if (touched.isEmpty) state.bands.filter(lit(false)).drop("bucket")
+        else state.bands.filter(col("bucket").isin(touched: _*)).drop("bucket")
+      case None => dropBucket(state.bands)
+    }
 
   /** The verify-stage shingle side: when the state is bucketed, restrict
     * the stored shingle sets (the LARGEST state relation — text-sized
-    * arrays) to the buckets holding a candidate endpoint. `cand` must be
-    * materialized (the caller localCheckpoints it) so collecting its
-    * endpoint buckets doesn't re-run the band probe. */
+    * arrays) to the buckets holding a candidate endpoint; the full
+    * relation when the endpoints cover every bucket (same
+    * cannot-reduce-the-read argument as [[touchedBandBuckets]]). `cand`
+    * must be materialized (the caller localCheckpoints it) so collecting
+    * its endpoint buckets doesn't re-run the band probe. */
   private[graft] def prunedShingles(state: DedupState,
       cand: DataFrame): DataFrame = state.buckets match {
     case Some(n) if state.shingles.columns.contains("bucket") =>
@@ -114,7 +136,9 @@ object IncrementalDedup {
         .select(docBucket(col("d"), n).as("bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq
       if (touched.isEmpty) state.shingles.filter(lit(false)).drop("bucket")
-      else state.shingles.filter(col("bucket").isin(touched: _*)).drop("bucket")
+      else if (touched.size < n)
+        state.shingles.filter(col("bucket").isin(touched: _*)).drop("bucket")
+      else dropBucket(state.shingles)
     case _ => dropBucket(state.shingles)
   }
 
@@ -146,8 +170,17 @@ object IncrementalDedup {
                  threshold: Double = 0.5): DedupState = {
     val newBands = Dedup.lshBands(newDocs)
     val newShingles = Dedup.shingleSets(newDocs)
-    val bucketed = state.buckets.isDefined
-    val allBands = prunedBands(state, newBands).union(newBands)
+    // adaptive pruning: engage only when the batch's band keys cover a
+    // strict subset of the layout's buckets (see touchedBandBuckets) —
+    // band coverage is the cheap O(batch) proxy for both probes
+    val touchedBands = touchedBandBuckets(state, newBands)
+    val pruning = touchedBands.isDefined
+    val stateBands = touchedBands match {
+      case Some(t) if t.isEmpty => state.bands.filter(lit(false)).drop("bucket")
+      case Some(t) => state.bands.filter(col("bucket").isin(t: _*)).drop("bucket")
+      case None => dropBucket(state.bands)
+    }
+    val allBands = stateBands.union(newBands)
 
     // candidate pairs touching the new batch: probe the band index with
     // the batch's bands. least/greatest canonicalizes the new-new pairs
@@ -160,13 +193,19 @@ object IncrementalDedup {
       .select(least(col("qid"), col("cid")).as("doc_a"),
         greatest(col("qid"), col("cid")).as("doc_b"))
       .distinct()
-    // bucketed path: pin the frontier-sized candidate set before
+    // pruning path: pin the frontier-sized candidate set before
     // prunedShingles collects its endpoint buckets, so the band probe
-    // runs once, not once per downstream consumer
-    val cand = if (bucketed) candLazy.localCheckpoint() else candLazy
+    // runs once, not once per downstream consumer. When pruning is off
+    // the candidates stay lazy — fused straight into the verify join,
+    // never materialized (pinning a candidate set that grows with the
+    // accumulated twin count was the measured overhead of the
+    // always-prune path).
+    val cand = if (pruning) candLazy.localCheckpoint() else candLazy
+    val sets =
+      (if (pruning) prunedShingles(state, cand)
+       else dropBucket(state.shingles)).union(newShingles)
 
-    val newEdges = Dedup.verifyJaccard(cand,
-        prunedShingles(state, cand).union(newShingles))
+    val newEdges = Dedup.verifyJaccard(cand, sets)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
 
