@@ -22,11 +22,11 @@ import graft.engine.Tables
   * `bands`/`shingles` relations carry a `bucket` partition column;
   * [[admitBatch]] then prunes both probes to the buckets the batch can
   * touch ([[prunedBands]]/[[prunedShingles]]) instead of scanning all
-  * accumulated state — adaptively: only when the batch's keys cover a
-  * strict subset of the buckets, i.e. when pruning actually reduces the
-  * read (always, at deployment batch-to-corpus ratios). An in-memory
-  * state (e.g. [[initialState]]) has `buckets = None` and is probed
-  * unpruned.
+  * accumulated state; each probe falls back to a plain full scan when
+  * its keys cover every bucket (an all-bucket filter reduces nothing —
+  * at deployment batch-to-corpus ratios coverage is always partial).
+  * An in-memory state (e.g. [[initialState]]) has `buckets = None` and
+  * is probed unpruned.
   *
   * The reference's defining semantic is incremental processing — Glue job
   * bookmarks (`CDK/cdk/cdk_stack.py:165`) and the daily delta fetch
@@ -88,13 +88,10 @@ object IncrementalDedup {
 
   /** Band buckets the batch's own (band, band_hash) keys hash into —
     * defined only when the state is bucketed AND the keys cover a STRICT
-    * subset of the layout's buckets. Full coverage returns None: pruning
-    * then cannot reduce the read, and its bookkeeping (the candidate
-    * checkpoint below, the endpoint collect) is pure overhead — measured
-    * as a growing per-day cpu term (sf1 chain day-cpu 22→100 s vs
-    * 17→34 s unpruned) when a toy fixture's day-batch is 10% of the
-    * corpus. At deployment ratios (daily batch ≪ corpus / buckets)
-    * coverage is partial and the pruned path wins — the bench's probe
+    * subset of the layout's buckets; full coverage returns None (an
+    * all-bucket filter cannot reduce the read, so the probe scans
+    * plainly). At deployment ratios (daily batch ≪ corpus / buckets)
+    * coverage is partial and the pruned probe wins — the bench's probe
     * A/B measures a 4-doc admit against the grown state both ways. The
     * collect itself is O(batch) work returning at most `buckets` ints
     * (a layout constant), the same K-bounded driver-side index material
@@ -174,7 +171,8 @@ object IncrementalDedup {
     // strict subset of the layout's buckets (see touchedBandBuckets) —
     // band coverage is the cheap O(batch) proxy for both probes
     val touchedBands = touchedBandBuckets(state, newBands)
-    val pruning = touchedBands.isDefined
+    val bucketed =
+      state.buckets.isDefined && state.shingles.columns.contains("bucket")
     val stateBands = touchedBands match {
       case Some(t) if t.isEmpty => state.bands.filter(lit(false)).drop("bucket")
       case Some(t) => state.bands.filter(col("bucket").isin(t: _*)).drop("bucket")
@@ -193,16 +191,18 @@ object IncrementalDedup {
       .select(least(col("qid"), col("cid")).as("doc_a"),
         greatest(col("qid"), col("cid")).as("doc_b"))
       .distinct()
-    // pruning path: pin the frontier-sized candidate set before
+    // bucketed verify path: pin the frontier-sized candidate set before
     // prunedShingles collects its endpoint buckets, so the band probe
-    // runs once, not once per downstream consumer. When pruning is off
-    // the candidates stay lazy — fused straight into the verify join,
-    // never materialized (pinning a candidate set that grows with the
-    // accumulated twin count was the measured overhead of the
-    // always-prune path).
-    val cand = if (pruning) candLazy.localCheckpoint() else candLazy
+    // runs once, not once per downstream consumer. This path is taken
+    // whenever the state is bucketed — even under full BAND coverage the
+    // candidate ENDPOINTS usually cover a bucket subset, and pruning the
+    // text-sized shingle relation outweighs pinning a 2-longs-per-row
+    // candidate set (ChainProbe A vs C: the always-pinned fold layout
+    // reads level with the segments-only layout at toy scale and wins
+    // at deployment ratios, bench probe_ab).
+    val cand = if (bucketed) candLazy.localCheckpoint() else candLazy
     val sets =
-      (if (pruning) prunedShingles(state, cand)
+      (if (bucketed) prunedShingles(state, cand)
        else dropBucket(state.shingles)).union(newShingles)
 
     val newEdges = Dedup.verifyJaccard(cand, sets)
