@@ -160,6 +160,77 @@ class DedupStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("a crashed fold is invisible and the retry overwrites it") {
+    // Crash-safety of the compaction tier: a fold that dies mid-write
+    // leaves a cpart directory the committed manifests never reference —
+    // readers must not list it (its half-written files would poison the
+    // scan), and the NEXT fold, which reuses the same compaction index,
+    // must overwrite it. Simulate by planting a garbage cpart dir with a
+    // corrupt parquet file above the committed compaction count.
+    val root = Files.createTempDirectory("dedup_crash").toString
+    val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
+    day1.write.parquet(s"$docs/day1")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt) // v0, c=0
+    val garbage = new java.io.File(s"$state/bands/base/cpart=0/bucket=3")
+    assert(garbage.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(garbage.getPath, "part-corrupt.parquet"),
+      Array.tabulate[Byte](64)(i => (i * 7).toByte))
+    // reader ignores the unreferenced cpart: state loads and is usable
+    val st = DedupStream.loadState(spark, state).get
+    assert(st.bands.count() == day1.count() * graft.operators.Dedup.NumBands)
+    // three more single-day admits force the fold at commit 3 into
+    // cpart=0 — the retry semantics: mode-overwrite wipes the garbage
+    val day3 = Seq((50L, "third day content entirely fresh"))
+      .toDF("doc_id", "text")
+    val day4 = Seq((60L, "fourth day content also fresh"))
+      .toDF("doc_id", "text")
+    Seq("day2" -> day2, "day3" -> day3, "day4" -> day4).foreach {
+      case (name, df) =>
+        df.write.parquet(s"$docs/$name")
+        DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+    }
+    assert(!new java.io.File(garbage, "part-corrupt.parquet").exists(),
+      "retried fold did not overwrite the crashed compaction dir")
+    // the folded state reads clean and equals the batch recompute
+    val streamed = IncrementalDedup.labelsWithSizes(
+        DedupStream.loadState(spark, state).get).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Dedup.duplicateClusters(
+        day1.union(day2).union(day3).union(day4)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("a pre-manifest (legacy) state loads unbucketed and upgrades on commit") {
+    // States committed before the bucketed layout have no MANIFEST: they
+    // must read exactly as before (all segments live, no bucket column,
+    // unpruned probes), and the next commit writes a manifest that
+    // starts the bucketed lifecycle without disturbing the data.
+    val root = Files.createTempDirectory("dedup_legacy").toString
+    val state = s"$root/state"
+    val st0 = IncrementalDedup.initialState(day1)
+    DedupStream.commitState(st0, state) // v0 writes a manifest...
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(state, "v0", "MANIFEST")) // ...make it legacy
+    val legacy = DedupStream.loadState(spark, state).get
+    assert(legacy.buckets.isEmpty && !legacy.bands.columns.contains("bucket"))
+    val st1 = IncrementalDedup.admitBatch(legacy, day2)
+    DedupStream.commitState(st1, state,
+      newBands = Some(Dedup.lshBands(day2)),
+      newShingles = Some(Dedup.shingleSets(day2)))
+    val upgraded = DedupStream.loadState(spark, state).get
+    assert(upgraded.buckets.contains(DedupStream.StateBuckets),
+      "post-upgrade state is not bucket-aware")
+    val streamed = IncrementalDedup.labelsWithSizes(upgraded).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Dedup.duplicateClusters(day1.union(day2)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("compacted state: the daily admit probe prunes to touched buckets") {
     // The 100 TB contract of the bucketed layout: a batch's band probe
     // and candidate verify must READ only the base buckets their keys
