@@ -106,17 +106,19 @@ object IncrementalDedup {
     case _ => None
   }
 
+  private def bandsForTouched(state: DedupState,
+      touched: Option[Seq[Int]]): DataFrame = touched match {
+    case Some(t) if t.isEmpty => state.bands.filter(lit(false)).drop("bucket")
+    case Some(t) => state.bands.filter(col("bucket").isin(t: _*)).drop("bucket")
+    case None => dropBucket(state.bands)
+  }
+
   /** The band-index probe side: the stored index restricted to the
     * batch's touched buckets — a partition-pruned scan — when that
     * strictly reduces the read; the full index otherwise. */
   private[graft] def prunedBands(state: DedupState,
       newBands: DataFrame): DataFrame =
-    touchedBandBuckets(state, newBands) match {
-      case Some(touched) =>
-        if (touched.isEmpty) state.bands.filter(lit(false)).drop("bucket")
-        else state.bands.filter(col("bucket").isin(touched: _*)).drop("bucket")
-      case None => dropBucket(state.bands)
-    }
+    bandsForTouched(state, touchedBandBuckets(state, newBands))
 
   /** The verify-stage shingle side: when the state is bucketed, restrict
     * the stored shingle sets (the LARGEST state relation — text-sized
@@ -167,18 +169,14 @@ object IncrementalDedup {
                  threshold: Double = 0.5): DedupState = {
     val newBands = Dedup.lshBands(newDocs)
     val newShingles = Dedup.shingleSets(newDocs)
-    // adaptive pruning: engage only when the batch's band keys cover a
-    // strict subset of the layout's buckets (see touchedBandBuckets) —
-    // band coverage is the cheap O(batch) proxy for both probes
-    val touchedBands = touchedBandBuckets(state, newBands)
+    // the band probe prunes under strict-subset coverage (see
+    // touchedBandBuckets); the verify path below prunes independently by
+    // candidate-endpoint coverage whenever the state is bucketed
     val bucketed =
       state.buckets.isDefined && state.shingles.columns.contains("bucket")
-    val stateBands = touchedBands match {
-      case Some(t) if t.isEmpty => state.bands.filter(lit(false)).drop("bucket")
-      case Some(t) => state.bands.filter(col("bucket").isin(t: _*)).drop("bucket")
-      case None => dropBucket(state.bands)
-    }
-    val allBands = stateBands.union(newBands)
+    val allBands =
+      bandsForTouched(state, touchedBandBuckets(state, newBands))
+        .union(newBands)
 
     // candidate pairs touching the new batch: probe the band index with
     // the batch's bands. least/greatest canonicalizes the new-new pairs
