@@ -73,6 +73,7 @@ object SparkEntry {
     "q51_incremental_dedup" -> (graft.operators.IncrementalDedup.qIncremental _),
     "q52_simhash_salted" -> (Dedup.qSimhashPairsSalted _),
     "q53_corpus_mix"    -> (Corpus.qMixCorpus _),
+    "q54_dedup_chain"   -> (graft.streaming.DedupStream.qChainBucketed _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,5 +138,6 @@ object SparkEntry {
     // vs the brute-force ground truth); the oracle pins the boolean TRUE.
     "q35_ann_ivf_kmeans" -> Similarity.qAnnIvfKmeansSql,
     "q53_corpus_mix"    -> Corpus.qMixCorpusSql,
+    "q54_dedup_chain"   -> graft.streaming.DedupStream.qChainBucketedSql,
   )
 }

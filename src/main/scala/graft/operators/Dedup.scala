@@ -501,11 +501,11 @@ object Dedup {
   /** Shared DuckDB CTE chain mirroring shingleBase → lshCandidatePairs →
     * jaccardPairs: `jac` holds the verified (doc_a, doc_b, jaccard)
     * candidates. Reused by q14 and the q37 component closure. */
-  private[operators] val jaccardCtesSql: String = {
+  private[graft] def jaccardCtesSqlFrom(src: String): String = {
     val rows = NumHashes / NumBands
     s"""sh AS (SELECT doc_id, $shinglesSqlExpr AS shg,
        |                   list_transform($shinglesSqlExpr, s -> $h0SqlExpr) AS h0s
-       |            FROM documents),
+       |            FROM $src),
        |sig AS (
        |  SELECT doc_id, k,
        |         list_min(list_transform(h0s, h -> $familySqlDuck)) AS minhash
@@ -525,6 +525,8 @@ object Dedup {
        |  FROM cand JOIN sh x ON cand.doc_a = x.doc_id
        |            JOIN sh y ON cand.doc_b = y.doc_id)""".stripMargin
   }
+
+  private[operators] val jaccardCtesSql: String = jaccardCtesSqlFrom("documents")
 
   val qJaccardPairsSql: String =
     s"""WITH $jaccardCtesSql
@@ -581,17 +583,19 @@ object Dedup {
   /** Component-closure CTEs over `jac` (requires [[jaccardCtesSql]] in
     * scope under WITH RECURSIVE): `lab` = (doc_id, cluster_id), `sz` =
     * per-cluster sizes. Reused by q37 and the q38 corpus keep-list. */
-  private[operators] val clusterCtesSql: String =
-    """edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+  private[graft] def clusterCtesSqlFrom(src: String): String =
+    s"""edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
       |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
       |        UNION SELECT doc_b, doc_a FROM edges),
       |reach(node, root) AS (
-      |  SELECT doc_id, doc_id FROM documents
+      |  SELECT doc_id, doc_id FROM $src
       |  UNION
       |  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node),
       |lab AS (SELECT node AS doc_id, MIN(root) AS cluster_id
       |        FROM reach GROUP BY node),
       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)""".stripMargin
+
+  private[operators] val clusterCtesSql: String = clusterCtesSqlFrom("documents")
 
   /** Transitive closure as a recursive CTE over the SAME candidate+verify
     * edge set the Spark side uses — the fixpoint of min-label propagation

@@ -248,7 +248,8 @@ object DedupStream {
     * require it) — defaults to the documents fixture shape. */
   def admitNewDrops(spark: SparkSession, docsPath: String, stateDir: String,
       checkpointDir: String,
-      schemaDdl: String = "doc_id bigint, text string"): Unit = {
+      schemaDdl: String = "doc_id bigint, text string",
+      maxLiveSegments: Int = MaxLiveSegments): Unit = {
     val drops = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
       .parquet(docsPath)
@@ -268,7 +269,8 @@ object DedupStream {
           // already computed, not a recompute
           commitState(st, stateDir,
             newBands = Some(graft.operators.Dedup.lshBands(pinned)),
-            newShingles = Some(graft.operators.Dedup.shingleSets(pinned)))
+            newShingles = Some(graft.operators.Dedup.shingleSets(pinned)),
+            maxLiveSegments = maxLiveSegments)
           // per-batch shingle/band memos are keyed on this batch's plan
           // and never hit again — drop them so a long-running stream
           // doesn't accumulate cached relations
@@ -280,4 +282,49 @@ object DedupStream {
       .start()
     q.awaitTermination()
   }
+
+  // ---- SparkEntry wiring -------------------------------------------------
+
+  /** q54: the PRODUCTION dedup path — three daily drops streamed through
+    * the persisted, bucketed, compacted state (maxLiveSegments = 2, so
+    * the fold fires at commit 1 and the later admissions probe the
+    * bucketed base through a real MANIFEST) — oracle-checked against a
+    * from-scratch closure clustering of the same subset, which the chain
+    * must equal by the incremental ≡ batch argument
+    * ([[IncrementalDedup]]). q51 covers the in-memory incremental
+    * operator; this covers the storage layout, commit protocol, and
+    * probe pruning end-to-end in the driver's correctness gate. The
+    * subset cap and the 3-admission shape keep it bench-cheap (the cost
+    * is per-admission fixed overhead, not rows) while every tier is
+    * exercised: live-segment read (admit 1), fold + base-only read
+    * (admit 2), base + live-segment read (admit 3 reads cpart=0 and
+    * seg2). */
+  def qChainBucketed(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.engine.Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+    val root = java.nio.file.Files.createTempDirectory("graft-q54").toString
+    (0 until 3).foreach { k =>
+      docs.filter(col("doc_id") % 3 === k).write.parquet(s"$root/docs/day$k")
+      admitNewDrops(s, s"$root/docs/*", s"$root/state", s"$root/ckpt",
+        maxLiveSegments = 2)
+    }
+    // pin rows before the state dir is deleted (the caller writes the
+    // result AFTER this returns; a lazy scan would read deleted files)
+    val out = IncrementalDedup.labelsWithSizes(
+        loadState(s, s"$root/state").get)
+      .orderBy("doc_id").localCheckpoint()
+    try org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+    catch { case _: Exception => }
+    out
+  }
+
+  /** Chain ≡ batch: the oracle is a plain closure clustering of the
+    * capped subset (same CTE chain as q37, source-parameterized). */
+  val qChainBucketedSql: String =
+    s"""WITH RECURSIVE d54 AS (SELECT * FROM documents WHERE doc_id < 500),
+       |${graft.operators.Dedup.jaccardCtesSqlFrom("d54")},
+       |${graft.operators.Dedup.clusterCtesSqlFrom("d54")}
+       |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+       |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 }
