@@ -86,6 +86,18 @@ object IncrementalDedup {
   private def dropBucket(df: DataFrame): DataFrame =
     if (df.columns.contains("bucket")) df.drop("bucket") else df
 
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame. Checkpoint blocks are NOT CacheManager entries, so
+    * `df.unpersist()` would miss them; without this a long-running
+    * admission stream accumulates per-batch candidate checkpoints until
+    * the ContextCleaner happens to GC the RDDs. */
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Band buckets the batch's own (band, band_hash) keys hash into —
     * defined only when the state is bucketed AND the keys cover a STRICT
     * subset of the layout's buckets; full coverage returns None (an
@@ -227,6 +239,10 @@ object IncrementalDedup {
     // MIN doc_id of its members, min-over-contracted-nodes equals
     // min-over-all-members, so component labels match a full recompute.
     val comp = Components.connectedComponents(contracted).localCheckpoint()
+    // comp is eager, so the candidate pin has served its consumers
+    // (band probe + verify) — release its blocks now rather than waiting
+    // on the ContextCleaner (everything downstream reads comp only)
+    if (bucketed) freeLocalCheckpoint(cand)
 
     val newIds = newDocs.select(col("doc_id"))
     val newAssign = newIds

@@ -107,16 +107,27 @@ object DedupStream {
     * partition column for pruning) and the live segments (bucket
     * recomputed as a column so the union is uniform); uncommitted
     * garbage above CURRENT / above the committed compaction count is
-    * never listed. */
+    * never listed. A manifest-referenced compaction dir that does not
+    * exist AT ALL is a lost/deleted commit — that fails loudly (the
+    * manifest's contract is that committed state is complete); only a
+    * dir that exists but holds no bucket partitions (a legitimately
+    * empty fold writes just _SUCCESS) is skipped. A state whose tiers
+    * are ALL legitimately empty (empty-corpus commits) reads as an
+    * empty relation of the log's schema, not an error. */
   def loadState(spark: SparkSession, stateDir: String): Option[DedupState] =
     versionOf(stateDir).map { v =>
       def rd(t: String) = spark.read.parquet(s"$stateDir/v$v/$t")
       val (c, segFrom, b) = manifestOf(stateDir, v).getOrElse((0, 0L, 0))
-      def log(t: String, bucketCol: Int => Column) = {
+      def log(t: String, bucketCol: Int => Column, emptyDdl: String) = {
         val segPaths = (segFrom to v).map(i => s"$stateDir/$t/seg$i")
           .filter(isDir)
-        val basePaths = (0 until c).map(j => s"$stateDir/$t/base/cpart=$j")
-          .filter(hasBucketDirs)
+        val basePaths = (0 until c).map { j =>
+          val p = s"$stateDir/$t/base/cpart=$j"
+          if (!isDir(p)) throw new IllegalStateException(
+            s"committed state v$v references $t compaction cpart=$j " +
+              s"but $p does not exist — lost or deleted committed state")
+          p
+        }.filter(hasBucketDirs)
         val segDf =
           if (segPaths.isEmpty) None
           else {
@@ -131,13 +142,16 @@ object DedupStream {
           else Some(spark.read.option("basePath", s"$stateDir/$t/base")
             .parquet(basePaths: _*).drop("cpart"))
         (baseDf.toSeq ++ segDf.toSeq).reduceOption(_ unionByName _)
-          .getOrElse(throw new IllegalStateException(
-            s"committed state v$v has no $t data under $stateDir"))
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(emptyDdl)))
       }
       DedupState(rd("labels"), rd("sizes"),
         log("bands",
-          n => IncrementalDedup.bandBucket(col("band"), col("band_hash"), n)),
-        log("shingles", n => IncrementalDedup.docBucket(col("doc_id"), n)),
+          n => IncrementalDedup.bandBucket(col("band"), col("band_hash"), n),
+          "doc_id BIGINT, band BIGINT, band_hash STRING"),
+        log("shingles", n => IncrementalDedup.docBucket(col("doc_id"), n),
+          "doc_id BIGINT, sh ARRAY<STRING>"),
         buckets = if (b > 0) Some(b) else None)
     }
 
@@ -200,6 +214,13 @@ object DedupStream {
     // defaults — its old segments simply all read as live until folded)
     val (prevC, prevF, b) = prevVersion.flatMap(v => manifestOf(stateDir, v))
       .getOrElse((0, 0L, buckets))
+    // the manifest value wins on every commit after the first; a caller
+    // passing a CONFLICTING non-default count would otherwise silently
+    // believe the layout was re-sized
+    require(buckets == StateBuckets || buckets == b,
+      s"state layout is fixed at $b buckets by its first commit's manifest; " +
+        s"got buckets=$buckets — a plain commit cannot re-size the layout " +
+        "(use a re-bucketing fold)")
     val spark = st.labels.sparkSession
     val (newC, newF) =
       if (next - prevF + 1 >= maxLiveSegments) {
@@ -273,9 +294,11 @@ object DedupStream {
             maxLiveSegments = maxLiveSegments)
           // per-batch shingle/band memos are keyed on this batch's plan
           // and never hit again — drop them so a long-running stream
-          // doesn't accumulate cached relations
+          // doesn't accumulate cached relations; same for the pinned
+          // micro-batch copy, whose blocks outlive the batch otherwise
           graft.operators.Dedup.clearShingleCaches()
         }
+        IncrementalDedup.freeLocalCheckpoint(pinned)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

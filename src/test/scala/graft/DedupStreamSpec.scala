@@ -231,6 +231,61 @@ class DedupStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("a vanished committed compaction fails loudly; an empty fold reads clean") {
+    // Two faces of the manifest contract. (a) A cpart dir the manifest
+    // references but that no longer EXISTS is lost committed state —
+    // loading it must throw, not silently serve a state missing dup
+    // links. (b) A cpart dir that exists but holds only _SUCCESS is a
+    // legitimately-empty fold (empty-corpus commits): the state must
+    // read as an empty relation of the log's schema, not throw.
+    val root = Files.createTempDirectory("dedup_manifest").toString
+
+    // (a): two commits at maxLiveSegments=2 → fold into cpart=0 with data
+    val stateA = s"$root/a"
+    DedupStream.commitState(IncrementalDedup.initialState(day1), stateA,
+      maxLiveSegments = 2)
+    DedupStream.commitState(
+      IncrementalDedup.admitBatch(DedupStream.loadState(spark, stateA).get, day2),
+      stateA, newBands = Some(Dedup.lshBands(day2)),
+      newShingles = Some(Dedup.shingleSets(day2)), maxLiveSegments = 2)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$stateA/bands/base/cpart=0"))
+    val ex = intercept[IllegalStateException] {
+      DedupStream.loadState(spark, stateA).get.bands.count()
+    }
+    assert(ex.getMessage.contains("cpart=0"), ex.getMessage)
+
+    // (b): two EMPTY commits → the fold writes a _SUCCESS-only cpart and
+    // segFrom moves past every segment; both tiers legitimately empty
+    val stateB = s"$root/b"
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyState = IncrementalDedup.initialState(noDocs)
+    DedupStream.commitState(emptyState, stateB, maxLiveSegments = 2)
+    DedupStream.commitState(emptyState, stateB,
+      newBands = Some(Dedup.lshBands(noDocs)),
+      newShingles = Some(Dedup.shingleSets(noDocs)), maxLiveSegments = 2)
+    val st = DedupStream.loadState(spark, stateB).get
+    assert(st.bands.isEmpty &&
+      st.bands.columns.toSeq == Seq("doc_id", "band", "band_hash"))
+    assert(st.shingles.isEmpty && st.shingles.columns.toSeq == Seq("doc_id", "sh"))
+    // and the empty state still admits a first real batch cleanly
+    val grown = IncrementalDedup.labelsWithSizes(
+      IncrementalDedup.admitBatch(st, day1)).collect()
+    assert(grown.length == day1.count())
+
+    // a conflicting bucket count on a later commit is rejected, not
+    // silently ignored (the manifest value wins)
+    val ex2 = intercept[IllegalArgumentException] {
+      DedupStream.commitState(emptyState, stateB,
+        newBands = Some(Dedup.lshBands(noDocs)),
+        newShingles = Some(Dedup.shingleSets(noDocs)), buckets = 64)
+    }
+    assert(ex2.getMessage.contains("fixed"), ex2.getMessage)
+
+    Dedup.clearShingleCaches()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("compacted state: the daily admit probe prunes to touched buckets") {
     // The 100 TB contract of the bucketed layout: a batch's band probe
     // and candidate verify must READ only the base buckets their keys
