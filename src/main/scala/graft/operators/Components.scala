@@ -59,12 +59,55 @@ object Components {
   /** (node, component) for every node appearing in `edges` (columns
     * a, b), component = min node id of its component. Rounds are
     * O(log n) in the worst case; each round is two join+agg shuffles on
-    * the node id with lineage truncated per round. */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val universe = edges.select(col("a").as("node"))
-      .union(edges.select(col("b").as("node"))).distinct().localCheckpoint()
-    var e = edges.select(col("a"), col("b")).filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint()
+    * the node id with lineage truncated per round.
+    *
+    * Graphs at or under `driverThreshold` distinct edges short-circuit
+    * to a driver-side union-find: the daily-admission frontier graph is
+    * typically a few hundred edges, where the O(log n) rounds are pure
+    * job-scheduling latency (~10 jobs to label 50 edges). The collect is
+    * size-GUARDED — both the edge count and the node count must fit —
+    * so it is the same bounded driver-side material as the ANN centroid
+    * collects, and the result is identical by construction (union-find
+    * under min-representative = min node id per component). Pass 0 to
+    * force the distributed path. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
+      driverThreshold: Int = 1 << 16): DataFrame = {
+    val ePlan = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val uPlan = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    val longTyped = edges.schema.fields.take(2)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longTyped && driverThreshold > 0) {
+      // bounded takes, not count-then-collect: two jobs decide AND fetch.
+      // An over-threshold graph pays one partial extra pass and falls
+      // through to the distributed rounds.
+      val eTake = ePlan.take(driverThreshold + 1)
+      if (eTake.length <= driverThreshold) {
+        val uTake = uPlan.take(2 * driverThreshold + 3)
+        if (uTake.length <= 2 * driverThreshold + 2) {
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          val nodes = uTake.map(_.getLong(0))
+          nodes.foreach(n => parent(n) = n)
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          eTake.foreach { row =>
+            val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val spark = edges.sparkSession
+          import spark.implicits._
+          return nodes.toSeq.map(n => (n, find(n))).toDF("node", "component")
+        }
+      }
+    }
+    val universe = uPlan.localCheckpoint()
+    var e = ePlan.localCheckpoint()
     // carry each round's count forward: recounting the (checkpointed)
     // previous edge set would be one avoidable Spark job per round
     var eCount = e.count()

@@ -289,16 +289,15 @@ object Dedup {
     * duplicates B"; training-data dedup needs the transitive closure (A~B,
     * B~C ⟹ one cluster), which no single join expresses.
     *
-    * Algorithm: min-label propagation — each iteration every node takes
-    * the min of its own label and its neighbors' labels; fixpoint =
-    * exact components (deterministic regardless of execution order, so it
-    * is oracle-checkable against a recursive-CTE closure). Iterations =
-    * graph diameter; near-dup components are shallow (dups of a common
-    * original), so this converges in 2-4 rounds. `localCheckpoint` after
-    * each round truncates the otherwise-exponential join lineage — at
-    * 100 TB use reliable `checkpoint` instead, or graduate to the
-    * large-star/small-star formulation (same per-round shuffle shape,
-    * provably O(log n) rounds) if components can be deep. */
+    * Algorithm: [[Components.connectedComponents]] over the (sparse)
+    * verified-pair edge set — large-star/small-star rounds, O(log n) in
+    * the component diameter, with the size-guarded driver union-find
+    * short-circuit for tiny edge sets — then a left join back to `docs`
+    * so unpaired documents label themselves as singletons. Only docs
+    * that appear in a duplicate pair enter the fixpoint: the iteration
+    * runs on the duplicate subgraph, not the corpus. Deterministic
+    * (min doc_id per component), so it is oracle-checkable against a
+    * recursive-CTE closure. */
   def duplicateClusters(docs: DataFrame, threshold: Double = 0.5,
       maxIter: Int = 20): DataFrame =
     // memoized like the shingle caches: the fixpoint is an ACTION-driven
@@ -311,39 +310,18 @@ object Dedup {
   private def computeClusters(docs: DataFrame, threshold: Double,
       maxIter: Int): DataFrame = {
     val edges = jaccardPairs(docs)
-      .filter(col("jaccard") >= threshold).select("doc_a", "doc_b")
-    val sym = edges.union(
-      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = Components.connectedComponents(edges, maxRounds = maxIter)
+    // localCheckpoint truncates the candidate/verify/fixpoint lineage —
+    // every consumer (and the memo's cached plan) sees a flat label
+    // relation, not a re-runnable clustering pipeline; at 100 TB use
+    // reliable checkpoint instead
+    val labels = docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("doc_id").as("doc_b"),
-          col("cluster_id").as("nbr_label")), "doc_b")
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("nbr_label")).as("nbr_min"))
-      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
-      // labels only ever decrease: any strict decrease means not converged
-      converged = updated
-        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
-        .filter(col("cluster_id") < col("prev")).limit(1).isEmpty
-      labels = updated
-      iter += 1
-    }
-    // fail loudly rather than serve (and memoize) non-fixpoint labels:
-    // a diameter > maxIter graph means the data isn't the shallow
-    // near-dup shape this loop assumes — use the O(log n)
-    // Components.connectedComponents formulation there instead
-    require(converged,
-      s"duplicate-cluster propagation did not converge in $maxIter rounds " +
-        "(component diameter too deep) — use Components.connectedComponents")
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")

@@ -38,6 +38,24 @@ final case class DedupState(labels: DataFrame, sizes: DataFrame,
                             bands: DataFrame, shingles: DataFrame,
                             buckets: Option[Int] = None)
 
+/** The frontier-sized outcome of admitting one batch — everything a
+  * persisted store needs to commit the admission WITHOUT materializing
+  * the full grown state:
+  *
+  *  - `newAssign` (doc_id, cluster_id) — the batch's label rows
+  *  - `remap` (cluster_id, merged)     — contracted-component relabeling
+  *    of every touched node (old reps carry identity rows when they keep
+  *    their label; rows keyed by new doc ids never match old state)
+  *  - `newBands` / `newShingles`       — the batch's append-log rows
+  *
+  * `remap` and `newAssign` derive from the local-checkpointed component
+  * fixpoint, so consuming them repeatedly never re-runs the probe; call
+  * [[release]] once the commit is durable to drop the checkpoint blocks. */
+final case class AdmitDelta(newAssign: DataFrame, remap: DataFrame,
+                            newBands: DataFrame, newShingles: DataFrame) {
+  def release(): Unit = IncrementalDedup.freeLocalCheckpoint(remap)
+}
+
 /** Incremental duplicate clustering: admit a new day's batch against
   * persisted cluster labels without re-running the fixpoint over the whole
   * corpus.
@@ -98,58 +116,102 @@ object IncrementalDedup {
       case _ => ()
     }
 
-  /** Band buckets the batch's own (band, band_hash) keys hash into —
-    * defined only when the state is bucketed AND the keys cover a STRICT
-    * subset of the layout's buckets; full coverage returns None (an
-    * all-bucket filter cannot reduce the read, so the probe scans
-    * plainly). At deployment ratios (daily batch ≪ corpus / buckets)
-    * coverage is partial and the pruned probe wins — the bench's probe
-    * A/B measures a 4-doc admit against the grown state both ways. The
-    * collect itself is O(batch) work returning at most `buckets` ints
-    * (a layout constant), the same K-bounded driver-side index material
-    * the ANN operators keep. */
-  private def touchedBandBuckets(state: DedupState,
-      newBands: DataFrame): Option[Seq[Int]] = state.buckets match {
-    case Some(n) if state.bands.columns.contains("bucket") =>
-      val touched = newBands
-        .select(bandBucket(col("band"), col("band_hash"), n).as("bucket"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      if (touched.size < n) Some(touched) else None
-    case _ => None
-  }
+  /** Cap on the probe-key literals pushed as a data filter into the
+    * base scan. Under the cap, the batch's exact key set rides the scan
+    * as an IN filter: the base is SORTED by the key within each bucket,
+    * so parquet row-group min/max stats (and dictionary filters) skip
+    * key-disjoint row groups — pruning WITHIN a bucket, one level below
+    * the partition pruning. Over the cap (deployment-sized batches) the
+    * plan would bloat and stats stop helping; bucket pruning alone
+    * applies. */
+  val KeyPushMax = 1024
 
-  private def bandsForTouched(state: DedupState,
-      touched: Option[Seq[Int]]): DataFrame = touched match {
-    case Some(t) if t.isEmpty => state.bands.filter(lit(false)).drop("bucket")
-    case Some(t) => state.bands.filter(col("bucket").isin(t: _*)).drop("bucket")
-    case None => dropBucket(state.bands)
+  /** The batch-side probe keys: the buckets its (band, band_hash) keys
+    * hash into (bucket filter only when a STRICT subset — an all-bucket
+    * filter reduces nothing) and, under [[KeyPushMax]], the distinct
+    * band_hash literals themselves. ONE bounded take computes both. The
+    * take is O(batch) work returning at most KeyPushMax+1 rows — the
+    * same K-bounded driver-side index material the ANN operators keep;
+    * an over-cap batch pays one partial pass and falls back to the
+    * bucket-only collect. */
+  private def touchedBandProbe(state: DedupState,
+      newBands: DataFrame): (Option[Seq[Int]], Option[Seq[String]]) =
+    state.buckets match {
+      case Some(n) if state.bands.columns.contains("bucket") =>
+        val pairs = newBands
+          .select(bandBucket(col("band"), col("band_hash"), n).as("bucket"),
+            col("band_hash"))
+          .distinct().take(KeyPushMax + 1)
+        if (pairs.length <= KeyPushMax) {
+          val buckets = pairs.map(_.getInt(0)).distinct.toSeq
+          val keys = pairs.map(_.getString(1)).distinct.toSeq
+          (if (buckets.size < n) Some(buckets) else None, Some(keys))
+        } else {
+          val touched = newBands
+            .select(bandBucket(col("band"), col("band_hash"), n).as("bucket"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          (if (touched.size < n) Some(touched) else None, None)
+        }
+      case _ => (None, None)
+    }
+
+  private def bandsFor(state: DedupState,
+      probe: (Option[Seq[Int]], Option[Seq[String]])): DataFrame = {
+    val bucketed = probe._1 match {
+      case Some(t) if t.isEmpty => state.bands.filter(lit(false))
+      case Some(t) => state.bands.filter(col("bucket").isin(t: _*))
+      case None => state.bands
+    }
+    (probe._2 match {
+      case Some(keys) if state.buckets.isDefined =>
+        bucketed.filter(col("band_hash").isin(keys: _*))
+      case _ => bucketed
+    }).transform(dropBucket)
   }
 
   /** The band-index probe side: the stored index restricted to the
-    * batch's touched buckets — a partition-pruned scan — when that
-    * strictly reduces the read; the full index otherwise. */
+    * batch's touched buckets (partition-pruned scan) and, for bounded
+    * batches, to its exact band_hash key set (row-group-pruned within
+    * the bucket via the sorted layout's min/max stats); the full index
+    * otherwise. */
   private[graft] def prunedBands(state: DedupState,
       newBands: DataFrame): DataFrame =
-    bandsForTouched(state, touchedBandBuckets(state, newBands))
+    bandsFor(state, touchedBandProbe(state, newBands))
 
   /** The verify-stage shingle side: when the state is bucketed, restrict
     * the stored shingle sets (the LARGEST state relation — text-sized
-    * arrays) to the buckets holding a candidate endpoint; the full
-    * relation when the endpoints cover every bucket (same
-    * cannot-reduce-the-read argument as [[touchedBandBuckets]]). `cand`
-    * must be materialized (the caller localCheckpoints it) so collecting
-    * its endpoint buckets doesn't re-run the band probe. */
+    * arrays) to the buckets holding a candidate endpoint — and, under
+    * [[KeyPushMax]], to the exact endpoint doc_ids (the base is sorted
+    * by doc_id within each bucket, so the IN filter prunes row groups);
+    * the full relation when the endpoints cover every bucket over-cap
+    * (same cannot-reduce-the-read argument as [[touchedBandProbe]]).
+    * `cand` must be materialized (the caller localCheckpoints it) so
+    * collecting its endpoints doesn't re-run the band probe. */
   private[graft] def prunedShingles(state: DedupState,
       cand: DataFrame): DataFrame = state.buckets match {
     case Some(n) if state.shingles.columns.contains("bucket") =>
-      val touched = cand
+      val ends = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
-        .select(docBucket(col("d"), n).as("bucket"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      if (touched.isEmpty) state.shingles.filter(lit(false)).drop("bucket")
-      else if (touched.size < n)
-        state.shingles.filter(col("bucket").isin(touched: _*)).drop("bucket")
-      else dropBucket(state.shingles)
+        .distinct()
+      val took = ends.select(docBucket(col("d"), n).as("bucket"), col("d"))
+        .take(KeyPushMax + 1)
+      val (touched, ids) =
+        if (took.length <= KeyPushMax)
+          (took.map(_.getInt(0)).distinct.toSeq,
+            Some(took.map(_.getLong(1)).toSeq))
+        else
+          (ends.select(docBucket(col("d"), n).as("bucket"))
+            .distinct().collect().map(_.getInt(0)).toSeq, None)
+      val bucketed =
+        if (touched.isEmpty) state.shingles.filter(lit(false))
+        else if (touched.size < n)
+          state.shingles.filter(col("bucket").isin(touched: _*))
+        else state.shingles
+      (ids match {
+        case Some(ds) if touched.nonEmpty =>
+          bucketed.filter(col("doc_id").isin(ds: _*))
+        case _ => bucketed
+      }).transform(dropBucket)
     case _ => dropBucket(state.shingles)
   }
 
@@ -178,16 +240,25 @@ object IncrementalDedup {
     * exactly once); content-duplicate re-fetches under FRESH ids are
     * fine — that is precisely the near-dup case this operator clusters. */
   def admitBatch(state: DedupState, newDocs: DataFrame,
-                 threshold: Double = 0.5): DedupState = {
+                 threshold: Double = 0.5): DedupState =
+    applyDelta(state, admitBatchDelta(state, newDocs, threshold))
+
+  /** The admission computation itself, returning the frontier-sized
+    * [[AdmitDelta]] instead of the reconstructed full state — the input
+    * to a touched-partition-only commit
+    * ([[graft.streaming.DedupStream.commitDelta]]). */
+  def admitBatchDelta(state: DedupState, newDocs: DataFrame,
+                      threshold: Double = 0.5): AdmitDelta = {
     val newBands = Dedup.lshBands(newDocs)
     val newShingles = Dedup.shingleSets(newDocs)
-    // the band probe prunes under strict-subset coverage (see
-    // touchedBandBuckets); the verify path below prunes independently by
-    // candidate-endpoint coverage whenever the state is bucketed
+    // the band probe prunes by bucket under strict-subset coverage and
+    // by key set under KeyPushMax (see touchedBandProbe); the verify
+    // path below prunes independently by candidate-endpoint coverage
+    // whenever the state is bucketed
     val bucketed =
       state.buckets.isDefined && state.shingles.columns.contains("bucket")
     val allBands =
-      bandsForTouched(state, touchedBandBuckets(state, newBands))
+      bandsFor(state, touchedBandProbe(state, newBands))
         .union(newBands)
 
     // candidate pairs touching the new batch: probe the band index with
@@ -252,36 +323,40 @@ object IncrementalDedup {
 
     // remap: old cluster rep -> merged component label. comp rows whose
     // node is a new doc id never match an old cluster_id, so no filter is
-    // needed. broadcast() both because it's frontier-sized and to pin the
-    // no-shuffle plan over `labels` regardless of stats.
+    // needed.
     val remap = comp.select(col("node").as("cluster_id"),
       col("component").as("merged"))
-    val oldRelabeled = lab.join(broadcast(remap), Seq("cluster_id"), "left")
+    AdmitDelta(newAssign, remap, newBands, newShingles)
+  }
+
+  /** Reconstruct the FULL grown state from a delta — the in-memory
+    * chaining path (q51). Callers on the persisted path never execute
+    * these relations; they commit the delta's touched partitions instead
+    * ([[graft.streaming.DedupStream.commitDelta]]). `broadcast(remap)`
+    * both because it's frontier-sized and to pin the no-shuffle plan
+    * over `labels` regardless of stats. */
+  def applyDelta(state: DedupState, d: AdmitDelta): DedupState = {
+    val oldRelabeled = state.labels.join(broadcast(d.remap), Seq("cluster_id"), "left")
       .select(col("doc_id"),
         coalesce(col("merged"), col("cluster_id")).as("cluster_id"))
 
     // sizes: untouched clusters pass through map-side (broadcast anti);
     // only remapped clusters + new-batch counts hit a (tiny) shuffle.
-    val newCounts = newAssign.groupBy(col("cluster_id"))
+    val newCounts = d.newAssign.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("delta"))
     val untouched = state.sizes
-      .join(broadcast(remap.select(col("cluster_id"))), Seq("cluster_id"), "left_anti")
-    val touched = state.sizes.join(broadcast(remap), Seq("cluster_id"))
+      .join(broadcast(d.remap.select(col("cluster_id"))), Seq("cluster_id"), "left_anti")
+    val touched = state.sizes.join(broadcast(d.remap), Seq("cluster_id"))
       .select(col("merged").as("cluster_id"), col("cluster_size").as("delta"))
       .union(newCounts)
       .groupBy(col("cluster_id"))
       .agg(sum(col("delta")).as("cluster_size"))
 
-    // the returned relations are the FULL grown state (the pruned probe
-    // views above are admission-internal). Callers on the persisted path
-    // never execute these — they commit the batch deltas instead
-    // ([[graft.streaming.DedupStream.commitState]]); the in-memory
-    // chaining path (buckets = None) unions at zero extra cost.
     DedupState(
-      labels = oldRelabeled.union(newAssign),
+      labels = oldRelabeled.union(d.newAssign),
       sizes = untouched.union(touched),
-      bands = dropBucket(state.bands).union(newBands),
-      shingles = dropBucket(state.shingles).union(newShingles))
+      bands = dropBucket(state.bands).union(d.newBands),
+      shingles = dropBucket(state.shingles).union(d.newShingles))
   }
 
   /** (doc_id, cluster_id, cluster_size) — the [[Dedup.duplicateClusters]]

@@ -3,13 +3,13 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.operators.{DedupState, IncrementalDedup}
+import graft.operators.{AdmitDelta, DedupState, IncrementalDedup}
 
 /** Streaming admission for the incremental dedup state — the reference's
   * daily-drop topology (landing zone → bookmark-incremental processing)
   * applied to near-duplicate clustering: each micro-batch of newly
   * landed documents is admitted against the PERSISTED [[DedupState]]
-  * with [[IncrementalDedup.admitBatch]], never re-reading old text.
+  * with [[IncrementalDedup.admitBatchDelta]], never re-reading old text.
   *
   * State lives as four parquet relations under `stateDir`, promoted by
   * a pointer file — the same atomic-swap shape a Delta/Iceberg table
@@ -18,56 +18,67 @@ import graft.operators.{DedupState, IncrementalDedup}
   * load the last COMMITTED version; a crash mid-write leaves garbage
   * uncommitted files and an intact previous version.
   *
-  * Layout exploits that `bands` and `shingles` are APPEND-ONLY by
-  * construction ([[IncrementalDedup.admitBatch]] only ever unions the
-  * new batch's rows in). It is a two-tier log — an LSM in miniature:
+  * `bands`/`shingles` exploit being APPEND-ONLY: a two-tier log (LSM in
+  * miniature) of RECENT day segments (`bands/seg$i`, batch-sized) folded
+  * every [[MaxLiveSegments]]-th commit into a BUCKETED BASE
+  * (`bands/base/cpart=$j/bucket=$k/`, sorted by key within bucket) that
+  * makes the daily probe a partition-pruned scan
+  * ([[IncrementalDedup.prunedBands]]; plan-asserted in DedupStreamSpec).
   *
-  *  - RECENT day segments (`bands/seg$i`): each commit writes ONLY the
-  *    new batch's rows, so per-day state-write bytes are batch-sized.
-  *  - a BUCKETED BASE (`bands/base/cpart=$j/bucket=$k/`): every
-  *    [[MaxLiveSegments]]-th commit folds the live segments into one
-  *    compaction partitioned by the probe key's bucket
-  *    ([[IncrementalDedup.bandBucket]] / [[IncrementalDedup.docBucket]]),
-  *    sorted by key within each bucket. The fold rewrites only those
-  *    few batch-sized segments — amortized write stays O(batch)/day
-  *    (every row is written exactly twice: once as a segment, once into
-  *    its compaction) — and it is what makes the daily READ prunable:
-  *    [[IncrementalDedup.admitBatch]] probes only the buckets the batch
-  *    touches, a partition-pruned scan instead of an O(accumulated
-  *    corpus) pass (asserted on the physical plan in DedupStreamSpec).
+  * `labels`/`sizes` — the two relations admission MUTATES — are
+  * copy-on-write per cluster-id bucket: bucket k's rows live at
+  * `labels/b$k/v$N` where N is the last commit that touched the bucket,
+  * and the committed MANIFEST's `owners` array maps bucket → owning
+  * version. A commit rewrites ONLY the buckets its frontier touches
+  * (remapped cluster ids ∪ merged labels ∪ the batch's cluster ids —
+  * O(batch) buckets), so per-day labels/sizes write bytes are
+  * O(batch + touched-bucket rows), not O(corpus); untouched buckets'
+  * files are not opened, not rewritten, bit-identical across versions.
+  * Loading is ONE multi-root parquet scan over the owned bucket dirs —
+  * plan size constant in both the day index and the version count. A
+  * touched bucket whose rows all migrate elsewhere commits an EMPTY
+  * marker dir (zero files), so a referenced dir that is ABSENT is loud
+  * lost-state, same contract as the base compactions.
   *
   * Each version's `MANIFEST` (written before the pointer moves) records
-  * which compactions and which segment range constitute the committed
-  * state, plus the layout's bucket count. Crash-safety is unchanged: a
-  * half-written segment sits above CURRENT and is never listed; a
-  * half-written compaction is above the committed compaction count and
-  * is never listed (and the retried fold overwrites it). Folded
-  * segments are deleted only once neither the current nor the previous
-  * committed manifest references them, so in-flight readers of the
-  * prior version stay valid. Only `labels`/`sizes` — the two relations
-  * incremental admission actually mutates, two longs per doc / per
-  * cluster — are rewritten per version (`v$N/`), which is the residual
-  * cost a merge-on-write table format (Delta/Iceberg/Hudi) would remove.
-  *
-  * Scale notes: the per-batch compute is [[IncrementalDedup.admitBatch]]'s
-  * frontier-sized plan (labels never shuffle — plan-pinned in
-  * IncrementalDedupSpec); the per-batch WRITE is the new segment plus
-  * the labels/sizes rewrite plus the amortized fold; the per-batch READ
-  * is the touched buckets of the base plus at most [[MaxLiveSegments]]
-  * batch-sized segments — file listing and plan size stay bounded in
-  * the day index (one multi-root scan per tier).
+  * compactions, live-segment range, bucket count, and the labels/sizes
+  * owner array. Crash-safety: half-written segments/compactions/bucket
+  * versions sit above the committed pointer or outside the committed
+  * owners and are never listed; the retried commit overwrites them.
+  * Retention keeps the current + previous version of everything (bucket
+  * versions referenced by either manifest survive; in-flight readers of
+  * the prior commit stay valid) and deletes the rest, so disk stays
+  * O(corpus + 2·touched), not O(days · corpus).
   */
 object DedupStream {
 
-  /** Bucket count of the persisted bands/shingles layout, fixed at the
-    * state's first commit. 32 keeps test states from exploding into
-    * thousands of files; a 100 TB deployment sizes this so one bucket ≈
-    * a few HDFS-block-sized files (e.g. 4096). */
+  /** Bucket count of the persisted layout (bands/shingles base AND
+    * labels/sizes copy-on-write dirs), fixed at the state's first
+    * commit. 32 keeps test states from exploding into thousands of
+    * files; a 100 TB deployment sizes this so one bucket ≈ a few
+    * HDFS-block-sized files (e.g. 4096). */
   val StateBuckets = 32
 
   /** Fold the live segments into the bucketed base once this many have
     * accumulated; also the bound on segments a daily probe reads. */
   val MaxLiveSegments = 4
+
+  private val LabelsDdl = "doc_id BIGINT, cluster_id BIGINT"
+  private val SizesDdl = "cluster_id BIGINT, cluster_size BIGINT"
+
+  /** Run independent Spark actions as concurrent jobs (labels/sizes/
+    * segment writes within one commit touch disjoint paths and share no
+    * lineage). Commit wall time is the slowest write, not the sum — the
+    * scheduler interleaves the stages; on a real cluster this is the
+    * standard multi-threaded-driver pattern. Any failure propagates
+    * before the commit's manifest is written. */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(tasks.map(t => Future(t()))), Duration.Inf): Unit
+  }
 
   private def versionOf(stateDir: String): Option[Long] = {
     val f = new java.io.File(stateDir, "CURRENT")
@@ -75,20 +86,46 @@ object DedupStream {
     else None
   }
 
-  /** (compactions, segFrom, buckets) of a committed version. Versions
-    * committed before the bucketed layout have no MANIFEST — they read
-    * as (0, 0, 0): all segments live, no base, unbucketed. */
-  private def manifestOf(stateDir: String, v: Long): Option[(Int, Long, Int)] = {
+  /** Committed-version metadata. The base holds compactions
+    * [cFrom, compactions); cFrom is 0 until a re-bucketing migration
+    * supersedes the older compactions. `owners(k)` is the version whose
+    * commit last wrote labels/sizes bucket k; None on manifests from
+    * before the copy-on-write layout (labels/sizes then live whole at
+    * `v$N/`). */
+  private final case class Manifest(compactions: Int, cFrom: Int,
+      segFrom: Long, buckets: Int, owners: Option[Vector[Long]])
+
+  /** Versions committed before the bucketed layout have no MANIFEST —
+    * they read as (0, 0, 0, 0, None): all segments live, no base,
+    * unbucketed, legacy whole-relation labels/sizes. */
+  private def manifestOf(stateDir: String, v: Long): Option[Manifest] = {
     val f = new java.io.File(stateDir, s"v$v/MANIFEST")
     if (!f.isFile) None
     else {
-      val pat = """\{"compactions":(\d+),"segFrom":(\d+),"buckets":(\d+)\}""".r
-      java.nio.file.Files.readString(f.toPath).trim match {
-        case pat(c, fr, b) => Some((c.toInt, fr.toLong, b.toInt))
-        case other => throw new IllegalStateException(
-          s"unreadable state manifest v$v: $other")
+      val txt = java.nio.file.Files.readString(f.toPath).trim
+      def num(k: String): Option[Long] =
+        s""""$k":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      val owners = s""""owners":\\[([\\d,]*)\\]""".r.findFirstMatchIn(txt)
+        .map(m => if (m.group(1).isEmpty) Vector.empty[Long]
+                  else m.group(1).split(",").map(_.toLong).toVector)
+      (num("compactions"), num("segFrom"), num("buckets")) match {
+        case (Some(c), Some(fr), Some(b)) =>
+          Some(Manifest(c.toInt, num("cFrom").getOrElse(0L).toInt, fr,
+            b.toInt, owners))
+        case _ => throw new IllegalStateException(
+          s"unreadable state manifest v$v: $txt")
       }
     }
+  }
+
+  private def writeManifest(stateDir: String, v: Long, compactions: Int,
+      cFrom: Int, segFrom: Long, buckets: Int,
+      owners: Vector[Long]): Unit = {
+    val dir = java.nio.file.Paths.get(stateDir, s"v$v")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("MANIFEST"),
+      s"""{"compactions":$compactions,"cFrom":$cFrom,"segFrom":$segFrom,""" +
+        s""""buckets":$buckets,"owners":[${owners.mkString(",")}]}""")
   }
 
   private def isDir(p: String): Boolean = new java.io.File(p).isDirectory
@@ -101,27 +138,60 @@ object DedupStream {
       f.isDirectory && f.getName.startsWith("bucket="))
   }
 
+  /** A bucket-version dir with data files (an empty marker commits a
+    * bare dir: the bucket is owned, has zero rows, and is NOT lost). */
+  private def hasDataFiles(p: String): Boolean = {
+    val d = new java.io.File(p)
+    d.isDirectory && d.listFiles.exists(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
+  private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  /** The copy-on-write relation (`labels` or `sizes`): one multi-root
+    * scan over the owned bucket dirs — `only` restricts to a touched
+    * subset (the commit-time pruned read). A referenced dir that does
+    * not exist is lost committed state and fails loudly; empty marker
+    * dirs contribute no files. */
+  private def ownedRelation(spark: SparkSession, stateDir: String, t: String,
+      owners: Vector[Long], only: Option[Set[Int]], ddl: String): DataFrame = {
+    val paths = owners.zipWithIndex
+      .filter { case (_, k) => only.forall(_.contains(k)) }
+      .map { case (ver, k) =>
+        val p = s"$stateDir/$t/b$k/v$ver"
+        if (!isDir(p)) throw new IllegalStateException(
+          s"committed state references $t/b$k/v$ver but it does not " +
+            "exist — lost or deleted committed state")
+        p
+      }
+      .filter(hasDataFiles)
+    if (paths.isEmpty) emptyDf(spark, ddl)
+    else spark.read.parquet(paths: _*)
+  }
+
   /** Load the last committed state, or None before the first commit.
+    * `labels`/`sizes` come from the owner-mapped bucket dirs (or the
+    * legacy `v$N/` whole relation when the manifest predates owners);
     * `bands`/`shingles` each come from two multi-root scans — the
     * committed compactions of the bucketed base (carrying the `bucket`
     * partition column for pruning) and the live segments (bucket
     * recomputed as a column so the union is uniform); uncommitted
-    * garbage above CURRENT / above the committed compaction count is
-    * never listed. A manifest-referenced compaction dir that does not
-    * exist AT ALL is a lost/deleted commit — that fails loudly (the
-    * manifest's contract is that committed state is complete); only a
-    * dir that exists but holds no bucket partitions (a legitimately
-    * empty fold writes just _SUCCESS) is skipped. A state whose tiers
-    * are ALL legitimately empty (empty-corpus commits) reads as an
-    * empty relation of the log's schema, not an error. */
+    * garbage above CURRENT / outside the committed owners is never
+    * listed. A state whose tiers are ALL legitimately empty
+    * (empty-corpus commits) reads as an empty relation of the right
+    * schema, not an error. */
   def loadState(spark: SparkSession, stateDir: String): Option[DedupState] =
     versionOf(stateDir).map { v =>
-      def rd(t: String) = spark.read.parquet(s"$stateDir/v$v/$t")
-      val (c, segFrom, b) = manifestOf(stateDir, v).getOrElse((0, 0L, 0))
+      val man = manifestOf(stateDir, v)
+      val (c, cFrom, segFrom, b) = man
+        .map(m => (m.compactions, m.cFrom, m.segFrom, m.buckets))
+        .getOrElse((0, 0, 0L, 0))
       def log(t: String, bucketCol: Int => Column, emptyDdl: String) = {
         val segPaths = (segFrom to v).map(i => s"$stateDir/$t/seg$i")
           .filter(isDir)
-        val basePaths = (0 until c).map { j =>
+        val basePaths = (cFrom until c).map { j =>
           val p = s"$stateDir/$t/base/cpart=$j"
           if (!isDir(p)) throw new IllegalStateException(
             s"committed state v$v references $t compaction cpart=$j " +
@@ -142,11 +212,17 @@ object DedupStream {
           else Some(spark.read.option("basePath", s"$stateDir/$t/base")
             .parquet(basePaths: _*).drop("cpart"))
         (baseDf.toSeq ++ segDf.toSeq).reduceOption(_ unionByName _)
-          .getOrElse(spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(emptyDdl)))
+          .getOrElse(emptyDf(spark, emptyDdl))
       }
-      DedupState(rd("labels"), rd("sizes"),
+      val (labels, sizes) = man.flatMap(_.owners) match {
+        case Some(own) =>
+          (ownedRelation(spark, stateDir, "labels", own, None, LabelsDdl),
+            ownedRelation(spark, stateDir, "sizes", own, None, SizesDdl))
+        case None => // legacy whole-relation layout
+          (spark.read.parquet(s"$stateDir/v$v/labels"),
+            spark.read.parquet(s"$stateDir/v$v/sizes"))
+      }
+      DedupState(labels, sizes,
         log("bands",
           n => IncrementalDedup.bandBucket(col("band"), col("band_hash"), n),
           "doc_id BIGINT, band BIGINT, band_hash STRING"),
@@ -157,43 +233,145 @@ object DedupStream {
 
   /** Fold segments [from, to] of one log into compaction `cpart`,
     * partitioned by the probe key's bucket and sorted by the key within
-    * each bucket (row groups arrive key-clustered for future min/max
-    * pruning). `repartition(bucket)` first so each bucket directory is
-    * written by exactly one task — one file per bucket per fold. Write
-    * mode is overwrite: a crashed fold's leftovers (never referenced by
-    * a manifest) are wiped by the retry. */
+    * each bucket (row groups arrive key-clustered for min/max pruning).
+    * `repartition(bucket)` first so each bucket directory is written by
+    * exactly one task — one file per bucket per fold. Write mode is
+    * overwrite: a crashed fold's leftovers (never referenced by a
+    * manifest) are wiped by the retry. */
+  private def compactInto(df: DataFrame, path: String, bucketCol: Column,
+      sortKey: Column): Unit =
+    df.withColumn("bucket", bucketCol)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), sortKey)
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(path)
+
   private def compactSegments(spark: SparkSession, stateDir: String, t: String,
       from: Long, to: Long, cpart: Int, bucketCol: Column,
       sortKey: Column): Unit = {
     val segs = (from to to).map(i => s"$stateDir/$t/seg$i").filter(isDir)
     if (segs.nonEmpty)
-      spark.read.parquet(segs: _*)
-        .withColumn("bucket", bucketCol)
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), sortKey)
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$stateDir/$t/base/cpart=$cpart")
+      compactInto(spark.read.parquet(segs: _*),
+        s"$stateDir/$t/base/cpart=$cpart", bucketCol, sortKey)
   }
 
-  /** Write the next state version and promote it. Materializes every
-    * relation BEFORE the pointer moves, so a failed write never
+  /** Every [[MaxLiveSegments]]-th commit folds the live segments into
+    * the bucketed base (amortized O(batch)/day — every log row is
+    * written exactly twice: once as a segment, once into a compaction). */
+  private def maybeFold(spark: SparkSession, stateDir: String, next: Long,
+      prevC: Int, prevF: Long, b: Int, maxLiveSegments: Int): (Int, Long) =
+    if (next - prevF + 1 >= maxLiveSegments) {
+      inParallel(
+        () => compactSegments(spark, stateDir, "bands", prevF, next, prevC,
+          IncrementalDedup.bandBucket(col("band"), col("band_hash"), b),
+          col("band_hash")),
+        () => compactSegments(spark, stateDir, "shingles", prevF, next, prevC,
+          IncrementalDedup.docBucket(col("doc_id"), b), col("doc_id")))
+      (prevC + 1, next + 1)
+    } else (prevC, prevF)
+
+  /** Write `df` (carrying cluster_id) into per-bucket version dirs
+    * `$t/b$k/v$next` for exactly the buckets in `touched`: one
+    * partitioned staging write (one task per bucket, rows sorted by
+    * cluster_id within), then a driver-side rename per touched bucket.
+    * A touched bucket the staging produced no rows for gets an empty
+    * marker dir — its old content is superseded (rows migrated to a
+    * merged cluster's bucket) and absence must stay distinguishable
+    * from lost state. Staged buckets outside `touched` would mean the
+    * touched-set computation missed a write target — loud error, since
+    * committing them would strand rows invisible to the owner map. */
+  private def writeBuckets(df: DataFrame, stateDir: String, t: String,
+      next: Long, b: Int, touched: Seq[Int]): Unit = {
+    val stage = s"$stateDir/$t/.stage$next"
+    // task count bounded by the touched-bucket count (hash keeps each
+    // bucket in one task — one file per bucket), not the session shuffle
+    // width: a 3-bucket commit should not schedule 32 near-empty tasks
+    df.withColumn("lbucket", IncrementalDedup.docBucket(col("cluster_id"), b))
+      .repartition(math.max(1, touched.size), col("lbucket"))
+      .sortWithinPartitions(col("lbucket"), col("cluster_id"))
+      .write.partitionBy("lbucket").mode("overwrite").parquet(stage)
+    val staged = new java.io.File(stage).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("lbucket="))
+      .map(f => f.getName.drop("lbucket=".length).toInt -> f).toMap
+    val stray = staged.keySet -- touched.toSet
+    require(stray.isEmpty,
+      s"$t commit staged rows for untouched buckets $stray — the touched " +
+        "set must cover every bucket the delta writes")
+    touched.foreach { k =>
+      val dst = java.nio.file.Paths.get(stateDir, t, s"b$k", s"v$next")
+      org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile) // crashed try
+      java.nio.file.Files.createDirectories(dst.getParent)
+      staged.get(k) match {
+        case Some(src) => java.nio.file.Files.move(src.toPath, dst)
+        case None => java.nio.file.Files.createDirectories(dst) // empty marker
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+  }
+
+  private def rmQuiet(d: java.io.File): Unit =
+    try org.apache.commons.io.FileUtils.deleteDirectory(d)
+    catch { case _: Exception => } // stale history is harmless
+
+  /** Post-promotion cleanup: keep the current + previous version of
+    * everything (in-flight readers of the prior commit stay valid),
+    * delete the rest — manifest dirs, folded-away segments, and
+    * labels/sizes bucket versions referenced by neither owner map. */
+  private def retire(stateDir: String, next: Long, newF: Long, prevF: Long,
+      newCFrom: Int, prevCFrom: Int,
+      curOwn: Option[Vector[Long]], prevOwn: Option[Vector[Long]]): Unit = {
+    (0L until next - 1).map(i => new java.io.File(stateDir, s"v$i"))
+      .filter(_.isDirectory).foreach(rmQuiet)
+    Seq("bands", "shingles").foreach { t =>
+      (0L until math.min(newF, prevF))
+        .map(i => new java.io.File(stateDir, s"$t/seg$i"))
+        .filter(_.isDirectory).foreach(rmQuiet)
+      // compactions superseded by a re-bucketing migration in BOTH the
+      // current and previous manifests' ranges are unreferenced
+      (0 until math.min(newCFrom, prevCFrom))
+        .map(j => new java.io.File(stateDir, s"$t/base/cpart=$j"))
+        .filter(_.isDirectory).foreach(rmQuiet)
+    }
+    Seq("labels", "sizes").foreach { t =>
+      val root = new java.io.File(stateDir, t)
+      if (root.isDirectory) root.listFiles.foreach { bdir =>
+        if (bdir.isDirectory && bdir.getName.startsWith("b")
+            && bdir.getName.drop(1).forall(_.isDigit)) {
+          val k = bdir.getName.drop(1).toInt
+          def owns(o: Option[Vector[Long]], ver: Long) =
+            o.exists(v => k < v.length && v(k) == ver)
+          bdir.listFiles.foreach { vdir =>
+            if (vdir.isDirectory && vdir.getName.startsWith("v")) {
+              val ver = vdir.getName.drop(1).toLong
+              if (!owns(curOwn, ver) && !owns(prevOwn, ver)) rmQuiet(vdir)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  private def promote(stateDir: String, next: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(stateDir, s".CURRENT.$next.tmp")
+    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(stateDir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write the next state version FROM A FULL STATE and promote it —
+    * the bootstrap path (and the one-time upgrade of a legacy state,
+    * which pays one full labels/sizes write to enter the copy-on-write
+    * layout: every bucket becomes owned by this commit). Materializes
+    * every relation BEFORE the pointer moves, so a failed write never
     * publishes a partial state.
     *
     * `newBands`/`newShingles` are the CURRENT BATCH's rows only — the
-    * append-log delta. Because both relations are append-only by
-    * construction, the previous segments/compactions already hold
-    * everything else and the commit writes O(batch) bytes for them, not
-    * O(corpus). Omitting the deltas is only legal on the very first
-    * commit (the full snapshot IS the delta there); passing a later
-    * full state without deltas would double-count rows against the
-    * existing log, so it fails loudly instead. Every
-    * [[MaxLiveSegments]]-th commit additionally folds the live segments
-    * into the bucketed base (amortized O(batch)/day — see the object
-    * doc). After the pointer moves, version directories older than the
-    * previous one are pruned — `labels`/`sizes` history would otherwise
-    * grow O(days · corpus) — and segments referenced by neither the
-    * current nor the previous manifest are deleted, bounding the live
-    * segment count. */
+    * append-log delta. Omitting them is only legal on the very first
+    * commit (the full snapshot IS the delta there); passing a later full
+    * state without deltas would double-count rows against the existing
+    * log, so it fails loudly instead. Steady-state daily commits should
+    * use [[commitDelta]], which rewrites only touched buckets. */
   def commitState(st: DedupState, stateDir: String,
       newBands: Option[DataFrame] = None,
       newShingles: Option[DataFrame] = None,
@@ -204,55 +382,161 @@ object DedupStream {
     require(next == 0 || (newBands.isDefined && newShingles.isDefined),
       "commitState on an existing state requires the batch deltas for the " +
         "bands/shingles append log (a full rewrite would double-count)")
-    def wr(df: DataFrame, path: String): Unit =
-      df.write.mode("overwrite").parquet(s"$stateDir/$path")
-    wr(st.labels, s"v$next/labels"); wr(st.sizes, s"v$next/sizes")
-    wr(newBands.getOrElse(st.bands), s"bands/seg$next")
-    wr(newShingles.getOrElse(st.shingles), s"shingles/seg$next")
+    val prevMan = prevVersion.flatMap(v => manifestOf(stateDir, v))
     // layout constants are fixed by the FIRST commit's manifest; later
     // commits inherit them (a pre-manifest legacy state inherits the
-    // defaults — its old segments simply all read as live until folded)
-    val (prevC, prevF, b) = prevVersion.flatMap(v => manifestOf(stateDir, v))
-      .getOrElse((0, 0L, buckets))
-    // the manifest value wins on every commit after the first; a caller
+    // defaults — its old segments simply all read as live until folded).
+    // The manifest value wins on every commit after the first; a caller
     // passing a CONFLICTING non-default count would otherwise silently
-    // believe the layout was re-sized
+    // believe the layout was re-sized.
+    val (prevC, prevCFrom, prevF, b) = prevMan
+      .map(m => (m.compactions, m.cFrom, m.segFrom, m.buckets))
+      .getOrElse((0, 0, 0L, buckets))
     require(buckets == StateBuckets || buckets == b,
       s"state layout is fixed at $b buckets by its first commit's manifest; " +
         s"got buckets=$buckets — a plain commit cannot re-size the layout " +
         "(use a re-bucketing fold)")
     val spark = st.labels.sparkSession
+    def dropB(df: DataFrame) =
+      if (df.columns.contains("bucket")) df.drop("bucket") else df
+    val all = (0 until b).toSeq
+    def wr(df: DataFrame, path: String): Unit =
+      df.write.mode("overwrite").parquet(s"$stateDir/$path")
+    inParallel(
+      () => writeBuckets(dropB(st.labels), stateDir, "labels", next, b, all),
+      () => writeBuckets(dropB(st.sizes), stateDir, "sizes", next, b, all),
+      () => wr(dropB(newBands.getOrElse(st.bands)), s"bands/seg$next"),
+      () => wr(dropB(newShingles.getOrElse(st.shingles)), s"shingles/seg$next"))
     val (newC, newF) =
-      if (next - prevF + 1 >= maxLiveSegments) {
-        compactSegments(spark, stateDir, "bands", prevF, next, prevC,
-          IncrementalDedup.bandBucket(col("band"), col("band_hash"), b),
-          col("band_hash"))
-        compactSegments(spark, stateDir, "shingles", prevF, next, prevC,
-          IncrementalDedup.docBucket(col("doc_id"), b), col("doc_id"))
-        (prevC + 1, next + 1)
-      } else (prevC, prevF)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(stateDir, s"v$next", "MANIFEST"),
-      s"""{"compactions":$newC,"segFrom":$newF,"buckets":$b}""")
-    val tmp = java.nio.file.Paths.get(stateDir, s".CURRENT.$next.tmp")
-    java.nio.file.Files.writeString(tmp, next.toString)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(stateDir, "CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    def rmQuiet(d: java.io.File): Unit =
-      try org.apache.commons.io.FileUtils.deleteDirectory(d)
-      catch { case _: Exception => } // stale history is harmless
-    // retention: keep current + previous version (in-flight readers of
-    // the prior commit stay valid)
-    (0L until next - 1).map(i => new java.io.File(stateDir, s"v$i"))
-      .filter(_.isDirectory).foreach(rmQuiet)
-    // segments below BOTH manifests' ranges are folded into the base and
-    // unreferenced — delete them (current needs newF.., previous prevF..)
-    Seq("bands", "shingles").foreach { t =>
-      (0L until math.min(newF, prevF))
-        .map(i => new java.io.File(stateDir, s"$t/seg$i"))
-        .filter(_.isDirectory).foreach(rmQuiet)
+      maybeFold(spark, stateDir, next, prevC, prevF, b, maxLiveSegments)
+    val owners = Vector.fill(b)(next)
+    writeManifest(stateDir, next, newC, prevCFrom, newF, b, owners)
+    promote(stateDir, next)
+    retire(stateDir, next, newF, prevF, prevCFrom, prevCFrom,
+      Some(owners), prevMan.flatMap(_.owners))
+    next
+  }
+
+  /** Commit one admitted batch against the previously committed state —
+    * the steady-state daily path. Reads ONLY the labels/sizes buckets
+    * the delta's frontier touches (an O(batch)-sized path list), applies
+    * the remap to just those rows, writes just those bucket versions,
+    * appends the batch's band/shingle segments, and publishes a manifest
+    * whose owner map points untouched buckets at their existing files —
+    * which are never opened, never rewritten. Per-day labels/sizes I/O is
+    * O(batch + touched-bucket rows); everything else is the amortized
+    * segment fold. A legacy previous state (pre-owners manifest) takes
+    * the [[commitState]] upgrade path once. */
+  def commitDelta(spark: SparkSession, stateDir: String, prev: DedupState,
+      delta: AdmitDelta, maxLiveSegments: Int = MaxLiveSegments): Long = {
+    val prevV = versionOf(stateDir).getOrElse(throw new IllegalStateException(
+      "commitDelta requires an existing committed state (bootstrap with commitState)"))
+    manifestOf(stateDir, prevV).filter(_.owners.isDefined) match {
+      case None =>
+        commitState(IncrementalDedup.applyDelta(prev, delta), stateDir,
+          newBands = Some(delta.newBands),
+          newShingles = Some(delta.newShingles),
+          maxLiveSegments = maxLiveSegments)
+      case Some(man) =>
+        def t[A](tag: String)(f: => A): A =
+          if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
+            val t0 = System.nanoTime(); val r = f
+            System.err.println(
+              f"[chain]   commit.$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+          } else f
+        val next = prevV + 1
+        val b = man.buckets
+        val own = man.owners.get
+        def kb(c: Column) = IncrementalDedup.docBucket(c, b).as("k")
+        // every bucket a label row can leave, enter, or appear in:
+        // remapped old cluster ids (rows leave), merged labels (rows
+        // enter), the batch's assignments. Frontier-sized collect — the
+        // same K-bounded driver-side index material as the band probe.
+        val touched = t("touched")(delta.remap.select(kb(col("cluster_id")))
+          .union(delta.remap.select(kb(col("merged"))))
+          .union(delta.newAssign.select(kb(col("cluster_id"))))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted)
+        val tset = touched.toSet
+        val oldLab =
+          ownedRelation(spark, stateDir, "labels", own, Some(tset), LabelsDdl)
+        val newLab = oldLab.join(broadcast(delta.remap), Seq("cluster_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("merged"), col("cluster_id")).as("cluster_id"))
+          .unionByName(delta.newAssign.select("doc_id", "cluster_id"))
+        val oldSz =
+          ownedRelation(spark, stateDir, "sizes", own, Some(tset), SizesDdl)
+        val newSz = oldSz.join(broadcast(delta.remap), Seq("cluster_id"), "left")
+          .select(coalesce(col("merged"), col("cluster_id")).as("cluster_id"),
+            col("cluster_size"))
+          .unionByName(delta.newAssign.groupBy("cluster_id")
+            .agg(count(lit(1)).as("cluster_size")))
+          .groupBy("cluster_id").agg(sum("cluster_size").as("cluster_size"))
+        def wr(df: DataFrame, path: String): Unit =
+          df.write.mode("overwrite").parquet(s"$stateDir/$path")
+        t("writes")(inParallel(
+          () => writeBuckets(newLab, stateDir, "labels", next, b, touched),
+          () => writeBuckets(newSz, stateDir, "sizes", next, b, touched),
+          () => wr(delta.newBands, s"bands/seg$next"),
+          () => wr(delta.newShingles, s"shingles/seg$next")))
+        val (newC, newF) = t("fold")(maybeFold(spark, stateDir, next,
+          man.compactions, man.segFrom, b, maxLiveSegments))
+        val owners = touched.foldLeft(own)((v, k) => v.updated(k, next))
+        writeManifest(stateDir, next, newC, man.cFrom, newF, b, owners)
+        promote(stateDir, next)
+        retire(stateDir, next, newF, man.segFrom, man.cFrom, man.cFrom,
+          Some(owners), Some(own))
+        next
     }
+  }
+
+  /** Re-size the persisted layout's bucket count — the migration fold a
+    * growing deployment needs when the corpus has outgrown the count
+    * pinned by its first commit (a bucket should stay a few block-sized
+    * files). One full-rewrite commit, atomic like any other: everything
+    * (all committed compactions + live segments) re-folds into ONE new
+    * compaction per log under the new bucket count, labels/sizes rewrite
+    * into `newBuckets` owner dirs, and the manifest's `cFrom` advances
+    * past the superseded compactions — readers of the previous version
+    * stay valid (its compactions/segments/bucket dirs survive one more
+    * commit), and the next [[commitDelta]] prunes against the new
+    * layout. O(corpus) I/O by nature — scheduled like any compaction,
+    * not a daily cost. */
+  def migrateBuckets(spark: SparkSession, stateDir: String,
+      newBuckets: Int): Long = {
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
+    val prevV = versionOf(stateDir).getOrElse(throw new IllegalStateException(
+      "migrateBuckets requires an existing committed state"))
+    val man = manifestOf(stateDir, prevV).filter(_.owners.isDefined)
+      .getOrElse(throw new IllegalStateException(
+        "migrateBuckets requires a copy-on-write state — commit once to upgrade a legacy state first"))
+    val next = prevV + 1
+    val st = loadState(spark, stateDir).get
+    def dropB(df: DataFrame) =
+      if (df.columns.contains("bucket")) df.drop("bucket") else df
+    val all = (0 until newBuckets).toSeq
+    inParallel(
+      () => writeBuckets(dropB(st.labels), stateDir, "labels", next,
+        newBuckets, all),
+      () => writeBuckets(dropB(st.sizes), stateDir, "sizes", next,
+        newBuckets, all),
+      () => compactInto(dropB(st.bands),
+        s"$stateDir/bands/base/cpart=${man.compactions}",
+        IncrementalDedup.bandBucket(col("band"), col("band_hash"), newBuckets),
+        col("band_hash")),
+      () => compactInto(dropB(st.shingles),
+        s"$stateDir/shingles/base/cpart=${man.compactions}",
+        IncrementalDedup.docBucket(col("doc_id"), newBuckets),
+        col("doc_id")))
+    val owners = Vector.fill(newBuckets)(next)
+    // the new base is compaction [compactions, compactions+1); every
+    // prior compaction and every live segment is folded in and
+    // superseded (segFrom moves past this version's — empty — segment
+    // slot, which never exists: migration admits no batch)
+    writeManifest(stateDir, next, man.compactions + 1, man.compactions,
+      next + 1, newBuckets, owners)
+    promote(stateDir, next)
+    retire(stateDir, next, next + 1, man.segFrom, man.compactions, man.cFrom,
+      Some(owners), man.owners)
     next
   }
 
@@ -260,38 +544,53 @@ object DedupStream {
     * persisted state, exactly once per file (streaming checkpoint =
     * bookmark, like [[graft.sources.Ingest.processNewFiles]]), blocking
     * until the AvailableNow run drains. Batch 0 against an empty
-    * `stateDir` bootstraps with [[IncrementalDedup.initialState]].
+    * `stateDir` bootstraps with [[IncrementalDedup.initialState]];
+    * later batches take the touched-bucket [[commitDelta]] path.
     *
     * `docsPath` goes to the file source verbatim — when each day lands
     * as its own directory (`drops/day1/`, `drops/day2/`, the landing-
     * zone shape), pass the glob `drops/&#42;`; the file source does not
     * recurse on its own. `schemaDdl` is declared (streaming sources
-    * require it) — defaults to the documents fixture shape. */
+    * require it) — defaults to the documents fixture shape.
+    * `maxFilesPerBatch` caps files per micro-batch, so ONE stream run
+    * can replay several day drops as separate admissions — the
+    * per-admission setup cost is paid once, not per day. */
   def admitNewDrops(spark: SparkSession, docsPath: String, stateDir: String,
       checkpointDir: String,
       schemaDdl: String = "doc_id bigint, text string",
-      maxLiveSegments: Int = MaxLiveSegments): Unit = {
-    val drops = spark.readStream
+      maxLiveSegments: Int = MaxLiveSegments,
+      maxFilesPerBatch: Option[Int] = None): Unit = {
+    val reader = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
-      .parquet(docsPath)
+    maxFilesPerBatch.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val drops = reader.parquet(docsPath)
     val q = drops.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // foreachBatch hands a streaming-backed DataFrame; admitBatch
+        // foreachBatch hands a streaming-backed DataFrame; the admission
         // builds an iterative multi-action plan over it, so pin the
         // batch to a stable local copy first
         val pinned = batch.localCheckpoint()
         if (!pinned.isEmpty) {
-          val st = loadState(spark, stateDir) match {
-            case Some(prev) => IncrementalDedup.admitBatch(prev, pinned)
-            case None       => IncrementalDedup.initialState(pinned)
+          def t[A](tag: String)(f: => A): A =
+            if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
+              val t0 = System.nanoTime(); val r = f
+              System.err.println(
+                f"[chain] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+            } else f
+          t("load+admit+commit")(loadState(spark, stateDir)) match {
+            case Some(prev) =>
+              val delta = t("admitDelta")(
+                IncrementalDedup.admitBatchDelta(prev, pinned))
+              t("commitDelta")(commitDelta(spark, stateDir, prev, delta,
+                maxLiveSegments = maxLiveSegments))
+              // the commit is durable — release the delta's component
+              // checkpoint rather than waiting on the ContextCleaner
+              delta.release()
+            case None =>
+              t("bootstrap")(
+                commitState(IncrementalDedup.initialState(pinned), stateDir,
+                  maxLiveSegments = maxLiveSegments))
           }
-          // the batch's bands/shingles are the append-log deltas; the
-          // per-batch memo makes these the SAME relations admitBatch
-          // already computed, not a recompute
-          commitState(st, stateDir,
-            newBands = Some(graft.operators.Dedup.lshBands(pinned)),
-            newShingles = Some(graft.operators.Dedup.shingleSets(pinned)),
-            maxLiveSegments = maxLiveSegments)
           // per-batch shingle/band memos are keyed on this batch's plan
           // and never hit again — drop them so a long-running stream
           // doesn't accumulate cached relations; same for the pinned
@@ -316,21 +615,23 @@ object DedupStream {
     * must equal by the incremental ≡ batch argument
     * ([[IncrementalDedup]]). q51 covers the in-memory incremental
     * operator; this covers the storage layout, commit protocol, and
-    * probe pruning end-to-end in the driver's correctness gate. The
-    * subset cap and the 3-admission shape keep it bench-cheap (the cost
-    * is per-admission fixed overhead, not rows) while every tier is
-    * exercised: live-segment read (admit 1), fold + base-only read
-    * (admit 2), base + live-segment read (admit 3 reads cpart=0 and
-    * seg2). */
+    * probe pruning end-to-end in the driver's correctness gate. All
+    * three day drops are staged up front (one file each) and replayed
+    * through ONE AvailableNow run at maxFilesPerBatch=1 — three separate
+    * micro-batch admissions, one stream setup, so the query's cost is
+    * the admissions themselves rather than 3× stream-start overhead.
+    * Every storage tier is exercised: live-segment read (admit 1), fold
+    * + base-only read (admit 2), base + live-segment read (admit 3
+    * reads cpart=0 and seg2). */
   def qChainBucketed(s: SparkSession, d: String): DataFrame = {
     val docs = graft.engine.Tables.documents(s, d)
       .filter(col("doc_id") < 500)
     val root = java.nio.file.Files.createTempDirectory("graft-q54").toString
-    (0 until 3).foreach { k =>
-      docs.filter(col("doc_id") % 3 === k).write.parquet(s"$root/docs/day$k")
-      admitNewDrops(s, s"$root/docs/*", s"$root/state", s"$root/ckpt",
-        maxLiveSegments = 2)
-    }
+    inParallel((0 until 3).map(k => () =>
+      docs.filter(col("doc_id") % 3 === k).coalesce(1)
+        .write.parquet(s"$root/docs/day$k")): _*)
+    admitNewDrops(s, s"$root/docs/*", s"$root/state", s"$root/ckpt",
+      maxLiveSegments = 2, maxFilesPerBatch = Some(1))
     // pin rows before the state dir is deleted (the caller writes the
     // result AFTER this returns; a lazy scan would read deleted files)
     val out = IncrementalDedup.labelsWithSizes(

@@ -42,16 +42,23 @@ object ChainProbe {
       val days = (0 until 10).map { d =>
         val batch = docs.filter(col("doc_id") % 10 === d).localCheckpoint()
         val w0 = System.nanoTime(); val c0 = cpuSec
-        val st = DedupStream.loadState(spark, s"$root/state") match {
-          case Some(prev) =>
-            IncrementalDedup.admitBatch(
-              if (strip) prev.copy(buckets = None) else prev, batch)
-          case None => IncrementalDedup.initialState(batch)
+        DedupStream.loadState(spark, s"$root/state") match {
+          case Some(prev) if !strip =>
+            val delta = IncrementalDedup.admitBatchDelta(prev, batch)
+            DedupStream.commitDelta(spark, s"$root/state", prev, delta,
+              maxLiveSegments = maxSegs)
+            delta.release()
+          case Some(prev) => // stripped variant: full-state write path
+            DedupStream.commitState(
+              IncrementalDedup.admitBatch(prev.copy(buckets = None), batch),
+              s"$root/state",
+              newBands = Some(Dedup.lshBands(batch)),
+              newShingles = Some(Dedup.shingleSets(batch)),
+              maxLiveSegments = maxSegs)
+          case None =>
+            DedupStream.commitState(IncrementalDedup.initialState(batch),
+              s"$root/state", maxLiveSegments = maxSegs)
         }
-        DedupStream.commitState(st, s"$root/state",
-          newBands = Some(Dedup.lshBands(batch)),
-          newShingles = Some(Dedup.shingleSets(batch)),
-          maxLiveSegments = maxSegs)
         Dedup.clearShingleCaches()
         (cpuSec - c0, (System.nanoTime() - w0) / 1e9)
       }

@@ -89,16 +89,19 @@ class DedupStreamSpec extends AnyFunSuite {
           .asScala.map(f => f.getPath -> f.length).toMap
       }
     }
-    val (planSizes, dayWrites) = (0 until 10).map { d =>
+    val dayResults = (0 until 10).map { d =>
       dayDocs(d).write.parquet(s"$docs/day$d")
       val before = fileSizes(state)
       DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
-      val written = fileSizes(state)
-        .collect { case (p, n) if !before.contains(p) => n }.sum
+      val afterFiles = fileSizes(state)
+      val newPaths = afterFiles.keySet -- before.keySet
+      val written = newPaths.toSeq.map(afterFiles).sum
       val st = DedupStream.loadState(spark, state).get
       (st.labels.queryExecution.optimizedPlan.collect { case p => p }.size,
-        written)
-    }.unzip
+        written, newPaths)
+    }
+    val planSizes = dayResults.map(_._1)
+    val dayWrites = dayResults.map(_._2)
     assert(planSizes.distinct.size == 1,
       s"labels plan size grew across chained days: $planSizes")
     // the write-amplification hazard: bands/shingles are append-only, so
@@ -116,6 +119,17 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(flatDays.forall(_ > 0), s"a day committed nothing: $dayWrites")
     assert(flatDays.max <= 3 * flatDays.min,
       s"non-fold per-day state write is not batch-sized: $dayWrites")
+    // the labels/sizes copy-on-write term: after the bootstrap, a day's
+    // labels/sizes write is confined to the frontier's few cluster
+    // buckets (the day-0 merge target + the day's two new clusters),
+    // never a rewrite across all StateBuckets
+    dayResults.drop(1).zipWithIndex.foreach { case ((_, _, paths), d) =>
+      val buckets = paths.flatMap(p =>
+        """/(?:labels|sizes)/b(\d+)/""".r.findFirstMatchIn(p)
+          .map(_.group(1).toInt))
+      assert(buckets.nonEmpty && buckets.size <= 8,
+        s"day ${d + 1} labels/sizes write hit ${buckets.size} buckets: $buckets")
+    }
     // two-tier layout after day 9: base holds compactions cpart=0
     // (days 0-3) and cpart=1 (days 4-7), bucket-partitioned; only the
     // unfolded segments 8 and 9 stay live — folded segments are deleted
@@ -213,7 +227,15 @@ class DedupStreamSpec extends AnyFunSuite {
     val st0 = IncrementalDedup.initialState(day1)
     DedupStream.commitState(st0, state) // v0 writes a manifest...
     java.nio.file.Files.delete(
-      java.nio.file.Paths.get(state, "v0", "MANIFEST")) // ...make it legacy
+      java.nio.file.Paths.get(state, "v0", "MANIFEST")) // ...make it legacy:
+    // pre-copy-on-write states kept labels/sizes whole under v$N/ — stage
+    // that layout and drop the bucketed dirs the new writer produced
+    st0.labels.write.parquet(s"$state/v0/labels")
+    st0.sizes.write.parquet(s"$state/v0/sizes")
+    Seq("labels", "sizes").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$state/$t"))
+    }
     val legacy = DedupStream.loadState(spark, state).get
     assert(legacy.buckets.isEmpty && !legacy.bands.columns.contains("bucket"))
     val st1 = IncrementalDedup.admitBatch(legacy, day2)
@@ -282,6 +304,150 @@ class DedupStreamSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("fixed"), ex2.getMessage)
 
+    Dedup.clearShingleCaches()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("labels/sizes commit rewrites only touched cluster-buckets; " +
+      "untouched files are bit-identical") {
+    // The last O(corpus)/day write term: labels/sizes used to be rewritten
+    // whole every commit. The copy-on-write layout must confine a day's
+    // labels/sizes write to the buckets the frontier touches (remapped
+    // cluster ids ∪ merged labels ∪ batch assignments) and leave every
+    // other bucket's files untouched on disk — same path, same bytes.
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = Files.createTempDirectory("dedup_cow").toString
+    val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
+    // day 1: the two 2-doc clusters + singleton, plus filler singletons so
+    // most of the 32 buckets hold data a later commit must NOT rewrite
+    val filler = (50L to 81L).map(i =>
+      (i, s"filler singleton number $i with its own unshared vocabulary"))
+    day1.union(filler.toDF("doc_id", "text")).write.parquet(s"$docs/day1")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+
+    def fileBytes(): Map[String, Array[Byte]] = {
+      import scala.jdk.CollectionConverters._
+      Seq("labels", "sizes").flatMap { t =>
+        val d = new java.io.File(s"$state/$t")
+        if (!d.isDirectory) Nil
+        else org.apache.commons.io.FileUtils.listFiles(d, null, true).asScala
+          .map(f => f.getPath -> java.nio.file.Files.readAllBytes(f.toPath))
+      }.toMap
+    }
+    val before = fileBytes()
+    assert(before.nonEmpty)
+
+    // day 2: the bridge doc merges clusters 10 and 20 under new label 1
+    // (rows MIGRATE buckets: b(10)/b(20) drain into b(1)), plus singleton
+    // 40 — the frontier touches at most the buckets of {1, 10, 20, 40}
+    day2.write.parquet(s"$docs/day2")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+
+    def bucketOf(id: Long): Int = spark.range(1)
+      .select(IncrementalDedup.docBucket(lit(id), DedupStream.StateBuckets))
+      .head.getInt(0)
+    val touched = Set(1L, 10L, 20L, 40L).map(bucketOf)
+    val after = fileBytes()
+    // every pre-existing file survives the commit bit-identical (retention
+    // keeps prev-manifest owners; nothing is rewritten in place)
+    before.foreach { case (p, bytes) =>
+      assert(after.contains(p), s"pre-existing state file vanished: $p")
+      assert(java.util.Arrays.equals(after(p), bytes),
+        s"pre-existing state file was rewritten in place: $p")
+    }
+    // every NEW file lives in a touched bucket's v1 dir — the commit wrote
+    // O(touched buckets), not O(corpus)
+    val newFiles = after.keySet -- before.keySet
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { p =>
+      val m = """/(?:labels|sizes)/b(\d+)/v(\d+)/""".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"unexpected state file location: $p")
+      assert(m.get.group(2) == "1", s"new file outside commit v1: $p")
+      assert(touched.contains(m.get.group(1).toInt),
+        s"commit rewrote untouched bucket: $p (touched = $touched)")
+    }
+    // migrated rows land correctly: merged cluster 1 holds all 5 docs and
+    // the drained buckets' old versions are superseded in the owner map
+    val streamed = IncrementalDedup.labelsWithSizes(
+        DedupStream.loadState(spark, state).get).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Dedup.duplicateClusters(
+        day1.union(filler.toDF("doc_id", "text")).union(day2)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    assert(streamed(10L) == (1L, 5L) && streamed(21L) == (1L, 5L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("bucket-count migration re-folds the layout; labels identical, " +
+      "pruning intact, chain continues") {
+    // StateBuckets is pinned by the first commit's manifest — a growing
+    // deployment re-sizes via migrateBuckets: one atomic full-rewrite
+    // commit under the new count. Labels must be bit-equal across the
+    // migration, the re-folded base must carry the NEW bucket fn, the
+    // superseded compactions must be retired after one more commit, and
+    // daily admission must keep pruning against the new layout.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("dedup_migrate").toString
+    val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
+    (0 until 4).foreach { d =>
+      Seq((d * 10L, w(d until d + 8)),
+        (d * 10L + 1, s"migration filler for day $d unshared tokens"))
+        .toDF("doc_id", "text").write.parquet(s"$docs/day$d")
+      DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+    }
+    def labelsNow() = IncrementalDedup.labelsWithSizes(
+        DedupStream.loadState(spark, state).get).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val beforeMigration = labelsNow()
+
+    DedupStream.migrateBuckets(spark, state, 64)
+    val migrated = DedupStream.loadState(spark, state).get
+    assert(migrated.buckets.contains(64), "manifest bucket count not re-sized")
+    assert(labelsNow() == beforeMigration,
+      "labels changed across a pure re-bucketing migration")
+    // the re-folded base stores the NEW bucket fn's values
+    import graft.operators.IncrementalDedup.{bandBucket, docBucket}
+    val newCpart = new java.io.File(s"$state/bands/base").listFiles
+      .filter(_.getName.startsWith("cpart=")).map(_.getName).max
+    assert(spark.read.parquet(s"$state/bands/base/$newCpart")
+      .filter(bandBucket(col("band"), col("band_hash"), 64) =!= col("bucket"))
+      .isEmpty, "migrated bands bucket disagrees with bandBucket(64)")
+
+    // chain continues: another daily drop admits against the new layout,
+    // equals the batch recompute, and the superseded compactions retire
+    Seq((100L, w(0 until 8)), (101L, "post-migration singleton text"))
+      .toDF("doc_id", "text").write.parquet(s"$docs/day4")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+    val allDocs = (0 until 4).map(d => Seq(
+        (d * 10L, w(d until d + 8)),
+        (d * 10L + 1, s"migration filler for day $d unshared tokens")))
+      .flatten ++ Seq((100L, w(0 until 8)), (101L, "post-migration singleton text"))
+    val batch = Dedup.duplicateClusters(allDocs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(labelsNow() == batch, "post-migration admission diverged from batch")
+    val cparts = new java.io.File(s"$state/bands/base").listFiles
+      .filter(_.getName.startsWith("cpart=")).map(_.getName).toSet
+    assert(!cparts.contains("cpart=0"),
+      s"superseded pre-migration compaction not retired: $cparts")
+
+    // and the probe still prunes: partition filter on bucket, strict
+    // subset of the 64 partition dirs
+    val st2 = DedupStream.loadState(spark, state).get
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = IncrementalDedup.prunedBands(st2,
+        Dedup.lshBands(Seq((200L, w(0 until 8))).toDF("doc_id", "text")))
+      probe.collect()
+      val scans = probe.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("bands/base")) => f
+      }
+      assert(scans.nonEmpty, s"no base scan in:\n${probe.queryExecution}")
+      assert(scans.head.partitionFilters.exists(_.toString.contains("bucket")),
+        "migrated base probe lost its bucket partition filter")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     Dedup.clearShingleCaches()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }

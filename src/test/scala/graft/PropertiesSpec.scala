@@ -143,10 +143,18 @@ class PropertiesSpec extends AnyFunSuite {
     } yield (a, b)
     (1L to 3L).foreach { seed =>
       val edges = sample(edgeGen, 60, seed).filter(e => e._1 != e._2)
+      // driverThreshold = 0 forces the DISTRIBUTED star rounds — the
+      // default would short-circuit a 60-edge graph to the driver-side
+      // union-find and the test would compare union-find to itself
       val got = graft.operators.Components
+        .connectedComponents(edges.toDF("a", "b"), driverThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges), s"seed=$seed")
+      // and the driver fast path agrees with the distributed fixpoint
+      val fast = graft.operators.Components
         .connectedComponents(edges.toDF("a", "b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == unionFind(edges), s"seed=$seed")
+      assert(fast == got, s"seed=$seed: driver fast path diverged")
     }
   }
 
@@ -185,7 +193,8 @@ class PropertiesSpec extends AnyFunSuite {
     // a 30-node path graph: diameter 29, the worst case for plain
     // min-label propagation; the star alternation collapses it fast
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = graft.operators.Components.connectedComponents(chain, maxRounds = 8)
+    val got = graft.operators.Components
+      .connectedComponents(chain, maxRounds = 8, driverThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.keySet == (1L to 30L).toSet)
     assert(got.values.forall(_ == 1L))
