@@ -303,6 +303,67 @@ object Similarity {
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
     assigned.write.mode("overwrite").partitionBy("cid")
       .parquet(s"$indexDir/assignments")
+    // footer-metadata count (no data read): the drift baseline for
+    // appendToIvfIndex
+    val rows = emb.sparkSession.read.parquet(s"$indexDir/assignments").count()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(indexDir, "MANIFEST"),
+      s"""{"trainedRows":$rows}""")
+  }
+
+  /** Rows the index's centroids were last TRAINED on (the drift
+    * baseline); a pre-manifest index reads as "everything trained". */
+  private def trainedRowsOf(indexDir: String, fallback: Long): Long = {
+    val f = new java.io.File(indexDir, "MANIFEST")
+    if (!f.isFile) fallback
+    else """"trainedRows":(\d+)""".r
+      .findFirstMatchIn(java.nio.file.Files.readString(f.toPath))
+      .map(_.group(1).toLong).getOrElse(fallback)
+  }
+
+  /** Incrementally grow a persisted IVF index: assign ONLY `newVecs`
+    * against the EXISTING centroids (the same narrow argmax fold as the
+    * build's assignment pass — K driver-side literal rows, no join, no
+    * shuffle) and append the new (vec_id, cid) rows into their `cid=`
+    * partition directories. Daily cost is O(batch), not the O(corpus)
+    * fit + full re-assignment of [[buildIvfIndex]].
+    *
+    * Holding centroids fixed degrades recall as the corpus drifts away
+    * from the trained distribution, so the append carries its own
+    * re-train trigger: when untrained rows exceed `maxDriftFraction` of
+    * the (footer-counted) index, the full [[buildIvfIndex]] re-fit runs
+    * on `corpus` (the grown corpus INCLUDING the appended vectors) and
+    * resets the baseline. Returns true iff the re-train fired. With the
+    * trigger un-fired the index is row-identical to re-assigning the
+    * grown corpus under the original centroids; after it fires the
+    * index is bit-identical to a fresh build (seed-pinned fit) — both
+    * spec-pinned. A crashed append leaves unreferenced part-files a
+    * merge-on-write table format would shield; the MANIFEST baseline
+    * self-heals because drift is always measured against the live
+    * footer count, never a stored total.
+    *
+    * PRECONDITION (same as [[graft.operators.IncrementalDedup
+    * .admitBatch]]): `newVecs.vec_id` must be new ids — the upstream
+    * file bookmark's exactly-once contract. */
+  def appendToIvfIndex(corpus: DataFrame, newVecs: DataFrame,
+      indexDir: String, numCentroids: Int = NumCentroids, maxIter: Int = 20,
+      fitFraction: Option[Double] = None,
+      maxDriftFraction: Double = 0.5): Boolean = {
+    val spark = corpus.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
+      .sortBy(_._1).toIndexedSeq
+    assignCells(newVecs, cents)
+      .select(col("vec_id"), col("cid").cast("int").as("cid"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$indexDir/assignments")
+    val total = spark.read.parquet(s"$indexDir/assignments").count()
+    val trained = trainedRowsOf(indexDir, fallback = total)
+    val drifted = total > 0 &&
+      (total - trained).toDouble / total > maxDriftFraction
+    if (drifted)
+      buildIvfIndex(corpus, indexDir, numCentroids, maxIter, fitFraction)
+    drifted
   }
 
   /** Query a PERSISTED IVF index: no fit, no assignment pass — load the

@@ -324,6 +324,50 @@ class DedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("persisted IVF index: incremental append, then drift re-train") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    // --- append below the drift threshold: centroids held fixed ---
+    val base = emb.filter(col("vec_id") % 20 =!= 19)
+    val batch = emb.filter(col("vec_id") % 20 === 19) // 5% — new ids
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    Similarity.buildIvfIndex(base, dir)
+    val cents0 = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
+      .sortBy(_._1).toIndexedSeq
+    assert(!Similarity.appendToIvfIndex(emb, batch, dir),
+      "a 5% append must not trip the drift re-train")
+    // every vector indexed exactly once, and the appended assignments
+    // equal a full re-assignment of the grown corpus under the ORIGINAL
+    // centroids — the incremental ≡ batch claim with centroids fixed
+    val assigned = spark.read.parquet(s"$dir/assignments")
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    val expect = Similarity.assignCells(emb, cents0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(assigned.collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toSet == expect,
+      "appended assignments diverge from re-assignment under original centroids")
+    // centroids untouched by the append
+    assert(spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
+      .sortBy(_._1).toIndexedSeq == cents0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+    // --- majority append: drift trigger re-fits on the grown corpus ---
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 100), dir2)
+    assert(Similarity.appendToIvfIndex(emb,
+      emb.filter(col("vec_id") >= 100), dir2),
+      "an 80% append must trip the drift re-train")
+    def rs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // post-re-train the index is a fresh seed-pinned build on the grown
+    // corpus: search results identical to the rebuild path
+    assert(rs(Similarity.annIvfIndexed(emb, dir2)) ==
+      rs(Similarity.annIvfKmeans(emb)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+  }
+
   test("PQ codes: 32x compression still recalls most true neighbors") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb, nQueries = 8, k = 10).collect()
