@@ -320,7 +320,14 @@ object Bench {
     try spark.stop() catch { case e: Exception =>
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
     }
+    // error NAMES only on the contract line: r11's five 200-char error
+    // messages grew the line past the harness's tail-capture window and
+    // the parse returned null ("parsed": null) — full messages live in
+    // the detail file and stderr
+    val errNames = results
+      .collect { case (k, _, _, _, _, _, Some(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":$qs,$chainJson$loadJson,"errors":$errs,"sf":"$sfDir"}""")
+      s""""queries":$qs,$chainJson$loadJson,"errors":$errNames,"sf":"$sfDir"}""")
   }
 }

@@ -101,6 +101,17 @@ object IncrementalDedup {
   def docBucket(docId: Column, n: Int): Column =
     pmod(xxhash64(docId), lit(n.toLong)).cast("int")
 
+  /** Driver-side twin of [[docBucket]] (same XXH64 long hash, seed 42,
+    * positive mod): lets a commit path that already holds frontier ids
+    * in hand compute their buckets with ZERO extra Spark jobs.
+    * Agreement with the column expression is spec-pinned
+    * (IncrementalDedupSpec). */
+  private[graft] def docBucketLocal(id: Long, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)
+    val m = h % n
+    (if (m < 0) m + n else m).toInt
+  }
+
   private def dropBucket(df: DataFrame): DataFrame =
     if (df.columns.contains("bucket")) df.drop("bucket") else df
 
@@ -188,20 +199,27 @@ object IncrementalDedup {
     * `cand` must be materialized (the caller localCheckpoints it) so
     * collecting its endpoints doesn't re-run the band probe. */
   private[graft] def prunedShingles(state: DedupState,
-      cand: DataFrame): DataFrame = state.buckets match {
+      cand: DataFrame,
+      endpoints: Option[Seq[Long]] = None): DataFrame = state.buckets match {
     case Some(n) if state.shingles.columns.contains("bucket") =>
-      val ends = cand
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
-        .distinct()
-      val took = ends.select(docBucket(col("d"), n).as("bucket"), col("d"))
-        .take(KeyPushMax + 1)
-      val (touched, ids) =
-        if (took.length <= KeyPushMax)
-          (took.map(_.getInt(0)).distinct.toSeq,
-            Some(took.map(_.getLong(1)).toSeq))
-        else
-          (ends.select(docBucket(col("d"), n).as("bucket"))
-            .distinct().collect().map(_.getInt(0)).toSeq, None)
+      // endpoints already in hand (the caller collected the candidate
+      // set) → buckets computed driver-side, zero extra jobs
+      val (touched, ids) = endpoints match {
+        case Some(ds) if ds.length <= 2 * KeyPushMax =>
+          (ds.map(docBucketLocal(_, n)).distinct, Some(ds))
+        case _ =>
+          val ends = cand
+            .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+            .distinct()
+          val took = ends.select(docBucket(col("d"), n).as("bucket"), col("d"))
+            .take(KeyPushMax + 1)
+          if (took.length <= KeyPushMax)
+            (took.map(_.getInt(0)).distinct.toSeq,
+              Some(took.map(_.getLong(1)).toSeq))
+          else
+            (ends.select(docBucket(col("d"), n).as("bucket"))
+              .distinct().collect().map(_.getInt(0)).toSeq, None)
+      }
       val bucketed =
         if (touched.isEmpty) state.shingles.filter(lit(false))
         else if (touched.size < n)
@@ -281,9 +299,24 @@ object IncrementalDedup {
     // candidate set (ChainProbe A vs C: the always-pinned fold layout
     // reads level with the segments-only layout at toy scale and wins
     // at deployment ratios, bench probe_ab).
-    val cand = if (bucketed) candLazy.localCheckpoint() else candLazy
+    // Pinning mechanism is size-adaptive: a frontier under the key cap
+    // collects to a LOCAL relation via one bounded take — the endpoints
+    // are then in hand, so the shingle pruning needs zero further jobs
+    // (docBucketLocal) and the verify join broadcasts naturally; an
+    // over-cap frontier localCheckpoints as before.
+    val (cand, candRows) =
+      if (!bucketed) (candLazy, None)
+      else {
+        val take = candLazy.take(KeyPushMax + 1)
+        if (take.length <= KeyPushMax)
+          (newDocs.sparkSession.createDataFrame(
+            java.util.Arrays.asList(take: _*), candLazy.schema), Some(take))
+        else (candLazy.localCheckpoint(), None)
+      }
     val sets =
-      (if (bucketed) prunedShingles(state, cand)
+      (if (bucketed) prunedShingles(state, cand,
+         candRows.map(_.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+           .distinct.toSeq))
        else dropBucket(state.shingles)).union(newShingles)
 
     val newEdges = Dedup.verifyJaccard(cand, sets)

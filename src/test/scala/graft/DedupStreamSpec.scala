@@ -308,6 +308,43 @@ class DedupStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("multi-day catch-up: one run drains several pending drops as " +
+      "separate admissions") {
+    // The landing-zone reality check: the admission job was down for
+    // three days, three day drops are pending. One admitNewDrops run
+    // with maxFilesPerBatch=1 must replay them as SEPARATE micro-batch
+    // admissions (bookmark semantics per file, commit per batch), and
+    // the caught-up state must equal the batch recompute — the
+    // incremental ≡ batch argument is order-independent, so the replay
+    // needs no day ordering guarantees.
+    val root = Files.createTempDirectory("dedup_catchup").toString
+    val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
+    val day3 = Seq((50L, w(6 until 14)), // chains onto the day-2 bridge
+      (60L, "third day singleton nothing shared")).toDF("doc_id", "text")
+    Seq("day1" -> day1, "day2" -> day2, "day3" -> day3).foreach {
+      case (name, df) => df.coalesce(1).write.parquet(s"$docs/$name")
+    }
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt,
+      maxFilesPerBatch = Some(1))
+    // three files → three commits: bootstrap v0 + two delta commits
+    assert(Files.readString(java.nio.file.Paths.get(state, "CURRENT"))
+      .trim == "2", "catch-up did not admit each pending drop separately")
+    val streamed = IncrementalDedup.labelsWithSizes(
+        DedupStream.loadState(spark, state).get).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Dedup.duplicateClusters(day1.union(day2).union(day3))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    // a later run picks up only what the bookmark has not seen
+    val day4 = Seq((70L, "fourth day fresh singleton")).toDF("doc_id", "text")
+    day4.coalesce(1).write.parquet(s"$docs/day4")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt,
+      maxFilesPerBatch = Some(1))
+    assert(Files.readString(java.nio.file.Paths.get(state, "CURRENT"))
+      .trim == "3", "post-catch-up run must admit exactly the new drop")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("labels/sizes commit rewrites only touched cluster-buckets; " +
       "untouched files are bit-identical") {
     // The last O(corpus)/day write term: labels/sizes used to be rewritten

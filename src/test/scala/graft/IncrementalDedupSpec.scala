@@ -175,4 +175,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out == full)
   }
+
+  test("docBucketLocal agrees with the docBucket column expression") {
+    // the zero-job endpoint-bucket computation replicates Spark's
+    // xxhash64(long) + pmod driver-side; any divergence would silently
+    // prune the WRONG shingle buckets — pin exact agreement across
+    // sign/extreme ids and both layout sizes in play
+    val ids = (-5L to 5L) ++ Seq(Long.MaxValue, Long.MinValue,
+      Long.MaxValue - 1, 1234567890123L, -987654321L)
+    for (n <- Seq(32, 64)) {
+      val fromExpr = ids.toDF("id")
+        .select(col("id"), IncrementalDedup.docBucket(col("id"), n).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      ids.foreach { id =>
+        assert(IncrementalDedup.docBucketLocal(id, n) == fromExpr(id),
+          s"docBucketLocal($id, $n) diverged from the column expression")
+      }
+    }
+  }
 }
