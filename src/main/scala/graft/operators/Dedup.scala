@@ -309,9 +309,19 @@ object Dedup {
 
   private def computeClusters(docs: DataFrame, threshold: Double,
       maxIter: Int): DataFrame = {
-    val edges = jaccardPairs(docs)
+    val edgesLazy = jaccardPairs(docs)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // pin the verified edge set before the fixpoint probes it repeatedly
+    // (bounded take → local relation; checkpoint over the cap — the same
+    // role the old propagation loop's `sym` checkpoint played)
+    val edges = {
+      val tk = edgesLazy.take(IncrementalDedup.KeyPushMax + 1)
+      if (tk.length <= IncrementalDedup.KeyPushMax)
+        docs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(tk: _*), edgesLazy.schema)
+      else edgesLazy.localCheckpoint()
+    }
     val comp = Components.connectedComponents(edges, maxRounds = maxIter)
     // localCheckpoint truncates the candidate/verify/fixpoint lineage —
     // every consumer (and the memo's cached plan) sees a flat label

@@ -342,7 +342,20 @@ object IncrementalDedup {
     // new doc ids and touched old cluster reps; since every old rep is the
     // MIN doc_id of its members, min-over-contracted-nodes equals
     // min-over-all-members, so component labels match a full recompute.
-    val comp = Components.connectedComponents(contracted).localCheckpoint()
+    // Pin the contracted edges FIRST (bounded take → local relation, or
+    // checkpoint over the cap): the fixpoint probes its input more than
+    // once, and each probe would otherwise re-run the verify join + the
+    // label contraction from scratch.
+    val contractedPinned = {
+      val tk = contracted.take(KeyPushMax + 1)
+      if (tk.length <= KeyPushMax)
+        newDocs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(tk: _*), contracted.schema)
+      else contracted.localCheckpoint()
+    }
+    val comp =
+      Components.connectedComponents(contractedPinned).localCheckpoint()
+    freeLocalCheckpoint(contractedPinned) // no-op when it's local
     // comp is eager, so the candidate pin has served its consumers
     // (band probe + verify) — release its blocks now rather than waiting
     // on the ContextCleaner (everything downstream reads comp only)
