@@ -416,6 +416,45 @@ class DedupStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("a crashed labels commit is invisible and the retry overwrites it") {
+    // Copy-on-write crash face: a commit that dies after staging/moving
+    // some bucket versions but BEFORE the manifest+pointer leaves
+    // garbage b$k/v$N dirs (and possibly a stale .stage dir) that no
+    // committed owner map references. Readers must not see them; the
+    // retried commit (same version number — CURRENT never moved) must
+    // wipe and rewrite them.
+    val root = Files.createTempDirectory("dedup_cow_crash").toString
+    val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
+    day1.write.parquet(s"$docs/day1")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt) // v0
+    // plant a half-committed v1: garbage bucket version + stale staging
+    val garbage = new java.io.File(s"$state/labels/b3/v1")
+    assert(garbage.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(garbage.getPath, "part-corrupt.parquet"),
+      Array.tabulate[Byte](64)(i => (i * 3).toByte))
+    val stale = new java.io.File(s"$state/labels/.stage1/lbucket=3")
+    assert(stale.mkdirs())
+    // reader: owner map references only v0 — the garbage is never listed
+    val st = DedupStream.loadState(spark, state).get
+    assert(st.labels.count() == day1.count())
+    // retry: the next commit IS v1 (pointer never moved) and must
+    // succeed, overwriting the crashed attempt's leftovers
+    day2.write.parquet(s"$docs/day2")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+    assert(!new java.io.File(garbage, "part-corrupt.parquet").exists(),
+      "retried commit did not overwrite the crashed bucket version")
+    assert(!new java.io.File(s"$state/labels/.stage1").exists(),
+      "retried commit left the stale staging dir behind")
+    val streamed = IncrementalDedup.labelsWithSizes(
+        DedupStream.loadState(spark, state).get).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Dedup.duplicateClusters(day1.union(day2)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("bucket-count migration re-folds the layout; labels identical, " +
       "pruning intact, chain continues") {
     // StateBuckets is pinned by the first commit's manifest — a growing
