@@ -74,6 +74,7 @@ object SparkEntry {
     "q52_simhash_salted" -> (Dedup.qSimhashPairsSalted _),
     "q53_corpus_mix"    -> (Corpus.qMixCorpus _),
     "q54_dedup_chain"   -> (graft.streaming.DedupStream.qChainBucketed _),
+    "q55_shuffle_shard" -> (Corpus.qShuffleShard _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,5 +140,6 @@ object SparkEntry {
     "q35_ann_ivf_kmeans" -> Similarity.qAnnIvfKmeansSql,
     "q53_corpus_mix"    -> Corpus.qMixCorpusSql,
     "q54_dedup_chain"   -> graft.streaming.DedupStream.qChainBucketedSql,
+    "q55_shuffle_shard" -> Corpus.qShuffleShardSql,
   )
 }

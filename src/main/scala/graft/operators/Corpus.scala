@@ -178,7 +178,53 @@ object Corpus {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Deterministic train/val/test split + shuffle-shard assignment — the
+    * loader-facing tail of a corpus pipeline. Both derive from a
+    * content-independent md5 of the doc id, so they are reproducible
+    * across runs AND engines (oracle-checkable), uniform across shards
+    * (hash, no skew), and stable under corpus growth (a new doc never
+    * moves an old one). Split is by the first hex nibble: c,d → val;
+    * e,f → test; else train (12/2/2 sixteenths). Shard is the next two
+    * nibbles mod `numShards` (uniform when numShards divides 256).
+    *
+    * Scale shape: ONE narrow per-row projection — no shuffle, no window,
+    * no global sort. "Shuffle the corpus for training" does NOT mean a
+    * cluster-wide random sort at 100 TB: the hash IS the shuffle (hash
+    * order is uncorrelated with any data order), so a loader gets
+    * randomized order by reading shard files written with
+    * `repartition(shard).sortWithinPartitions(md5)`. A per-shard
+    * sequence column is deliberately absent — a row_number partitioned
+    * by a constant-cardinality shard key would funnel the corpus
+    * through numShards sort tasks (the PlanShapeSpec tiny-key hazard). */
+  def shuffleShard(docs: DataFrame, numShards: Int = 16): DataFrame = {
+    require(numShards >= 1 && numShards <= 256,
+      s"numShards must be in [1, 256]: $numShards")
+    docs.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("hx"))
+      .select(col("doc_id"),
+        expr("CASE WHEN substring(hx, 1, 1) IN ('c', 'd') THEN 'val' " +
+          "WHEN substring(hx, 1, 1) IN ('e', 'f') THEN 'test' " +
+          "ELSE 'train' END").as("split"),
+        expr("CAST(pmod((instr('0123456789abcdef', substring(hx, 2, 1)) - 1) * 16" +
+          s" + instr('0123456789abcdef', substring(hx, 3, 1)) - 1, $numShards)" +
+          " AS BIGINT)").as("shard"))
+  }
+
   // ---- SparkEntry wiring -------------------------------------------------
+
+  def qShuffleShard(s: SparkSession, d: String): DataFrame =
+    shuffleShard(Tables.documents(s, d)).orderBy("doc_id")
+
+  val qShuffleShardSql: String =
+    """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN substr(hx, 1, 1) IN ('c', 'd') THEN 'val'
+      |       WHEN substr(hx, 1, 1) IN ('e', 'f') THEN 'test'
+      |       ELSE 'train' END AS split,
+      |  CAST(((strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) % 16
+      |       AS BIGINT) AS shard
+      |FROM h ORDER BY doc_id""".stripMargin
 
   def qSourceStats(s: SparkSession, d: String): DataFrame =
     sourceStats(Tables.documents(s, d)).orderBy("source")

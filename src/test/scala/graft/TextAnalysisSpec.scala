@@ -202,4 +202,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(messages(e).exists(m => m.contains("mixCorpus") && m.contains("books")),
       s"expected the undersized source named in: ${messages(e)}")
   }
+
+  test("shuffleShard: deterministic hash split/shard, full cover, no shuffle") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.shuffleShard(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // full cover, exactly once, stable across runs (content-independent)
+    assert(out.map(_._1).toSet == (0L until 2000L).toSet && out.length == 2000)
+    val again = graft.operators.Corpus.shuffleShard(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // stability under growth: adding docs never moves an existing one
+    val grown = graft.operators.Corpus
+      .shuffleShard(docs.union(Seq((9999L, "new")).toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(grown.filter(_._1 < 2000L).sortBy(_._1).toSeq ==
+      out.sortBy(_._1).toSeq)
+    // split proportions ~12/2/2 sixteenths of an md5 nibble; loose bounds
+    val bySplit = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySplit("train") > 1300 && bySplit("train") < 1700, s"$bySplit")
+    assert(bySplit("val") > 150 && bySplit("val") < 350, s"$bySplit")
+    assert(bySplit("test") > 150 && bySplit("test") < 350, s"$bySplit")
+    // shard uniformity: 16 shards, none starved or dominant
+    val byShard = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byShard.keySet == (0L until 16L).toSet, s"$byShard")
+    assert(byShard.values.min > 60 && byShard.values.max < 250, s"$byShard")
+    // scale shape: one narrow projection — no Exchange, no Window, no Sort
+    val plan = graft.operators.Corpus.shuffleShard(docs)
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "Window", "Sort").foreach(op =>
+      assert(!plan.contains(op), s"shuffleShard plan contains $op:\n$plan"))
+  }
 }
