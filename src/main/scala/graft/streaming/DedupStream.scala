@@ -559,7 +559,8 @@ object DedupStream {
       checkpointDir: String,
       schemaDdl: String = "doc_id bigint, text string",
       maxLiveSegments: Int = MaxLiveSegments,
-      maxFilesPerBatch: Option[Int] = None): Unit = {
+      maxFilesPerBatch: Option[Int] = None,
+      buckets: Int = StateBuckets): Unit = {
     val reader = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     maxFilesPerBatch.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -589,7 +590,7 @@ object DedupStream {
             case None =>
               t("bootstrap")(
                 commitState(IncrementalDedup.initialState(pinned), stateDir,
-                  maxLiveSegments = maxLiveSegments))
+                  buckets = buckets, maxLiveSegments = maxLiveSegments))
           }
           // per-batch shingle/band memos are keyed on this batch's plan
           // and never hit again — drop them so a long-running stream
@@ -630,8 +631,12 @@ object DedupStream {
     inParallel((0 until 3).map(k => () =>
       docs.filter(col("doc_id") % 3 === k).coalesce(1)
         .write.parquet(s"$root/docs/day$k")): _*)
+    // buckets right-sized to the subset per the layout's own sizing rule
+    // (a bucket should hold real data, not a near-empty tiny file): 8
+    // buckets for ~500 docs keeps probe pruning demonstrable (a batch
+    // touches ≤4) without paying 64 near-empty file commits per fold
     admitNewDrops(s, s"$root/docs/*", s"$root/state", s"$root/ckpt",
-      maxLiveSegments = 2, maxFilesPerBatch = Some(1))
+      maxLiveSegments = 2, maxFilesPerBatch = Some(1), buckets = 8)
     // pin rows before the state dir is deleted (the caller writes the
     // result AFTER this returns; a lazy scan would read deleted files)
     val out = IncrementalDedup.labelsWithSizes(
