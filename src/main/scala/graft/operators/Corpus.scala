@@ -196,19 +196,44 @@ object Corpus {
     * sequence column is deliberately absent — a row_number partitioned
     * by a constant-cardinality shard key would funnel the corpus
     * through numShards sort tasks (the PlanShapeSpec tiny-key hazard). */
-  def shuffleShard(docs: DataFrame, numShards: Int = 16): DataFrame = {
+  /** `docs` plus the assignment columns (split, shard, hx) — the
+    * building block [[shuffleShard]] projects and [[exportShards]]
+    * writes through. */
+  private def withShuffleShard(docs: DataFrame, numShards: Int): DataFrame = {
     require(numShards >= 1 && numShards <= 256,
       s"numShards must be in [1, 256]: $numShards")
-    docs.select(col("doc_id"),
-        md5(col("doc_id").cast("string")).as("hx"))
-      .select(col("doc_id"),
+    docs.withColumn("hx", md5(col("doc_id").cast("string")))
+      .withColumn("split",
         expr("CASE WHEN substring(hx, 1, 1) IN ('c', 'd') THEN 'val' " +
           "WHEN substring(hx, 1, 1) IN ('e', 'f') THEN 'test' " +
-          "ELSE 'train' END").as("split"),
+          "ELSE 'train' END"))
+      .withColumn("shard",
         expr("CAST(pmod((instr('0123456789abcdef', substring(hx, 2, 1)) - 1) * 16" +
           s" + instr('0123456789abcdef', substring(hx, 3, 1)) - 1, $numShards)" +
-          " AS BIGINT)").as("shard"))
+          " AS BIGINT)"))
   }
+
+  def shuffleShard(docs: DataFrame, numShards: Int = 16): DataFrame =
+    withShuffleShard(docs, numShards)
+      .select(col("doc_id"), col("split"), col("shard"))
+
+  /** Materialize the training corpus as sharded JSONL: a
+    * `split=<s>/shard=<k>/` partition tree whose files each hold rows in
+    * md5-hash order — the randomized read order a data loader wants,
+    * produced WITHOUT a shuffle. No `repartition(split, shard)`: that
+    * would funnel the corpus through |splits|·numShards tasks (the
+    * write-side twin of the tiny-key window hazard). Instead each scan
+    * task sorts its own rows (`sortWithinPartitions` — no exchange) and
+    * fans out to the partition dirs it touches (dynamic partition
+    * write, the S4 shape), so a shard dir holds one hash-ordered file
+    * per contributing task; a loader streams shard files in any order
+    * and inherits hash-randomized document order. */
+  def exportShards(docs: DataFrame, outDir: String,
+      numShards: Int = 16): Unit =
+    withShuffleShard(docs, numShards)
+      .sortWithinPartitions(col("split"), col("shard"), col("hx"))
+      .drop("hx")
+      .write.partitionBy("split", "shard").mode("overwrite").json(outDir)
 
   // ---- SparkEntry wiring -------------------------------------------------
 

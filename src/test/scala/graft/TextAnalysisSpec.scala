@@ -234,4 +234,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     Seq("Exchange", "Window", "Sort").foreach(op =>
       assert(!plan.contains(op), s"shuffleShard plan contains $op:\n$plan"))
   }
+
+  test("exportShards: sharded JSONL tree, hash-ordered files, lossless round-trip") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = (0L until 500L).map(i => (i, s"doc text $i")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    graft.operators.Corpus.exportShards(docs.repartition(7), out)
+    // partition tree: split=*/shard=* dirs only
+    val splits = new java.io.File(out).listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(splits == Set("split=train", "split=val", "split=test"), s"$splits")
+    // round-trip: every row back exactly once, under its assigned dirs
+    val back = spark.read.json(out)
+    assert(back.count() == 500 &&
+      back.select("doc_id").distinct().count() == 500)
+    val assign = graft.operators.Corpus.shuffleShard(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    back.select(col("doc_id"), col("split"), col("shard").cast("long"))
+      .collect().foreach { r =>
+        assert(assign(r.getLong(0)) == (r.getString(1), r.getLong(2)),
+          s"doc ${r.getLong(0)} landed in the wrong shard dir")
+      }
+    // within ONE file, rows are in md5-hash order (the loader contract)
+    val aFile = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(out), Array("json"), true)
+      .iterator().next()
+    val inFile = spark.read.json(aFile.getPath)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("hx"))
+      .collect().map(r => r.getString(1))
+    assert(inFile.sameElements(inFile.sorted),
+      "rows within a shard file are not in hash order")
+    // no exchange: the write plans as scan -> project -> in-partition sort
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
 }
