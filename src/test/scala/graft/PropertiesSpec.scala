@@ -189,6 +189,49 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized daily chains: persisted COW commits equal batch recompute") {
+    // Property form of the DedupStreamSpec chain tests: random corpora
+    // produce random merge topologies (multi-cluster merges, bucket
+    // migrations, singleton days) that hand fixtures cannot enumerate.
+    // For each seed: 4 daily drops through the persisted copy-on-write
+    // commit path must equal a from-scratch batch clustering of the
+    // union — the incremental ≡ batch law carried through the storage
+    // layer, not just the in-memory operator.
+    import graft.operators.{Dedup, IncrementalDedup}
+    import graft.streaming.DedupStream
+    // docs drawn from 6 token pools; near-dups arise when two docs pick
+    // overlapping windows of the same pool (the q37 shape, randomized)
+    def docGen(pool: Int): Gen[String] = for {
+      start <- Gen.choose(0, 4)
+      len <- Gen.choose(6, 8)
+    } yield (start until start + len).map(i => s"p${pool}_w$i").mkString(" ")
+    val rowGen: Gen[(Int, String)] = for {
+      pool <- Gen.choose(0, 5)
+      text <- docGen(pool)
+    } yield (pool, text)
+    (1L to 3L).foreach { seed =>
+      val rows = sample(rowGen, 48, seed).zipWithIndex
+        .map { case ((_, text), i) => (i.toLong, text) }
+      val root = java.nio.file.Files.createTempDirectory(s"prop_chain$seed").toString
+      (0 until 4).foreach { day =>
+        rows.filter(_._1 % 4 == day).toDF("doc_id", "text")
+          .write.parquet(s"$root/docs/day$day")
+        DedupStream.admitNewDrops(spark, s"$root/docs/*",
+          s"$root/state", s"$root/ckpt", buckets = 8)
+      }
+      val streamed = IncrementalDedup.labelsWithSizes(
+          DedupStream.loadState(spark, s"$root/state").get).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      Dedup.clearShingleCaches()
+      val batch = Dedup.duplicateClusters(rows.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch, s"seed=$seed: chained COW state diverged " +
+        s"from batch recompute")
+      Dedup.clearShingleCaches()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("large-star/small-star handles a deep chain in few rounds") {
     // a 30-node path graph: diameter 29, the worst case for plain
     // min-label propagation; the star alternation collapses it fast
