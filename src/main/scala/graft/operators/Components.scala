@@ -76,7 +76,9 @@ object Components {
       .filter(col("a") =!= col("b")).distinct()
     val uPlan = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct()
-    val longTyped = edges.schema.fields.take(2)
+    // guard on the PROJECTED a/b columns (edges may carry extra columns
+    // in any order; positional fields would mis-detect the node type)
+    val longTyped = ePlan.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     if (longTyped && driverThreshold > 0) {
       // bounded takes, not count-then-collect: two jobs decide AND fetch.

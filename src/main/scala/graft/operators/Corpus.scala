@@ -178,24 +178,6 @@ object Corpus {
       .select(col("doc_id"), col("source"))
   }
 
-  /** Deterministic train/val/test split + shuffle-shard assignment — the
-    * loader-facing tail of a corpus pipeline. Both derive from a
-    * content-independent md5 of the doc id, so they are reproducible
-    * across runs AND engines (oracle-checkable), uniform across shards
-    * (hash, no skew), and stable under corpus growth (a new doc never
-    * moves an old one). Split is by the first hex nibble: c,d → val;
-    * e,f → test; else train (12/2/2 sixteenths). Shard is the next two
-    * nibbles mod `numShards` (uniform when numShards divides 256).
-    *
-    * Scale shape: ONE narrow per-row projection — no shuffle, no window,
-    * no global sort. "Shuffle the corpus for training" does NOT mean a
-    * cluster-wide random sort at 100 TB: the hash IS the shuffle (hash
-    * order is uncorrelated with any data order), so a loader gets
-    * randomized order by reading shard files written with
-    * `repartition(shard).sortWithinPartitions(md5)`. A per-shard
-    * sequence column is deliberately absent — a row_number partitioned
-    * by a constant-cardinality shard key would funnel the corpus
-    * through numShards sort tasks (the PlanShapeSpec tiny-key hazard). */
   /** `docs` plus the assignment columns (split, shard, hx) — the
     * building block [[shuffleShard]] projects and [[exportShards]]
     * writes through. */
@@ -213,6 +195,24 @@ object Corpus {
           " AS BIGINT)"))
   }
 
+  /** Deterministic train/val/test split + shuffle-shard assignment — the
+    * loader-facing tail of a corpus pipeline. Both derive from a
+    * content-independent md5 of the doc id, so they are reproducible
+    * across runs AND engines (oracle-checkable), uniform across shards
+    * (hash, no skew), and stable under corpus growth (a new doc never
+    * moves an old one). Split is by the first hex nibble: c,d → val;
+    * e,f → test; else train (12/2/2 sixteenths). Shard is the next two
+    * nibbles mod `numShards` (uniform when numShards divides 256).
+    *
+    * Scale shape: ONE narrow per-row projection — no shuffle, no window,
+    * no global sort. "Shuffle the corpus for training" does NOT mean a
+    * cluster-wide random sort at 100 TB: the hash IS the shuffle (hash
+    * order is uncorrelated with any data order); [[exportShards]] turns
+    * the assignment into hash-ordered shard files without one. A
+    * per-shard sequence column is deliberately absent — a row_number
+    * partitioned by a constant-cardinality shard key would funnel the
+    * corpus through numShards sort tasks (the PlanShapeSpec tiny-key
+    * hazard). */
   def shuffleShard(docs: DataFrame, numShards: Int = 16): DataFrame =
     withShuffleShard(docs, numShards)
       .select(col("doc_id"), col("split"), col("shard"))

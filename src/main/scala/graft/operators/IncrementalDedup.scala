@@ -112,7 +112,7 @@ object IncrementalDedup {
     (if (m < 0) m + n else m).toInt
   }
 
-  private def dropBucket(df: DataFrame): DataFrame =
+  private[graft] def dropBucket(df: DataFrame): DataFrame =
     if (df.columns.contains("bucket")) df.drop("bucket") else df
 
   /** Release the block-manager storage behind a `localCheckpoint()`ed

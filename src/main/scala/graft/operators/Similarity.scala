@@ -300,21 +300,55 @@ object Similarity {
       numCentroids: Int = NumCentroids, maxIter: Int = 20,
       fitFraction: Option[Double] = None): Unit = {
     val (cent, assigned) = kmeansIndex(emb, numCentroids, maxIter, fitFraction)
-    cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // versioned commit (same atomic-pointer shape as the dedup state
+    // store): centroids + assignments + drift baseline land under v$N
+    // BEFORE the pointer moves, so a crash mid-build — routine now that
+    // appendToIvfIndex re-trains in steady state — never publishes new
+    // centroids paired with old assignments. Readers resolve CURRENT.
+    val next = currentIndexVersion(indexDir).getOrElse(-1L) + 1
+    cent.write.mode("overwrite").parquet(s"$indexDir/v$next/centroids")
     assigned.write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$indexDir/assignments")
+      .parquet(s"$indexDir/v$next/assignments")
     // footer-metadata count (no data read): the drift baseline for
     // appendToIvfIndex
-    val rows = emb.sparkSession.read.parquet(s"$indexDir/assignments").count()
+    val rows = emb.sparkSession.read
+      .parquet(s"$indexDir/v$next/assignments").count()
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(indexDir, "MANIFEST"),
+      java.nio.file.Paths.get(indexDir, s"v$next", "MANIFEST"),
       s"""{"trainedRows":$rows}""")
+    val tmp = java.nio.file.Paths.get(indexDir, s".CURRENT.$next.tmp")
+    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(indexDir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // retention: current + previous (in-flight readers stay valid)
+    (0L until next - 1).map(i => new java.io.File(indexDir, s"v$i"))
+      .filter(_.isDirectory).foreach { d =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(d)
+        catch { case _: Exception => } // stale history is harmless
+      }
   }
+
+  private def currentIndexVersion(indexDir: String): Option[Long] = {
+    val f = new java.io.File(indexDir, "CURRENT")
+    if (f.isFile) Some(java.nio.file.Files.readString(f.toPath).trim.toLong)
+    else None
+  }
+
+  /** Committed version root of a persisted IVF index. */
+  private def indexRoot(indexDir: String): String =
+    currentIndexVersion(indexDir) match {
+      case Some(v) => s"$indexDir/v$v"
+      case None => throw new IllegalStateException(
+        s"$indexDir holds no committed IVF index (no CURRENT pointer) — " +
+          "build one with buildIvfIndex")
+    }
 
   /** Rows the index's centroids were last TRAINED on (the drift
     * baseline); a pre-manifest index reads as "everything trained". */
-  private def trainedRowsOf(indexDir: String, fallback: Long): Long = {
-    val f = new java.io.File(indexDir, "MANIFEST")
+  private def trainedRowsOf(versionRoot: String, fallback: Long): Long = {
+    val f = new java.io.File(versionRoot, "MANIFEST")
     if (!f.isFile) fallback
     else """"trainedRows":(\d+)""".r
       .findFirstMatchIn(java.nio.file.Files.readString(f.toPath))
@@ -330,15 +364,18 @@ object Similarity {
     *
     * Holding centroids fixed degrades recall as the corpus drifts away
     * from the trained distribution, so the append carries its own
-    * re-train trigger: when untrained rows exceed `maxDriftFraction` of
-    * the (footer-counted) index, the full [[buildIvfIndex]] re-fit runs
-    * on `corpus` (the grown corpus INCLUDING the appended vectors) and
-    * resets the baseline. Returns true iff the re-train fired. With the
-    * trigger un-fired the index is row-identical to re-assigning the
-    * grown corpus under the original centroids; after it fires the
-    * index is bit-identical to a fresh build (seed-pinned fit) — both
-    * spec-pinned. A crashed append leaves unreferenced part-files a
-    * merge-on-write table format would shield; the MANIFEST baseline
+    * re-train trigger, checked BEFORE any write: when the batch would
+    * push untrained rows past `maxDriftFraction` of the index, the
+    * append is skipped entirely (it would be discarded moments later)
+    * and the full [[buildIvfIndex]] re-fit runs on `corpus` (the grown
+    * corpus INCLUDING this batch), committing a fresh index version
+    * atomically and resetting the baseline. Returns true iff the
+    * re-train fired. With the trigger un-fired the index is
+    * row-identical to re-assigning the grown corpus under the original
+    * centroids; after it fires the index is bit-identical to a fresh
+    * build (seed-pinned fit) — both spec-pinned. A crashed append
+    * leaves unreferenced part-files in the live version that a
+    * merge-on-write table format would shield; the drift baseline
     * self-heals because drift is always measured against the live
     * footer count, never a stored total.
     *
@@ -350,19 +387,26 @@ object Similarity {
       fitFraction: Option[Double] = None,
       maxDriftFraction: Double = 0.5): Boolean = {
     val spark = corpus.sparkSession
-    val cents = spark.read.parquet(s"$indexDir/centroids").collect()
-      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
-      .sortBy(_._1).toIndexedSeq
-    assignCells(newVecs, cents)
-      .select(col("vec_id"), col("cid").cast("int").as("cid"))
-      .write.mode("append").partitionBy("cid")
-      .parquet(s"$indexDir/assignments")
-    val total = spark.read.parquet(s"$indexDir/assignments").count()
-    val trained = trainedRowsOf(indexDir, fallback = total)
+    val root = indexRoot(indexDir)
+    // drift check FIRST: a batch that will trip the re-train anyway
+    // must not pay an assignment pass + append that the rebuild's
+    // overwrite discards moments later
+    val existing = spark.read.parquet(s"$root/assignments").count()
+    val total = existing + newVecs.count()
+    val trained = trainedRowsOf(root, fallback = existing)
     val drifted = total > 0 &&
       (total - trained).toDouble / total > maxDriftFraction
-    if (drifted)
+    if (drifted) {
       buildIvfIndex(corpus, indexDir, numCentroids, maxIter, fitFraction)
+    } else {
+      val cents = spark.read.parquet(s"$root/centroids").collect()
+        .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
+        .sortBy(_._1).toIndexedSeq
+      assignCells(newVecs, cents)
+        .select(col("vec_id"), col("cid").cast("int").as("cid"))
+        .write.mode("append").partitionBy("cid")
+        .parquet(s"$root/assignments")
+    }
     drifted
   }
 
@@ -374,8 +418,9 @@ object Similarity {
   def annIvfIndexed(emb: DataFrame, indexDir: String, nQueries: Int = 8,
       k: Int = 10, nprobe: Int = NumProbe): DataFrame = {
     val spark = emb.sparkSession
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val assigned = spark.read.parquet(s"$indexDir/assignments")
+    val root = indexRoot(indexDir)
+    val cent = spark.read.parquet(s"$root/centroids")
+    val assigned = spark.read.parquet(s"$root/assignments")
     ivfSearch(emb, cent, assigned, nQueries, k, nprobe)
   }
 

@@ -66,6 +66,14 @@ object DedupStream {
   private val LabelsDdl = "doc_id BIGINT, cluster_id BIGINT"
   private val SizesDdl = "cluster_id BIGINT, cluster_size BIGINT"
 
+  /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer for the admission path. */
+  private def chainTimer[A](tag: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"[chain] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    } else f
+
   /** Run independent Spark actions as concurrent jobs (labels/sizes/
     * segment writes within one commit touch disjoint paths and share no
     * lineage). Commit wall time is the slowest write, not the sum — the
@@ -397,8 +405,7 @@ object DedupStream {
         s"got buckets=$buckets — a plain commit cannot re-size the layout " +
         "(use a re-bucketing fold)")
     val spark = st.labels.sparkSession
-    def dropB(df: DataFrame) =
-      if (df.columns.contains("bucket")) df.drop("bucket") else df
+    def dropB(df: DataFrame) = IncrementalDedup.dropBucket(df)
     val all = (0 until b).toSeq
     def wr(df: DataFrame, path: String): Unit =
       df.write.mode("overwrite").parquet(s"$stateDir/$path")
@@ -438,12 +445,7 @@ object DedupStream {
           newShingles = Some(delta.newShingles),
           maxLiveSegments = maxLiveSegments)
       case Some(man) =>
-        def t[A](tag: String)(f: => A): A =
-          if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
-            val t0 = System.nanoTime(); val r = f
-            System.err.println(
-              f"[chain]   commit.$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-          } else f
+        def t[A](tag: String)(f: => A): A = chainTimer(s"  commit.$tag")(f)
         val next = prevV + 1
         val b = man.buckets
         val own = man.owners.get
@@ -511,8 +513,7 @@ object DedupStream {
         "migrateBuckets requires a copy-on-write state — commit once to upgrade a legacy state first"))
     val next = prevV + 1
     val st = loadState(spark, stateDir).get
-    def dropB(df: DataFrame) =
-      if (df.columns.contains("bucket")) df.drop("bucket") else df
+    def dropB(df: DataFrame) = IncrementalDedup.dropBucket(df)
     val all = (0 until newBuckets).toSeq
     inParallel(
       () => writeBuckets(dropB(st.labels), stateDir, "labels", next,
@@ -572,12 +573,7 @@ object DedupStream {
         // batch to a stable local copy first
         val pinned = batch.localCheckpoint()
         if (!pinned.isEmpty) {
-          def t[A](tag: String)(f: => A): A =
-            if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
-              val t0 = System.nanoTime(); val r = f
-              System.err.println(
-                f"[chain] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-            } else f
+          def t[A](tag: String)(f: => A): A = chainTimer(tag)(f)
           t("load+admit+commit")(loadState(spark, stateDir)) match {
             case Some(prev) =>
               val delta = t("admitDelta")(

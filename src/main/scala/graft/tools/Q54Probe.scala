@@ -28,21 +28,27 @@ object Q54Probe {
       val docs = graft.engine.Tables.documents(spark, sfDir)
         .filter(col("doc_id") < 500)
       val root = java.nio.file.Files.createTempDirectory("q54probe").toString
-      t("stage-days") {
-        (0 until 3).foreach { k =>
-          docs.filter(col("doc_id") % 3 === k).coalesce(1)
-            .write.parquet(s"$root/docs/day$k")
+      if (mode == "single") {
+        t("stage-days") {
+          (0 until 3).foreach { k =>
+            docs.filter(col("doc_id") % 3 === k).coalesce(1)
+              .write.parquet(s"$root/docs/day$k")
+          }
         }
-      }
-      if (mode == "single")
         t("one-stream-3-batches") {
           DedupStream.admitNewDrops(spark, s"$root/docs/*", s"$root/state",
             s"$root/ckpt", maxLiveSegments = 2, maxFilesPerBatch = Some(1))
         }
-      else
+      } else
+        // the pre-round-12 q54 shape: each day staged and then streamed
+        // by its own AvailableNow run — staging INSIDE the loop, or the
+        // first run would drain every day in one batch and the A/B would
+        // compare one 3x bootstrap against three chained admissions
         (0 until 3).foreach { k =>
+          docs.filter(col("doc_id") % 3 === k).coalesce(1)
+            .write.parquet(s"$root/docs/day$k")
           t(s"stream-$k") {
-            DedupStream.admitNewDrops(spark, s"$root/docs/day*", s"$root/state",
+            DedupStream.admitNewDrops(spark, s"$root/docs/*", s"$root/state",
               s"$root/ckpt", maxLiveSegments = 2)
           }
         }

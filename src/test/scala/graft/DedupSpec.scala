@@ -317,8 +317,10 @@ class DedupSpec extends AnyFunSuite {
     // inverted-file layout proper: assignments live as cid= partitions on
     // disk, and the probe join prunes the scan at runtime (dynamic
     // partition pruning) — probing nprobe cells must not read all K
-    assert(new java.io.File(dir, "assignments/cid=0").isDirectory,
-      "assignments not laid out as cid= partitions")
+    assert(new java.io.File(dir, "v0/assignments/cid=0").isDirectory,
+      "assignments not laid out as cid= partitions under the committed version")
+    assert(new java.io.File(dir, "CURRENT").isFile,
+      "index commit did not publish a CURRENT pointer")
     assert(plan.contains("dynamicpruning"),
       s"no dynamic partition pruning on the assignments scan:\n$plan")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
@@ -331,7 +333,7 @@ class DedupSpec extends AnyFunSuite {
     val batch = emb.filter(col("vec_id") % 20 === 19) // 5% — new ids
     val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
     Similarity.buildIvfIndex(base, dir)
-    val cents0 = spark.read.parquet(s"$dir/centroids").collect()
+    val cents0 = spark.read.parquet(s"$dir/v0/centroids").collect()
       .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
       .sortBy(_._1).toIndexedSeq
     assert(!Similarity.appendToIvfIndex(emb, batch, dir),
@@ -339,7 +341,7 @@ class DedupSpec extends AnyFunSuite {
     // every vector indexed exactly once, and the appended assignments
     // equal a full re-assignment of the grown corpus under the ORIGINAL
     // centroids — the incremental ≡ batch claim with centroids fixed
-    val assigned = spark.read.parquet(s"$dir/assignments")
+    val assigned = spark.read.parquet(s"$dir/v0/assignments")
     assert(assigned.count() == emb.count())
     assert(assigned.select("vec_id").distinct().count() == emb.count())
     val expect = Similarity.assignCells(emb, cents0)
@@ -348,7 +350,7 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1).toLong)).toSet == expect,
       "appended assignments diverge from re-assignment under original centroids")
     // centroids untouched by the append
-    assert(spark.read.parquet(s"$dir/centroids").collect()
+    assert(spark.read.parquet(s"$dir/v0/centroids").collect()
       .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
       .sortBy(_._1).toIndexedSeq == cents0)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
