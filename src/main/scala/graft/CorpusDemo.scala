@@ -40,6 +40,12 @@ object CorpusDemo {
       .write.mode("overwrite").parquet(s"$outDir/vocab")
     graft.operators.Vocab.tfidfTopK(docs)
       .write.mode("overwrite").parquet(s"$outDir/top_terms")
+    // loader-facing tail: the kept corpus (joined back to its text) as
+    // a split=/shard= JSONL tree in hash order — ready to stream
+    graft.operators.Corpus.exportShards(
+      corpus.select("doc_id", "lang", "quality")
+        .join(docs.select("doc_id", "text"), "doc_id"),
+      s"$outDir/shards")
     graft.operators.Dedup.clearShingleCaches()
 
     println(s"[corpus-demo] documents:        $total")
@@ -48,7 +54,11 @@ object CorpusDemo {
     println(s"[corpus-demo] corpus partitions: " +
       spark.read.parquet(s"$outDir/corpus").select("lang").distinct()
         .orderBy("lang").collect().map(_.getString(0)).mkString(", "))
-    println(s"[corpus-demo] output under $outDir: corpus/ vocab/ top_terms/")
+    println(s"[corpus-demo] shard tree:       " +
+      spark.read.json(s"$outDir/shards").groupBy("split").count()
+        .orderBy("split").collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+    println(s"[corpus-demo] output under $outDir: corpus/ vocab/ top_terms/ shards/")
     spark.stop()
   }
 }
