@@ -115,6 +115,27 @@ object IncrementalDedup {
   private[graft] def dropBucket(df: DataFrame): DataFrame =
     if (df.columns.contains("bucket")) df.drop("bucket") else df
 
+  /** Materialize a frontier-sized relation before multiple consumers
+    * probe it: a bounded take into a LOCAL relation under [[KeyPushMax]]
+    * rows (zero further jobs to consume), a `localCheckpoint` above it.
+    * Either way the expensive upstream runs once. */
+  private def pinFrontier(df: DataFrame, spark: SparkSession): DataFrame = {
+    val tk = df.take(KeyPushMax + 1)
+    if (tk.length <= KeyPushMax)
+      spark.createDataFrame(java.util.Arrays.asList(tk: _*), df.schema)
+    else df.localCheckpoint()
+  }
+
+  /** Cluster representatives of the frontier's endpoint ids, formulated
+    * so the corpus-sized `labels` relation only ever STREAMS through a
+    * map-side broadcast join (build side = the frontier endpoint set) —
+    * never a shuffle, never a build side. Plan-pinned in
+    * IncrementalDedupSpec. */
+  private[graft] def repLookup(labels: DataFrame,
+      endpoints: DataFrame): DataFrame =
+    labels.join(broadcast(endpoints), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"))
+
   /** Release the block-manager storage behind a `localCheckpoint()`ed
     * DataFrame. Checkpoint blocks are NOT CacheManager entries, so
     * `df.unpersist()` would miss them; without this a long-running
@@ -319,20 +340,33 @@ object IncrementalDedup {
            .distinct.toSeq))
        else dropBucket(state.shingles)).union(newShingles)
 
-    val newEdges = Dedup.verifyJaccard(cand, sets)
+    val newEdgesLazy = Dedup.verifyJaccard(cand, sets)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
+    // pin the verified edges (bounded take → local; checkpoint over the
+    // cap): three consumers follow — the endpoint set and both sides of
+    // the contraction — and each would re-run the verify join otherwise
+    val newEdges = pinFrontier(newEdgesLazy, newDocs.sparkSession)
 
     // contract endpoints through the persisted labels: old docs collapse
     // to their cluster representative, new docs stand for themselves.
-    // `newEdges` is frontier-sized, so Spark broadcasts it against the
-    // corpus-sized labels relation (no labels shuffle).
-    val lab = state.labels
+    // Direction matters at 100 TB: a frontier-LEFT-JOIN-labels would
+    // shuffle the corpus-sized labels relation on doc_id every admission
+    // (left-outer can only broadcast its build/right side). Instead the
+    // lookup streams labels through a map-side broadcast join against
+    // the frontier endpoint set ([[repLookup]], plan-pinned in
+    // IncrementalDedupSpec), and the frontier-sized result is pinned and
+    // joined back locally — labels is READ once per admission, never
+    // shuffled.
+    val endpoints = newEdges.select(col("doc_a").as("doc_id"))
+      .union(newEdges.select(col("doc_b").as("doc_id"))).distinct()
+    val reps = pinFrontier(repLookup(state.labels, endpoints),
+      newDocs.sparkSession)
     val contracted = newEdges
-      .join(lab.select(col("doc_id").as("doc_a"), col("cluster_id").as("rep_a")),
-        Seq("doc_a"), "left")
-      .join(lab.select(col("doc_id").as("doc_b"), col("cluster_id").as("rep_b")),
-        Seq("doc_b"), "left")
+      .join(reps.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("rep_a")), Seq("doc_a"), "left")
+      .join(reps.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("rep_b")), Seq("doc_b"), "left")
       .select(coalesce(col("rep_a"), col("doc_a")).as("a"),
         coalesce(col("rep_b"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b"))
@@ -342,20 +376,12 @@ object IncrementalDedup {
     // new doc ids and touched old cluster reps; since every old rep is the
     // MIN doc_id of its members, min-over-contracted-nodes equals
     // min-over-all-members, so component labels match a full recompute.
-    // Pin the contracted edges FIRST (bounded take → local relation, or
-    // checkpoint over the cap): the fixpoint probes its input more than
-    // once, and each probe would otherwise re-run the verify join + the
-    // label contraction from scratch.
-    val contractedPinned = {
-      val tk = contracted.take(KeyPushMax + 1)
-      if (tk.length <= KeyPushMax)
-        newDocs.sparkSession.createDataFrame(
-          java.util.Arrays.asList(tk: _*), contracted.schema)
-      else contracted.localCheckpoint()
-    }
+    // Pinned because the fixpoint probes its input more than once.
+    val contractedPinned = pinFrontier(contracted, newDocs.sparkSession)
     val comp =
       Components.connectedComponents(contractedPinned).localCheckpoint()
-    freeLocalCheckpoint(contractedPinned) // no-op when it's local
+    // comp is eager — release every upstream pin (no-ops when local)
+    Seq(contractedPinned, reps, newEdges).foreach(freeLocalCheckpoint)
     // comp is eager, so the candidate pin has served its consumers
     // (band probe + verify) — release its blocks now rather than waiting
     // on the ContextCleaner (everything downstream reads comp only)

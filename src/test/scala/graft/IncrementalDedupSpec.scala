@@ -176,6 +176,33 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(out == full)
   }
 
+  test("endpoint rep lookup streams labels through a broadcast join — no shuffle") {
+    // the admission-time contraction's labels access: a frontier-left-
+    // join-labels formulation would shuffle the corpus-sized relation on
+    // doc_id every day (left-outer can only broadcast its build side);
+    // repLookup must plan as ONE BroadcastHashJoin with labels streaming
+    // and zero exchanges
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val dir = java.nio.file.Files.createTempDirectory("rep_lookup").toString
+    (0L until 200L).map(i => (i, i % 7)).toDF("doc_id", "cluster_id")
+      .write.parquet(s"$dir/labels")
+    val labels = spark.read.parquet(s"$dir/labels")
+    val endpoints = Seq(3L, 11L, 42L).toDF("doc_id")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val looked = IncrementalDedup.repLookup(labels, endpoints)
+      val plan = looked.queryExecution.executedPlan
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"rep lookup is not a broadcast join:\n$plan")
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"rep lookup shuffles:\n$plan")
+      assert(looked.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(3L -> 3L, 11L -> 4L, 42L -> 0L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("docBucketLocal agrees with the docBucket column expression") {
     // the zero-job endpoint-bucket computation replicates Spark's
     // xxhash64(long) + pmod driver-side; any divergence would silently
