@@ -230,10 +230,16 @@ object Corpus {
     * and inherits hash-randomized document order. */
   def exportShards(docs: DataFrame, outDir: String,
       numShards: Int = 16): Unit =
+    shardWritePlanFor(docs, numShards)
+      .write.partitionBy("split", "shard").mode("overwrite").json(outDir)
+
+  /** The dataset [[exportShards]] writes — exposed so the no-exchange
+    * plan shape is spec-assertable. */
+  private[graft] def shardWritePlanFor(docs: DataFrame,
+      numShards: Int = 16): DataFrame =
     withShuffleShard(docs, numShards)
       .sortWithinPartitions(col("split"), col("shard"), col("hx"))
       .drop("hx")
-      .write.partitionBy("split", "shard").mode("overwrite").json(outDir)
 
   // ---- SparkEntry wiring -------------------------------------------------
 

@@ -264,7 +264,12 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getString(1))
     assert(inFile.sameElements(inFile.sorted),
       "rows within a shard file are not in hash order")
-    // no exchange: the write plans as scan -> project -> in-partition sort
+    // and the export pipeline itself plans with NO exchange: project +
+    // in-partition sort only — the corpus is never repartitioned onto
+    // the tiny (split, shard) key on its way to the files
+    val shaped = graft.operators.Corpus.shardWritePlanFor(docs)
+    assert(!shaped.queryExecution.executedPlan.toString.contains("Exchange"),
+      s"export pipeline shuffles:\n${shaped.queryExecution.executedPlan}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 }
