@@ -27,6 +27,30 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Driver-side union-find over an edge list already in hand: (node,
+    * component) for every node in `nodes`, component = min node id of its
+    * component — the same fixpoint [[connectedComponents]] reaches,
+    * without any Spark job. Callers guarantee boundedness (the admission
+    * frontier's bounded takes; the distributed path's `driverThreshold`
+    * guard). */
+  private[graft] def unionFindLocal(nodes: Seq[Long],
+      edges: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach(n => parent(n) = n)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map(n => (n, find(n)))
+  }
+
   /** Symmetric neighbor minima: for each node u over the symmetrized edge
     * relation, m(u) = min(neighbors(u) ∪ u). */
   private def neighborMin(sym: DataFrame): DataFrame =
@@ -88,23 +112,11 @@ object Components {
       if (eTake.length <= driverThreshold) {
         val uTake = uPlan.take(2 * driverThreshold + 3)
         if (uTake.length <= 2 * driverThreshold + 2) {
-          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-          val nodes = uTake.map(_.getLong(0))
-          nodes.foreach(n => parent(n) = n)
-          def find(x: Long): Long = {
-            var r = x
-            while (parent(r) != r) r = parent(r)
-            var c = x
-            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-            r
-          }
-          eTake.foreach { row =>
-            val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-          }
           val spark = edges.sparkSession
           import spark.implicits._
-          return nodes.toSeq.map(n => (n, find(n))).toDF("node", "component")
+          return unionFindLocal(uTake.map(_.getLong(0)).toSeq,
+            eTake.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+            .toDF("node", "component")
         }
       }
     }

@@ -48,11 +48,20 @@ final case class DedupState(labels: DataFrame, sizes: DataFrame,
   *    their label; rows keyed by new doc ids never match old state)
   *  - `newBands` / `newShingles`       — the batch's append-log rows
   *
-  * `remap` and `newAssign` derive from the local-checkpointed component
-  * fixpoint, so consuming them repeatedly never re-runs the probe; call
-  * [[release]] once the commit is durable to drop the checkpoint blocks. */
+  * `remap` and `newAssign` derive from the pinned component fixpoint, so
+  * consuming them repeatedly never re-runs the probe; call [[release]]
+  * once the commit is durable to drop any checkpoint blocks.
+  *
+  * `localRemap`/`localAssign` carry the SAME rows as `remap`/`newAssign`
+  * when the admission's bounded takes kept the frontier driver-local
+  * (the steady small-batch case): a consumer that needs the frontier in
+  * hand — e.g. the commit's touched-bucket computation — then pays zero
+  * Spark jobs for it. `None` means the frontier exceeded the caps and
+  * must be read from the DataFrames. */
 final case class AdmitDelta(newAssign: DataFrame, remap: DataFrame,
-                            newBands: DataFrame, newShingles: DataFrame) {
+                            newBands: DataFrame, newShingles: DataFrame,
+                            localRemap: Option[Seq[(Long, Long)]] = None,
+                            localAssign: Option[Seq[(Long, Long)]] = None) {
   def release(): Unit = IncrementalDedup.freeLocalCheckpoint(remap)
 }
 
@@ -112,18 +121,36 @@ object IncrementalDedup {
     (if (m < 0) m + n else m).toInt
   }
 
+  /** Driver-side twin of [[bandBucket]] — evaluates the IDENTICAL
+    * Catalyst expression (xxhash64 over (band, band_hash) literals, pmod)
+    * on the driver, so a batch whose band rows are already in hand can
+    * compute its touched buckets with zero Spark jobs and zero risk of
+    * hash divergence. Agreement is spec-pinned (IncrementalDedupSpec)
+    * like [[docBucketLocal]]'s. */
+  private[graft] def bandBucketLocal(band: Long, bandHash: String, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal(band), Literal(bandHash)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    val m = h % n
+    (if (m < 0) m + n else m).toInt
+  }
+
   private[graft] def dropBucket(df: DataFrame): DataFrame =
     if (df.columns.contains("bucket")) df.drop("bucket") else df
 
   /** Materialize a frontier-sized relation before multiple consumers
-    * probe it: a bounded take into a LOCAL relation under [[KeyPushMax]]
-    * rows (zero further jobs to consume), a `localCheckpoint` above it.
-    * Either way the expensive upstream runs once. */
-  private def pinFrontier(df: DataFrame, spark: SparkSession): DataFrame = {
-    val tk = df.take(KeyPushMax + 1)
-    if (tk.length <= KeyPushMax)
-      spark.createDataFrame(java.util.Arrays.asList(tk: _*), df.schema)
-    else df.localCheckpoint()
+    * probe it: a bounded take into a LOCAL relation under `cap` rows
+    * (zero further jobs to consume, and the rows ride along for
+    * driver-side reuse), a `localCheckpoint` above it. Either way the
+    * expensive upstream runs once. */
+  private def pinFrontierRows(df: DataFrame, spark: SparkSession,
+      cap: Int = KeyPushMax): (DataFrame, Option[Array[org.apache.spark.sql.Row]]) = {
+    val tk = df.take(cap + 1)
+    if (tk.length <= cap)
+      (spark.createDataFrame(java.util.Arrays.asList(tk: _*), df.schema),
+        Some(tk))
+    else (df.localCheckpoint(), None)
   }
 
   /** Cluster representatives of the frontier's endpoint ids, formulated
@@ -157,6 +184,52 @@ object IncrementalDedup {
     * plan would bloat and stats stop helping; bucket pruning alone
     * applies. */
   val KeyPushMax = 1024
+
+  /** Cap on pinning the batch's own band ROWS (docs × NumBands of
+    * (long, long, 32-char md5) — a few hundred KB at the cap) driver-
+    * local. Under it, ONE bounded take yields the probe's touched
+    * buckets, its pushable key set, AND the local probe side — fusing
+    * what was a distinct-take job plus a recomputed probe; over it, the
+    * two-job [[touchedBandProbe]] path applies unchanged. */
+  val BandTakeMax = 8 * KeyPushMax
+
+  /** How [[admitBatchDelta]] reads the persisted bands/shingles state.
+    * `ProbeAuto` (the default) routes on the state's size: pruning pays
+    * fixed per-admission overhead (bounded takes, IN-filtered scans,
+    * bucket-pruned multi-file listings) that a plain full scan undercuts
+    * while the accumulated state is still small — measured at sf0.1 a
+    * 4-doc admit reads faster unpruned (bench probe_ab 1.19 s vs
+    * 1.73 s) while sf0.5/sf1 invert hard (sf1: 1.98 s pruned vs 4.46 s
+    * full). The forced modes exist for the bench's A/B and for specs
+    * pinning pruned ≡ full row identity. */
+  sealed trait ProbeMode
+  case object ProbeAuto extends ProbeMode
+  case object ProbePruned extends ProbeMode
+  case object ProbeFull extends ProbeMode
+
+  /** Routing threshold: below this many state bytes (bands + shingles
+    * file footprint, from plan stats — no job), a full scan costs less
+    * than the pruning path's fixed overhead (~0.5 s of take/list jobs ≈
+    * a few hundred MB of parquet scanned at local NVMe rates). The
+    * measured crossover sits between the sf0.1 corpus state (~tens of
+    * MB, full wins) and sf0.5 (~hundreds of MB, pruned wins). */
+  val FullScanBytesMax: Long = 256L << 20
+
+  /** The state as the probe should see it: bucket metadata stripped
+    * (→ full-scan probes) when the state is small enough that pruning's
+    * fixed overhead exceeds a scan. Identity on semantics either way —
+    * pruned ≡ full is spec-pinned. */
+  private def routeProbe(state: DedupState, mode: ProbeMode): DedupState =
+    mode match {
+      case ProbePruned => state
+      case ProbeFull => state.copy(buckets = None)
+      case ProbeAuto if state.buckets.isEmpty => state
+      case ProbeAuto =>
+        val bytes =
+          state.bands.queryExecution.optimizedPlan.stats.sizeInBytes +
+            state.shingles.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (bytes < FullScanBytesMax) state.copy(buckets = None) else state
+    }
 
   /** The batch-side probe keys: the buckets its (band, band_hash) keys
     * hash into (bucket filter only when a STRICT subset — an all-bucket
@@ -279,31 +352,68 @@ object IncrementalDedup {
     * exactly once); content-duplicate re-fetches under FRESH ids are
     * fine — that is precisely the near-dup case this operator clusters. */
   def admitBatch(state: DedupState, newDocs: DataFrame,
-                 threshold: Double = 0.5): DedupState =
-    applyDelta(state, admitBatchDelta(state, newDocs, threshold))
+                 threshold: Double = 0.5,
+                 probeMode: ProbeMode = ProbeAuto): DedupState =
+    applyDelta(state, admitBatchDelta(state, newDocs, threshold, probeMode))
 
   /** The admission computation itself, returning the frontier-sized
     * [[AdmitDelta]] instead of the reconstructed full state — the input
     * to a touched-partition-only commit
     * ([[graft.streaming.DedupStream.commitDelta]]). */
-  def admitBatchDelta(state: DedupState, newDocs: DataFrame,
-                      threshold: Double = 0.5): AdmitDelta = {
+  /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer, mirroring
+    * [[graft.streaming.DedupStream]]'s chain timer. */
+  private def phaseTimer[A](tag: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"[chain]   admit.$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    } else f
+
+  def admitBatchDelta(state0: DedupState, newDocs: DataFrame,
+                      threshold: Double = 0.5,
+                      probeMode: ProbeMode = ProbeAuto): AdmitDelta = {
+    val state = routeProbe(state0, probeMode)
+    val spark = newDocs.sparkSession
     val newBands = Dedup.lshBands(newDocs)
     val newShingles = Dedup.shingleSets(newDocs)
     // the band probe prunes by bucket under strict-subset coverage and
-    // by key set under KeyPushMax (see touchedBandProbe); the verify
-    // path below prunes independently by candidate-endpoint coverage
-    // whenever the state is bucketed
+    // by key set under KeyPushMax; the verify path below prunes
+    // independently by candidate-endpoint coverage whenever the state is
+    // bucketed
     val bucketed =
       state.buckets.isDefined && state.shingles.columns.contains("bucket")
-    val allBands =
-      bandsFor(state, touchedBandProbe(state, newBands))
-        .union(newBands)
+    val bandsBucketed =
+      state.buckets.isDefined && state.bands.columns.contains("bucket")
+    // Fused probe: under [[BandTakeMax]] one bounded take of the batch's
+    // band rows yields the touched buckets (driver-side hash twin), the
+    // pushable key set, AND the local probe side — replacing the
+    // distinct-take job plus a recomputed probe; over the cap, the
+    // two-job touchedBandProbe path applies unchanged.
+    val (probe, newBandsPinned) =
+      if (!bandsBucketed)
+        ((None: Option[Seq[Int]], None: Option[Seq[String]]), newBands)
+      else {
+        val n = state.buckets.get
+        val tk = phaseTimer("bandTake")(newBands.take(BandTakeMax + 1))
+        if (tk.length <= BandTakeMax) {
+          val bandIx = newBands.schema.fieldIndex("band")
+          val hashIx = newBands.schema.fieldIndex("band_hash")
+          val keys = tk.map(_.getString(hashIx)).distinct.toSeq
+          val buckets = tk
+            .map(r => bandBucketLocal(r.getLong(bandIx), r.getString(hashIx), n))
+            .distinct.toSeq
+          ((if (buckets.size < n) Some(buckets) else None,
+            if (keys.size <= KeyPushMax) Some(keys) else None),
+            spark.createDataFrame(java.util.Arrays.asList(tk: _*),
+              newBands.schema))
+        } else (touchedBandProbe(state, newBands), newBands)
+      }
+    val allBands = bandsFor(state, probe).union(newBandsPinned)
 
     // candidate pairs touching the new batch: probe the band index with
     // the batch's bands. least/greatest canonicalizes the new-new pairs
     // that appear from both sides of the self-overlapping probe.
-    val candLazy = newBands
+    val candLazy = newBandsPinned
       .select(col("band"), col("band_hash"), col("doc_id").as("qid"))
       .join(allBands.select(col("band"), col("band_hash"), col("doc_id").as("cid")),
         Seq("band", "band_hash"))
@@ -327,13 +437,12 @@ object IncrementalDedup {
     // over-cap frontier localCheckpoints as before.
     val (cand, candRows) =
       if (!bucketed) (candLazy, None)
-      else {
-        val take = candLazy.take(KeyPushMax + 1)
-        if (take.length <= KeyPushMax)
-          (newDocs.sparkSession.createDataFrame(
-            java.util.Arrays.asList(take: _*), candLazy.schema), Some(take))
-        else (candLazy.localCheckpoint(), None)
-      }
+      else phaseTimer("candTake")(pinFrontierRows(candLazy, spark))
+    // a batch colliding with nothing (no state band hits, no intra-batch
+    // pairs) has zero edges by construction — skip the verify/contract/
+    // fixpoint jobs entirely and self-assign
+    if (candRows.exists(_.isEmpty))
+      return selfAssignDelta(spark, newDocs, newBandsPinned, newShingles)
     val sets =
       (if (bucketed) prunedShingles(state, cand,
          candRows.map(_.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
@@ -346,59 +455,132 @@ object IncrementalDedup {
     // pin the verified edges (bounded take → local; checkpoint over the
     // cap): three consumers follow — the endpoint set and both sides of
     // the contraction — and each would re-run the verify join otherwise
-    val newEdges = pinFrontier(newEdgesLazy, newDocs.sparkSession)
-
-    // contract endpoints through the persisted labels: old docs collapse
-    // to their cluster representative, new docs stand for themselves.
-    // Direction matters at 100 TB: a frontier-LEFT-JOIN-labels would
-    // shuffle the corpus-sized labels relation on doc_id every admission
-    // (left-outer can only broadcast its build/right side). Instead the
-    // lookup streams labels through a map-side broadcast join against
-    // the frontier endpoint set ([[repLookup]], plan-pinned in
-    // IncrementalDedupSpec), and the frontier-sized result is pinned and
-    // joined back locally — labels is READ once per admission, never
-    // shuffled.
-    val endpoints = newEdges.select(col("doc_a").as("doc_id"))
-      .union(newEdges.select(col("doc_b").as("doc_id"))).distinct()
-    val reps = pinFrontier(repLookup(state.labels, endpoints),
-      newDocs.sparkSession)
-    val contracted = newEdges
-      .join(reps.select(col("doc_id").as("doc_a"),
-        col("cluster_id").as("rep_a")), Seq("doc_a"), "left")
-      .join(reps.select(col("doc_id").as("doc_b"),
-        col("cluster_id").as("rep_b")), Seq("doc_b"), "left")
-      .select(coalesce(col("rep_a"), col("doc_a")).as("a"),
-        coalesce(col("rep_b"), col("doc_b")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-
-    // the fixpoint — on the contracted frontier graph only. Its nodes are
-    // new doc ids and touched old cluster reps; since every old rep is the
-    // MIN doc_id of its members, min-over-contracted-nodes equals
-    // min-over-all-members, so component labels match a full recompute.
-    // Pinned because the fixpoint probes its input more than once.
-    val contractedPinned = pinFrontier(contracted, newDocs.sparkSession)
-    val comp =
-      Components.connectedComponents(contractedPinned).localCheckpoint()
-    // comp is eager — release every upstream pin (no-ops when local)
-    Seq(contractedPinned, reps, newEdges).foreach(freeLocalCheckpoint)
-    // comp is eager, so the candidate pin has served its consumers
-    // (band probe + verify) — release its blocks now rather than waiting
-    // on the ContextCleaner (everything downstream reads comp only)
+    val (newEdges, edgeRows) = phaseTimer("verifyTake")(pinFrontierRows(newEdgesLazy, spark))
     if (bucketed) freeLocalCheckpoint(cand)
 
-    val newIds = newDocs.select(col("doc_id"))
-    val newAssign = newIds
-      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    edgeRows match {
+      case Some(er) if er.isEmpty =>
+        // candidates existed but none verified — same self-assign
+        // short-circuit (the verify job already ran; everything after
+        // it is skipped)
+        selfAssignDelta(spark, newDocs, newBandsPinned, newShingles)
+      case Some(er) =>
+        // DRIVER-LOCAL contraction: the verified edge set fits the
+        // bounded take, so its endpoint count is ≤ 2·KeyPushMax and the
+        // rep lookup's bounded take (cap sized to that bound) ALWAYS
+        // lands local. Contraction + component fixpoint then run as
+        // plain Scala over rows in hand — zero jobs beyond the one
+        // labels read — and the resulting remap/assign rows ride the
+        // delta for the commit's zero-job touched-bucket computation.
+        // Labels is still only ever STREAMED through the broadcast
+        // lookup ([[repLookup]], plan-pinned), exactly as the
+        // distributed path below.
+        import spark.implicits._
+        val endIds = er.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+          .distinct.toSeq
+        val (_, repRows) = phaseTimer("repTake")(pinFrontierRows(
+          repLookup(state.labels, endIds.toDF("doc_id")),
+          spark, cap = 2 * KeyPushMax + 2))
+        val repMap = repRows.get.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // contract endpoints through the persisted labels: old docs
+        // collapse to their cluster representative, new docs stand for
+        // themselves
+        val contractedPairs = er.iterator.map { r =>
+          val a = repMap.getOrElse(r.getLong(0), r.getLong(0))
+          val b = repMap.getOrElse(r.getLong(1), r.getLong(1))
+          if (a <= b) (a, b) else (b, a)
+        }.filter(p => p._1 != p._2).toSeq.distinct
+        val nodes = contractedPairs.flatMap(p => Seq(p._1, p._2)).distinct
+        // min-over-contracted-nodes equals min-over-all-members (every
+        // old rep is the MIN doc_id of its members), so these labels
+        // match a full recompute — same argument as the distributed path
+        val compPairs = Components.unionFindLocal(nodes, contractedPairs)
+        val compMap = compPairs.toMap
+        val remap = compPairs.toDF("cluster_id", "merged")
+        val idTk = phaseTimer("idTake")(newDocs.select(col("doc_id")).take(KeyPushMax + 1))
+        val (newAssign, localAssign) =
+          if (idTk.length <= KeyPushMax) {
+            val pairs = idTk.map { r =>
+              val id = r.getLong(0); (id, compMap.getOrElse(id, id))
+            }.toSeq
+            (pairs.toDF("doc_id", "cluster_id"), Some(pairs))
+          } else
+            (newDocs.select(col("doc_id"))
+              .join(broadcast(compPairs.toDF("doc_id", "component")),
+                Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("component"), col("doc_id")).as("cluster_id")),
+              None)
+        AdmitDelta(newAssign, remap, newBandsPinned, newShingles,
+          localRemap = Some(compPairs), localAssign = localAssign)
+      case None =>
+        // over-cap frontier: the distributed contraction + fixpoint
+        val endpoints = newEdges.select(col("doc_a").as("doc_id"))
+          .union(newEdges.select(col("doc_b").as("doc_id"))).distinct()
+        // Direction matters at 100 TB: a frontier-LEFT-JOIN-labels would
+        // shuffle the corpus-sized labels relation on doc_id every
+        // admission (left-outer can only broadcast its build/right
+        // side). Instead the lookup streams labels through a map-side
+        // broadcast join against the frontier endpoint set
+        // ([[repLookup]], plan-pinned in IncrementalDedupSpec), and the
+        // frontier-sized result is pinned and joined back locally —
+        // labels is READ once per admission, never shuffled.
+        val (reps, _) = pinFrontierRows(repLookup(state.labels, endpoints),
+          spark)
+        val contracted = newEdges
+          .join(reps.select(col("doc_id").as("doc_a"),
+            col("cluster_id").as("rep_a")), Seq("doc_a"), "left")
+          .join(reps.select(col("doc_id").as("doc_b"),
+            col("cluster_id").as("rep_b")), Seq("doc_b"), "left")
+          .select(coalesce(col("rep_a"), col("doc_a")).as("a"),
+            coalesce(col("rep_b"), col("doc_b")).as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
 
-    // remap: old cluster rep -> merged component label. comp rows whose
-    // node is a new doc id never match an old cluster_id, so no filter is
-    // needed.
-    val remap = comp.select(col("node").as("cluster_id"),
-      col("component").as("merged"))
-    AdmitDelta(newAssign, remap, newBands, newShingles)
+        // the fixpoint — on the contracted frontier graph only. Its
+        // nodes are new doc ids and touched old cluster reps; since
+        // every old rep is the MIN doc_id of its members,
+        // min-over-contracted-nodes equals min-over-all-members, so
+        // component labels match a full recompute. Pinned because the
+        // fixpoint probes its input more than once.
+        val (contractedPinned, _) = pinFrontierRows(contracted, spark)
+        val comp =
+          Components.connectedComponents(contractedPinned).localCheckpoint()
+        // comp is eager — release every upstream pin (no-ops when local)
+        Seq(contractedPinned, reps, newEdges).foreach(freeLocalCheckpoint)
+
+        val newIds = newDocs.select(col("doc_id"))
+        val newAssign = newIds
+          .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"))
+
+        // remap: old cluster rep -> merged component label. comp rows
+        // whose node is a new doc id never match an old cluster_id, so
+        // no filter is needed.
+        val remap = comp.select(col("node").as("cluster_id"),
+          col("component").as("merged"))
+        AdmitDelta(newAssign, remap, newBandsPinned, newShingles)
+    }
+  }
+
+  /** The no-edges admission outcome: every new doc keeps its own id as
+    * its cluster label, old state is untouched (empty remap). One
+    * bounded take over the batch ids; an over-cap batch self-assigns
+    * lazily. */
+  private def selfAssignDelta(spark: SparkSession, newDocs: DataFrame,
+      newBands: DataFrame, newShingles: DataFrame): AdmitDelta = {
+    import spark.implicits._
+    val emptyRemap = Seq.empty[(Long, Long)].toDF("cluster_id", "merged")
+    val idTk = newDocs.select(col("doc_id")).take(KeyPushMax + 1)
+    val (newAssign, localAssign) =
+      if (idTk.length <= KeyPushMax) {
+        val pairs = idTk.map { r => val id = r.getLong(0); (id, id) }.toSeq
+        (pairs.toDF("doc_id", "cluster_id"), Some(pairs))
+      } else
+        (newDocs.select(col("doc_id"), col("doc_id").as("cluster_id")), None)
+    AdmitDelta(newAssign, emptyRemap, newBands, newShingles,
+      localRemap = Some(Nil), localAssign = localAssign)
   }
 
   /** Reconstruct the FULL grown state from a delta — the in-memory

@@ -65,6 +65,20 @@ object DedupStream {
 
   private val LabelsDdl = "doc_id BIGINT, cluster_id BIGINT"
   private val SizesDdl = "cluster_id BIGINT, cluster_size BIGINT"
+  private val BandsDdl = "doc_id BIGINT, band BIGINT, band_hash STRING"
+  private val ShinglesDdl = "doc_id BIGINT, sh ARRAY<STRING>"
+
+  /** Every state read declares its schema — the layouts above are fixed
+    * by this file's own writers, so footer-based inference would spend a
+    * driver file-read (and at 4096 buckets, a listing job) per relation
+    * per admission purely to rediscover a known shape. */
+  private def readPq(spark: SparkSession, ddl: String,
+      paths: Seq[String], basePath: Option[String] = None): DataFrame = {
+    val r = spark.read.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    basePath.foreach(p => r.option("basePath", p))
+    r.parquet(paths: _*)
+  }
 
   /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer for the admission path. */
   private def chainTimer[A](tag: String)(f: => A): A =
@@ -138,6 +152,20 @@ object DedupStream {
 
   private def isDir(p: String): Boolean = new java.io.File(p).isDirectory
 
+  /** A DataFrame whose every leaf is an in-memory LocalRelation (the
+    * admission's pinned frontier) would otherwise be WRITTEN through
+    * `leafNodeDefaultParallelism` tasks — 32 near-empty part files for a
+    * few hundred rows, paid again by every later probe's listing.
+    * Coalesce those to one task; distributed inputs pass through with
+    * their own partitioning (a deployment-sized batch segment needs it). */
+  private def oneTaskIfLocal(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    if (leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalRelation]))
+      df.coalesce(1)
+    else df
+  }
+
   /** A compaction dir that actually holds bucket partitions (an empty
     * fold writes only _SUCCESS; listing it would fail schema inference). */
   private def hasBucketDirs(p: String): Boolean = {
@@ -176,7 +204,7 @@ object DedupStream {
       }
       .filter(hasDataFiles)
     if (paths.isEmpty) emptyDf(spark, ddl)
-    else spark.read.parquet(paths: _*)
+    else readPq(spark, ddl, paths)
   }
 
   /** Load the last committed state, or None before the first commit.
@@ -209,7 +237,7 @@ object DedupStream {
         val segDf =
           if (segPaths.isEmpty) None
           else {
-            val raw = spark.read.parquet(segPaths: _*)
+            val raw = readPq(spark, emptyDdl, segPaths)
             Some(if (b > 0) raw.withColumn("bucket", bucketCol(b)) else raw)
           }
         // basePath so the committed cpart roots read as one partitioned
@@ -217,8 +245,8 @@ object DedupStream {
         // bookkeeping — drop it, keep bucket for probe-time pruning
         val baseDf =
           if (basePaths.isEmpty) None
-          else Some(spark.read.option("basePath", s"$stateDir/$t/base")
-            .parquet(basePaths: _*).drop("cpart"))
+          else Some(readPq(spark, emptyDdl + ", cpart INT, bucket INT",
+            basePaths, basePath = Some(s"$stateDir/$t/base")).drop("cpart"))
         (baseDf.toSeq ++ segDf.toSeq).reduceOption(_ unionByName _)
           .getOrElse(emptyDf(spark, emptyDdl))
       }
@@ -227,15 +255,15 @@ object DedupStream {
           (ownedRelation(spark, stateDir, "labels", own, None, LabelsDdl),
             ownedRelation(spark, stateDir, "sizes", own, None, SizesDdl))
         case None => // legacy whole-relation layout
-          (spark.read.parquet(s"$stateDir/v$v/labels"),
-            spark.read.parquet(s"$stateDir/v$v/sizes"))
+          (readPq(spark, LabelsDdl, Seq(s"$stateDir/v$v/labels")),
+            readPq(spark, SizesDdl, Seq(s"$stateDir/v$v/sizes")))
       }
       DedupState(labels, sizes,
         log("bands",
           n => IncrementalDedup.bandBucket(col("band"), col("band_hash"), n),
-          "doc_id BIGINT, band BIGINT, band_hash STRING"),
+          BandsDdl),
         log("shingles", n => IncrementalDedup.docBucket(col("doc_id"), n),
-          "doc_id BIGINT, sh ARRAY<STRING>"),
+          ShinglesDdl),
         buckets = if (b > 0) Some(b) else None)
     }
 
@@ -247,20 +275,22 @@ object DedupStream {
     * overwrite: a crashed fold's leftovers (never referenced by a
     * manifest) are wiped by the retry. */
   private def compactInto(df: DataFrame, path: String, bucketCol: Column,
-      sortKey: Column): Unit =
+      sortKey: Column, numBuckets: Int): Unit =
     df.withColumn("bucket", bucketCol)
-      .repartition(col("bucket"))
+      // task count bounded by the layout's bucket count, not the session
+      // shuffle width — a fold over b buckets schedules b tasks
+      .repartition(numBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), sortKey)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(path)
 
   private def compactSegments(spark: SparkSession, stateDir: String, t: String,
-      from: Long, to: Long, cpart: Int, bucketCol: Column,
-      sortKey: Column): Unit = {
+      ddl: String, from: Long, to: Long, cpart: Int, bucketCol: Column,
+      sortKey: Column, numBuckets: Int): Unit = {
     val segs = (from to to).map(i => s"$stateDir/$t/seg$i").filter(isDir)
     if (segs.nonEmpty)
-      compactInto(spark.read.parquet(segs: _*),
-        s"$stateDir/$t/base/cpart=$cpart", bucketCol, sortKey)
+      compactInto(readPq(spark, ddl, segs),
+        s"$stateDir/$t/base/cpart=$cpart", bucketCol, sortKey, numBuckets)
   }
 
   /** Every [[MaxLiveSegments]]-th commit folds the live segments into
@@ -270,11 +300,12 @@ object DedupStream {
       prevC: Int, prevF: Long, b: Int, maxLiveSegments: Int): (Int, Long) =
     if (next - prevF + 1 >= maxLiveSegments) {
       inParallel(
-        () => compactSegments(spark, stateDir, "bands", prevF, next, prevC,
-          IncrementalDedup.bandBucket(col("band"), col("band_hash"), b),
-          col("band_hash")),
-        () => compactSegments(spark, stateDir, "shingles", prevF, next, prevC,
-          IncrementalDedup.docBucket(col("doc_id"), b), col("doc_id")))
+        () => compactSegments(spark, stateDir, "bands", BandsDdl, prevF, next,
+          prevC, IncrementalDedup.bandBucket(col("band"), col("band_hash"), b),
+          col("band_hash"), b),
+        () => compactSegments(spark, stateDir, "shingles", ShinglesDdl, prevF,
+          next, prevC, IncrementalDedup.docBucket(col("doc_id"), b),
+          col("doc_id"), b))
       (prevC + 1, next + 1)
     } else (prevC, prevF)
 
@@ -408,12 +439,12 @@ object DedupStream {
     def dropB(df: DataFrame) = IncrementalDedup.dropBucket(df)
     val all = (0 until b).toSeq
     def wr(df: DataFrame, path: String): Unit =
-      df.write.mode("overwrite").parquet(s"$stateDir/$path")
-    inParallel(
+      oneTaskIfLocal(df).write.mode("overwrite").parquet(s"$stateDir/$path")
+    chainTimer("  bootstrap.writes")(inParallel(
       () => writeBuckets(dropB(st.labels), stateDir, "labels", next, b, all),
       () => writeBuckets(dropB(st.sizes), stateDir, "sizes", next, b, all),
       () => wr(dropB(newBands.getOrElse(st.bands)), s"bands/seg$next"),
-      () => wr(dropB(newShingles.getOrElse(st.shingles)), s"shingles/seg$next"))
+      () => wr(dropB(newShingles.getOrElse(st.shingles)), s"shingles/seg$next")))
     val (newC, newF) =
       maybeFold(spark, stateDir, next, prevC, prevF, b, maxLiveSegments)
     val owners = Vector.fill(b)(next)
@@ -452,12 +483,20 @@ object DedupStream {
         def kb(c: Column) = IncrementalDedup.docBucket(c, b).as("k")
         // every bucket a label row can leave, enter, or appear in:
         // remapped old cluster ids (rows leave), merged labels (rows
-        // enter), the batch's assignments. Frontier-sized collect — the
-        // same K-bounded driver-side index material as the band probe.
-        val touched = t("touched")(delta.remap.select(kb(col("cluster_id")))
-          .union(delta.remap.select(kb(col("merged"))))
-          .union(delta.newAssign.select(kb(col("cluster_id"))))
-          .distinct().collect().map(_.getInt(0)).toSeq.sorted)
+        // enter), the batch's assignments. When the admission kept the
+        // frontier driver-local, this is a pure driver computation over
+        // rows already in hand (docBucketLocal — zero jobs); otherwise a
+        // frontier-sized collect, the same K-bounded driver-side index
+        // material as the band probe.
+        val touched = t("touched")((delta.localRemap, delta.localAssign) match {
+          case (Some(rm), Some(as)) =>
+            (rm.flatMap { case (c, m) => Seq(c, m) } ++ as.map(_._2))
+              .map(IncrementalDedup.docBucketLocal(_, b)).distinct.sorted
+          case _ => delta.remap.select(kb(col("cluster_id")))
+            .union(delta.remap.select(kb(col("merged"))))
+            .union(delta.newAssign.select(kb(col("cluster_id"))))
+            .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        })
         val tset = touched.toSet
         val oldLab =
           ownedRelation(spark, stateDir, "labels", own, Some(tset), LabelsDdl)
@@ -474,7 +513,7 @@ object DedupStream {
             .agg(count(lit(1)).as("cluster_size")))
           .groupBy("cluster_id").agg(sum("cluster_size").as("cluster_size"))
         def wr(df: DataFrame, path: String): Unit =
-          df.write.mode("overwrite").parquet(s"$stateDir/$path")
+          oneTaskIfLocal(df).write.mode("overwrite").parquet(s"$stateDir/$path")
         t("writes")(inParallel(
           () => writeBuckets(newLab, stateDir, "labels", next, b, touched),
           () => writeBuckets(newSz, stateDir, "sizes", next, b, touched),
@@ -523,11 +562,11 @@ object DedupStream {
       () => compactInto(dropB(st.bands),
         s"$stateDir/bands/base/cpart=${man.compactions}",
         IncrementalDedup.bandBucket(col("band"), col("band_hash"), newBuckets),
-        col("band_hash")),
+        col("band_hash"), newBuckets),
       () => compactInto(dropB(st.shingles),
         s"$stateDir/shingles/base/cpart=${man.compactions}",
         IncrementalDedup.docBucket(col("doc_id"), newBuckets),
-        col("doc_id")))
+        col("doc_id"), newBuckets))
     val owners = Vector.fill(newBuckets)(next)
     // the new base is compaction [compactions, compactions+1); every
     // prior compaction and every live segment is folded in and
@@ -585,7 +624,9 @@ object DedupStream {
               delta.release()
             case None =>
               t("bootstrap")(
-                commitState(IncrementalDedup.initialState(pinned), stateDir,
+                commitState(
+                  t("  bootstrap.cluster")(IncrementalDedup.initialState(pinned)),
+                  stateDir,
                   buckets = buckets, maxLiveSegments = maxLiveSegments))
           }
           // per-batch shingle/band memos are keyed on this batch's plan

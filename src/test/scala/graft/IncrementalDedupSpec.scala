@@ -203,6 +203,48 @@ class IncrementalDedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("bandBucketLocal agrees with the bandBucket column expression") {
+    // the fused band-probe take computes touched buckets driver-side by
+    // evaluating the same Catalyst expression; divergence would prune
+    // the wrong BAND buckets and silently lose candidates
+    val rows = Seq((0L, "d41d8cd98f00b204e9800998ecf8427e"),
+      (1L, "0cc175b9c0f1b6a831c399e269772661"),
+      (3L, ""), (Long.MaxValue, "zz"), (-7L, "abc"))
+    for (n <- Seq(8, 32)) {
+      val fromExpr = rows.toDF("band", "band_hash")
+        .select(col("band"), col("band_hash"),
+          IncrementalDedup.bandBucket(col("band"), col("band_hash"), n).as("b"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2)).toMap
+      rows.foreach { case (band, h) =>
+        assert(IncrementalDedup.bandBucketLocal(band, h, n) ==
+          fromExpr((band, h)),
+          s"bandBucketLocal($band, $h, $n) diverged from the column expression")
+      }
+    }
+  }
+
+  test("probe routing modes are row-identical (auto ≡ pruned ≡ full)") {
+    // adaptive routing may only ever change the READ plan, never the
+    // result — pin all three modes against each other on a persisted
+    // bucketed state (the only shape where routing has any effect)
+    import graft.operators.IncrementalDedup.{ProbeAuto, ProbeFull, ProbePruned}
+    val root = java.nio.file.Files.createTempDirectory("probe_route").toString
+    oldDocs.write.parquet(s"$root/docs/day1")
+    graft.streaming.DedupStream.admitNewDrops(
+      spark, s"$root/docs/*", s"$root/state", s"$root/ckpt")
+    Dedup.clearShingleCaches()
+    val st = graft.streaming.DedupStream.loadState(spark, s"$root/state").get
+    assert(st.buckets.isDefined)
+    val outs = Seq(ProbeAuto, ProbePruned, ProbeFull).map { m =>
+      Dedup.clearShingleCaches()
+      labelMap(IncrementalDedup.admitBatch(st, newBatch, probeMode = m))
+    }
+    assert(outs(0) == outs(1) && outs(1) == outs(2),
+      s"probe modes diverged: $outs")
+    assert(outs(0)(1L) == (1L, 5L)) // the bridge-merge still happens
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("docBucketLocal agrees with the docBucket column expression") {
     // the zero-job endpoint-bucket computation replicates Spark's
     // xxhash64(long) + pmod driver-side; any divergence would silently
