@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic versioned-commit protocol shared by the persisted ANN index
+  * stores ([[Similarity.buildIvfIndex]]'s centroids + assignments and
+  * the PQ codebook + codes store) — the same manifest-plus-pointer
+  * shape as the dedup state store ([[graft.streaming.DedupStream]]),
+  * specialized to an APPEND-ONLY data log:
+  *
+  * {{{
+  * indexDir/
+  *   CURRENT              # last committed version number (atomic move)
+  *   v$N/MANIFEST         # {"trainedRows":…,"totalRows":…,"segs":[…]}
+  *   v$N/<model dirs>     # K-row model relations (centroids/codebook)
+  *   <log>/seg=$M/…       # one data segment per committing version
+  * }}}
+  *
+  * The data log (`assignments` for IVF, `codes` for PQ) is a single
+  * partitioned tree whose FIRST partition level is the writing version
+  * (`seg=$N`) — every path segment below the log root is `key=value`,
+  * so the committed segments read as ONE multi-path scan with uniform
+  * partition columns (a flat `v$N/<log>` layout cannot: Spark's
+  * partition discovery rejects non-partition directories between the
+  * base path and the files). Readers list exactly the manifest's `segs`
+  * — a crashed commit's half-written segment sits outside every
+  * committed manifest and is invisible; the retried commit overwrites
+  * it (same version number, `mode("overwrite")`). This closes the r12
+  * advice finding: appends used to `mode("append")` into the LIVE
+  * version's directory, publishing partial batches to every reader.
+  *
+  * `trainedRows` is the drift baseline (rows the model was last fit
+  * on), `totalRows` the committed log size — carried in the manifest so
+  * the append path never runs a corpus-sized (even footer-only) count
+  * job. Retention after each promote keeps the current + previous
+  * versions' dirs and segments (in-flight readers of the prior commit
+  * stay valid) and deletes the rest. */
+private[graft] object VersionedIndex {
+
+  /** The committed state a reader resolves: version, drift baseline,
+    * log size, and the log segments this version references. */
+  final case class Meta(version: Long, trainedRows: Long, totalRows: Long,
+      segs: Vector[Long])
+
+  def currentVersion(indexDir: String): Option[Long] = {
+    val f = new java.io.File(indexDir, "CURRENT")
+    if (f.isFile) Some(java.nio.file.Files.readString(f.toPath).trim.toLong)
+    else None
+  }
+
+  def meta(indexDir: String): Option[Meta] =
+    currentVersion(indexDir).map { v =>
+      val f = new java.io.File(indexDir, s"v$v/MANIFEST")
+      if (!f.isFile) throw new IllegalStateException(
+        s"$indexDir/v$v has no MANIFEST — lost or deleted committed state")
+      val txt = java.nio.file.Files.readString(f.toPath)
+      def num(k: String): Long =
+        s""""$k":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+          .getOrElse(throw new IllegalStateException(
+            s"unreadable index manifest v$v: $txt"))
+      val segs = s""""segs":\\[([\\d,]*)\\]""".r.findFirstMatchIn(txt)
+        .map(m => if (m.group(1).isEmpty) Vector.empty[Long]
+                  else m.group(1).split(",").map(_.toLong).toVector)
+        .getOrElse(throw new IllegalStateException(
+          s"unreadable index manifest v$v: $txt"))
+      Meta(v, num("trainedRows"), num("totalRows"), segs)
+    }
+
+  def metaOrThrow(indexDir: String): Meta = meta(indexDir).getOrElse(
+    throw new IllegalStateException(
+      s"$indexDir holds no committed index (no CURRENT pointer) — " +
+        "build one first"))
+
+  /** Committed segment directories of the data log, for a multi-path
+    * read rooted at `$indexDir/$log` (so `seg` and any lower partition
+    * columns are discovered uniformly). */
+  def segPaths(indexDir: String, log: String, segs: Seq[Long]): Seq[String] =
+    segs.map { s =>
+      val p = s"$indexDir/$log/seg=$s"
+      if (!new java.io.File(p).isDirectory) throw new IllegalStateException(
+        s"committed index references $log/seg=$s but $p does not exist — " +
+          "lost or deleted committed state")
+      p
+    }
+
+  /** One scan over the committed log segments: declared data schema,
+    * partition columns (`seg`, …) discovered against the log root; the
+    * bookkeeping `seg` column is dropped. Empty segment list → empty
+    * relation of the declared schema. */
+  def readLog(spark: SparkSession, indexDir: String, log: String,
+      segs: Seq[Long], ddl: String): DataFrame =
+    if (segs.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .option("basePath", s"$indexDir/$log")
+      .parquet(segPaths(indexDir, log, segs): _*)
+      .drop("seg")
+
+  /** Publish version `next` (everything under `v$next/` and
+    * `<log>/seg=$next` is already written): manifest, atomic pointer
+    * move, then retention. `logs` names the data-log roots to prune. */
+  def commit(indexDir: String, next: Long, trainedRows: Long,
+      totalRows: Long, segs: Vector[Long], logs: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(indexDir, s"v$next")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("MANIFEST"),
+      s"""{"trainedRows":$trainedRows,"totalRows":$totalRows,""" +
+        s""""segs":[${segs.mkString(",")}]}""")
+    val prevSegs: Set[Long] = (if (next == 0) None
+      else Some(next - 1).filter(v =>
+        new java.io.File(indexDir, s"v$v/MANIFEST").isFile))
+      .map(v => meta2(indexDir, v).segs.toSet).getOrElse(Set.empty)
+    val tmp = java.nio.file.Paths.get(indexDir, s".CURRENT.$next.tmp")
+    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(indexDir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // retention: current + previous versions stay readable
+    def rmQuiet(d: java.io.File): Unit =
+      try org.apache.commons.io.FileUtils.deleteDirectory(d)
+      catch { case _: Exception => } // stale history is harmless
+    (0L until next - 1).map(i => new java.io.File(indexDir, s"v$i"))
+      .filter(_.isDirectory).foreach(rmQuiet)
+    val live = segs.toSet ++ prevSegs
+    logs.foreach { log =>
+      val root = new java.io.File(indexDir, log)
+      if (root.isDirectory) root.listFiles.foreach { d =>
+        if (d.isDirectory && d.getName.startsWith("seg=")
+            && !live.contains(d.getName.drop(4).toLong)) rmQuiet(d)
+      }
+    }
+  }
+
+  /** Manifest of a specific version (retention needs the previous
+    * version's segment set while CURRENT already points at `next`). */
+  private def meta2(indexDir: String, v: Long): Meta = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(indexDir, s"v$v/MANIFEST"))
+    def num(k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        .getOrElse(0L)
+    val segs = s""""segs":\\[([\\d,]*)\\]""".r.findFirstMatchIn(txt)
+      .map(m => if (m.group(1).isEmpty) Vector.empty[Long]
+                else m.group(1).split(",").map(_.toLong).toVector)
+      .getOrElse(Vector.empty)
+    Meta(v, num("trainedRows"), num("totalRows"), segs)
+  }
+
+  /** Copy a K-row model directory (centroids/codebook) into the next
+    * version by plain file copy — zero Spark jobs for data that is a
+    * handful of KB. */
+  def copyModelDir(indexDir: String, from: Long, next: Long,
+      name: String): Unit = {
+    val src = new java.io.File(indexDir, s"v$from/$name")
+    val dst = new java.io.File(indexDir, s"v$next/$name")
+    org.apache.commons.io.FileUtils.deleteDirectory(dst) // crashed try
+    org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+  }
+
+  /** Driver-side per-(dir, version) model cache — the append/query
+    * paths re-use collected K-row models instead of re-reading them
+    * per call. Bounded: cleared wholesale past 64 entries (entries are
+    * a few KB each; temp-dir churn in tests would otherwise grow it). */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), AnyRef]
+
+  def cachedModel[A <: AnyRef](indexDir: String, version: Long, name: String)(
+      load: => A): A = {
+    if (modelCache.size > 64) modelCache.clear()
+    val key = (new java.io.File(indexDir).getCanonicalPath, version, name)
+    modelCache.computeIfAbsent(key, _ => load).asInstanceOf[A]
+  }
+
+  /** Warm the model cache at commit time — the builder already holds
+    * the model rows driver-side, so later appends/queries in this
+    * process skip even the K-row read. */
+  def putModel(indexDir: String, version: Long, name: String,
+      model: AnyRef): Unit = {
+    if (modelCache.size > 64) modelCache.clear()
+    modelCache.put(
+      (new java.io.File(indexDir).getCanonicalPath, version, name), model)
+    ()
+  }
+}

@@ -314,15 +314,25 @@ class DedupSpec extends AnyFunSuite {
     val plan = Similarity.annIvfIndexed(emb, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("assignments"), s"no index scan in plan:\n$plan")
-    // inverted-file layout proper: assignments live as cid= partitions on
-    // disk, and the probe join prunes the scan at runtime (dynamic
-    // partition pruning) — probing nprobe cells must not read all K
-    assert(new java.io.File(dir, "v0/assignments/cid=0").isDirectory,
-      "assignments not laid out as cid= partitions under the committed version")
+    // inverted-file layout proper: assignments live as cid= partitions
+    // under the committing version's seg= directory, and the probe join
+    // prunes the scan at runtime (dynamic partition pruning) — probing
+    // nprobe cells must not read all K
+    assert(new java.io.File(dir, "assignments/seg=0/cid=0").isDirectory,
+      "assignments not laid out as seg=/cid= partitions")
     assert(new java.io.File(dir, "CURRENT").isFile,
       "index commit did not publish a CURRENT pointer")
     assert(plan.contains("dynamicpruning"),
       s"no dynamic partition pruning on the assignments scan:\n$plan")
+    // atomic visibility: a half-written (crashed, never-committed)
+    // segment must be invisible to every reader — the manifest, not the
+    // directory listing, decides what is committed
+    graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), org.apache.spark.sql.functions.lit(0).as("cid"))
+      .write.partitionBy("cid").parquet(s"$dir/assignments/seg=99")
+    assert(rs(Similarity.annIvfIndexed(emb, dir)) ==
+      rs(Similarity.annIvfKmeans(emb)),
+      "an uncommitted segment leaked into the committed read")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
@@ -336,12 +346,36 @@ class DedupSpec extends AnyFunSuite {
     val cents0 = spark.read.parquet(s"$dir/v0/centroids").collect()
       .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
       .sortBy(_._1).toIndexedSeq
+    // the append must run ZERO corpus-sized jobs: drift state rides the
+    // manifest, centroids the driver cache (warm from the build) — the
+    // only jobs are the O(batch) count and the O(batch) segment write
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.add(j.stageInfos.map(_.name.takeWhile(_ != '\n'))
+          .mkString("[", "; ", "]")); ()
+      }
+    }
+    // drain the build's backlog so its job events don't land on the
+    // listener registered after it
+    org.apache.spark.sql.graftbridge.Bridge
+      .drainListenerBus(spark.sparkContext, 10000)
+    spark.sparkContext.addSparkListener(jl)
     assert(!Similarity.appendToIvfIndex(emb, batch, dir),
       "a 5% append must not trip the drift re-train")
+    org.apache.spark.sql.graftbridge.Bridge
+      .drainListenerBus(spark.sparkContext, 10000)
+    spark.sparkContext.removeSparkListener(jl)
+    assert(jobs.size <= 3,
+      s"append ran ${jobs.size} jobs — a corpus-sized job crept in " +
+        "(expected only the batch count + segment write); descriptions: " +
+        jobs.toArray.mkString(" | "))
     // every vector indexed exactly once, and the appended assignments
     // equal a full re-assignment of the grown corpus under the ORIGINAL
     // centroids — the incremental ≡ batch claim with centroids fixed
-    val assigned = spark.read.parquet(s"$dir/v0/assignments")
+    val assigned = Similarity.ivfAssignments(spark, dir)
+      .select(col("vec_id"), col("cid"))
     assert(assigned.count() == emb.count())
     assert(assigned.select("vec_id").distinct().count() == emb.count())
     val expect = Similarity.assignCells(emb, cents0)
@@ -349,8 +383,8 @@ class DedupSpec extends AnyFunSuite {
     assert(assigned.collect()
       .map(r => (r.getLong(0), r.getInt(1).toLong)).toSet == expect,
       "appended assignments diverge from re-assignment under original centroids")
-    // centroids untouched by the append
-    assert(spark.read.parquet(s"$dir/v0/centroids").collect()
+    // centroids untouched by the append (v1 carries a copy of v0's)
+    assert(spark.read.parquet(s"$dir/v1/centroids").collect()
       .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
       .sortBy(_._1).toIndexedSeq == cents0)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
@@ -380,6 +414,51 @@ class DedupSpec extends AnyFunSuite {
     // 8 bytes of codes per 256-byte vector; the seed codebook is the
     // untrained floor — far above the 2% random baseline is the bar
     assert(recall >= 0.2, s"recall=$recall")
+  }
+
+  test("persisted PQ index: build, append, drift re-train ≡ fresh fit") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    def rs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val fresh = rs(Similarity.annPq(emb))
+    // --- build on the full corpus: indexed ≡ fresh (the q43 claim) ---
+    val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+    Similarity.buildPqIndex(emb, dir)
+    assert(rs(Similarity.annPqIndexed(emb, dir)) == fresh,
+      "persisted-PQ query diverges from the fresh-fit path")
+    assert(new java.io.File(dir, "codes/seg=0").isDirectory &&
+      new java.io.File(dir, "CURRENT").isFile,
+      "PQ store missing the seg layout or the CURRENT pointer")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+    // --- incremental append under the drift threshold: the base holds
+    // the first PqK vectors (so its codebook equals the grown corpus's)
+    // and the appended segment re-encodes only the batch — the result
+    // must STILL equal a fresh fit of the grown corpus ---
+    val base = emb.filter(col("vec_id") < Similarity.PqK ||
+      col("vec_id") % 10 =!= 9)
+    val batch = emb.filter(col("vec_id") >= Similarity.PqK &&
+      col("vec_id") % 10 === 9)
+    val dir2 = java.nio.file.Files.createTempDirectory("pq_append").toString
+    Similarity.buildPqIndex(base, dir2)
+    assert(!Similarity.appendToPqIndex(emb, batch, dir2),
+      "a ~10% append must not trip the drift re-train")
+    assert(rs(Similarity.annPqIndexed(emb, dir2)) == fresh,
+      "appended PQ index diverges from a fresh fit of the grown corpus")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+
+    // --- majority append: drift trigger re-fits and resets the chain ---
+    val dir3 = java.nio.file.Files.createTempDirectory("pq_drift").toString
+    Similarity.buildPqIndex(emb.filter(col("vec_id") < 100), dir3)
+    assert(Similarity.appendToPqIndex(emb,
+      emb.filter(col("vec_id") >= 100), dir3),
+      "a majority append must trip the drift re-train")
+    assert(rs(Similarity.annPqIndexed(emb, dir3)) == fresh)
+    val m = graft.operators.VersionedIndex.metaOrThrow(dir3)
+    assert(m.segs == Vector(1L) && m.trainedRows == m.totalRows,
+      s"re-train did not reset the segment chain/baseline: $m")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir3))
   }
 
   test("fused PqAdcDot expression == composable HOF formulation") {
