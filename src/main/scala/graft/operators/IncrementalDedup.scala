@@ -421,42 +421,51 @@ object IncrementalDedup {
       .select(least(col("qid"), col("cid")).as("doc_a"),
         greatest(col("qid"), col("cid")).as("doc_b"))
       .distinct()
-    // bucketed verify path: pin the frontier-sized candidate set before
-    // prunedShingles collects its endpoint buckets, so the band probe
-    // runs once, not once per downstream consumer. This path is taken
-    // whenever the state is bucketed — even under full BAND coverage the
-    // candidate ENDPOINTS usually cover a bucket subset, and pruning the
-    // text-sized shingle relation outweighs pinning a 2-longs-per-row
-    // candidate set (ChainProbe A vs C: the always-pinned fold layout
-    // reads level with the segments-only layout at toy scale and wins
-    // at deployment ratios, bench probe_ab).
-    // Pinning mechanism is size-adaptive: a frontier under the key cap
-    // collects to a LOCAL relation via one bounded take — the endpoints
-    // are then in hand, so the shingle pruning needs zero further jobs
-    // (docBucketLocal) and the verify join broadcasts naturally; an
-    // over-cap frontier localCheckpoints as before.
-    val (cand, candRows) =
-      if (!bucketed) (candLazy, None)
-      else phaseTimer("candTake")(pinFrontierRows(candLazy, spark))
+    // pin the frontier-sized candidate set before anything consumes it,
+    // on EVERY probe route: the band probe runs once (not once per
+    // downstream consumer), an empty candidate set short-circuits the
+    // verify/contract/fixpoint jobs entirely, and an under-cap frontier
+    // lands as a LOCAL relation whose endpoint ids are then in hand —
+    // zero further jobs for the shingle pruning (docBucketLocal) and the
+    // verify narrowing below. (ChainProbe A vs C: the always-pinned fold
+    // layout reads level with the segments-only layout at toy scale and
+    // wins at deployment ratios, bench probe_ab.)
+    val (cand, candRows) = phaseTimer("candTake")(pinFrontierRows(candLazy, spark))
     // a batch colliding with nothing (no state band hits, no intra-batch
     // pairs) has zero edges by construction — skip the verify/contract/
     // fixpoint jobs entirely and self-assign
     if (candRows.exists(_.isEmpty))
       return selfAssignDelta(spark, newDocs, newBandsPinned, newShingles)
-    val sets =
-      (if (bucketed) prunedShingles(state, cand,
-         candRows.map(_.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
-           .distinct.toSeq))
+    val endpointIds: Option[Seq[Long]] = candRows
+      .map(_.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq)
+      .filter(_.size <= 2 * KeyPushMax)
+    val setsAll =
+      (if (bucketed) prunedShingles(state, cand, endpointIds)
        else dropBucket(state.shingles)).union(newShingles)
-
-    val newEdgesLazy = Dedup.verifyJaccard(cand, sets)
+    // verify narrowing: [[Dedup.verifyJaccard]] joins its shingle side
+    // TWICE (doc_a and doc_b), so handing it the raw union would execute
+    // the state scan + batch shingle compute two times inside the verify
+    // job. With the endpoint ids in hand, restrict the union to exactly
+    // the docs the candidate pairs touch (an IN filter that also prunes
+    // row groups on the sorted bucketed base) and materialize that
+    // frontier-sized relation ONCE as executor-cached blocks — the
+    // verify join then probes memory, not files. Size-safe: the rows
+    // stay distributed (localCheckpoint, not collect).
+    val setsForVerify = endpointIds match {
+      case Some(ids) =>
+        phaseTimer("setsPin")(
+          setsAll.filter(col("doc_id").isin(ids: _*)).localCheckpoint())
+      case None => setsAll
+    }
+    val newEdgesLazy = Dedup.verifyJaccard(cand, setsForVerify)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
     // pin the verified edges (bounded take → local; checkpoint over the
     // cap): three consumers follow — the endpoint set and both sides of
     // the contraction — and each would re-run the verify join otherwise
     val (newEdges, edgeRows) = phaseTimer("verifyTake")(pinFrontierRows(newEdgesLazy, spark))
-    if (bucketed) freeLocalCheckpoint(cand)
+    if (endpointIds.isDefined) freeLocalCheckpoint(setsForVerify)
+    freeLocalCheckpoint(cand)
 
     edgeRows match {
       case Some(er) if er.isEmpty =>

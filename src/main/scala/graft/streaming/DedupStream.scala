@@ -19,8 +19,10 @@ import graft.operators.{AdmitDelta, DedupState, IncrementalDedup}
   * uncommitted files and an intact previous version.
   *
   * `bands`/`shingles` exploit being APPEND-ONLY: a two-tier log (LSM in
-  * miniature) of RECENT day segments (`bands/seg$i`, batch-sized) folded
-  * every [[MaxLiveSegments]]-th commit into a BUCKETED BASE
+  * miniature) of RECENT day segments (`bands/seg$i`, batch-sized). Once
+  * [[MaxLiveSegments]] segments have accumulated, the next commit folds
+  * them — concurrently with its own writes, since the fold never touches
+  * the segment being committed — into a BUCKETED BASE
   * (`bands/base/cpart=$j/bucket=$k/`, sorted by key within bucket) that
   * makes the daily probe a partition-pruned scan
   * ([[IncrementalDedup.prunedBands]]; plan-asserted in DedupStreamSpec).
@@ -293,21 +295,32 @@ object DedupStream {
         s"$stateDir/$t/base/cpart=$cpart", bucketCol, sortKey, numBuckets)
   }
 
-  /** Every [[MaxLiveSegments]]-th commit folds the live segments into
-    * the bucketed base (amortized O(batch)/day — every log row is
-    * written exactly twice: once as a segment, once into a compaction). */
-  private def maybeFold(spark: SparkSession, stateDir: String, next: Long,
-      prevC: Int, prevF: Long, b: Int, maxLiveSegments: Int): (Int, Long) =
-    if (next - prevF + 1 >= maxLiveSegments) {
-      inParallel(
-        () => compactSegments(spark, stateDir, "bands", BandsDdl, prevF, next,
-          prevC, IncrementalDedup.bandBucket(col("band"), col("band_hash"), b),
+  /** Fold plan for one commit: once [[MaxLiveSegments]] segments have
+    * accumulated BEFORE this commit, fold them — segments
+    * [prevF, next-1], never the segment this commit is writing — into
+    * the bucketed base (amortized O(batch)/day: every log row is
+    * written exactly twice, once as a segment, once into a compaction).
+    * Excluding the in-flight segment is what lets the caller run the
+    * returned compaction task CONCURRENTLY with the commit's own
+    * writes (every fold input already exists on disk), hiding the fold
+    * behind the slower labels/sizes staged writes instead of paying it
+    * serially; the current segment simply stays live one commit longer
+    * (the probe's live-segment bound is unchanged: a reader of commit
+    * N sees at most maxLiveSegments live segments). */
+  private def foldPlan(spark: SparkSession, stateDir: String, next: Long,
+      prevC: Int, prevF: Long, b: Int,
+      maxLiveSegments: Int): (Option[() => Unit], Int, Long) =
+    if (next - prevF >= maxLiveSegments) {
+      val task = () => inParallel(
+        () => compactSegments(spark, stateDir, "bands", BandsDdl, prevF,
+          next - 1, prevC,
+          IncrementalDedup.bandBucket(col("band"), col("band_hash"), b),
           col("band_hash"), b),
         () => compactSegments(spark, stateDir, "shingles", ShinglesDdl, prevF,
-          next, prevC, IncrementalDedup.docBucket(col("doc_id"), b),
+          next - 1, prevC, IncrementalDedup.docBucket(col("doc_id"), b),
           col("doc_id"), b))
-      (prevC + 1, next + 1)
-    } else (prevC, prevF)
+      (Some(task), prevC + 1, next)
+    } else (None, prevC, prevF)
 
   /** Write `df` (carrying cluster_id) into per-bucket version dirs
     * `$t/b$k/v$next` for exactly the buckets in `touched`: one
@@ -440,13 +453,14 @@ object DedupStream {
     val all = (0 until b).toSeq
     def wr(df: DataFrame, path: String): Unit =
       oneTaskIfLocal(df).write.mode("overwrite").parquet(s"$stateDir/$path")
-    chainTimer("  bootstrap.writes")(inParallel(
+    val (foldTask, newC, newF) =
+      foldPlan(spark, stateDir, next, prevC, prevF, b, maxLiveSegments)
+    chainTimer("  bootstrap.writes")(inParallel(Seq(
       () => writeBuckets(dropB(st.labels), stateDir, "labels", next, b, all),
       () => writeBuckets(dropB(st.sizes), stateDir, "sizes", next, b, all),
       () => wr(dropB(newBands.getOrElse(st.bands)), s"bands/seg$next"),
-      () => wr(dropB(newShingles.getOrElse(st.shingles)), s"shingles/seg$next")))
-    val (newC, newF) =
-      maybeFold(spark, stateDir, next, prevC, prevF, b, maxLiveSegments)
+      () => wr(dropB(newShingles.getOrElse(st.shingles)),
+        s"shingles/seg$next")) ++ foldTask: _*))
     val owners = Vector.fill(b)(next)
     writeManifest(stateDir, next, newC, prevCFrom, newF, b, owners)
     promote(stateDir, next)
@@ -514,13 +528,17 @@ object DedupStream {
           .groupBy("cluster_id").agg(sum("cluster_size").as("cluster_size"))
         def wr(df: DataFrame, path: String): Unit =
           oneTaskIfLocal(df).write.mode("overwrite").parquet(s"$stateDir/$path")
-        t("writes")(inParallel(
-          () => writeBuckets(newLab, stateDir, "labels", next, b, touched),
-          () => writeBuckets(newSz, stateDir, "sizes", next, b, touched),
-          () => wr(delta.newBands, s"bands/seg$next"),
-          () => wr(delta.newShingles, s"shingles/seg$next")))
-        val (newC, newF) = t("fold")(maybeFold(spark, stateDir, next,
-          man.compactions, man.segFrom, b, maxLiveSegments))
+        val (foldTask, newC, newF) = foldPlan(spark, stateDir, next,
+          man.compactions, man.segFrom, b, maxLiveSegments)
+        t("writes+fold")(inParallel(Seq(
+          () => t("writes.labels")(
+            writeBuckets(newLab, stateDir, "labels", next, b, touched)),
+          () => t("writes.sizes")(
+            writeBuckets(newSz, stateDir, "sizes", next, b, touched)),
+          () => t("writes.bands")(wr(delta.newBands, s"bands/seg$next")),
+          () => t("writes.shingles")(
+            wr(delta.newShingles, s"shingles/seg$next")),
+          () => foldTask.foreach(f => t("fold")(f()))): _*))
         val owners = touched.foldLeft(own)((v, k) => v.updated(k, next))
         writeManifest(stateDir, next, newC, man.cFrom, newF, b, owners)
         promote(stateDir, next)
@@ -646,34 +664,41 @@ object DedupStream {
   // ---- SparkEntry wiring -------------------------------------------------
 
   /** q54: the PRODUCTION dedup path — three daily drops streamed through
-    * the persisted, bucketed, compacted state (maxLiveSegments = 2, so
-    * the fold fires at commit 1 and the later admissions probe the
-    * bucketed base through a real MANIFEST) — oracle-checked against a
-    * from-scratch closure clustering of the same subset, which the chain
-    * must equal by the incremental ≡ batch argument
-    * ([[IncrementalDedup]]). q51 covers the in-memory incremental
-    * operator; this covers the storage layout, commit protocol, and
-    * probe pruning end-to-end in the driver's correctness gate. All
-    * three day drops are staged up front (one file each) and replayed
-    * through ONE AvailableNow run at maxFilesPerBatch=1 — three separate
-    * micro-batch admissions, one stream setup, so the query's cost is
-    * the admissions themselves rather than 3× stream-start overhead.
-    * Every storage tier is exercised: live-segment read (admit 1), fold
-    * + base-only read (admit 2), base + live-segment read (admit 3
-    * reads cpart=0 and seg2). */
+    * the persisted, bucketed, compacted state (maxLiveSegments = 1, so
+    * every commit folds the previous segment concurrently with its
+    * writes and the later admissions probe the bucketed base through a
+    * real MANIFEST) — oracle-checked against a from-scratch closure
+    * clustering of the same subset, which the chain must equal by the
+    * incremental ≡ batch argument ([[IncrementalDedup]]). q51 covers
+    * the in-memory incremental operator; this covers the storage
+    * layout, commit protocol, and probe pruning end-to-end in the
+    * driver's correctness gate. All three day drops are staged up front
+    * (one file each) and replayed through ONE AvailableNow run at
+    * maxFilesPerBatch=1 — three separate micro-batch admissions, one
+    * stream setup, so the query's cost is the admissions themselves
+    * rather than 3× stream-start overhead. Every storage tier is
+    * exercised: live-segment probe (admit of day 1 reads seg0), base +
+    * live-segment probe (admit of day 2 reads cpart=0 and seg1), folds
+    * at commits 1 and 2, and the final read spans two compactions plus
+    * the live seg2. */
   def qChainBucketed(s: SparkSession, d: String): DataFrame = {
     val docs = graft.engine.Tables.documents(s, d)
       .filter(col("doc_id") < 500)
     val root = java.nio.file.Files.createTempDirectory("graft-q54").toString
-    inParallel((0 until 3).map(k => () =>
-      docs.filter(col("doc_id") % 3 === k).coalesce(1)
-        .write.parquet(s"$root/docs/day$k")): _*)
+    // stage all three day drops with ONE partitioned write (each day=
+    // directory gets exactly one file: the repartition keys each day
+    // into one task), not three separate single-file write jobs — the
+    // staging is q54 fixture setup, and its job-launch overhead was a
+    // measurable slice of the query's wall
+    docs.withColumn("day", pmod(col("doc_id"), lit(3)))
+      .repartition(3, col("day"))
+      .write.partitionBy("day").parquet(s"$root/docs")
     // buckets right-sized to the subset per the layout's own sizing rule
     // (a bucket should hold real data, not a near-empty tiny file): 8
     // buckets for ~500 docs keeps probe pruning demonstrable (a batch
     // touches ≤4) without paying 64 near-empty file commits per fold
-    admitNewDrops(s, s"$root/docs/*", s"$root/state", s"$root/ckpt",
-      maxLiveSegments = 2, maxFilesPerBatch = Some(1), buckets = 8)
+    admitNewDrops(s, s"$root/docs/day=*", s"$root/state", s"$root/ckpt",
+      maxLiveSegments = 1, maxFilesPerBatch = Some(1), buckets = 8)
     // pin rows before the state dir is deleted (the caller writes the
     // result AFTER this returns; a lazy scan would read deleted files)
     val out = IncrementalDedup.labelsWithSizes(

@@ -14,8 +14,14 @@ import graft.streaming.DedupStream
   *   B  no folds (segments only — the pre-compaction layout)
   *   C  no folds AND buckets stripped before admission (no touched-bucket
   *      collect, no bucket columns — the round-9 code path shape)
+  *   D  labels-lookup A/B: would bucketing the labels tier BY DOC_ID
+  *      (a second, doc-keyed index copy) beat the current full
+  *      broadcast-stream read ([[IncrementalDedup.repLookup]])? Chains
+  *      10 days, then times the frontier rep lookup both ways at
+  *      frontier sizes 64 and 2048 (the KeyPushMax cap), plus a
+  *      small-batch admission wall for the %-of-admit context.
   *
-  * Usage: ChainProbe [sfDir] [variants e.g. ABC]
+  * Usage: ChainProbe [sfDir] [variants e.g. ABC or D]
   */
 object ChainProbe {
   private def cpuSec: Double =
@@ -75,8 +81,106 @@ object ChainProbe {
       case 'A' => chain("A", DedupStream.MaxLiveSegments, strip = false)
       case 'B' => chain("B", 100000, strip = false)
       case 'C' => chain("C", 100000, strip = true)
+      case 'D' => labelsLookupAb(spark, docs)
       case _ => ()
     }
     spark.stop()
+  }
+
+  /** Variant D: A/B the admission's labels READ. Side A is the shipped
+    * path — stream the whole committed labels relation through the
+    * broadcast rep lookup. Side B is the hypothetical doc_id-bucketed
+    * second copy (256 buckets, the deployment shape): read ONLY the
+    * endpoint ids' bucket directories, then the same IN filter. Both
+    * sides return identical rows (asserted). The copy's build cost is
+    * untimed — it is the ongoing maintenance cost the A/B's winner
+    * would have to justify. */
+  private def labelsLookupAb(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame): Unit = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("chainprobeD").toString
+    (0 until 10).foreach { d =>
+      val batch = docs.filter(col("doc_id") % 10 === d).localCheckpoint()
+      DedupStream.loadState(spark, s"$root/state") match {
+        case Some(prev) =>
+          val delta = IncrementalDedup.admitBatchDelta(prev, batch)
+          DedupStream.commitDelta(spark, s"$root/state", prev, delta)
+          delta.release()
+        case None =>
+          DedupStream.commitState(IncrementalDedup.initialState(batch),
+            s"$root/state")
+      }
+      Dedup.clearShingleCaches()
+    }
+    val st = DedupStream.loadState(spark, s"$root/state").get
+    val nDocs = st.labels.count()
+    val labelBytes = org.apache.commons.io.FileUtils.sizeOfDirectory(
+      new java.io.File(s"$root/state/labels"))
+    println(f"[D] corpus docs=$nDocs labels_bytes=$labelBytes")
+    // the hypothetical doc-keyed copy: 256 buckets, one file each
+    val dBuckets = 256
+    st.labels
+      .withColumn("dbucket", IncrementalDedup.docBucket(col("doc_id"), dBuckets))
+      .repartition(dBuckets, col("dbucket"))
+      .sortWithinPartitions(col("dbucket"), col("doc_id"))
+      .write.partitionBy("dbucket").mode("overwrite")
+      .parquet(s"$root/labels_by_doc")
+    Seq(64, 2048).foreach { n =>
+      val stride = math.max(1L, nDocs / n)
+      val ids = (0 until n).map(_ * stride)
+      val idsDf = ids.toDF("doc_id")
+      def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      val fullTimes = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = IncrementalDedup.repLookup(st.labels, idsDf).collect()
+        require(rows.nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val touched = ids.map(IncrementalDedup.docBucketLocal(_, dBuckets))
+        .distinct.sorted
+      val bucketTimes = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        val pruned = spark.read
+          .schema("doc_id BIGINT, cluster_id BIGINT")
+          .option("basePath", s"$root/labels_by_doc")
+          .parquet(touched.map(k => s"$root/labels_by_doc/dbucket=$k"): _*)
+          .filter(col("doc_id").isin(ids: _*))
+          .select(col("doc_id"), col("cluster_id")).collect()
+        require(pruned.nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      // identity: both sides resolve the same reps
+      val a = IncrementalDedup.repLookup(st.labels, idsDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
+        .option("basePath", s"$root/labels_by_doc")
+        .parquet(touched.map(k => s"$root/labels_by_doc/dbucket=$k"): _*)
+        .filter(col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), col("cluster_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(a == b, s"lookup A/B rows diverge: ${a.size} vs ${b.size}")
+      println(f"[D] frontier=$n buckets_touched=${touched.size} " +
+        f"full_med=${median(fullTimes)}%.3f s bucketed_med=${median(bucketTimes)}%.3f s " +
+        f"(full ${fullTimes.map(t => f"$t%.3f").mkString(",")} | " +
+        f"bucketed ${bucketTimes.map(t => f"$t%.3f").mkString(",")})")
+    }
+    // context: a small-batch admission's total wall on this state
+    val tiny = docs.orderBy("doc_id").limit(50)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val admitTimes = (0 until 3).map { _ =>
+      Dedup.clearShingleCaches()
+      val t0 = System.nanoTime()
+      val delta = IncrementalDedup.admitBatchDelta(st, tiny)
+      Seq(delta.newAssign, delta.remap)
+        .foreach(_.write.format("noop").mode("overwrite").save())
+      delta.release()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[D] admit_wall_50doc " +
+      admitTimes.map(t => f"$t%.3f").mkString(" "))
+    try org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+    catch { case _: Exception => }
   }
 }

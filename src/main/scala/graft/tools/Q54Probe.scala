@@ -30,14 +30,13 @@ object Q54Probe {
       val root = java.nio.file.Files.createTempDirectory("q54probe").toString
       if (mode == "single") {
         t("stage-days") {
-          (0 until 3).foreach { k =>
-            docs.filter(col("doc_id") % 3 === k).coalesce(1)
-              .write.parquet(s"$root/docs/day$k")
-          }
+          docs.withColumn("day", pmod(col("doc_id"), lit(3)))
+            .repartition(3, col("day"))
+            .write.partitionBy("day").parquet(s"$root/docs")
         }
         t("one-stream-3-batches") {
-          DedupStream.admitNewDrops(spark, s"$root/docs/*", s"$root/state",
-            s"$root/ckpt", maxLiveSegments = 2, maxFilesPerBatch = Some(1))
+          DedupStream.admitNewDrops(spark, s"$root/docs/day=*", s"$root/state",
+            s"$root/ckpt", maxLiveSegments = 1, maxFilesPerBatch = Some(1))
         }
       } else
         // the pre-round-12 q54 shape: each day staged and then streamed
@@ -49,7 +48,7 @@ object Q54Probe {
             .write.parquet(s"$root/docs/day$k")
           t(s"stream-$k") {
             DedupStream.admitNewDrops(spark, s"$root/docs/*", s"$root/state",
-              s"$root/ckpt", maxLiveSegments = 2)
+              s"$root/ckpt", maxLiveSegments = 1)
           }
         }
       t("read-result") {

@@ -107,14 +107,16 @@ class DedupStreamSpec extends AnyFunSuite {
     // the write-amplification hazard: bands/shingles are append-only, so
     // a NON-FOLD day must commit ONE batch-sized log segment — flat in
     // the day index — rather than rewriting the O(corpus) relation (the
-    // old scheme's day-9 write would be ~10x day-1's). Every K-th commit
-    // (K = MaxLiveSegments = 4 → days 3 and 7 here) additionally folds
-    // the K live segments into the bucketed base: that day's write is
-    // O(K·batch) rows — amortized the log writes every row exactly
-    // twice. At toy scale the fold's bytes are dominated by per-file
-    // parquet overhead (one file per touched bucket), so the fold days
-    // are asserted structurally below, not byte-compared.
-    val foldDays = Set(3, 7)
+    // old scheme's day-9 write would be ~10x day-1's). Once K live
+    // segments have accumulated (K = MaxLiveSegments = 4 → commits 4
+    // and 8 here, which fold the PRIOR K segments concurrently with
+    // their own writes) the fold lands the K segments in the bucketed
+    // base: that day's write is O(K·batch) rows — amortized the log
+    // writes every row exactly twice. At toy scale the fold's bytes are
+    // dominated by per-file parquet overhead (one file per touched
+    // bucket), so the fold days are asserted structurally below, not
+    // byte-compared.
+    val foldDays = Set(4, 8)
     val flatDays = dayWrites.indices.filterNot(foldDays).map(dayWrites)
     assert(flatDays.forall(_ > 0), s"a day committed nothing: $dayWrites")
     assert(flatDays.max <= 3 * flatDays.min,
@@ -193,17 +195,20 @@ class DedupStreamSpec extends AnyFunSuite {
     // reader ignores the unreferenced cpart: state loads and is usable
     val st = DedupStream.loadState(spark, state).get
     assert(st.bands.count() == day1.count() * graft.operators.Dedup.NumBands)
-    // three more single-day admits force the fold at commit 3 into
-    // cpart=0 — the retry semantics: mode-overwrite wipes the garbage
+    // four more single-day admits force the fold at commit 4 (which
+    // folds the first four accumulated segments) into cpart=0 — the
+    // retry semantics: mode-overwrite wipes the garbage
     val day3 = Seq((50L, "third day content entirely fresh"))
       .toDF("doc_id", "text")
     val day4 = Seq((60L, "fourth day content also fresh"))
       .toDF("doc_id", "text")
-    Seq("day2" -> day2, "day3" -> day3, "day4" -> day4).foreach {
-      case (name, df) =>
+    val day5 = Seq((70L, "fifth day content brand new"))
+      .toDF("doc_id", "text")
+    Seq("day2" -> day2, "day3" -> day3, "day4" -> day4, "day5" -> day5)
+      .foreach { case (name, df) =>
         df.write.parquet(s"$docs/$name")
         DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
-    }
+      }
     assert(!new java.io.File(garbage, "part-corrupt.parquet").exists(),
       "retried fold did not overwrite the crashed compaction dir")
     // the folded state reads clean and equals the batch recompute
@@ -211,7 +216,7 @@ class DedupStreamSpec extends AnyFunSuite {
         DedupStream.loadState(spark, state).get).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val batch = Dedup.duplicateClusters(
-        day1.union(day2).union(day3).union(day4)).collect()
+        day1.union(day2).union(day3).union(day4).union(day5)).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(streamed == batch)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
@@ -262,14 +267,15 @@ class DedupStreamSpec extends AnyFunSuite {
     // read as an empty relation of the log's schema, not throw.
     val root = Files.createTempDirectory("dedup_manifest").toString
 
-    // (a): two commits at maxLiveSegments=2 → fold into cpart=0 with data
+    // (a): two commits at maxLiveSegments=1 (commit 1 folds the
+    // bootstrap segment) → fold into cpart=0 with data
     val stateA = s"$root/a"
     DedupStream.commitState(IncrementalDedup.initialState(day1), stateA,
-      maxLiveSegments = 2)
+      maxLiveSegments = 1)
     DedupStream.commitState(
       IncrementalDedup.admitBatch(DedupStream.loadState(spark, stateA).get, day2),
       stateA, newBands = Some(Dedup.lshBands(day2)),
-      newShingles = Some(Dedup.shingleSets(day2)), maxLiveSegments = 2)
+      newShingles = Some(Dedup.shingleSets(day2)), maxLiveSegments = 1)
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"$stateA/bands/base/cpart=0"))
     val ex = intercept[IllegalStateException] {
@@ -277,19 +283,21 @@ class DedupStreamSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("cpart=0"), ex.getMessage)
 
-    // (b): two EMPTY commits → the fold writes a _SUCCESS-only cpart and
-    // segFrom moves past every segment; both tiers legitimately empty
+    // (b): two EMPTY commits → the fold writes a _SUCCESS-only cpart
+    // (only the just-written empty segment stays live); both tiers
+    // legitimately empty
     val stateB = s"$root/b"
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val emptyState = IncrementalDedup.initialState(noDocs)
-    DedupStream.commitState(emptyState, stateB, maxLiveSegments = 2)
+    DedupStream.commitState(emptyState, stateB, maxLiveSegments = 1)
     DedupStream.commitState(emptyState, stateB,
       newBands = Some(Dedup.lshBands(noDocs)),
-      newShingles = Some(Dedup.shingleSets(noDocs)), maxLiveSegments = 2)
+      newShingles = Some(Dedup.shingleSets(noDocs)), maxLiveSegments = 1)
     val st = DedupStream.loadState(spark, stateB).get
-    assert(st.bands.isEmpty &&
-      st.bands.columns.toSeq == Seq("doc_id", "band", "band_hash"))
-    assert(st.shingles.isEmpty && st.shingles.columns.toSeq == Seq("doc_id", "sh"))
+    assert(st.bands.isEmpty && IncrementalDedup.dropBucket(st.bands)
+      .columns.toSeq == Seq("doc_id", "band", "band_hash"))
+    assert(st.shingles.isEmpty && IncrementalDedup.dropBucket(st.shingles)
+      .columns.toSeq == Seq("doc_id", "sh"))
     // and the empty state still admits a first real batch cleanly
     val grown = IncrementalDedup.labelsWithSizes(
       IncrementalDedup.admitBatch(st, day1)).collect()
@@ -467,7 +475,9 @@ class DedupStreamSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val root = Files.createTempDirectory("dedup_migrate").toString
     val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
-    (0 until 4).foreach { d =>
+    // five admits: commit 4 folds the first four segments into cpart=0,
+    // so the migration below supersedes a REAL pre-migration compaction
+    (0 until 5).foreach { d =>
       Seq((d * 10L, w(d until d + 8)),
         (d * 10L + 1, s"migration filler for day $d unshared tokens"))
         .toDF("doc_id", "text").write.parquet(s"$docs/day$d")
@@ -494,9 +504,9 @@ class DedupStreamSpec extends AnyFunSuite {
     // chain continues: another daily drop admits against the new layout,
     // equals the batch recompute, and the superseded compactions retire
     Seq((100L, w(0 until 8)), (101L, "post-migration singleton text"))
-      .toDF("doc_id", "text").write.parquet(s"$docs/day4")
+      .toDF("doc_id", "text").write.parquet(s"$docs/day5")
     DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
-    val allDocs = (0 until 4).map(d => Seq(
+    val allDocs = (0 until 5).map(d => Seq(
         (d * 10L, w(d until d + 8)),
         (d * 10L + 1, s"migration filler for day $d unshared tokens")))
       .flatten ++ Seq((100L, w(0 until 8)), (101L, "post-migration singleton text"))
@@ -532,17 +542,18 @@ class DedupStreamSpec extends AnyFunSuite {
     // The 100 TB contract of the bucketed layout: a batch's band probe
     // and candidate verify must READ only the base buckets their keys
     // hash into — partition-pruned scans — not the whole accumulated
-    // index/shingle store. Build a state that lives entirely in the
-    // bucketed base (4 commits → fold at commit 3 → zero live segments),
-    // then pin the pruning on the physical plan: the base scan carries a
-    // partition filter on `bucket` and selects strictly fewer partition
-    // directories than exist.
+    // index/shingle store. Build a state whose bulk lives in the
+    // bucketed base (5 commits → commit 4 folds the first four segments
+    // into cpart=0, leaving one live segment), then pin the pruning on
+    // the physical plan: the base scan carries a partition filter on
+    // `bucket` and selects strictly fewer partition directories than
+    // exist.
     import graft.operators.{Dedup, IncrementalDedup}
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.FileSourceScanExec
     val root = Files.createTempDirectory("dedup_prune").toString
     val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
-    (0 until 4).foreach { d =>
+    (0 until 5).foreach { d =>
       Seq((d * 10L, w(d until d + 8)),
         (d * 10L + 1, s"filler text for day $d nothing shared here"))
         .toDF("doc_id", "text").write.parquet(s"$docs/day$d")
