@@ -157,7 +157,19 @@ object IncrementalDedup {
     * so the corpus-sized `labels` relation only ever STREAMS through a
     * map-side broadcast join (build side = the frontier endpoint set) —
     * never a shuffle, never a build side. Plan-pinned in
-    * IncrementalDedupSpec. */
+    * IncrementalDedupSpec.
+    *
+    * Why no doc_id-bucketed second labels copy (so this read could
+    * prune to endpoint buckets): MEASURED at sf1 (ChainProbe variant D,
+    * `bench/LABELSAB_r13_sf1.txt`) the full stream wins outright —
+    * 0.069 s vs 0.232 s at a 64-id frontier and 0.076 s vs 0.569 s at
+    * the 2048-id cap (256-bucket copy; the pruned read's multi-
+    * directory listing costs more than streaming the whole ~16 B/doc
+    * relation), and the lookup is ~10% of a small-batch admit's wall.
+    * The copy's win region starts where labels outgrow what one
+    * streaming pass can absorb (multi-TB corpora) — a deployment at
+    * that scale should bucket labels by doc_id and prune here, paying
+    * the second index copy's maintenance. */
   private[graft] def repLookup(labels: DataFrame,
       endpoints: DataFrame): DataFrame =
     labels.join(broadcast(endpoints), Seq("doc_id"))
