@@ -284,7 +284,12 @@ object Bench {
             // auto must win-or-tie BOTH forced modes at every sf — the
             // routing claim the round-13 work added (IncrementalDedup
             // .routeProbe); forced pruned/full stay measured so the
-            // crossover itself remains visible round over round
+            // crossover itself remains visible round over round.
+            // One DISCARDED warm run first: the first admission after a
+            // cache clear pays file-listing/footer warmup that r13's
+            // artifacts showed charging ~0.2 s to whichever mode ran
+            // first — the A/B compares plans, not listing-cache state
+            measure(st, graft.operators.IncrementalDedup.ProbeAuto)
             val (autoSec, autoMb) =
               measure(st, graft.operators.IncrementalDedup.ProbeAuto)
             val (prunedSec, prunedMb) =

@@ -209,11 +209,18 @@ object IncrementalDedup {
     * `ProbeAuto` (the default) routes on the state's size: pruning pays
     * fixed per-admission overhead (bounded takes, IN-filtered scans,
     * bucket-pruned multi-file listings) that a plain full scan undercuts
-    * while the accumulated state is still small — measured at sf0.1 a
-    * 4-doc admit reads faster unpruned (bench probe_ab 1.19 s vs
-    * 1.73 s) while sf0.5/sf1 invert hard (sf1: 1.98 s pruned vs 4.46 s
-    * full). The forced modes exist for the bench's A/B and for specs
-    * pinning pruned ≡ full row identity. */
+    * while the accumulated state is still small. r13's verify narrowing
+    * (the endpoint-restricted, once-materialized shingle side) shrank
+    * BOTH modes and collapsed the wall gap at the measured points
+    * (bench probe_ab r13, 4-doc admit: sf0.1 auto/pruned/full
+    * 0.66/0.80/0.74 s; sf1 1.08/1.04/1.08 s — auto wins-or-ties
+    * everywhere), but the byte asymmetry that drives the routing is
+    * unchanged: the pruned probe's read is flat in corpus size (0.47 →
+    * 0.55 MB across 10×) while the full side grows linearly with the
+    * state (0.63 → 0.89 MB at these toy scales, ~state-sized at
+    * deployment), so past [[FullScanBytesMax]] pruning is the only
+    * shape that survives. The forced modes exist for the bench's A/B
+    * and for specs pinning pruned ≡ full row identity. */
   sealed trait ProbeMode
   case object ProbeAuto extends ProbeMode
   case object ProbePruned extends ProbeMode

@@ -430,6 +430,12 @@ class DedupSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "codes/seg=0").isDirectory &&
       new java.io.File(dir, "CURRENT").isFile,
       "PQ store missing the seg layout or the CURRENT pointer")
+    // atomic visibility, same contract as the IVF store: a half-written
+    // (crashed, never-committed) code segment is invisible to readers
+    emb.limit(100).select(col("vec_id").as("cand_id"))
+      .write.parquet(s"$dir/codes/seg=99")
+    assert(rs(Similarity.annPqIndexed(emb, dir)) == fresh,
+      "an uncommitted code segment leaked into the committed read")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
 
     // --- incremental append under the drift threshold: the base holds
