@@ -483,11 +483,18 @@ object Similarity {
 
   /** The PQ codebook: the first [[PqK]] vectors, collected driver-side
     * like the k-means centroids (PqK tiny rows), shipped as one
-    * literal. */
-  private[graft] def pqCodebook(emb: DataFrame): Seq[Seq[Double]] =
-    emb.filter(col("vec_id") < PqK)
+    * literal. Fails loudly when the corpus lacks the seed vectors — a
+    * short codebook would otherwise surface later as an opaque
+    * array-index error inside the encode expression. */
+  private[graft] def pqCodebook(emb: DataFrame): Seq[Seq[Double]] = {
+    val cb = emb.filter(col("vec_id") < PqK)
       .orderBy("vec_id").select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    require(cb.size == PqK,
+      s"PQ codebook needs the $PqK seed vectors (vec_id < $PqK) present " +
+        s"in the build corpus; found ${cb.size}")
+    cb
+  }
 
   /** The PQ index relation — (cand_id, codes, rnorm), one row per
     * vector of `emb`: the [[PqM]] one-byte codes plus the

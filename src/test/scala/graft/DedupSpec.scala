@@ -430,6 +430,13 @@ class DedupSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "codes/seg=0").isDirectory &&
       new java.io.File(dir, "CURRENT").isFile,
       "PQ store missing the seg layout or the CURRENT pointer")
+    // the indexed query must not re-encode: its plan scans the
+    // persisted codes instead of carrying the argmin encode expression
+    val plan = Similarity.annPqIndexed(emb, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("codes"), s"no codes scan in plan:\n$plan")
+    assert(!plan.contains("named_struct"),
+      "indexed PQ plan still carries the encode argmin expression")
     // atomic visibility, same contract as the IVF store: a half-written
     // (crashed, never-committed) code segment is invisible to readers
     emb.limit(100).select(col("vec_id").as("cand_id"))

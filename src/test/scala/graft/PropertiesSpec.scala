@@ -242,4 +242,79 @@ class PropertiesSpec extends AnyFunSuite {
     assert(got.keySet == (1L to 30L).toSet)
     assert(got.values.forall(_ == 1L))
   }
+
+  test("randomized ANN index chains: appends + drift re-trains ≡ fresh state") {
+    // The VersionedIndex law, exercised over random batch partitions of
+    // the corpus: after ANY interleaving of appends and drift-triggered
+    // re-trains, the committed store must equal the fresh computation
+    // over the grown corpus under the CURRENT version's model —
+    //  - IVF: assignments ≡ assignCells(grown, current centroids),
+    //    every vector exactly once;
+    //  - PQ: codes+rnorm ≡ pqIndexRelation(grown, current codebook).
+    // maxDriftFraction 0.35 makes the random batch sizes trip the
+    // re-train on some steps and not others, so both branches run.
+    import graft.operators.{Similarity, VersionedIndex}
+    val emb = graft.engine.Tables
+      .embeddings(spark, "/root/testdata/sf0.001").localCheckpoint()
+    val ids = emb.select("vec_id").as[Long].collect().sorted.toSeq
+    (1L to 2L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nBatches = 4
+      // the base batch must hold the PqK codebook seeds (pqCodebook
+      // requires them — spec'd loud failure otherwise); everything else
+      // lands in a uniformly random batch
+      val batchOf = ids.map(id =>
+        id -> (if (id < Similarity.PqK) 0 else rnd.nextInt(nBatches))).toMap
+      def ofBatches(bs: Set[Int]) = {
+        val keep = ids.filter(id => bs(batchOf(id)))
+        emb.filter(col("vec_id").isin(keep: _*))
+      }
+      val ivfDir = java.nio.file.Files
+        .createTempDirectory(s"prop_ivf$seed").toString
+      val pqDir = java.nio.file.Files
+        .createTempDirectory(s"prop_pq$seed").toString
+      Similarity.buildIvfIndex(ofBatches(Set(0)), ivfDir)
+      Similarity.buildPqIndex(ofBatches(Set(0)), pqDir)
+      (1 until nBatches).foreach { b =>
+        val grownSet = (0 to b).toSet
+        val grown = ofBatches(grownSet)
+        val batch = ofBatches(Set(b))
+        Similarity.appendToIvfIndex(grown, batch, ivfDir,
+          maxDriftFraction = 0.35)
+        Similarity.appendToPqIndex(grown, batch, pqDir,
+          maxDriftFraction = 0.35)
+        // IVF invariant under the CURRENT centroids
+        val iv = VersionedIndex.currentVersion(ivfDir).get
+        val cents = spark.read.parquet(s"$ivfDir/v$iv/centroids").collect()
+          .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
+          .sortBy(_._1).toIndexedSeq
+        val gotA = Similarity.ivfAssignments(spark, ivfDir).collect()
+          .map(r => (r.getLong(0), r.getInt(1).toLong))
+        val expA = Similarity.assignCells(grown, cents).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(gotA.length == gotA.map(_._1).distinct.length,
+          s"seed=$seed step=$b: a vector is indexed more than once")
+        assert(gotA.toSet == expA,
+          s"seed=$seed step=$b: IVF store diverges from fresh assignment")
+        // PQ invariant under the CURRENT codebook
+        val pv = VersionedIndex.currentVersion(pqDir).get
+        val cb = spark.read.parquet(s"$pqDir/v$pv/codebook").collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+          .sortBy(_._1).map(_._2).toSeq
+        val gotP = VersionedIndex.readLog(spark, pqDir, "codes",
+            VersionedIndex.metaOrThrow(pqDir).segs,
+            "cand_id BIGINT, codes ARRAY<INT>, rnorm DOUBLE")
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getDouble(2)))
+          .toSet
+        val expP = Similarity.pqIndexRelation(grown, cb).collect()
+          .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getDouble(2)))
+          .toSet
+        assert(gotP == expP,
+          s"seed=$seed step=$b: PQ store diverges from fresh encode")
+      }
+      Seq(ivfDir, pqDir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
