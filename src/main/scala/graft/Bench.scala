@@ -110,20 +110,23 @@ object Bench {
     // state), so the build cost — paid once per corpus, amortized over
     // every later query batch — is measured separately and stamped into
     // the detail output as pq_build_sec/ivf_build_sec rather than
-    // charged to every run of those queries.
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime()
-      try f catch { case e: Throwable =>
-        System.err.println(s"[bench] index prebuild failed: ${e.getMessage}")
+    // charged to every run of those queries. The stamped value is the
+    // ACTUAL build duration recorded by ensureIndex no matter which
+    // call paid it (when the warmup ran at the benched dir — no
+    // sf0.001 sibling — the warmup's q43/q35 already built them); a
+    // FAILED build stamps -1.0, so the timed q43/q35 paying a rebuild
+    // self-identifies instead of reading as steady state.
+    def prebuild(ensure: => Unit, kind: String): Double = {
+      try ensure catch { case e: Throwable =>
+        System.err.println(s"[bench] $kind index prebuild failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      graft.operators.Similarity.ensuredBuildSeconds(kind, sfDir)
+        .getOrElse(-1.0)
     }
-    val pqBuildSec = timed {
-      graft.operators.Similarity.ensurePqIndex(spark, sfDir); ()
-    }
-    val ivfBuildSec = timed {
-      graft.operators.Similarity.ensureIvfIndex(spark, sfDir); ()
-    }
+    val pqBuildSec = prebuild(
+      { graft.operators.Similarity.ensurePqIndex(spark, sfDir); () }, "pq")
+    val ivfBuildSec = prebuild(
+      { graft.operators.Similarity.ensureIvfIndex(spark, sfDir); () }, "ivf")
     val io = new IoListener
     spark.sparkContext.addSparkListener(io)
     // noop sink: forces full computation + materialization of every output

@@ -375,10 +375,6 @@ object IncrementalDedup {
                  probeMode: ProbeMode = ProbeAuto): DedupState =
     applyDelta(state, admitBatchDelta(state, newDocs, threshold, probeMode))
 
-  /** The admission computation itself, returning the frontier-sized
-    * [[AdmitDelta]] instead of the reconstructed full state — the input
-    * to a touched-partition-only commit
-    * ([[graft.streaming.DedupStream.commitDelta]]). */
   /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer, mirroring
     * [[graft.streaming.DedupStream]]'s chain timer. */
   private def phaseTimer[A](tag: String)(f: => A): A =
@@ -388,6 +384,10 @@ object IncrementalDedup {
         f"[chain]   admit.$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     } else f
 
+  /** The admission computation itself, returning the frontier-sized
+    * [[AdmitDelta]] instead of the reconstructed full state — the input
+    * to a touched-partition-only commit
+    * ([[graft.streaming.DedupStream.commitDelta]]). */
   def admitBatchDelta(state0: DedupState, newDocs: DataFrame,
                       threshold: Double = 0.5,
                       probeMode: ProbeMode = ProbeAuto): AdmitDelta = {
@@ -455,9 +455,11 @@ object IncrementalDedup {
     // fixpoint jobs entirely and self-assign
     if (candRows.exists(_.isEmpty))
       return selfAssignDelta(spark, newDocs, newBandsPinned, newShingles)
+    // candRows is Some only when the take returned ≤ KeyPushMax pairs,
+    // so the endpoint set is ≤ 2·KeyPushMax by construction — no size
+    // guard needed here
     val endpointIds: Option[Seq[Long]] = candRows
       .map(_.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq)
-      .filter(_.size <= 2 * KeyPushMax)
     val setsAll =
       (if (bucketed) prunedShingles(state, cand, endpointIds)
        else dropBucket(state.shingles)).union(newShingles)

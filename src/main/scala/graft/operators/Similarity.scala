@@ -671,17 +671,32 @@ object Similarity {
     ()
   }
 
+  private val ensuredIndexBuildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]
+
   private def ensureIndex(kind: String, corpusDir: String)(
       build: String => Unit): String = {
     indexCleanupHook
-    ensuredIndexDirs.computeIfAbsent(
-      kind + ":" + new java.io.File(corpusDir).getCanonicalPath, _ => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-$kind").toString
-        build(dir)
-        dir
-      })
+    val key = kind + ":" + new java.io.File(corpusDir).getCanonicalPath
+    ensuredIndexDirs.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-$kind").toString
+      val t0 = System.nanoTime()
+      build(dir)
+      // recorded against the CORPUS key, so a bench can report the
+      // true one-time build cost no matter which call paid it (its
+      // warmup pass may have, when it warms at the benched dir)
+      ensuredIndexBuildSecs.put(key, (System.nanoTime() - t0) / 1e9)
+      dir
+    })
   }
+
+  /** Seconds the ensured index for (kind, corpus dir) took to build in
+    * this process — None when it has not been built (e.g. the build
+    * failed). */
+  def ensuredBuildSeconds(kind: String, corpusDir: String): Option[Double] =
+    Option(ensuredIndexBuildSecs.get(
+      kind + ":" + new java.io.File(corpusDir).getCanonicalPath))
 
   def ensurePqIndex(s: SparkSession, d: String): String =
     ensureIndex("pq", d)(dir => buildPqIndex(Tables.embeddings(s, d), dir))
