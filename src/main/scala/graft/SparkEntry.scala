@@ -64,6 +64,7 @@ object SparkEntry {
     "q42_region_volume" -> (PricingQueries.regionVolume(_, _)),
     "q43_pq_topk"       -> (Similarity.qAnnPq _),
     "q44_ann_recall"    -> (Similarity.qAnnRecall _),
+    "q56_ann_ivfpq"     -> (Similarity.qAnnIvfPq _),
     "q45_profile"       -> (graft.operators.Profile.qProfile _),
     "q46_seq_packing"   -> (graft.operators.Sequencing.qPackSequences _),
     "q47_token_chunks"  -> (graft.operators.Sequencing.qChunkTokens _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "q42_region_volume" -> PricingQueries.regionVolumeSql,
     "q43_pq_topk"       -> Similarity.qAnnPqSql,
     "q44_ann_recall"    -> Similarity.qAnnRecallSql,
+    "q56_ann_ivfpq"     -> Similarity.qAnnIvfPqSql,
     "q45_profile"       -> graft.operators.Profile.qProfileSql,
     "q46_seq_packing"   -> graft.operators.Sequencing.qPackSequencesSql,
     "q47_token_chunks"  -> graft.operators.Sequencing.qChunkTokensSql,

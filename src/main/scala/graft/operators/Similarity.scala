@@ -502,7 +502,16 @@ object Similarity {
     * relation [[buildPqIndex]] persists and [[annPq]] computes
     * per-run. */
   private[graft] def pqIndexRelation(emb: DataFrame,
-      cb: Seq[Seq[Double]]): DataFrame = {
+      cb: Seq[Seq[Double]]): DataFrame =
+    pqEncodeWith(emb, cb)(Seq.empty)
+
+  /** Encode `emb` under codebook `cb` into (cand_id [, extras...],
+    * codes, rnorm) — the shared core of [[pqIndexRelation]] and the
+    * composed [[annIvfPq]] index (whose extra column is the IVF cell
+    * id, computed in the SAME narrow pass). `extras` are evaluated in
+    * the first projection, before the checkpoint barrier. */
+  private def pqEncodeWith(emb: DataFrame, cb: Seq[Seq[Double]])(
+      extras: Seq[Column]): DataFrame = {
     val cbCol = typedlit(cb)
     // encode: codes[m] = argmin_k ||sub(e, m) - sub(cb[k], m)||², first
     // (smallest k) on ties via array_position of the min
@@ -531,7 +540,7 @@ object Similarity {
     // argmin per expression — and rnorm would otherwise be recomputed
     // per (query, candidate) pair instead of once per candidate.
     val encoded = emb.withColumn("cbl", cbCol)
-      .select(col("vec_id").as("cand_id"), codesExpr.as("codes"))
+      .select(col("vec_id").as("cand_id") +: extras :+ codesExpr.as("codes"): _*)
       .localCheckpoint(false)
     // reconstruction norm per candidate: ||concat_m cb[codes[m]] sub m||
     val rnormExpr = expr(
@@ -539,8 +548,9 @@ object Similarity {
          |  acc + aggregate(sequence(0, ${PqD - 1}), cast(0.0 as double), (a2, d) ->
          |    a2 + element_at(element_at(cbl, element_at(codes, m + 1) + 1), m * $PqD + d + 1)
          |       * element_at(element_at(cbl, element_at(codes, m + 1) + 1), m * $PqD + d + 1))))""".stripMargin)
+    val keep = encoded.columns.filter(_ != "codes").map(col).toSeq
     encoded.withColumn("cbl", cbCol)
-      .select(col("cand_id"), col("codes"), rnormExpr.as("rnorm"))
+      .select(keep ++ Seq(col("codes"), rnormExpr.as("rnorm")): _*)
   }
 
   /** The ADC scoring tail shared by [[annPq]] and [[annPqIndexed]]:
@@ -568,6 +578,59 @@ object Similarity {
   def annPq(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
     val cb = pqCodebook(emb)
     pqScore(emb, pqIndexRelation(emb, cb), cb, nQueries, k)
+  }
+
+  /** IVF-PQ — the production ANN composition (FAISS's IVFPQ shape):
+    * the corpus is partitioned into IVF cells AND compressed to PQ
+    * codes, a query probes its `nprobe` nearest cells and ADC-scores
+    * ONLY those cells' codes. The two halves multiply: the probe reads
+    * `nprobe/K` of the corpus, and each candidate costs [[PqM]] bytes
+    * of codes instead of the full vector — at 10^11 vectors this is
+    * the difference between scanning 25 TB of floats and ~100 GB of
+    * probed codes. Index construction is ONE narrow pass (cell id via
+    * the [[nearestCentroid]] argmax fold + codes via the argmin fold,
+    * same projection — no join between the two index halves).
+    *
+    * Deterministic (seed centroids = first [[NumCentroids]] vectors,
+    * seed codebook = first [[PqK]]) so the whole path is
+    * oracle-checkable, like [[annIvf]] and [[annPq]]; swap in learned
+    * centroids/codebooks exactly as [[annIvfKmeans]] does. Output
+    * shape matches [[annPq]] (recall < 1 by design — candidates
+    * outside probed cells are unseen). */
+  def annIvfPq(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      nprobe: Int = NumProbe): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = collectCentroids(emb, 0, NumCentroids)
+    val cb = pqCodebook(emb)
+    val index = pqEncodeWith(emb, cb)(
+      Seq(nearestCentroid(col("embedding"), centroids).as("cid")))
+    val cent = centroids.toDF("cid", "cemb")
+    val probed = emb.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id").as("query_id"), col("cid"),
+        round(cosine(col("embedding"), col("cemb")), 4).as("csim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .filter(col("rnk") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
+    // each candidate lives in exactly one cell and probed cids are
+    // distinct per query, so the join yields each (query, cand) pair
+    // at most once — no distinct needed
+    val scored = broadcast(probed).join(index, Seq("cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(graft.functions.VectorFns.pqAdcDot(col("q_emb"), col("codes"), cb, PqD)
+          / (col("q_norm") * col("rnorm")), 4).as("approx_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
   }
 
   /** Persist the PQ index — codebook + (cand_id, codes, rnorm) — under
@@ -774,17 +837,20 @@ object Similarity {
     annPqIndexed(Tables.embeddings(s, d), ensurePqIndex(s, d))
       .orderBy("query_id", "rnk")
 
-  /** Mirrors [[annPq]] step for step; every reduction is list-ordered and
-    * every square is an explicit product, so doubles agree bitwise. */
-  val qAnnPqSql: String = {
+  /** Shared DuckDB snippets for the PQ math — the encode CTEs
+    * (codebook, encoded codes, query norms) and the ADC score
+    * expression — used verbatim by both [[qAnnPqSql]] and the composed
+    * [[qAnnIvfPqSql]], so the two oracles cannot drift. Every
+    * reduction is list-ordered and every square an explicit product,
+    * so doubles agree bitwise with the Spark side. */
+  private def pqEncCtesSql: String = {
     val m8 = s"m * $PqD + d + 1"
     val diff = s"(e.embedding[$m8]::DOUBLE - cbl[cdk + 1][$m8]::DOUBLE)"
     val distList =
       s"""list_transform(range(0, $PqK), cdk ->
          |  list_sum(list_transform(range(0, $PqD), d -> $diff * $diff)))""".stripMargin
-    val recon = s"cbl[codes[m + 1] + 1][$m8]::DOUBLE"
-    s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $PqK),
-       |cbt AS (SELECT list(embedding ORDER BY cid) AS cbl FROM cb),
+    s"""cb AS (SELECT vec_id AS ccid, embedding FROM embeddings WHERE vec_id < $PqK),
+       |cbt AS (SELECT list(embedding ORDER BY ccid) AS cbl FROM cb),
        |enc AS (
        |  SELECT e.vec_id AS cand_id,
        |         list_transform(range(0, $PqM), m ->
@@ -792,16 +858,30 @@ object Similarity {
        |  FROM embeddings e CROSS JOIN cbt),
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb,
        |             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS q_norm
-       |      FROM embeddings WHERE vec_id < 8),
-       |scored AS (
-       |  SELECT q.query_id, enc.cand_id,
-       |         ROUND(
+       |      FROM embeddings WHERE vec_id < 8)""".stripMargin
+  }
+
+  /** The ADC similarity of `q` against `enc`'s reconstruction, 4dp —
+    * references `q.q_emb`/`q.q_norm`, `enc.codes` (via `codes`), and
+    * `cbt.cbl` from [[pqEncCtesSql]]'s CTEs. */
+  private def pqAdcScoreSql: String = {
+    val m8 = s"m * $PqD + d + 1"
+    val recon = s"cbl[codes[m + 1] + 1][$m8]::DOUBLE"
+    s"""ROUND(
        |           list_sum(list_transform(range(0, $PqM), m ->
        |             list_sum(list_transform(range(0, $PqD), d ->
        |               q.q_emb[$m8]::DOUBLE * $recon))))
        |           / (q.q_norm * sqrt(list_sum(list_transform(range(0, $PqM), m ->
        |               list_sum(list_transform(range(0, $PqD), d ->
-       |                 $recon * $recon)))))), 4) AS approx_cos
+       |                 $recon * $recon)))))), 4)""".stripMargin
+  }
+
+  /** Mirrors [[annPq]] step for step. */
+  val qAnnPqSql: String =
+    s"""WITH $pqEncCtesSql,
+       |scored AS (
+       |  SELECT q.query_id, enc.cand_id,
+       |         $pqAdcScoreSql AS approx_cos
        |  FROM enc CROSS JOIN q CROSS JOIN cbt
        |  WHERE q.query_id <> enc.cand_id),
        |ranked AS (
@@ -810,7 +890,49 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, cand_id, approx_cos, rnk::BIGINT AS rnk FROM ranked
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-  }
+
+  def qAnnIvfPq(s: SparkSession, d: String): DataFrame =
+    annIvfPq(Tables.embeddings(s, d)).orderBy("query_id", "rnk")
+
+  /** Mirrors [[annIvfPq]]: [[qAnnIvfSql]]'s probe/assignment CTEs
+    * composed with [[qAnnPqSql]]'s encode + ADC scoring, candidates
+    * restricted to the probed cells. */
+  val qAnnIvfPqSql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |  WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cemb::DOUBLE[]), 4) DESC,
+       |             cid) AS rnk
+       |    FROM embeddings e CROSS JOIN cent)
+       |  WHERE rnk = 1),
+       |probed AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT e.vec_id AS query_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cemb::DOUBLE[]), 4) DESC,
+       |             cid) AS rnk
+       |    FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 8)
+       |  WHERE rnk <= $NumProbe),
+       |$pqEncCtesSql,
+       |scored AS (
+       |  SELECT q.query_id, enc.cand_id,
+       |         $pqAdcScoreSql AS approx_cos
+       |  FROM probed p
+       |  JOIN assigned a USING (cid)
+       |  JOIN enc ON enc.cand_id = a.vec_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  CROSS JOIN cbt
+       |  WHERE q.query_id <> enc.cand_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY approx_cos DESC, cand_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, cand_id, approx_cos, rnk::BIGINT AS rnk FROM ranked
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
   /** q44 — retrieval evaluation as a first-class query: recall@k of the
     * LSH ANN path against the brute-force ground truth, per query vector.

@@ -416,6 +416,29 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("IVF-PQ: probed-cell ADC candidates are a subset of PQ's, recall holds") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, 8, 10))
+    val ivfpq = Similarity.annIvfPq(emb, 8, 10)
+    // the composition can only SHRINK the candidate pool vs plain PQ
+    // (same codes, fewer candidates) — scores of surviving pairs are
+    // identical, so every returned pair must score the same under annPq
+    val pqScores = Similarity.annPq(emb, 8, emb.count().toInt).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivfpq.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(pqScores.get(key).contains(r.getDouble(2)),
+        s"IVF-PQ score for $key diverges from the shared ADC math")
+    }
+    val recall = (exact intersect pairs(ivfpq)).size.toDouble / exact.size
+    // nprobe/K = 4/16 of the corpus is scanned; both the cell probe and
+    // the codes are seed-trained, so the floor is low but must clear
+    // the random baseline by far
+    assert(recall >= 0.15, s"recall=$recall")
+  }
+
   test("persisted PQ index: build, append, drift re-train ≡ fresh fit") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     def rs(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -69,9 +69,11 @@ class PlanShapeSpec extends AnyFunSuite {
     //  q53: broadcast single-row min-count joined into the S-row
     //       per-source threshold table (the corpus side stays a
     //       broadcast HASH join + narrow filter)
+    //  q56: IVF-PQ — the same corpus × 16-centroid probe as q31/q35
+    //       (the candidate/ADC joins themselves are equi hash joins)
     val intendedBnlj = Set("q17_cosine_topk", "q31_ann_ivf",
       "q35_ann_ivf_kmeans", "q40_tfidf_topk", "q43_pq_topk",
-      "q44_ann_recall", "q53_corpus_mix")
+      "q44_ann_recall", "q53_corpus_mix", "q56_ann_ivfpq")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val plan = executedPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
