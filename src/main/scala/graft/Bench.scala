@@ -127,6 +127,9 @@ object Bench {
       { graft.operators.Similarity.ensurePqIndex(spark, sfDir); () }, "pq")
     val ivfBuildSec = prebuild(
       { graft.operators.Similarity.ensureIvfIndex(spark, sfDir); () }, "ivf")
+    val ivfPqBuildSec = prebuild(
+      { graft.operators.Similarity.ensureIvfPqIndex(spark, sfDir); () },
+      "ivfpq")
     val io = new IoListener
     spark.sparkContext.addSparkListener(io)
     // noop sink: forces full computation + materialization of every output
@@ -371,6 +374,7 @@ object Bench {
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""cpu_sec":$cpus_,"gc_sec":$gcs,"jit_sec":$jits,"io_mb":$shuffles,""" +
       s""""pq_build_sec":${fmt(pqBuildSec)},"ivf_build_sec":${fmt(ivfBuildSec)},""" +
+      s""""ivfpq_build_sec":${fmt(ivfPqBuildSec)},""" +
       q51Split.map { case (s, _) => s""""q51_split":$s,""" }.getOrElse("") +
       chainJson + loadJson + s""","errors":$errs,"sf":"$sfDir"}"""
     System.err.println(s"[bench-detail] $detail")

@@ -439,6 +439,41 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"recall=$recall")
   }
 
+  test("persisted IVF-PQ index: query/append ≡ fresh, cells prune at probe time") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    def rs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val fresh = rs(Similarity.annIvfPq(emb))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    Similarity.buildIvfPqIndex(emb, dir)
+    assert(rs(Similarity.annIvfPqIndexed(emb, dir)) == fresh,
+      "persisted IVF-PQ query diverges from the fresh path")
+    // inverted-file layout: cid= partitions under the segment, and the
+    // probe join prunes the cells scan at runtime
+    assert(new java.io.File(dir, "cells/seg=0/cid=0").isDirectory,
+      "cells not laid out as seg=/cid= partitions")
+    val plan = Similarity.annIvfPqIndexed(emb, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the cells scan:\n$plan")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+    // append below the drift threshold: both models held fixed, result
+    // equals a fresh build ONLY when the models coincide — base holds
+    // the centroid+codebook seed vectors, so they do
+    val seeds = math.max(Similarity.PqK, Similarity.NumCentroids)
+    val base = emb.filter(col("vec_id") < seeds || col("vec_id") % 10 =!= 9)
+    val batch = emb.filter(col("vec_id") >= seeds && col("vec_id") % 10 === 9)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    Similarity.buildIvfPqIndex(base, dir2)
+    assert(!Similarity.appendToIvfPqIndex(emb, batch, dir2),
+      "a ~10% append must not trip the drift re-train")
+    assert(rs(Similarity.annIvfPqIndexed(emb, dir2)) == fresh,
+      "appended IVF-PQ index diverges from a fresh build of the grown corpus")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+  }
+
   test("persisted PQ index: build, append, drift re-train ≡ fresh fit") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     def rs(df: org.apache.spark.sql.DataFrame) = df.collect()
