@@ -38,8 +38,8 @@ object Corpus {
       langs: Seq[String] = KeepLangs): DataFrame =
     docs.select(
       col("doc_id"), col("lang"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+      TextAnalysis.profileCol.getField("n_chars").as("n_chars"),
+      TextAnalysis.profileCol.getField("ws_tokens").as("n_tokens"),
       TextAnalysis.qualityCol.as("quality"),
       TextAnalysis.predLangCol.as("pred_lang"))
       .filter(col("quality") >= minQuality && col("lang").isInCollection(langs))
@@ -110,7 +110,7 @@ object Corpus {
     val labeled = Dedup.duplicateClusters(docs)
       .select(col("doc_id"), col("cluster_size"))
     docs.select(col("doc_id"), col("source"),
-      size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+      TextAnalysis.profileCol.getField("ws_tokens").as("n_tokens"),
       TextAnalysis.qualityCol.as("quality"))
       .join(labeled, "doc_id")
       .groupBy("source")

@@ -18,8 +18,20 @@ import graft.functions.TextFns._
 object TextAnalysis {
 
   /** Token statistics: whitespace tokens, regex word/punctuation tokens
-    * (a BPE-ish pre-tokenization), distinct tokens, chars. */
-  def tokenStats(docs: DataFrame): DataFrame = {
+    * (a BPE-ish pre-tokenization), distinct tokens, chars. One fused
+    * per-row pass ([[graft.functions.TextProfile]]); the composable
+    * 4-pass form survives below as the spec oracle. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      profileCol.getField("n_chars").as("n_chars"),
+      profileCol.getField("ws_tokens").as("ws_tokens"),
+      profileCol.getField("distinct_tokens").as("distinct_tokens"),
+      profileCol.getField("re_tokens").as("re_tokens"))
+
+  /** The original split/regexp formulation — the equality oracle for the
+    * fused profile (TextAnalysisSpec pins tokenStats ≡ this). */
+  private[graft] def tokenStatsComposable(docs: DataFrame): DataFrame = {
     val toks = wsTokens(col("text"))
     docs.select(
       col("doc_id"),
@@ -36,33 +48,62 @@ object TextAnalysis {
   /** Single-pass column builders over a `text` column — shared by the
     * standalone queries below and the composed corpus pipeline
     * ([[Corpus]]), so the combined pass never joins per-row features
-    * (three self-joins of the same scan would be the scale anti-pattern). */
-  private[operators] def punctRatioCol: org.apache.spark.sql.Column = {
+    * (three self-joins of the same scan would be the scale anti-pattern).
+    * All derive from ONE [[graft.functions.TextProfile]] evaluation:
+    * every use site references fields of the same profile subtree, so
+    * whole-stage codegen's subexpression elimination runs the fused pass
+    * once per row however many features a query selects. */
+  private[operators] def profileCol: org.apache.spark.sql.Column =
+    graft.functions.TextProfileFns.textProfile(col("text"), stopwords, langMarkers)
+
+  private[operators] def punctRatioCol: org.apache.spark.sql.Column =
+    round(profileCol.getField("n_punct").cast("double")
+      / profileCol.getField("n_chars").cast("double"), 6)
+  private[operators] def stopwordRatioCol: org.apache.spark.sql.Column =
+    round(profileCol.getField("stop_hits").cast("double")
+      / profileCol.getField("ws_tokens").cast("double"), 6)
+  private[operators] def qualityCol: org.apache.spark.sql.Column =
+    round(least(lit(1.0), profileCol.getField("ws_tokens").cast("double") / 50.0)
+      * (lit(1.0) - least(lit(1.0), punctRatioCol * 5.0))
+      * least(lit(1.0), stopwordRatioCol * 4.0 + 0.2), 6)
+
+  // Composable (split/regexp/HOF) twins — the equality oracles.
+  private[graft] def punctRatioColComposable: org.apache.spark.sql.Column = {
     val punct = expr("cast(size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)) as bigint)")
     round(punct.cast("double") / length(col("text")).cast("double"), 6)
   }
-  private[operators] def stopwordRatioCol: org.apache.spark.sql.Column = {
+  private[graft] def stopwordRatioColComposable: org.apache.spark.sql.Column = {
     val toks = wsTokens(col("text"))
     round(size(filter_(toks, t => t.isInCollection(stopwords))).cast("double")
       / size(toks).cast("double"), 6)
   }
-  private[operators] def qualityCol: org.apache.spark.sql.Column =
-    round(least(lit(1.0), size(wsTokens(col("text"))).cast("double") / 50.0)
-      * (lit(1.0) - least(lit(1.0), punctRatioCol * 5.0))
-      * least(lit(1.0), stopwordRatioCol * 4.0 + 0.2), 6)
 
   /** Quality heuristics: length, punctuation ratio, stopword ratio, mean
     * token length, and a composite score in [0,1]. Ratios are rounded so
     * the cross-engine compare is stable. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      profileCol.getField("n_chars").as("n_chars"),
+      profileCol.getField("ws_tokens").as("n_tokens"),
+      punctRatioCol.as("punct_ratio"),
+      stopwordRatioCol.as("stopword_ratio"),
+      round(profileCol.getField("n_chars").cast("double")
+        / profileCol.getField("ws_tokens").cast("double"), 6).as("mean_token_len"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens").cast("double") / 50.0)
+          * (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5.0))
+          * least(lit(1.0), col("stopword_ratio") * 4.0 + 0.2), 6))
+
+  private[graft] def qualityScoreComposable(docs: DataFrame): DataFrame = {
     val toks = wsTokens(col("text"))
     val nTok = size(toks).cast("double")
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
-      punctRatioCol.as("punct_ratio"),
-      stopwordRatioCol.as("stopword_ratio"),
+      punctRatioColComposable.as("punct_ratio"),
+      stopwordRatioColComposable.as("stopword_ratio"),
       round(length(col("text")).cast("double") / nTok, 6).as("mean_token_len"))
       .withColumn("quality",
         round(least(lit(1.0), col("n_tokens").cast("double") / 50.0)
@@ -80,10 +121,28 @@ object TextAnalysis {
     "zh" -> Seq("shi", "bu", "wo", "zai", "you"),
   )
 
+  /** Marker-hit-rate score for one language, from the fused profile:
+    * `hits_<lang> / ws_tokens`. The denominator is the token count of
+    * `lower(text)` in the composable form — lowercasing never changes
+    * whitespace, so that count IS `ws_tokens`. */
+  private def langScoreCol(lang: String): org.apache.spark.sql.Column =
+    round(profileCol.getField(s"hits_$lang").cast("double")
+      / profileCol.getField("ws_tokens").cast("double"), 6)
+
   /** The argmax language as a single column (same scores + priority-order
     * tiebreak as [[langId]]) — for composed pipelines that fold language
     * ID into an existing per-row pass. */
   private[operators] def predLangCol: org.apache.spark.sql.Column = {
+    val langs = langMarkers
+    langs.init.zipWithIndex.foldRight(lit(langs.last._1)) { case (((l, _), i), rest) =>
+      val ge = langs.drop(i + 1)
+        .map { case (ol, _) => langScoreCol(l) >= langScoreCol(ol) }
+        .reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+  }
+
+  private[graft] def predLangColComposable: org.apache.spark.sql.Column = {
     val toks = wsTokens(lower(col("text")))
     def score(words: Seq[String]) =
       round(size(filter_(toks, t => t.isInCollection(words))).cast("double")
@@ -100,13 +159,28 @@ object TextAnalysis {
   /** Language ID: marker-word hit rate per language, argmax with a fixed
     * priority order (the declaration order above) as tiebreak. */
   def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      (col("doc_id") +: langMarkers.map { case (lang, _) =>
+        langScoreCol(lang).as(s"score_$lang")
+      }): _*)
+    // argmax by priority: first language whose score >= all later ones
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), rest) =>
+      val ge = langs.drop(i + 1)
+        .map(o => col(s"score_$l") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  private[graft] def langIdComposable(docs: DataFrame): DataFrame = {
     val toks = wsTokens(lower(col("text")))
     val scored = docs.select(
       (col("doc_id") +: langMarkers.map { case (lang, words) =>
         round(size(filter_(toks, t => t.isInCollection(words))).cast("double")
           / size(toks).cast("double"), 6).as(s"score_$lang")
       }): _*)
-    // argmax by priority: first language whose score >= all later ones
     val langs = langMarkers.map(_._1)
     val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), rest) =>
       val ge = langs.drop(i + 1)

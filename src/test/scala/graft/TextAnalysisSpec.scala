@@ -23,6 +23,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L)._1 == 5L && out(2L)._3 == 9L)
   }
 
+  /** Adversarial tokenization edges for the fused TextProfile pass: the
+    * composable form's Spark-split semantics keep leading/trailing empty
+    * segments for non-space whitespace (SQL trim strips 0x20 only), the
+    * empty string tokenizes to [""], and non-ASCII codepoints count as
+    * punct/re_tokens. */
+  def edgeDocs = Seq(
+    (10L, ""), (11L, "   "), (12L, "\t"), (13L, "\ta b\n"),
+    (14L, "a  b   c"), (15L, " the  THE the "), (16L, "the and of is with"),
+    (17L, "el los una por que der und das"), (18L, "??!!.."),
+    (19L, "café naïve résumé"), (20L, "a1b2 3c4d !x! 9"),
+    (21L, "line1\nline2\r\nline3"), (22L, "The Quick BROWN fox"),
+  ).toDF("doc_id", "text")
+
+  test("fused TextProfile == composable formulations (edge docs + corpus)") {
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    for (d <- Seq(edgeDocs, corpus)) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(rows(TextAnalysis.tokenStats(d)) == rows(TextAnalysis.tokenStatsComposable(d)),
+        "tokenStats")
+      // zero-length text divides by zero in punct_ratio under ANSI mode —
+      // in the fused AND composable form alike (semantics preserved);
+      // the corpus has no empty docs, so compare on the non-empty ones.
+      val dq = d.filter(length($"text") > 0)
+      assert(rows(TextAnalysis.qualityScore(dq)) == rows(TextAnalysis.qualityScoreComposable(dq)),
+        "qualityScore")
+      assert(rows(TextAnalysis.langId(d)) == rows(TextAnalysis.langIdComposable(d)),
+        "langId")
+    }
+  }
+
   test("quality score components in range") {
     val rows = TextAnalysis.qualityScore(docs).collect()
     rows.foreach { r =>
