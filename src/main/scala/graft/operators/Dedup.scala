@@ -357,15 +357,33 @@ object Dedup {
     * block pair fits one task (replication grows as sqrt of the pair
     * count, the standard block-matrix trade).
     *
+    * `blocks <= 0` (the default) sizes the grid from the input: `B =
+    * clamp(8, 64, ceil(N / 4096))`, i.e. ~4k vectors per block, so the
+    * per-task pair product stays bounded as the corpus grows instead of
+    * growing quadratically inside a FIXED 8×8 grid (the task count grows
+    * as B², the shuffle volume only as N×B — at the 64-block cap the
+    * replication is 64× a relation that is tiny next to the O(N²)
+    * compute this exact kernel inherently pays; past that scale the
+    * answer is the ANN family, not a bigger grid). The result is
+    * identical for every B — the grid is an exact decomposition —
+    * spec-pinned by DedupSpec's cross-B equality.
+    *
     * Numerics are bit-identical to round 1's oracle-verified formulation:
     * dot and norm accumulate in double in index order, cosine =
     * dot/(sqrt(ssq_a)·sqrt(ssq_b)), rounded HALF_UP at 4dp exactly like
     * Spark's `round` (scala BigDecimal over `Double.toString`). */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.45,
-                        blocks: Int = 8): DataFrame = {
+                        blocks: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val b = blocks
+    val b =
+      if (blocks > 0) blocks
+      else {
+        // one count job (columnless scan) to size the grid; the kernel
+        // itself then reads the embeddings exactly once more
+        val n = emb.count()
+        math.max(8L, math.min(64L, (n + 4095L) / 4096L)).toInt
+      }
     // one row per (vector, unordered block pair): pair_id = min*b + max
     val exploded = emb
       .select(col("vec_id").cast("long"), col("embedding"),

@@ -160,6 +160,15 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(2) >= 0.45))
   }
 
+  test("embedding near-dups: block grid is an exact decomposition at every B") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    def pairs(blocks: Int) =
+      Dedup.embeddingNearDups(emb, blocks = blocks).orderBy("vec_a", "vec_b")
+        .collect().map(_.toSeq).toSeq
+    val auto = pairs(0) // default: sized from the row count
+    assert(auto == pairs(3) && auto == pairs(8), "cross-B row identity")
+  }
+
   test("fused LshBuckets expression == composable HOF formulation") {
     import org.apache.spark.sql.functions.{aggregate => agg_, _}
     val emb = graft.engine.Tables.embeddings(spark, sf).limit(100)
