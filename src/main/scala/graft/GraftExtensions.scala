@@ -36,9 +36,10 @@ object GraftExtensions {
       build(children)
     })
 
-  /** Every native expression, SQL-callable. `minhash_signature` fixes
-    * the engine's 16-hash family so SQL and DataFrame paths produce
-    * identical signatures. */
+  /** Every native expression, SQL-callable. Parameterized expressions fix
+    * the engine's constants (16-hash MinHash family, 60-bit SimHash, the
+    * stopword/lang-marker lexicons) so SQL and DataFrame paths produce
+    * identical values. */
   val descriptors: Seq[Descriptor] = Seq(
     descriptor("cosine_similarity", classOf[CosineSimilarity], 2)(
       c => CosineSimilarity(c.head, c(1))),
@@ -48,6 +49,12 @@ object GraftExtensions {
       c => ShingleSet(c.head)),
     descriptor("minhash_signature", classOf[MinHashSignature], 1)(
       c => MinHashSignature(c.head, graft.operators.Dedup.NumHashes)),
+    descriptor("simhash", classOf[graft.functions.SimHash], 1)(
+      c => graft.functions.SimHash(c.head, graft.operators.Dedup.SimBits)),
+    descriptor("text_profile", classOf[graft.functions.TextProfile], 1)(
+      c => graft.functions.TextProfile(c.head,
+        graft.operators.TextAnalysis.stopwords,
+        graft.operators.TextAnalysis.langMarkers)),
   )
 
   /** Register on an already-built session (local/testing convenience). */

@@ -43,6 +43,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dp == 11.0)
   }
 
+  test("simhash and text_profile are SQL-callable and agree with DataFrame path") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox and the lazy dog"),
+      (2L, "Hello, world! el los una")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_docs2")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash(text) AS sh,
+        |       text_profile(text).ws_tokens AS wt,
+        |       text_profile(text).hits_es AS es FROM ext_docs2
+        |ORDER BY doc_id""".stripMargin).collect()
+    // the SQL surface fixes the 60-bit pair-banding width (Dedup.SimBits)
+    val viaDf = docs.select($"doc_id",
+      graft.functions.SimHashFns.simhash($"text", Dedup.SimBits).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.getLong(1)).toSeq == viaDf.map(_.getLong(1)).toSeq)
+    assert(viaSql.map(r => (r.getLong(2), r.getLong(3))).toSeq == Seq((8L, 0L), (5L, 3L)))
+  }
+
   test("expression agrees with the HOF formulation on fixture embeddings") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
