@@ -160,19 +160,38 @@ object Dedup {
   /** LSH candidate pairs: documents sharing any band hash. The join is on
     * (band, band_hash) — both sides are the same banded relation, so at
     * scale this is a shuffle-on-band-hash self-join with uniform keys. */
-  def lshCandidatePairs(docs: DataFrame): DataFrame = {
-    val b = lshBands(docs)
-    val l = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-    val r = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+  def lshCandidatePairs(docs: DataFrame): DataFrame =
+    // memoized: q13 reads it directly, and jaccardPairs references it
+    // TWICE (verify + the endpoint-id restriction below) — without the
+    // memo each reference would re-run the band self-join
+    memoPersist(docs, "cand") { d =>
+      val b = lshBands(d)
+      val l = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+      val r = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+      l.join(r, Seq("band", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }
 
   /** Exact word-3-gram Jaccard for the LSH candidates (verification stage
-    * of MinHash dedup). Only candidate pairs pay the set-intersection cost. */
-  def jaccardPairs(docs: DataFrame): DataFrame =
-    verifyJaccard(lshCandidatePairs(docs), shingleSets(docs))
+    * of MinHash dedup). Only candidate pairs pay the set-intersection
+    * cost — and only candidate ENDPOINT docs pay the shingle-set
+    * materialization: the sets side is semi-joined down to the pairs'
+    * doc ids before the shingle arrays are built (the same narrowing
+    * [[IncrementalDedup]]'s admission verify uses), instead of
+    * materializing corpus-sized string arrays to verify a duplicate
+    * subgraph that is a few percent of the corpus. [[Corpus
+    * .decontaminate]] genuinely needs every doc's shingles and keeps its
+    * own [[shingleSets]] path. */
+  def jaccardPairs(docs: DataFrame): DataFrame = {
+    val cand = lshCandidatePairs(docs)
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.MinHashFns.shingleSet(col("text")).as("sh"))
+    verifyJaccard(cand, sets)
+  }
 
   /** Jaccard-verify an arbitrary candidate relation (doc_a, doc_b) against
     * a shingle-set relation (doc_id, sh) — shared by the full-corpus path
