@@ -317,4 +317,36 @@ class PropertiesSpec extends AnyFunSuite {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
+
+  /** Random text incl. every Java-regex \s char, punctuation, digits,
+    * mixed case, and non-ASCII letters — the fused TextProfile pass must
+    * equal the split/regexp/HOF formulations on ALL of it (the fixed
+    * edge docs in TextAnalysisSpec are the readable cases; this is the
+    * adversarial sweep). */
+  val textGen: Gen[String] = {
+    val piece = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(8)),
+      3 -> Gen.oneOf("the", "and", "THE", "el", "los", "der", "une", "wo"),
+      2 -> Gen.oneOf(" ", "  ", "\t", "\n", "\r\n", "\u000B", "\f"),
+      2 -> Gen.oneOf(",", "!?", "...", "-", "@#", "''"),
+      1 -> Gen.oneOf("café", "naïve", "中文", "Ω"))
+    Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, piece).map(_.mkString))
+  }
+
+  test("fused TextProfile == composable formulations on random text") {
+    import graft.operators.TextAnalysis
+    (1L to 3L).foreach { seed =>
+      val docs = sample(textGen, 300, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(rows(TextAnalysis.tokenStats(docs)) ==
+        rows(TextAnalysis.tokenStatsComposable(docs)), s"tokenStats seed=$seed")
+      assert(rows(TextAnalysis.langId(docs)) ==
+        rows(TextAnalysis.langIdComposable(docs)), s"langId seed=$seed")
+      val dq = docs.filter(length($"text") > 0) // ANSI: 0-char text divides by zero
+      assert(rows(TextAnalysis.qualityScore(dq)) ==
+        rows(TextAnalysis.qualityScoreComposable(dq)), s"qualityScore seed=$seed")
+    }
+  }
 }
