@@ -99,6 +99,53 @@ object Corpus {
         countDistinct(col("probe_id")).as("n_probe_docs"))
   }
 
+  /** Bloom-prefiltered decontamination — the shape that survives probe
+    * sets too large to broadcast as exploded shingle rows (the
+    * [[decontaminate]] baseline's one scale assumption). A compact
+    * Bloom over the probe's distinct shingles (~1.4 MB per million
+    * shingles at fpp 1e-3, vs tens of bytes PER SHINGLE broadcast) rides
+    * the filter expression to every train partition; only
+    * maybe-contaminated train shingles reach the verify join, which
+    * exact-joins them against the probe relation WITHOUT a broadcast
+    * hint — both sides are skinny by then, and AQE picks the strategy.
+    * Result rows are IDENTICAL to [[decontaminate]]: Bloom false
+    * positives die in the exact join, false negatives cannot exist —
+    * so q48's oracle covers this path, and no sketch bit ever reaches
+    * a result (the sketch can use Spark's murmur rather than the
+    * portable hash60 for exactly this reason). Spec-pinned equality in
+    * TextAnalysisSpec; the two driver-side jobs (distinct-count + Bloom
+    * build) are probe-sized, never corpus-sized. */
+  def decontaminateBloom(docs: DataFrame, probeMaxId: Long = DefaultProbeMaxId,
+      fpp: Double = 1e-3): DataFrame = {
+    val sh = Dedup.shingleSets(docs)
+    val train = sh.filter(col("doc_id") >= probeMaxId)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val probe = sh.filter(col("doc_id") < probeMaxId)
+      .select(col("doc_id").as("probe_id"), explode(col("sh")).as("shingle"))
+    val probeShingles = probe.select(col("shingle")).distinct()
+    val n = probeShingles.count()
+    // distributed Bloom build: per-partition inserts, OR-merge on the way
+    // up (probe-sized work; only the sketch moves between tasks). Built
+    // over UTF-8 bytes and probed the same way in the expression — no
+    // dependence on putString internals.
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloom = {
+      import docs.sparkSession.implicits._
+      probeShingles.as[String].rdd.treeAggregate(
+        BloomFilter.create(math.max(n, 1L), fpp))(
+        (bf, s) => {
+          bf.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); bf
+        },
+        (a, b) => a.mergeInPlace(b))
+    }
+    train
+      .filter(graft.functions.BloomFns.bloomMightContain(col("shingle"), bloom))
+      .join(probe, "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("probe_id")).as("n_probe_docs"))
+  }
+
   /** Per-source curation stats (q50): the domain-level view a web-corpus
     * pipeline uses to DROP whole sources — document count, exact mean
     * quality and token count (decimal-summed, order-independent), and
@@ -279,8 +326,11 @@ object Corpus {
        |       ROUND(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS dup_rate
        |FROM j GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** q48 runs the Bloom-prefiltered path — row-identical to
+    * [[decontaminate]] (spec-pinned), so the DuckDB oracle gates the
+    * scale shape a deployment actually runs. */
   def qDecontaminate(s: SparkSession, d: String): DataFrame =
-    decontaminate(Tables.documents(s, d)).orderBy("doc_id")
+    decontaminateBloom(Tables.documents(s, d)).orderBy("doc_id")
 
   /** Minimal shingle CTE (the full [[Dedup.jaccardCtesSql]] chain would
     * also compute the unused minhash column per doc); probe bound

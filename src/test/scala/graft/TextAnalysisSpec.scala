@@ -170,6 +170,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.contains(31L))
   }
 
+  test("bloom-prefiltered decontamination == broadcast path; filter in plan") {
+    import graft.operators.Corpus
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val bloomed = Corpus.decontaminateBloom(corpus)
+    assert(rows(bloomed) == rows(Corpus.decontaminate(corpus)),
+      "bloom path must be row-identical (false positives die in the exact join)")
+    // the prefilter must actually be in the physical plan, train-side
+    assert(bloomed.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"), "prefilter missing from plan")
+    // an all-clean corpus: empty result, no crash on the 0-probe edge
+    val clean = Seq((100L, "completely original text here today")).toDF("doc_id", "text")
+    assert(Corpus.decontaminateBloom(clean, probeMaxId = 20).count() == 0)
+  }
+
   test("corpus mixing gates the big source to the uniform share, keeps minima whole") {
     // skewed mixture: one 8-doc crawl vs two 3-doc sources -> m = 3
     val d = ((1L to 8L).map(i => (i, "web")) ++
