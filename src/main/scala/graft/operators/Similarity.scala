@@ -1072,19 +1072,62 @@ object Similarity {
         count(lit(1)).as("k"))
   }
 
-  def qAnnRecall(s: SparkSession, d: String): DataFrame =
-    annRecall(Tables.embeddings(s, d)).orderBy("query_id")
+  /** Recall@k for EVERY oracle-portable ANN family against the same
+    * brute-force ground truth — the eval harness a retrieval deployment
+    * runs whenever it tunes an index. One method per row family: `lsh`
+    * (hyperplane buckets), `ivf` (seed-centroid cells), `pq` (the
+    * persisted PQ index q43 queries), `ivfpq` (the persisted composed
+    * index q56 queries) — the learned-kmeans IVF (q35) is deliberately
+    * absent because k-means|| centroids aren't engine-portable; its
+    * checkable derivative is q35's own recall-floor boolean. The
+    * ground-truth side is computed ONCE and localCheckpointed (k·queries
+    * rows) rather than re-planned under each of the four branches. */
+  def annRecallAll(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val exact = bruteForceTopK(emb)
+      .select(col("query_id"), col("cand_id")).localCheckpoint()
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("query_id"), col("cand_id"), lit(1L).as("hit")),
+          Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / k, 4)
+          .as("recall_at_k"),
+          count(lit(1)).as("k"))
+        .select(lit(method).as("method"), col("query_id"),
+          col("recall_at_k"), col("k"))
+    Seq(
+      recallOf("ivf", annIvf(emb)),
+      recallOf("ivfpq", annIvfPqIndexed(emb, ensureIvfPqIndex(s, d))),
+      recallOf("lsh", annLsh(emb)),
+      recallOf("pq", annPqIndexed(emb, ensurePqIndex(s, d))))
+      .reduce(_ unionByName _)
+  }
 
-  // def, not val: qAnnLshSql is declared later in this object and a
-  // strict val here would capture null during object initialization
-  def qAnnRecallSql: String =
-    s"""WITH exact AS (SELECT query_id, cand_id FROM ($qCosineTopKSql)),
-       |approx AS (SELECT query_id, cand_id, 1 AS hit FROM ($qAnnLshSql))
-       |SELECT e.query_id,
-       |       ROUND(SUM(COALESCE(a.hit, 0))::DOUBLE / 10, 4) AS recall_at_k,
-       |       COUNT(*) AS k
-       |FROM exact e LEFT JOIN approx a USING (query_id, cand_id)
-       |GROUP BY 1 ORDER BY e.query_id""".stripMargin
+  def qAnnRecall(s: SparkSession, d: String): DataFrame =
+    annRecallAll(s, d).orderBy("method", "query_id")
+
+  // def, not val: the per-family SQL strings are declared later in this
+  // object and a strict val here would capture null during object init
+  def qAnnRecallSql: String = {
+    def arm(method: String, sql: String) =
+      s"""SELECT '$method' AS method, e.query_id,
+         |       ROUND(SUM(COALESCE(a.hit, 0))::DOUBLE / 10, 4) AS recall_at_k,
+         |       COUNT(*) AS k
+         |FROM exact e LEFT JOIN
+         |  (SELECT query_id, cand_id, 1 AS hit FROM ($sql)) a
+         |  USING (query_id, cand_id)
+         |GROUP BY 1, 2""".stripMargin
+    s"""WITH exact AS (SELECT query_id, cand_id FROM ($qCosineTopKSql))
+       |${arm("ivf", qAnnIvfSql)}
+       |UNION ALL
+       |${arm("ivfpq", qAnnIvfPqSql)}
+       |UNION ALL
+       |${arm("lsh", qAnnLshSql)}
+       |UNION ALL
+       |${arm("pq", qAnnPqSql)}
+       |ORDER BY method, query_id""".stripMargin
+  }
 
   /** Floor for q35's per-query recall@k boolean. The k-means centroids
     * aren't engine-portable (k-means|| init), so the CHECKABLE DERIVATIVE
