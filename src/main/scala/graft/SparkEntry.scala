@@ -76,6 +76,7 @@ object SparkEntry {
     "q53_corpus_mix"    -> (Corpus.qMixCorpus _),
     "q54_dedup_chain"   -> (graft.streaming.DedupStream.qChainBucketed _),
     "q55_shuffle_shard" -> (Corpus.qShuffleShard _),
+    "q57_lsh_salted"    -> (Dedup.qLshPairsSalted _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -143,5 +144,8 @@ object SparkEntry {
     "q53_corpus_mix"    -> Corpus.qMixCorpusSql,
     "q54_dedup_chain"   -> graft.streaming.DedupStream.qChainBucketedSql,
     "q55_shuffle_shard" -> Corpus.qShuffleShardSql,
+    // q57 shares q13's oracle VERBATIM: equality proves the salt grid is
+    // an exact decomposition of the band self-join (the q52↔q36 pattern)
+    "q57_lsh_salted"    -> Dedup.qLshPairsSql,
   )
 }

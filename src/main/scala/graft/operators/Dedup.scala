@@ -160,17 +160,41 @@ object Dedup {
   /** LSH candidate pairs: documents sharing any band hash. The join is on
     * (band, band_hash) — both sides are the same banded relation, so at
     * scale this is a shuffle-on-band-hash self-join with uniform keys. */
-  def lshCandidatePairs(docs: DataFrame): DataFrame =
+  /** @param saltBuckets > 1 engages [[Skew.saltGridSides]] on the band
+    *   self-join — the hot-bucket path for duplicate-heavy corpora,
+    *   where one (band, band_hash) value (a boilerplate page crawled a
+    *   million times survives exact dedup with one-character variants)
+    *   carries a large share of the docs and the plain self-join's
+    *   hottest reducer does |bucket|² work. Same exact-decomposition
+    *   contract as [[simhashPairs]]'s q52 path: row-set-identical to
+    *   the unsalted join (spec-pinned incl. a hot fixture; q57 shares
+    *   q13's oracle), ~(B/2+1)× band-row replication for a B²-fold
+    *   hottest-cell shrink. */
+  def lshCandidatePairs(docs: DataFrame, saltBuckets: Int = 1): DataFrame =
     // memoized: q13 reads it directly, and jaccardPairs references it
     // TWICE (verify + the endpoint-id restriction below) — without the
     // memo each reference would re-run the band self-join
-    memoPersist(docs, "cand") { d =>
+    memoPersist(docs, s"cand:$saltBuckets") { d =>
       val b = lshBands(d)
-      val l = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-      val r = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
-      l.join(r, Seq("band", "band_hash"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      val salted = saltBuckets > 1
+      val (lSide, rSide) =
+        if (salted) Skew.saltGridSides(b, "doc_id", saltBuckets)
+        else (b, b)
+      val cellKeys = if (salted) Seq("__cell_lo", "__cell_hi") else Nil
+      val l = lSide.select((Seq("band", "band_hash") ++ cellKeys).map(col) :+
+        col("doc_id").as("doc_a"): _*)
+      val r = rSide.select((Seq("band", "band_hash") ++ cellKeys).map(col) :+
+        col("doc_id").as("doc_b"): _*)
+      val joined = l.join(r, Seq("band", "band_hash") ++ cellKeys)
+      // grid cells orient cross-block pairs by salt, not id (see
+      // simhashPairs): canonicalize with least/greatest there
+      val pairs =
+        if (salted) joined.filter(col("doc_a") =!= col("doc_b"))
+          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        else joined.filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+      pairs.distinct()
     }
 
   /** Exact word-3-gram Jaccard for the LSH candidates (verification stage
@@ -501,6 +525,13 @@ object Dedup {
 
   def qLshPairs(s: SparkSession, d: String): DataFrame =
     lshCandidatePairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
+
+  /** q57: the hot-bucket salted variant of q13, against the SAME oracle
+    * — the correctness proof that the salt grid is an exact
+    * decomposition of the LSH band self-join (the q52↔q36 pattern). */
+  def qLshPairsSalted(s: SparkSession, d: String): DataFrame =
+    lshCandidatePairs(Tables.documents(s, d), saltBuckets = 4)
+      .orderBy("doc_a", "doc_b")
 
   val qLshPairsSql: String = {
     val rows = NumHashes / NumBands

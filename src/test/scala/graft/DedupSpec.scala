@@ -160,6 +160,19 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(2) >= 0.45))
   }
 
+  test("salted LSH candidate pairs == unsalted, incl. a hot band bucket") {
+    // near-identical boilerplate (survives exact dedup, collides in every
+    // band) — the hot-bucket shape the salt grid exists for
+    val hot = (0L until 60L).map(i => (i, s"common boilerplate page text body $i"))
+      .toDF("doc_id", "text")
+    val corpus = graft.engine.Tables.documents(spark, sf).select($"doc_id", $"text")
+    for (d <- Seq(hot, corpus)) {
+      def pairs(salt: Int) = Dedup.lshCandidatePairs(d, salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(4) == pairs(1), "salt grid must be an exact decomposition")
+    }
+  }
+
   test("embedding near-dups: block grid is an exact decomposition at every B") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     def pairs(blocks: Int) =
