@@ -49,7 +49,14 @@ private[graft] object VersionedIndex {
   }
 
   def meta(indexDir: String): Option[Meta] =
-    currentVersion(indexDir).map { v =>
+    currentVersion(indexDir).map(v => metaAt(indexDir, v))
+
+  /** Time-travel resolve: the committed state of a RETAINED version
+    * (retention keeps current + previous — an in-flight reader of the
+    * prior commit, or an explicit read-at-version, stays valid across
+    * one promote). Throws, naming the version, once retention has
+    * reclaimed it. */
+  def metaAt(indexDir: String, v: Long): Meta = {
       val f = new java.io.File(indexDir, s"v$v/MANIFEST")
       if (!f.isFile) throw new IllegalStateException(
         s"$indexDir/v$v has no MANIFEST — lost or deleted committed state")
@@ -73,7 +80,7 @@ private[graft] object VersionedIndex {
           else throw new IllegalStateException(
             s"unreadable index manifest v$v: $txt"))
       Meta(v, num("trainedRows"), num("totalRows"), segs)
-    }
+  }
 
   def metaOrThrow(indexDir: String): Meta = meta(indexDir).getOrElse(
     throw new IllegalStateException(

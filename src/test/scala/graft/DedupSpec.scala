@@ -409,6 +409,16 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/v1/centroids").collect()
       .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
       .sortBy(_._1).toIndexedSeq == cents0)
+    // reader isolation as an API, not a side effect: a time-travel read
+    // of the RETAINED previous version sees exactly the pre-append rows
+    // — an in-flight reader of v0 is unaffected by the v1 promote
+    val m0 = graft.operators.VersionedIndex.metaAt(dir, 0)
+    assert(m0.totalRows == base.count() && m0.segs == Vector(0L))
+    val v0Rows = graft.operators.VersionedIndex
+      .readLog(spark, dir, "assignments", m0.segs, "vec_id BIGINT, cid INT")
+      .select("vec_id").as[Long].collect().toSet
+    assert(v0Rows == base.select("vec_id").as[Long].collect().toSet,
+      "time-travel read of v0 must see exactly the pre-append corpus")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
 
     // --- majority append: drift trigger re-fits on the grown corpus ---
