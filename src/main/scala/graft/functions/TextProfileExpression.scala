@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.Locale
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -35,7 +33,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    tokens), `hits_<lang>` is the marker-hit count over tokens of
   *    `lower(text)` — lowercasing never maps to/from whitespace, so the
   *    token boundaries are the raw ones and each token lowercases
-  *    independently (ASCII fast path; `Locale.ROOT` beyond it).
+  *    independently, under UTF8String.toLowerCase's whole-string branch
+  *    (all-ASCII text → locale-free map; otherwise default-locale
+  *    `String.toLowerCase`, matched exactly — see [[lowerToken]]).
   *
   * CodegenFallback is deliberate (the MinHashSignature precedent): all
   * work is inside this hand-written loop, evaluated once per row —
@@ -81,20 +81,24 @@ case class TextProfile(child: Expression, stopwords: Seq[String],
   private def isAlnum(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
-  /** Lowercase a token: ASCII fast path, Locale.ROOT beyond it (matches
-    * UTF8String.toLowerCase on the all-ASCII corpus; the equality spec
-    * guards the claim on real data). */
-  private def lowerToken(t: String): String = {
-    var i = 0
-    var ascii = true
-    var needs = false
-    while (i < t.length && ascii) {
-      val c = t.charAt(i)
-      if (c >= 0x80) ascii = false
-      else if (c >= 'A' && c <= 'Z') needs = true
-      i += 1
-    }
-    if (ascii) {
+  /** Lowercase a token EXACTLY like the composable `lower(text)` path.
+    * UTF8String.toLowerCase branches on the WHOLE string: all-ASCII →
+    * locale-free char map; any non-ASCII byte anywhere → java
+    * `String.toLowerCase()` under the DEFAULT locale for the entire
+    * string. So the branch here keys on `asciiText` (the whole row's
+    * text), not on the token — on a tr/az-locale JVM an ASCII "IS"
+    * inside a text containing "café" must lowercase to "ıs" exactly as
+    * the composable form does, or the equality specs (and any
+    * cross-release diff) would depend on the JVM locale. */
+  private def lowerToken(t: String, asciiText: Boolean): String = {
+    if (asciiText) {
+      var i = 0
+      var needs = false
+      while (i < t.length && !needs) {
+        val c = t.charAt(i)
+        if (c >= 'A' && c <= 'Z') needs = true
+        i += 1
+      }
       if (!needs) t
       else {
         val a = t.toCharArray
@@ -106,22 +110,25 @@ case class TextProfile(child: Expression, stopwords: Seq[String],
         }
         new String(a)
       }
-    } else t.toLowerCase(Locale.ROOT)
+    } else t.toLowerCase() // default locale — UTF8String's slow path
   }
 
   override protected def nullSafeEval(input: Any): Any = {
     val str = input.asInstanceOf[UTF8String].toString
     val len = str.length
 
-    // -- raw-text pass: n_chars (codepoints), n_punct, re_tokens --------
+    // -- raw-text pass: n_chars (codepoints), n_punct, re_tokens, and
+    // whether the whole text is ASCII (drives the lowercase branch) ----
     var nChars = 0L
     var nPunct = 0L
     var reTokens = 0L
     var inAlnumRun = false
+    var asciiText = true
     var i = 0
     while (i < len) {
       val cp = str.codePointAt(i)
       nChars += 1
+      if (cp >= 0x80) asciiText = false
       if (cp < 0x80 && isAlnum(cp.toChar)) {
         if (!inAlnumRun) { reTokens += 1; inAlnumRun = true }
       } else {
@@ -152,7 +159,7 @@ case class TextProfile(child: Expression, stopwords: Seq[String],
       wsTokens += 1
       distinct.add(t)
       if (stopSet.contains(t)) stopHits += 1
-      val lt = lowerToken(t)
+      val lt = lowerToken(t, asciiText)
       var m = 0
       while (m < markerSets.length) {
         if (markerSets(m).contains(lt)) markerHits(m) += 1

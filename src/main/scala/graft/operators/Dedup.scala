@@ -211,9 +211,13 @@ object Dedup {
     val cand = lshCandidatePairs(docs)
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = docs.join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        graft.functions.MinHashFns.shingleSet(col("text")).as("sh"))
+    // memoized: verifyJaccard references the sets relation TWICE (the
+    // doc_a and doc_b joins) — uncached, the semi-join + shingle pass
+    // would plan (and likely execute) under both join sides
+    val sets = memoPersist(docs, "candSets")(d =>
+      d.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          graft.functions.MinHashFns.shingleSet(col("text")).as("sh")))
     verifyJaccard(cand, sets)
   }
 

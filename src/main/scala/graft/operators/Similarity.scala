@@ -1060,18 +1060,6 @@ object Similarity {
     * it is itself oracle-checkable. Scale: both inputs are top-k
     * relations (|Q|×k rows) — the join is trivially broadcastable no
     * matter how big the corpus that produced them. */
-  def annRecall(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
-    val exact = bruteForceTopK(emb, nQueries, k)
-      .select(col("query_id"), col("cand_id"))
-    val approx = annLsh(emb, nQueries, k)
-      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("query_id", "cand_id"), "left")
-      .groupBy("query_id")
-      .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / k, 4)
-        .as("recall_at_k"),
-        count(lit(1)).as("k"))
-  }
-
   /** Recall@k for EVERY oracle-portable ANN family against the same
     * brute-force ground truth — the eval harness a retrieval deployment
     * runs whenever it tunes an index. One method per row family: `lsh`
@@ -1081,10 +1069,13 @@ object Similarity {
     * absent because k-means|| centroids aren't engine-portable; its
     * checkable derivative is q35's own recall-floor boolean. The
     * ground-truth side is computed ONCE and localCheckpointed (k·queries
-    * rows) rather than re-planned under each of the four branches. */
-  def annRecallAll(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    * rows) rather than re-planned under each of the four branches.
+    * `nQueries`/`k` thread through every arm AND the divisor (q44's SQL
+    * twin hard-codes the default 8/10 shape). */
+  def annRecallAll(s: SparkSession, d: String, nQueries: Int = 8,
+      k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val exact = bruteForceTopK(emb)
+    val exact = bruteForceTopK(emb, nQueries, k)
       .select(col("query_id"), col("cand_id")).localCheckpoint()
     def recallOf(method: String, approx: DataFrame): DataFrame =
       exact.join(
@@ -1097,10 +1088,11 @@ object Similarity {
         .select(lit(method).as("method"), col("query_id"),
           col("recall_at_k"), col("k"))
     Seq(
-      recallOf("ivf", annIvf(emb)),
-      recallOf("ivfpq", annIvfPqIndexed(emb, ensureIvfPqIndex(s, d))),
-      recallOf("lsh", annLsh(emb)),
-      recallOf("pq", annPqIndexed(emb, ensurePqIndex(s, d))))
+      recallOf("ivf", annIvf(emb, nQueries, k)),
+      recallOf("ivfpq",
+        annIvfPqIndexed(emb, ensureIvfPqIndex(s, d), nQueries, k)),
+      recallOf("lsh", annLsh(emb, nQueries, k)),
+      recallOf("pq", annPqIndexed(emb, ensurePqIndex(s, d), nQueries, k)))
       .reduce(_ unionByName _)
   }
 
