@@ -55,6 +55,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("fused TextProfile matches composable under a tr-locale JVM") {
+    // UTF8String.toLowerCase lowercases a string containing ANY
+    // non-ASCII char via default-locale String.toLowerCase — under tr,
+    // "IS" inside such a text becomes "ıs" (dotless ı), NOT a marker
+    // hit. The fused pass must take the same whole-text branch, or
+    // lang-id results would depend on the JVM locale differently per
+    // path. Locale flipped and restored around the assert; suites run
+    // sequentially in this build, so no concurrent test observes it.
+    val prior = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      val d = Seq(
+        (1L, "café IS THE el los"),     // non-ASCII text: tr rules apply
+        (2L, "plain IS THE el los"),    // all-ASCII text: locale-free path
+      ).toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(rows(TextAnalysis.langId(d)) == rows(TextAnalysis.langIdComposable(d)),
+        "fused and composable lang-id must agree under a tr default locale")
+    } finally java.util.Locale.setDefault(prior)
+  }
+
   test("quality score components in range") {
     val rows = TextAnalysis.qualityScore(docs).collect()
     rows.foreach { r =>
