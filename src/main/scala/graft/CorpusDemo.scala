@@ -31,6 +31,14 @@ object CorpusDemo {
     val nGated = gated.count()
     val corpus = graft.operators.Corpus.corpusFilter(docs)
     val nKept = corpus.count()
+    // contamination audit on the kept corpus, via the scale shape
+    // (Bloom prefilter + exact verify — identical rows to the broadcast
+    // baseline): how many kept docs share 3-gram shingles with the
+    // probe/eval range
+    val nContam = graft.operators.Corpus.decontaminateBloom(docs)
+      .filter(col("n_shared_shingles") >= 3) // a copied span, not one
+                                             // coincidental 3-gram
+      .join(corpus.select("doc_id"), "doc_id").count()
     // sum() over zero rows is null — an all-filtered corpus still prints
     val absorbedRow = corpus.agg(sum(col("cluster_size"))).collect()(0)
     val nAbsorbed = (if (absorbedRow.isNullAt(0)) 0L else absorbedRow.getLong(0)) - nKept
@@ -51,6 +59,7 @@ object CorpusDemo {
     println(s"[corpus-demo] documents:        $total")
     println(s"[corpus-demo] passed gates:     $nGated")
     println(s"[corpus-demo] kept (deduped):   $nKept  (+$nAbsorbed near-dups absorbed)")
+    println(s"[corpus-demo] eval-contaminated: $nContam of $nKept kept docs (>=3 shared shingles; bloom+exact)")
     println(s"[corpus-demo] corpus partitions: " +
       spark.read.parquet(s"$outDir/corpus").select("lang").distinct()
         .orderBy("lang").collect().map(_.getString(0)).mkString(", "))
