@@ -169,7 +169,18 @@ object Dedup {
     *   contract as [[simhashPairs]]'s q52 path: row-set-identical to
     *   the unsalted join (spec-pinned incl. a hot fixture; q57 shares
     *   q13's oracle), ~(B/2+1)× band-row replication for a B²-fold
-    *   hottest-cell shrink. */
+    *   hottest-cell shrink.
+    *
+    *   When it pays, MEASURED (tools/HotLshProbe, 50k docs, 15k-doc hot
+    *   near-dup mass, local[32]): never locally — 0.77–0.86× at
+    *   B∈{2,3,8} — because a hot doc set is hot in all [[NumBands]]
+    *   bands at once, which already spreads its pair work 16 ways, and
+    *   32 cores can't exploit more than 2× further while the
+    *   replication cost is immediate. The grid is a FLEET-WIDTH lever:
+    *   it wins when executor cores ≫ bands × distinct hot buckets (a
+    *   1000-executor cluster idling 31,984 cores behind 16 straggler
+    *   reducers), which no local measurement can exhibit. Default 1;
+    *   engage at deployment scale, sized so bands × B² ≈ fleet cores. */
   def lshCandidatePairs(docs: DataFrame, saltBuckets: Int = 1): DataFrame =
     // memoized: q13 reads it directly, and jaccardPairs references it
     // TWICE (verify + the endpoint-id restriction below) — without the
