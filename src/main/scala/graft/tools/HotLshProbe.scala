@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * (band, band_hash) reducer does |hot|² work in ONE task; the grid
   * splits it into B² cells.
   *
-  * Usage: HotLshProbe [nDocs] [hotShare] [saltBuckets] [iters]
+  * The 5th arg selects the band family: `minhash` (16 bands — a hot doc
+  * set spreads 16 ways before any salt) or `simhash` (4 bands — hot work
+  * concentrates in 4 reducers, the local-scale case where the grid can
+  * actually win).
+  *
+  * Usage: HotLshProbe [nDocs] [hotShare] [saltBuckets] [iters] [family]
   */
 object HotLshProbe {
   def main(args: Array[String]): Unit = {
@@ -19,6 +24,7 @@ object HotLshProbe {
     val hotShare = if (args.length > 1) args(1).toDouble else 0.10
     val salt = if (args.length > 2) args(2).toInt else 8
     val iters = if (args.length > 3) args(3).toInt else 3
+    val family = if (args.length > 4) args(4) else "minhash"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,11 +44,17 @@ object HotLshProbe {
         .as("text"))
       .repartition(32).localCheckpoint() // pin the input outside the timing
 
+    def pairsOf(saltBuckets: Int) = family match {
+      case "simhash" =>
+        graft.operators.Dedup.simhashPairs(docs, saltBuckets = saltBuckets)
+          .select("doc_a", "doc_b")
+      case _ => graft.operators.Dedup.lshCandidatePairs(docs, saltBuckets)
+    }
     def time(saltBuckets: Int): (Double, Long) = {
       val walls = (1 to iters).map { _ =>
         graft.operators.Dedup.clearShingleCaches() // defeat the memo per run
         val t0 = System.nanoTime()
-        val c = graft.operators.Dedup.lshCandidatePairs(docs, saltBuckets).count()
+        val c = pairsOf(saltBuckets).count()
         ((System.nanoTime() - t0) / 1e9, c)
       }
       (walls.map(_._1).min, walls.head._2)
@@ -54,14 +66,14 @@ object HotLshProbe {
     // probe exists to avoid
     def sig(saltBuckets: Int): (Long, java.math.BigDecimal) = {
       graft.operators.Dedup.clearShingleCaches()
-      val r = graft.operators.Dedup.lshCandidatePairs(docs, saltBuckets)
+      val r = pairsOf(saltBuckets)
         .agg(count(lit(1)),
           sum(xxhash64(col("doc_a"), col("doc_b")).cast("decimal(38,0)")))
         .collect().head
       (r.getLong(0), r.getDecimal(1))
     }
     val same = sig(1) == sig(salt)
-    println(f"[hotlsh] n=$n hot=$nHot pairs=$cU (salted $cS) identical=$same")
+    println(f"[hotlsh] family=$family n=$n hot=$nHot pairs=$cU (salted $cS) identical=$same")
     println(f"[hotlsh] unsalted best $wUnsalted%.2f s | salted(B=$salt) best $wSalted%.2f s" +
       f" | speedup ${wUnsalted / wSalted}%.2fx")
     spark.stop()
