@@ -340,7 +340,7 @@ object Similarity {
       indexDir: String): DataFrame = {
     val m = VersionedIndex.metaOrThrow(indexDir)
     VersionedIndex.readLog(spark, indexDir, "assignments", m.segs,
-      "vec_id BIGINT")
+      "vec_id BIGINT", partitionDdl = "cid INT")
   }
 
   /** Incrementally grow a persisted IVF index: assign ONLY `newVecs`
@@ -378,33 +378,54 @@ object Similarity {
     * PRECONDITION (same as [[graft.operators.IncrementalDedup
     * .admitBatch]]): `newVecs.vec_id` must be new ids — the upstream
     * file bookmark's exactly-once contract. */
+  /** Shared skeleton of the three index appends: drift-check FIRST (a
+    * batch that will trip the re-train anyway must not pay an encode/
+    * assignment pass the rebuild's overwrite discards moments later),
+    * then encode-the-segment → copy-models → commit → warm-cache, in
+    * that order — the atomicity argument (an uncommitted segment is
+    * reader-invisible) depends on it, and ONE copy of the ordering
+    * can't drift between the IVF/PQ/IVF-PQ stores. `encodeSegment`
+    * writes `$log/seg=$next` and returns the (model name → cached
+    * model) pairs the new version carries forward. */
+  private def appendToIndex(indexDir: String, newVecs: DataFrame,
+      maxDriftFraction: Double, log: String)(
+      rebuild: () => Unit)(
+      encodeSegment: (VersionedIndex.Meta, Long) => Seq[(String, AnyRef)]): Boolean = {
+    val m = VersionedIndex.metaOrThrow(indexDir)
+    val total = m.totalRows + newVecs.count()
+    val drifted = total > 0 &&
+      (total - m.trainedRows).toDouble / total > maxDriftFraction
+    if (drifted) rebuild()
+    else {
+      val next = m.version + 1
+      val models = encodeSegment(m, next)
+      models.foreach { case (name, _) =>
+        VersionedIndex.copyModelDir(indexDir, m.version, next, name)
+      }
+      VersionedIndex.commit(indexDir, next, trainedRows = m.trainedRows,
+        totalRows = total, segs = m.segs :+ next, logs = Seq(log))
+      models.foreach { case (name, model) =>
+        VersionedIndex.putModel(indexDir, next, name, model)
+      }
+    }
+    drifted
+  }
+
   def appendToIvfIndex(corpus: DataFrame, newVecs: DataFrame,
       indexDir: String, numCentroids: Int = NumCentroids, maxIter: Int = 20,
       fitFraction: Option[Double] = None,
       maxDriftFraction: Double = 0.5): Boolean = {
     val spark = corpus.sparkSession
-    val m = VersionedIndex.metaOrThrow(indexDir)
-    // drift check FIRST: a batch that will trip the re-train anyway
-    // must not pay an assignment pass + append that the rebuild's
-    // overwrite discards moments later
-    val total = m.totalRows + newVecs.count()
-    val drifted = total > 0 &&
-      (total - m.trainedRows).toDouble / total > maxDriftFraction
-    if (drifted) {
-      buildIvfIndex(corpus, indexDir, numCentroids, maxIter, fitFraction)
-    } else {
-      val next = m.version + 1
+    appendToIndex(indexDir, newVecs, maxDriftFraction, "assignments")(
+      () => buildIvfIndex(corpus, indexDir, numCentroids, maxIter, fitFraction)
+    ) { (m, next) =>
       val cents = ivfCentroids(spark, indexDir, m.version)
       assignCells(newVecs, cents)
         .select(col("vec_id"), col("cid").cast("int").as("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$indexDir/assignments/seg=$next")
-      VersionedIndex.copyModelDir(indexDir, m.version, next, "centroids")
-      VersionedIndex.commit(indexDir, next, trainedRows = m.trainedRows,
-        totalRows = total, segs = m.segs :+ next, logs = Seq("assignments"))
-      VersionedIndex.putModel(indexDir, next, "centroids", cents)
+      Seq("centroids" -> cents)
     }
-    drifted
   }
 
   /** Query a PERSISTED IVF index: no fit, no assignment pass — the
@@ -424,7 +445,7 @@ object Similarity {
       .toDF("cid", "cemb")
       .select(col("cid").cast("int").as("cid"), col("cemb"))
     val assigned = VersionedIndex.readLog(spark, indexDir, "assignments",
-      m.segs, "vec_id BIGINT")
+      m.segs, "vec_id BIGINT", partitionDdl = "cid INT")
     ivfSearch(emb, cent, assigned, nQueries, k, nprobe)
   }
 
@@ -606,6 +627,19 @@ object Similarity {
     val index = pqEncodeWith(emb, cb)(
       Seq(nearestCentroid(col("embedding"), centroids).as("cid")))
     val cent = centroids.toDF("cid", "cemb")
+    ivfPqSearch(emb, cent, index, cb, nQueries, k, nprobe)
+  }
+
+  /** The IVF-PQ probe + ADC-score tail, shared VERBATIM by the fresh
+    * ([[annIvfPq]]) and persisted ([[annIvfPqIndexed]]) paths — their
+    * spec-pinned row identity holds by construction, not by keeping two
+    * copies in sync. `cent`'s cid must be typed like `index`'s.
+    *
+    * Each candidate lives in exactly one cell and probed cids are
+    * distinct per query, so the cell join yields each (query, cand)
+    * pair at most once — no distinct needed. */
+  private def ivfPqSearch(emb: DataFrame, cent: DataFrame, index: DataFrame,
+      cb: Seq[Seq[Double]], nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val probed = emb.filter(col("vec_id") < nQueries)
       .crossJoin(broadcast(cent))
       .select(col("vec_id").as("query_id"), col("cid"),
@@ -618,9 +652,6 @@ object Similarity {
     val qe = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_norm"))
-    // each candidate lives in exactly one cell and probed cids are
-    // distinct per query, so the join yields each (query, cand) pair
-    // at most once — no distinct needed
     val scored = broadcast(probed).join(index, Seq("cid"))
       .filter(col("query_id") =!= col("cand_id"))
       .join(broadcast(qe), Seq("query_id"))
@@ -682,23 +713,14 @@ object Similarity {
   def appendToPqIndex(corpus: DataFrame, newVecs: DataFrame,
       indexDir: String, maxDriftFraction: Double = 0.5): Boolean = {
     val spark = corpus.sparkSession
-    val m = VersionedIndex.metaOrThrow(indexDir)
-    val total = m.totalRows + newVecs.count()
-    val drifted = total > 0 &&
-      (total - m.trainedRows).toDouble / total > maxDriftFraction
-    if (drifted) {
-      buildPqIndex(corpus, indexDir)
-    } else {
-      val next = m.version + 1
+    appendToIndex(indexDir, newVecs, maxDriftFraction, "codes")(
+      () => buildPqIndex(corpus, indexDir)
+    ) { (m, next) =>
       val cb = pqCodebookOf(spark, indexDir, m.version)
       pqIndexRelation(newVecs, cb).write.mode("overwrite")
         .parquet(s"$indexDir/codes/seg=$next")
-      VersionedIndex.copyModelDir(indexDir, m.version, next, "codebook")
-      VersionedIndex.commit(indexDir, next, trainedRows = m.trainedRows,
-        totalRows = total, segs = m.segs :+ next, logs = Seq("codes"))
-      VersionedIndex.putModel(indexDir, next, "codebook", cb)
+      Seq("codebook" -> cb)
     }
-    drifted
   }
 
   /** Query a PERSISTED PQ index: no encode pass — the cached codebook
@@ -727,7 +749,10 @@ object Similarity {
     val centroids = collectCentroids(emb, 0, NumCentroids)
     val cb = pqCodebook(emb)
     val next = VersionedIndex.currentVersion(indexDir).getOrElse(-1L) + 1
-    centroids.toDF("cid", "cemb").coalesce(1)
+    // int cid like buildIvfIndex writes — ONE on-disk centroid shape
+    // (and one loader, ivfCentroids) across both IVF-family stores
+    centroids.toDF("cid", "cemb")
+      .select(col("cid").cast("int").as("cid"), col("cemb")).coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/v$next/centroids")
     cb.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "cemb")
       .coalesce(1).write.mode("overwrite")
@@ -745,43 +770,24 @@ object Similarity {
     VersionedIndex.putModel(indexDir, next, "codebook", cb.toIndexedSeq)
   }
 
-  private def ivfPqCentroids(spark: SparkSession, indexDir: String,
-      version: Long): IndexedSeq[(Long, Seq[Float])] =
-    VersionedIndex.cachedModel(indexDir, version, "centroids") {
-      spark.read.parquet(s"$indexDir/v$version/centroids").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1)))
-        .sortBy(_._1).toIndexedSeq
-    }
-
   /** Grow the persisted IVF-PQ index by one batch — O(batch), zero
     * corpus-sized jobs, same append/drift contract as the single-model
     * stores (both models held fixed until the drift re-train). */
   def appendToIvfPqIndex(corpus: DataFrame, newVecs: DataFrame,
       indexDir: String, maxDriftFraction: Double = 0.5): Boolean = {
     val spark = corpus.sparkSession
-    val m = VersionedIndex.metaOrThrow(indexDir)
-    val total = m.totalRows + newVecs.count()
-    val drifted = total > 0 &&
-      (total - m.trainedRows).toDouble / total > maxDriftFraction
-    if (drifted) {
-      buildIvfPqIndex(corpus, indexDir)
-    } else {
-      val next = m.version + 1
-      val cents = ivfPqCentroids(spark, indexDir, m.version)
+    appendToIndex(indexDir, newVecs, maxDriftFraction, "cells")(
+      () => buildIvfPqIndex(corpus, indexDir)
+    ) { (m, next) =>
+      val cents = ivfCentroids(spark, indexDir, m.version)
       val cb = pqCodebookOf(spark, indexDir, m.version)
       pqEncodeWith(newVecs, cb)(
           Seq(nearestCentroid(col("embedding"), cents)
             .cast("int").as("cid")))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$indexDir/cells/seg=$next")
-      Seq("centroids", "codebook").foreach(
-        VersionedIndex.copyModelDir(indexDir, m.version, next, _))
-      VersionedIndex.commit(indexDir, next, trainedRows = m.trainedRows,
-        totalRows = total, segs = m.segs :+ next, logs = Seq("cells"))
-      VersionedIndex.putModel(indexDir, next, "centroids", cents)
-      VersionedIndex.putModel(indexDir, next, "codebook", cb)
+      Seq("centroids" -> cents, "codebook" -> cb)
     }
-    drifted
   }
 
   /** Query a PERSISTED IVF-PQ index: no assignment, no encode — probe
@@ -793,34 +799,13 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val m = VersionedIndex.metaOrThrow(indexDir)
-    val cents = ivfPqCentroids(spark, indexDir, m.version)
+    val cents = ivfCentroids(spark, indexDir, m.version)
     val cb = pqCodebookOf(spark, indexDir, m.version)
     val index = VersionedIndex.readLog(spark, indexDir, "cells", m.segs,
-      "cand_id BIGINT, codes ARRAY<INT>, rnorm DOUBLE")
+      "cand_id BIGINT, codes ARRAY<INT>, rnorm DOUBLE", partitionDdl = "cid INT")
     val cent = cents.toDF("cid", "cemb")
       .select(col("cid").cast("int").as("cid"), col("cemb"))
-    val probed = emb.filter(col("vec_id") < nQueries)
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id").as("query_id"), col("cid"),
-        round(cosine(col("embedding"), col("cemb")), 4).as("csim"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("csim").desc, col("cid"))))
-      .filter(col("rnk") <= nprobe)
-      .select(col("query_id"), col("cid"))
-    val qe = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        norm(col("embedding")).as("q_norm"))
-    val scored = broadcast(probed).join(index, Seq("cid"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .join(broadcast(qe), Seq("query_id"))
-      .select(col("query_id"), col("cand_id"),
-        round(graft.functions.VectorFns.pqAdcDot(col("q_emb"), col("codes"), cb, PqD)
-          / (col("q_norm") * col("rnorm")), 4).as("approx_cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cos").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    ivfPqSearch(emb, cent, index, cb, nQueries, k, nprobe)
   }
 
   /** Per-corpus-directory persisted indexes — q43's/q35's steady-state
@@ -853,7 +838,17 @@ object Similarity {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-$kind").toString
       val t0 = System.nanoTime()
-      build(dir)
+      try build(dir)
+      catch {
+        case e: Throwable =>
+          // a failed build stores nothing in the map, so the shutdown
+          // hook would never see this dir — don't strand half-written
+          // parquet in the temp filesystem on every failed attempt
+          try org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(dir))
+          catch { case _: Exception => }
+          throw e
+      }
       // recorded against the CORPUS key, so a bench can report the
       // true one-time build cost no matter which call paid it (its
       // warmup pass may have, when it warms at the benched dir)

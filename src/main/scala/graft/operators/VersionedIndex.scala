@@ -102,13 +102,18 @@ private[graft] object VersionedIndex {
   /** One scan over the committed log segments: declared data schema,
     * partition columns (`seg`, …) discovered against the log root; the
     * bookkeeping `seg` column is dropped. Empty segment list → empty
-    * relation of the declared schema. */
+    * relation of the declared schema PLUS `partitionDdl` — the
+    * partition columns below `seg=` (e.g. `cid INT`) that the
+    * non-empty branch discovers from paths; without them the two
+    * branches would return different schemas and an empty log would
+    * break downstream joins on the partition key. */
   def readLog(spark: SparkSession, indexDir: String, log: String,
-      segs: Seq[Long], ddl: String): DataFrame =
-    if (segs.isEmpty)
+      segs: Seq[Long], ddl: String, partitionDdl: String = ""): DataFrame =
+    if (segs.isEmpty) {
+      val full = if (partitionDdl.isEmpty) ddl else s"$ddl, $partitionDdl"
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
-    else spark.read
+        org.apache.spark.sql.types.StructType.fromDDL(full))
+    } else spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
       .option("basePath", s"$indexDir/$log")
       .parquet(segPaths(indexDir, log, segs): _*)
@@ -121,13 +126,35 @@ private[graft] object VersionedIndex {
       totalRows: Long, segs: Vector[Long], logs: Seq[String]): Unit = {
     val dir = java.nio.file.Paths.get(indexDir, s"v$next")
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.writeString(dir.resolve("MANIFEST"),
+    // single-writer guard: the protocol assumes one writer per index
+    // dir; a double-launched append would interleave seg overwrites and
+    // silently lose a batch. Detect the realistic double-commit: if
+    // v$next is ALREADY COMMITTED (CURRENT >= next) another writer won
+    // the race — fail loudly instead of re-publishing over it. A
+    // manifest left by a CRASHED attempt (CURRENT still < next) is the
+    // documented retry case: remove it and re-commit; CREATE_NEW then
+    // catches a live racer that recreates it inside this window. (The
+    // earlier segment-write phase of two LIVE concurrent writers is
+    // not detectable here — single-writer remains the contract.)
+    val mf = dir.resolve("MANIFEST")
+    val cur = currentVersion(indexDir)
+    if (java.nio.file.Files.exists(mf)) {
+      if (cur.exists(_ >= next)) throw new IllegalStateException(
+        s"$indexDir/v$next is already committed (CURRENT=${cur.get}) — " +
+          "concurrent writer detected; the index store is single-writer")
+      java.nio.file.Files.delete(mf) // stale manifest from a crashed commit
+    }
+    java.nio.file.Files.writeString(mf,
       s"""{"trainedRows":$trainedRows,"totalRows":$totalRows,""" +
-        s""""segs":[${segs.mkString(",")}]}""")
+        s""""segs":[${segs.mkString(",")}]}""",
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // strict parse (metaAt): a CORRUPT previous manifest must abort the
+    // commit, not silently read as segs=[] and let retention delete the
+    // segments that version still references
     val prevSegs: Set[Long] = (if (next == 0) None
       else Some(next - 1).filter(v =>
         new java.io.File(indexDir, s"v$v/MANIFEST").isFile))
-      .map(v => meta2(indexDir, v).segs.toSet).getOrElse(Set.empty)
+      .map(v => metaAt(indexDir, v).segs.toSet).getOrElse(Set.empty)
     val tmp = java.nio.file.Paths.get(indexDir, s".CURRENT.$next.tmp")
     java.nio.file.Files.writeString(tmp, next.toString)
     java.nio.file.Files.move(tmp,
@@ -138,8 +165,10 @@ private[graft] object VersionedIndex {
     def rmQuiet(d: java.io.File): Unit =
       try org.apache.commons.io.FileUtils.deleteDirectory(d)
       catch { case _: Exception => } // stale history is harmless
-    (0L until next - 1).map(i => new java.io.File(indexDir, s"v$i"))
-      .filter(_.isDirectory).foreach(rmQuiet)
+    val vDirs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.matches("v\\d+")
+        && d.getName.drop(1).toLong < next - 1)
+    vDirs.foreach(rmQuiet)
     val live = segs.toSet ++ prevSegs
     logs.foreach { log =>
       val root = new java.io.File(indexDir, log)
@@ -148,21 +177,6 @@ private[graft] object VersionedIndex {
             && !live.contains(d.getName.drop(4).toLong)) rmQuiet(d)
       }
     }
-  }
-
-  /** Manifest of a specific version (retention needs the previous
-    * version's segment set while CURRENT already points at `next`). */
-  private def meta2(indexDir: String, v: Long): Meta = {
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(indexDir, s"v$v/MANIFEST"))
-    def num(k: String): Long =
-      s""""$k":(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-        .getOrElse(0L)
-    val segs = s""""segs":\\[([\\d,]*)\\]""".r.findFirstMatchIn(txt)
-      .map(m => if (m.group(1).isEmpty) Vector.empty[Long]
-                else m.group(1).split(",").map(_.toLong).toVector)
-      .getOrElse(Vector.empty)
-    Meta(v, num("trainedRows"), num("totalRows"), segs)
   }
 
   /** Copy a K-row model directory (centroids/codebook) into the next
@@ -183,11 +197,23 @@ private[graft] object VersionedIndex {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, String), AnyRef]
 
+  /** Cache key carries the version MANIFEST's mtime as build identity:
+    * a dir deleted and rebuilt from a different corpus restarts at the
+    * same version number, and a pure (dir, version) key would serve the
+    * old centroids against the new assignments — silent recall
+    * collapse, no error. The mtime changes on every commit of that
+    * version, so the stale entry simply misses. */
+  private def modelKey(indexDir: String, version: Long,
+      name: String): (String, Long, String) = {
+    val mtime = new java.io.File(indexDir, s"v$version/MANIFEST").lastModified
+    (new java.io.File(indexDir).getCanonicalPath, version, s"$name@$mtime")
+  }
+
   def cachedModel[A <: AnyRef](indexDir: String, version: Long, name: String)(
       load: => A): A = {
     if (modelCache.size > 64) modelCache.clear()
-    val key = (new java.io.File(indexDir).getCanonicalPath, version, name)
-    modelCache.computeIfAbsent(key, _ => load).asInstanceOf[A]
+    modelCache.computeIfAbsent(modelKey(indexDir, version, name), _ => load)
+      .asInstanceOf[A]
   }
 
   /** Warm the model cache at commit time — the builder already holds
@@ -196,8 +222,7 @@ private[graft] object VersionedIndex {
   def putModel(indexDir: String, version: Long, name: String,
       model: AnyRef): Unit = {
     if (modelCache.size > 64) modelCache.clear()
-    modelCache.put(
-      (new java.io.File(indexDir).getCanonicalPath, version, name), model)
+    modelCache.put(modelKey(indexDir, version, name), model)
     ()
   }
 }
