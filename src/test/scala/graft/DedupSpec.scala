@@ -358,6 +358,34 @@ class DedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("index commit protocol: double-commit detected, corrupt manifest aborts") {
+    import graft.operators.VersionedIndex
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_guard").toString
+    Similarity.buildIvfIndex(emb, dir)
+    val m = VersionedIndex.metaOrThrow(dir)
+    // a second writer re-committing an ALREADY-PUBLISHED version must
+    // fail loudly (the store is single-writer), not silently republish
+    val e = intercept[IllegalStateException] {
+      VersionedIndex.commit(dir, m.version, m.trainedRows, m.totalRows,
+        m.segs, Seq("assignments"))
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // a corrupt PREVIOUS manifest must abort the next commit (strict
+    // parse), not silently read as segs=[] and let retention delete
+    // the segments that version still references
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, s"v${m.version}/MANIFEST"), "{garbage")
+    val e2 = intercept[IllegalStateException] {
+      VersionedIndex.commit(dir, m.version + 1, m.trainedRows,
+        m.totalRows, m.segs :+ (m.version + 1), Seq("assignments"))
+    }
+    assert(e2.getMessage.contains("unreadable index manifest"), e2.getMessage)
+    assert(new java.io.File(dir, s"assignments/seg=${m.segs.head}").isDirectory,
+      "the corrupt-manifest abort must leave the referenced segments intact")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("persisted IVF index: incremental append, then drift re-train") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     // --- append below the drift threshold: centroids held fixed ---
