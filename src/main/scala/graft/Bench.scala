@@ -73,7 +73,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to ALL host cores, not a fixed 4: the silent local[4]
+    // fallback once produced a discarded 116 s sf1 artifact that read as
+    // a 3x regression (SCALE.md, r13) — an unset env var must mean "use
+    // this machine", never "quietly run 8x under-parallel"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

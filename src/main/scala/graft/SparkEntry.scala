@@ -77,6 +77,7 @@ object SparkEntry {
     "q54_dedup_chain"   -> (graft.streaming.DedupStream.qChainBucketed _),
     "q55_shuffle_shard" -> (Corpus.qShuffleShard _),
     "q57_lsh_salted"    -> (Dedup.qLshPairsSalted _),
+    "q58_neardup_lsh"   -> (Dedup.qEmbedNearDupsLsh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +148,9 @@ object SparkEntry {
     // q57 shares q13's oracle VERBATIM: equality proves the salt grid is
     // an exact decomposition of the band self-join (the q52↔q36 pattern)
     "q57_lsh_salted"    -> Dedup.qLshPairsSql,
+    // q58 is the LSH-prefiltered twin of q16: the oracle replays the md5
+    // hyperplane grid, bucket collisions, and exact-cosine verify, so the
+    // hash pins the whole two-stage route (subset-of-q16 semantics).
+    "q58_neardup_lsh"   -> Dedup.qEmbedNearDupsLshSql,
   )
 }

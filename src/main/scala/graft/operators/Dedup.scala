@@ -504,6 +504,115 @@ object Dedup {
     }.toDF()
   }
 
+  // ---- LSH-prefiltered embedding near-dup route (q58) --------------------
+
+  /** LSH grid for the PAIRS problem (all near-dup pairs, not 8 queries):
+    * more planes per table than [[Similarity.annLsh]]'s ANN grid (8 vs 4),
+    * because here BOTH relation sides are corpus-sized and the bucket
+    * population is what the verify stage pays for — 2^8 = 256 buckets per
+    * table cuts the candidate pair mass ~14× vs all-pairs on the test
+    * corpus (measured; all-pairs fraction ≈ T/2^P for near-orthogonal
+    * vectors). Plane weights come from the same md5-derived family as
+    * [[Similarity.planeWeight]] (portable to the DuckDB oracle), offset by
+    * [[NearDupLshPlaneBase]] so the two grids stay independent. */
+  val NearDupLshTables = 16
+  val NearDupLshPlanes = 8
+  val NearDupLshPlaneBase = 1000
+
+  private val nearDupWeightsCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int), Seq[Seq[Double]]]()
+  private def nearDupPlaneWeights(nTables: Int, planes: Int): Seq[Seq[Double]] =
+    nearDupWeightsCache.computeIfAbsent((nTables, planes), { case (t, p) =>
+      (0 until t * p).map(plane =>
+        (0 until 64).map(i => Similarity.planeWeight(NearDupLshPlaneBase + plane, i)))
+    })
+
+  /** Candidate pairs for the LSH near-dup route: vectors sharing any
+    * table's bucket, canonicalized `vec_a < vec_b`, distinct across
+    * tables. One narrow fused-expression pass computes all T buckets per
+    * vector ([[graft.functions.LshBuckets]]); the only shuffle is the
+    * self-join on the small dense (t, bucket) key — the direct analog of
+    * the text side's [[lshCandidatePairs]] band join, and the same skew
+    * counter applies there if a bucket runs hot (AQE skew join /
+    * [[Skew.saltGridSides]]). */
+  def embeddingNearDupLshCandidates(emb: DataFrame,
+      nTables: Int = NearDupLshTables,
+      planes: Int = NearDupLshPlanes): DataFrame = {
+    val bucketed = memoPersist(emb, s"ndLshBuckets:$nTables:$planes")(e =>
+      e.select(col("vec_id"), posexplode(
+        graft.functions.LshFns.lshBuckets(col("embedding"),
+          nearDupPlaneWeights(nTables, planes), planes)))
+        .withColumnRenamed("pos", "t")
+        .withColumnRenamed("col", "bucket"))
+    val l = bucketed.select(col("t"), col("bucket"), col("vec_id").as("vec_a"))
+    val r = bucketed.select(col("t"), col("bucket"), col("vec_id").as("vec_b"))
+    l.join(r, Seq("t", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
+
+  /** Embedding near-dups via LSH prefilter: bucket-collision candidates
+    * verified by EXACT cosine ≥ threshold — the two-stage production shape
+    * of the text side's q13→q14 ([[lshCandidatePairs]] →
+    * [[jaccardPairs]]), applied to the q16 question. Verification is
+    * endpoint-narrowed exactly like [[jaccardPairs]]: only candidate
+    * endpoints' embeddings enter the scoring join.
+    *
+    * Semantics: a SUBSET of [[embeddingNearDups]] (spec-pinned) — every
+    * emitted pair is a true ≥-threshold pair (the verify is exact), but a
+    * true pair whose endpoints collide in no table is missed. Recall is a
+    * property of (threshold, T, P): measured on the test corpus at the
+    * default grid, 1.0 for pairs with cosine ≥ 0.8 (the near-dup regime
+    * this route exists for — planted-dup fixture in DedupSpec), ~0.45 for
+    * the weak-similarity 0.45-threshold tail (P(plane agrees) =
+    * 1 − θ/π ≈ 0.65 at cos 0.45, so a table of 8 planes keeps only 3%
+    * of such pairs; no banding is both selective and complete down
+    * there — that regime belongs to the exact kernel, which is how
+    * [[embeddingNearDupsAuto]] routes). Candidate mass ≈ (T/2^P)·N²/2 —
+    * a 14× constant-factor cut locally, and on real near-dup corpora
+    * (clustered mass, not near-orthogonal noise) buckets separate
+    * dup groups from the bulk, which is where the route's asymptotic
+    * win lives. */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = 0.45,
+      nTables: Int = NearDupLshTables,
+      planes: Int = NearDupLshPlanes): DataFrame = {
+    val cand = embeddingNearDupLshCandidates(emb, nTables, planes)
+    val ids = cand.select(col("vec_a").as("vec_id"))
+      .union(cand.select(col("vec_b").as("vec_id"))).distinct()
+    val vecs = memoPersist(emb, s"ndLshVecs:$nTables:$planes")(e =>
+      e.join(ids, Seq("vec_id"), "left_semi").select(col("vec_id"), col("embedding")))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Default exact-kernel bound for [[embeddingNearDupsAuto]]: up to this
+    * many vectors the blocked all-pairs kernel is the right tool (complete
+    * answer, ~N²/2 fused-loop dot products — 10^10 at the bound, minutes
+    * of fleet compute); past it the LSH route's constant-factor candidate
+    * cut (and its clustered-corpus asymptotics) pays for its recall
+    * trade. Callers who need completeness above the bound call
+    * [[embeddingNearDups]] explicitly and pay knowingly. */
+  val MaxExactNearDupRows: Long = 150000L
+
+  /** Size-routed near-dup front door: the exact blocked kernel below
+    * [[MaxExactNearDupRows]] vectors, the LSH-prefiltered route above it.
+    * One columnless count sizes the route (same move as
+    * [[embeddingNearDups]]'s grid sizing). */
+  def embeddingNearDupsAuto(emb: DataFrame, threshold: Double = 0.45,
+      maxExactRows: Long = MaxExactNearDupRows): DataFrame = {
+    val n = emb.count()
+    if (n <= maxExactRows) embeddingNearDups(emb, threshold)
+    else {
+      System.err.println(s"[dedup] near-dup auto route: $n vectors > " +
+        s"$maxExactRows, using LSH-prefiltered route (subset semantics)")
+      embeddingNearDupsLsh(emb, threshold)
+    }
+  }
+
   // ---- SparkEntry wiring -------------------------------------------------
 
   def qExact(s: SparkSession, d: String): DataFrame =
@@ -689,4 +798,37 @@ object Dedup {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q58 — the LSH-prefiltered near-dup route as a first-class relation:
+    * candidates from the (T, P) bucket grid, exact-cosine-verified ≥ 0.45.
+    * Like q13/q18, the RELATION is what the oracle replays — DuckDB
+    * recomputes the identical md5-derived hyperplanes, buckets, candidate
+    * pairs, and verify, so a hash match pins the whole route (stronger
+    * than a recall floor; the recall trade itself is spec-measured in
+    * DedupSpec and documented on [[embeddingNearDupsLsh]]). */
+  def qEmbedNearDupsLsh(s: SparkSession, d: String): DataFrame =
+    embeddingNearDupsLsh(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")
+
+  val qEmbedNearDupsLshSql: String = {
+    def bucketExpr(t: Int): String = (0 until NearDupLshPlanes).map { p =>
+      val plane = NearDupLshPlaneBase + t * NearDupLshPlanes + p
+      s"""CASE WHEN list_sum(list_transform(range(0, 64), i ->
+         |  embedding[i + 1] * (((('0x' || substr(md5('$plane:' || i::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
+         |)) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+    val tableRows = (0 until NearDupLshTables)
+      .map(t => s"SELECT vec_id, $t AS t, ${bucketExpr(t)} AS bucket FROM embeddings")
+      .mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |$tableRows),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+       |  FROM b l JOIN b r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |SELECT vec_a, vec_b,
+       |       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+       |FROM cand JOIN embeddings a ON cand.vec_a = a.vec_id
+       |          JOIN embeddings b ON cand.vec_b = b.vec_id
+       |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 }

@@ -322,6 +322,22 @@ object Similarity {
         .sortBy(_._1).toIndexedSeq)
   }
 
+  /** Tolerant model-id read: current builds write centroid/codebook
+    * `cid` as INT, but an index persisted by a pre-r13 build stored it
+    * as LONG — a strict getInt would fail the read with an opaque
+    * ClassCastException on a perfectly usable on-disk model (r13
+    * advice). Anything non-integral still fails loudly with the path
+    * context the caller supplies. */
+  private def idAt(r: org.apache.spark.sql.Row, i: Int): Long =
+    r.get(i) match {
+      case n: java.lang.Integer => n.toLong
+      case n: java.lang.Long    => n
+      case n: java.lang.Short   => n.toLong
+      case other => throw new IllegalStateException(
+        s"unexpected model id type ${if (other == null) "null"
+          else other.getClass.getName} — corrupt index model relation")
+    }
+
   /** Centroids of the committed index version, driver-cached per
     * (dir, version) — the append/query paths pay at most one K-row read
     * per committed version, and none at all once warm. */
@@ -329,7 +345,7 @@ object Similarity {
       version: Long): IndexedSeq[(Long, Seq[Float])] =
     VersionedIndex.cachedModel(indexDir, version, "centroids") {
       spark.read.parquet(s"$indexDir/v$version/centroids").collect()
-        .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
+        .map(r => (idAt(r, 0), r.getSeq[Float](1)))
         .sortBy(_._1).toIndexedSeq
     }
 
@@ -696,7 +712,7 @@ object Similarity {
       version: Long): IndexedSeq[Seq[Double]] =
     VersionedIndex.cachedModel(indexDir, version, "codebook") {
       spark.read.parquet(s"$indexDir/v$version/codebook").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+        .map(r => (idAt(r, 0), r.getSeq[Double](1).toSeq))
         .sortBy(_._1).map(_._2).toIndexedSeq
     }
 

@@ -144,8 +144,15 @@ private[graft] object VersionedIndex {
           "concurrent writer detected; the index store is single-writer")
       java.nio.file.Files.delete(mf) // stale manifest from a crashed commit
     }
+    // buildId: random identity for THIS commit of this version. The
+    // model cache keys on it (not the manifest mtime): on filesystems
+    // with 1s mtime granularity a delete+rebuild landing the same
+    // version number within the same tick would alias an mtime key and
+    // serve the old model — the silent-recall-collapse scenario the key
+    // exists to prevent (r13 advice).
     java.nio.file.Files.writeString(mf,
       s"""{"trainedRows":$trainedRows,"totalRows":$totalRows,""" +
+        s""""buildId":"${java.util.UUID.randomUUID()}",""" +
         s""""segs":[${segs.mkString(",")}]}""",
       java.nio.file.StandardOpenOption.CREATE_NEW)
     // strict parse (metaAt): a CORRUPT previous manifest must abort the
@@ -192,28 +199,59 @@ private[graft] object VersionedIndex {
 
   /** Driver-side per-(dir, version) model cache — the append/query
     * paths re-use collected K-row models instead of re-reading them
-    * per call. Bounded: cleared wholesale past 64 entries (entries are
-    * a few KB each; temp-dir churn in tests would otherwise grow it). */
+    * per call. Bounded LRU (access-ordered LinkedHashMap, capacity
+    * [[ModelCacheCapacity]]): a long-lived session juggling more than
+    * the capacity in index versions evicts only the least-recently-used
+    * entry instead of thrashing the whole cache wholesale (entries are
+    * a few KB each; temp-dir churn in tests would otherwise grow it
+    * unboundedly). */
+  private[graft] val ModelCacheCapacity = 64
   private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), AnyRef]
+    new java.util.LinkedHashMap[(String, Long, String), AnyRef](
+        ModelCacheCapacity * 2, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, String), AnyRef]): Boolean =
+        size() > ModelCacheCapacity
+    }
 
-  /** Cache key carries the version MANIFEST's mtime as build identity:
-    * a dir deleted and rebuilt from a different corpus restarts at the
+  /** Test hook: current LRU key set (insertion/access order, eldest
+    * first). */
+  private[graft] def modelCacheKeys: Seq[(String, Long, String)] =
+    modelCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      modelCache.keySet.asScala.toSeq
+    }
+
+  /** Cache key carries the manifest's `buildId` as build identity: a
+    * dir deleted and rebuilt from a different corpus restarts at the
     * same version number, and a pure (dir, version) key would serve the
     * old centroids against the new assignments — silent recall
-    * collapse, no error. The mtime changes on every commit of that
-    * version, so the stale entry simply misses. */
+    * collapse, no error. The buildId is a fresh UUID per commit (mtime,
+    * the previous identity, aliases under 1s-granularity filesystems);
+    * manifests from older builds without the field fall back to mtime. */
   private def modelKey(indexDir: String, version: Long,
       name: String): (String, Long, String) = {
-    val mtime = new java.io.File(indexDir, s"v$version/MANIFEST").lastModified
-    (new java.io.File(indexDir).getCanonicalPath, version, s"$name@$mtime")
+    val mf = new java.io.File(indexDir, s"v$version/MANIFEST")
+    val id = (try {
+      val txt = java.nio.file.Files.readString(mf.toPath)
+      """"buildId":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    } catch { case _: Exception => None })
+      .getOrElse(mf.lastModified.toString)
+    (new java.io.File(indexDir).getCanonicalPath, version, s"$name@$id")
   }
 
   def cachedModel[A <: AnyRef](indexDir: String, version: Long, name: String)(
       load: => A): A = {
-    if (modelCache.size > 64) modelCache.clear()
-    modelCache.computeIfAbsent(modelKey(indexDir, version, name), _ => load)
-      .asInstanceOf[A]
+    val key = modelKey(indexDir, version, name)
+    modelCache.synchronized {
+      val hit = modelCache.get(key)
+      if (hit != null) return hit.asInstanceOf[A]
+    }
+    // load OUTSIDE the lock (it runs Spark jobs); worst case two racing
+    // loads of the same key compute the same model and one wins
+    val loaded = load
+    modelCache.synchronized { modelCache.put(key, loaded) }
+    loaded
   }
 
   /** Warm the model cache at commit time — the builder already holds
@@ -221,8 +259,8 @@ private[graft] object VersionedIndex {
     * process skip even the K-row read. */
   def putModel(indexDir: String, version: Long, name: String,
       model: AnyRef): Unit = {
-    if (modelCache.size > 64) modelCache.clear()
-    modelCache.put(modelKey(indexDir, version, name), model)
+    val key = modelKey(indexDir, version, name)
+    modelCache.synchronized { modelCache.put(key, model) }
     ()
   }
 }

@@ -61,16 +61,20 @@ object HotLshProbe {
     }
     val (wUnsalted, cU) = time(1)
     val (wSalted, cS) = time(salt)
-    // identity via distributed checksum (counts + an order-independent
-    // hash sum) — collecting 10^8 pairs to the driver is the thing this
-    // probe exists to avoid
-    def sig(saltBuckets: Int): (Long, java.math.BigDecimal) = {
+    // identity via distributed checksum — collecting 10^8 pairs to the
+    // driver is the thing this probe exists to avoid. Count + SUM alone
+    // can alias (two equal-size pair sets can hash-sum equal, r13
+    // advice), so the signature also carries DISTINCT count, min, and
+    // max of the pair hash: a decomposition bug now has to preserve
+    // all five moments at once to print identical=true. (The spec-level
+    // guarantee stays DedupSpec's exact set equality at test scale.)
+    def sig(saltBuckets: Int): Seq[Any] = {
       graft.operators.Dedup.clearShingleCaches()
-      val r = pairsOf(saltBuckets)
-        .agg(count(lit(1)),
-          sum(xxhash64(col("doc_a"), col("doc_b")).cast("decimal(38,0)")))
-        .collect().head
-      (r.getLong(0), r.getDecimal(1))
+      val h = xxhash64(col("doc_a"), col("doc_b"))
+      pairsOf(saltBuckets)
+        .agg(count(lit(1)), sum(h.cast("decimal(38,0)")),
+          count_distinct(h), min(h), max(h))
+        .collect().head.toSeq
     }
     val same = sig(1) == sig(salt)
     println(f"[hotlsh] family=$family n=$n hot=$nHot pairs=$cU (salted $cS) identical=$same")

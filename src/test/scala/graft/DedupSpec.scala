@@ -182,6 +182,55 @@ class DedupSpec extends AnyFunSuite {
     assert(auto == pairs(3) && auto == pairs(8), "cross-B row identity")
   }
 
+  test("LSH near-dup route: subset of exact, identical scores, auto routing") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Dedup.embeddingNearDups(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingNearDupsLsh(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty, "route found no pairs on the fixture")
+    // every LSH-routed pair is a true pair with the identical 4dp score
+    lsh.foreach { case (k, v) =>
+      assert(exact.get(k).contains(v), s"pair $k: lsh=$v exact=${exact.get(k)}")
+    }
+    // auto route: small corpus → the exact kernel, byte-identical
+    val auto = Dedup.embeddingNearDupsAuto(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(auto == exact, "auto must route small corpora to the exact kernel")
+    // forced LSH route (maxExactRows=0) ≡ the LSH operator
+    val autoLsh = Dedup.embeddingNearDupsAuto(emb, maxExactRows = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(autoLsh == lsh, "auto past the bound must be the LSH route")
+  }
+
+  test("LSH near-dup route: recall 1.0 in the high-cosine near-dup regime") {
+    // planted-dup fixture: 400 seeded pseudo-random base vectors (near-
+    // orthogonal in 64-dim, no accidental >=0.8 pairs) + 20 planted
+    // near-dup twins (small perturbation, cosine ~0.99). This is the
+    // regime the route exists for; at cos 0.99 a table of 8 planes agrees
+    // w.p. ~0.69, so 16 tables miss a pair w.p. ~1e-8.
+    val rnd = new scala.util.Random(4242L)
+    val base = (0 until 400).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val planted = (0 until 20).map { j =>
+      val (_, v) = base(j * 7)
+      (1000L + j, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val thr = 0.8
+    val exact = Dedup.embeddingNearDups(emb, thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.size == 20, s"fixture must contain exactly the planted pairs, got ${exact.size}")
+    val lsh = Dedup.embeddingNearDupsLsh(emb, thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh == exact, "recall must be 1.0 on the planted near-dup fixture")
+    // and the prefilter genuinely prunes: candidate mass well under all-pairs
+    val nCand = Dedup.embeddingNearDupLshCandidates(emb).count()
+    val n = 420L
+    assert(nCand < n * (n - 1) / 2 / 4,
+      s"candidates ($nCand) should be well under all-pairs (${n * (n - 1) / 2})")
+  }
+
   test("fused LshBuckets expression == composable HOF formulation") {
     import org.apache.spark.sql.functions.{aggregate => agg_, _}
     val emb = graft.engine.Tables.embeddings(spark, sf).limit(100)
@@ -384,6 +433,39 @@ class DedupSpec extends AnyFunSuite {
     assert(new java.io.File(dir, s"assignments/seg=${m.segs.head}").isDirectory,
       "the corrupt-manifest abort must leave the referenced segments intact")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("model cache: LRU eviction order and buildId identity across rebuilds") {
+    import graft.operators.VersionedIndex
+    val cap = VersionedIndex.ModelCacheCapacity
+    val root = java.nio.file.Files.createTempDirectory("mcache").toString
+    def dirOf(i: Int) = s"$root/ix$i"
+    def load(i: Int, tag: String): String =
+      VersionedIndex.cachedModel(dirOf(i), 0, "m")(s"$tag$i")
+    // fill to capacity, then touch entry 0 (access order!) and overflow
+    (0 until cap).foreach(i => assert(load(i, "a") == s"a$i"))
+    assert(load(0, "IGNORED") == "a0", "warm hit must not re-load")
+    (cap until cap + 8).foreach(i => assert(load(i, "a") == s"a$i"))
+    val keys = VersionedIndex.modelCacheKeys.map(_._1).toSet
+    assert(VersionedIndex.modelCacheKeys.size <= cap, "capacity exceeded")
+    assert(keys.contains(new java.io.File(dirOf(0)).getCanonicalPath),
+      "recently-touched entry must survive the overflow (LRU, not FIFO)")
+    assert(!keys.contains(new java.io.File(dirOf(1)).getCanonicalPath),
+      "least-recently-used entry must be the one evicted")
+    // buildId identity: a delete+rebuild landing the same version within
+    // the same mtime tick must MISS the cache (the r13-advice scenario)
+    val d = new java.io.File(s"$root/ident/v0"); d.mkdirs()
+    val mf = new java.io.File(d, "MANIFEST").toPath
+    java.nio.file.Files.writeString(mf,
+      """{"trainedRows":1,"totalRows":1,"buildId":"A","segs":[0]}""")
+    val t0 = mf.toFile.lastModified
+    assert(VersionedIndex.cachedModel(s"$root/ident", 0, "m")("old") == "old")
+    java.nio.file.Files.writeString(mf,
+      """{"trainedRows":1,"totalRows":1,"buildId":"B","segs":[0]}""")
+    mf.toFile.setLastModified(t0) // same tick — mtime would alias
+    assert(VersionedIndex.cachedModel(s"$root/ident", 0, "m")("new") == "new",
+      "rebuild with a new buildId must not be served the old model")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
   test("persisted IVF index: incremental append, then drift re-train") {
