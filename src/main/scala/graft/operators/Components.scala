@@ -120,15 +120,15 @@ object Components {
         }
       }
     }
-    val universe = uPlan.localCheckpoint()
-    var e = ePlan.localCheckpoint()
+    val universe = graft.Checkpoints.pin(uPlan)
+    var e = graft.Checkpoints.pin(ePlan)
     // carry each round's count forward: recounting the (checkpointed)
     // previous edge set would be one avoidable Spark job per round
     var eCount = e.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = graft.Checkpoints.pin(smallStar(largeStar(e)))
       val nextCount = next.count()
       // fixpoint: the (distinct, oriented) edge sets are identical
       converged = nextCount == eCount && next.except(e).limit(1).isEmpty

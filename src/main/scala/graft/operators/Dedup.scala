@@ -378,18 +378,17 @@ object Dedup {
       if (tk.length <= IncrementalDedup.KeyPushMax)
         docs.sparkSession.createDataFrame(
           java.util.Arrays.asList(tk: _*), edgesLazy.schema)
-      else edgesLazy.localCheckpoint()
+      else graft.Checkpoints.pin(edgesLazy)
     }
     val comp = Components.connectedComponents(edges, maxRounds = maxIter)
-    // localCheckpoint truncates the candidate/verify/fixpoint lineage —
+    // the checkpoint truncates the candidate/verify/fixpoint lineage —
     // every consumer (and the memo's cached plan) sees a flat label
-    // relation, not a re-runnable clustering pipeline; at 100 TB use
-    // reliable checkpoint instead
-    val labels = docs.select(col("doc_id"))
+    // relation, not a re-runnable clustering pipeline; deployments set
+    // CheckpointPolicy.Reliable to put the pin on shared storage
+    val labels = graft.Checkpoints.pin(docs.select(col("doc_id"))
       .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("cluster_id"))
-      .localCheckpoint()
+        coalesce(col("component"), col("doc_id")).as("cluster_id")))
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")

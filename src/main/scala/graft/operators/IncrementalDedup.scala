@@ -150,7 +150,7 @@ object IncrementalDedup {
     if (tk.length <= cap)
       (spark.createDataFrame(java.util.Arrays.asList(tk: _*), df.schema),
         Some(tk))
-    else (df.localCheckpoint(), None)
+    else (graft.Checkpoints.pin(df), None)
   }
 
   /** Cluster representatives of the frontier's endpoint ids, formulated
@@ -474,8 +474,8 @@ object IncrementalDedup {
     // stay distributed (localCheckpoint, not collect).
     val setsForVerify = endpointIds match {
       case Some(ids) =>
-        phaseTimer("setsPin")(
-          setsAll.filter(col("doc_id").isin(ids: _*)).localCheckpoint())
+        phaseTimer("setsPin")(graft.Checkpoints.pin(
+          setsAll.filter(col("doc_id").isin(ids: _*))))
       case None => setsAll
     }
     val newEdgesLazy = Dedup.verifyJaccard(cand, setsForVerify)
@@ -574,8 +574,8 @@ object IncrementalDedup {
         // component labels match a full recompute. Pinned because the
         // fixpoint probes its input more than once.
         val (contractedPinned, _) = pinFrontierRows(contracted, spark)
-        val comp =
-          Components.connectedComponents(contractedPinned).localCheckpoint()
+        val comp = graft.Checkpoints.pin(
+          Components.connectedComponents(contractedPinned))
         // comp is eager — release every upstream pin (no-ops when local)
         Seq(contractedPinned, reps, newEdges).foreach(freeLocalCheckpoint)
 

@@ -571,14 +571,14 @@ object Similarity {
          |    named_struct('d', cast('Infinity' as double), 'k', $PqK),
          |    (best, x) -> if(x.d < best.d, x, best)).k)""".stripMargin)
     // The PQ index: codes + reconstruction norm, ONE row per candidate.
-    // localCheckpoint materializes it (production writes this table out)
-    // and acts as an optimizer barrier: without it CollapseProject
+    // The (lazy) checkpoint materializes it (production writes this table
+    // out) and acts as an optimizer barrier: without it CollapseProject
     // inlines `codes` into every rnorm/adot reference, re-running the
     // argmin per expression — and rnorm would otherwise be recomputed
     // per (query, candidate) pair instead of once per candidate.
-    val encoded = emb.withColumn("cbl", cbCol)
-      .select(col("vec_id").as("cand_id") +: extras :+ codesExpr.as("codes"): _*)
-      .localCheckpoint(false)
+    val encoded = graft.Checkpoints.pin(emb.withColumn("cbl", cbCol)
+      .select(col("vec_id").as("cand_id") +: extras :+ codesExpr.as("codes"): _*),
+      eager = false)
     // reconstruction norm per candidate: ||concat_m cb[codes[m]] sub m||
     val rnormExpr = expr(
       s"""sqrt(aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double), (acc, m) ->
@@ -1079,15 +1079,16 @@ object Similarity {
     * index q56 queries) — the learned-kmeans IVF (q35) is deliberately
     * absent because k-means|| centroids aren't engine-portable; its
     * checkable derivative is q35's own recall-floor boolean. The
-    * ground-truth side is computed ONCE and localCheckpointed (k·queries
-    * rows) rather than re-planned under each of the four branches.
+    * ground-truth side is computed ONCE and pinned via
+    * [[graft.Checkpoints]] (k·queries rows) rather than re-planned
+    * under each of the four branches.
     * `nQueries`/`k` thread through every arm AND the divisor (q44's SQL
     * twin hard-codes the default 8/10 shape). */
   def annRecallAll(s: SparkSession, d: String, nQueries: Int = 8,
       k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val exact = bruteForceTopK(emb, nQueries, k)
-      .select(col("query_id"), col("cand_id")).localCheckpoint()
+    val exact = graft.Checkpoints.pin(bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("cand_id")))
     def recallOf(method: String, approx: DataFrame): DataFrame =
       exact.join(
           approx.select(col("query_id"), col("cand_id"), lit(1L).as("hit")),

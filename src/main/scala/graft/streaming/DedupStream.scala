@@ -628,7 +628,7 @@ object DedupStream {
         // foreachBatch hands a streaming-backed DataFrame; the admission
         // builds an iterative multi-action plan over it, so pin the
         // batch to a stable local copy first
-        val pinned = batch.localCheckpoint()
+        val pinned = graft.Checkpoints.pin(batch)
         if (!pinned.isEmpty) {
           def t[A](tag: String)(f: => A): A = chainTimer(tag)(f)
           t("load+admit+commit")(loadState(spark, stateDir)) match {
@@ -701,9 +701,9 @@ object DedupStream {
       maxLiveSegments = 1, maxFilesPerBatch = Some(1), buckets = 8)
     // pin rows before the state dir is deleted (the caller writes the
     // result AFTER this returns; a lazy scan would read deleted files)
-    val out = IncrementalDedup.labelsWithSizes(
+    val out = graft.Checkpoints.pin(IncrementalDedup.labelsWithSizes(
         loadState(s, s"$root/state").get)
-      .orderBy("doc_id").localCheckpoint()
+      .orderBy("doc_id"))
     try org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
     catch { case _: Exception => }

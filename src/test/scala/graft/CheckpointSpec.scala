@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, IncrementalDedup, Similarity}
+
+/** The CheckpointPolicy knob: every load-bearing lineage pin routes
+  * through [[Checkpoints.pin]], so a deployment can move the pins from
+  * executor block-manager storage (Local, the default) to shared
+  * storage (Reliable) without touching operator code — and without
+  * changing any result. */
+class CheckpointSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("pin truncates lineage under both policies") {
+    val df = graft.engine.Tables.documents(spark, sf)
+      .groupBy(length(col("text")).as("len")).count()
+    def isRddScan(p: org.apache.spark.sql.DataFrame): Boolean =
+      p.queryExecution.analyzed.collectLeaves().forall(
+        _.getClass.getSimpleName.startsWith("LogicalRDD"))
+    assert(!isRddScan(df), "un-pinned plan should keep its full lineage")
+    assert(isRddScan(Checkpoints.pin(df)), "Local pin must truncate lineage")
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    Checkpoints.withPolicy(CheckpointPolicy.Reliable(dir)) {
+      val pinned = Checkpoints.pin(df)
+      assert(isRddScan(pinned), "Reliable pin must truncate lineage")
+      assert(pinned.collect().toSeq == df.collect().toSeq)
+    }
+    // the reliable pin really landed on the shared dir
+    import scala.jdk.CollectionConverters._
+    val files = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(dir), null, true).asScala
+    assert(files.nonEmpty, s"no checkpoint files under $dir")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("clustering + incremental admission + ANN recall are policy-invariant") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    // exercises the fixpoint pins (Components), the verified-edge pin
+    // (Dedup.duplicateClusters), the admission pins (IncrementalDedup
+    // setsPin / pinFrontierRows / comp), and the ground-truth pin
+    // (Similarity.annRecallAll) — the sites the policy threads through
+    def run(): (Seq[String], Seq[String], Seq[String]) = {
+      Dedup.clearShingleCaches()
+      val clusters = Dedup.qDupClusters(spark, sf)
+        .collect().map(_.toString).toSeq
+      val st0 = IncrementalDedup.initialState(
+        docs.filter(col("doc_id") % 5 =!= 0))
+      val st1 = IncrementalDedup.admitBatch(st0,
+        docs.filter(col("doc_id") % 5 === 0))
+      val admitted = IncrementalDedup.labelsWithSizes(st1)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val recall = Similarity.annRecallAll(spark, sf)
+        .orderBy("method", "query_id").collect().map(_.toString).toSeq
+      (clusters, admitted, recall)
+    }
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_pol").toString
+    val reliable =
+      Checkpoints.withPolicy(CheckpointPolicy.Reliable(dir))(run())
+    assert(local == reliable,
+      "results must be identical under Local and Reliable policies")
+    Dedup.clearShingleCaches()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
