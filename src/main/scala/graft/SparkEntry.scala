@@ -78,6 +78,7 @@ object SparkEntry {
     "q55_shuffle_shard" -> (Corpus.qShuffleShard _),
     "q57_lsh_salted"    -> (Dedup.qLshPairsSalted _),
     "q58_neardup_lsh"   -> (Dedup.qEmbedNearDupsLsh _),
+    "q59_ann_ivfpq_learned" -> (Similarity.qAnnIvfPqLearned _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,5 +153,8 @@ object SparkEntry {
     // hyperplane grid, bucket collisions, and exact-cosine verify, so the
     // hash pins the whole two-stage route (subset-of-q16 semantics).
     "q58_neardup_lsh"   -> Dedup.qEmbedNearDupsLshSql,
+    // q59 follows q35's pattern: learned models aren't engine-portable,
+    // so the oracle pins the per-query recall-floor boolean TRUE.
+    "q59_ann_ivfpq_learned" -> Similarity.qAnnIvfPqLearnedSql,
   )
 }

@@ -533,6 +533,46 @@ object Similarity {
     cb
   }
 
+  /** TRAINED PQ codebook: per-subspace k-means — for each of the
+    * [[PqM]] subspaces, [[PqK]] centroids fit over that subspace's
+    * [[PqD]]-dim subvectors (Euclidean, the PQ objective), on the same
+    * [[kmeansFitSet]]-bounded sample as the IVF fit. Returned in the
+    * SAME shape as the seed [[pqCodebook]] — entry k's 64-dim vector is
+    * the concatenation over m of subspace-m's centroid k — so the
+    * encode/ADC expressions and the on-disk codebook relation are
+    * shared verbatim between seed and learned models. Seed-pinned
+    * (42+m per subspace): refitting the same corpus reproduces the
+    * same codebook, which is what lets the drift re-train spec assert
+    * learned-index ≡ fresh-fit. Like the k-means centroids, NOT
+    * engine-portable — the learned index is oracle-gated through its
+    * recall-floor derivative (q59), the q35 pattern.
+    *
+    * Granularity caveat (measured, tools/IvfPqProbe): on tightly
+    * clustered data a NEAR-PERFECT codebook reconstructs every member
+    * of a cluster to ~the same point, so ADC cannot order WITHIN a
+    * cluster and recall@k against the exact in-cluster top-k
+    * degenerates toward k/cluster_size even with a perfect coarse
+    * stage. PQ's job is separating clusters at 32× compression, not
+    * ranking near-ties; when within-cluster order matters, re-rank the
+    * ADC shortlist with full-precision vectors. */
+  private[graft] def pqCodebookTrained(emb: DataFrame, maxIter: Int = 20,
+      fitFraction: Option[Double] = None): Seq[Seq[Double]] = {
+    // one bounded sample, pinned once; PqM sub-fits iterate over it
+    val sample = graft.Checkpoints.pin(
+      kmeansFitSet(emb.select(col("vec_id"), col("embedding")), fitFraction))
+    val sub = (0 until PqM).map { m =>
+      val feats = sample.select(
+        org.apache.spark.ml.functions.array_to_vector(
+          expr(s"transform(slice(embedding, ${m * PqD + 1}, $PqD), x -> double(x))"))
+          .as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(PqK).setSeed(42L + m).setMaxIter(maxIter)
+        .setFeaturesCol("features").fit(feats)
+        .clusterCenters.map(_.toArray.toIndexedSeq).toIndexedSeq
+    }
+    (0 until PqK).map(k => (0 until PqM).flatMap(m => sub(m)(k)).toSeq)
+  }
+
   /** The PQ index relation — (cand_id, codes, rnorm), one row per
     * vector of `emb`: the [[PqM]] one-byte codes plus the
     * reconstruction norm the ADC scorer divides by. This is the
@@ -759,11 +799,35 @@ object Similarity {
     * the files so a probe reads nprobe cell directories per segment,
     * [[VersionedIndex]] protocol throughout (atomic commits, manifest
     * counts, O(batch) zero-corpus-job appends, drift re-train). */
-  def buildIvfPqIndex(emb: DataFrame, indexDir: String): Unit = {
+  def buildIvfPqIndex(emb: DataFrame, indexDir: String): Unit =
+    buildIvfPqIndexWith(emb, indexDir,
+      collectCentroids(emb, 0, NumCentroids), pqCodebook(emb))
+
+  /** The LEARNED-model variant of [[buildIvfPqIndex]] — the production
+    * shape proper: k-means coarse centroids (same fit as
+    * [[annIvfKmeans]], cosine objective, stats-gated sample) plus the
+    * per-subspace-trained [[pqCodebookTrained]] codebook, persisted
+    * through the identical [[VersionedIndex]] store. Readers don't
+    * change at all: [[annIvfPqIndexed]]/[[appendToIvfPqIndex]] load
+    * whatever centroids+codebook the store holds, so append/drift/
+    * retention semantics carry over untouched. Seed-pinned fits make
+    * the build reproducible (learned-index ≡ fresh-fit, spec-pinned);
+    * oracle-gated via the recall-floor derivative (q59), since neither
+    * model is engine-portable. */
+  def buildIvfPqIndexLearned(emb: DataFrame, indexDir: String,
+      numCentroids: Int = NumCentroids, maxIter: Int = 20,
+      fitFraction: Option[Double] = None): Unit = {
+    val cents = kmeansIndex(emb, numCentroids, maxIter, fitFraction)._1
+      .collect().map(r => (idAt(r, 0), r.getSeq[Float](1)))
+      .sortBy(_._1).toIndexedSeq
+    buildIvfPqIndexWith(emb, indexDir, cents,
+      pqCodebookTrained(emb, maxIter, fitFraction))
+  }
+
+  private[graft] def buildIvfPqIndexWith(emb: DataFrame, indexDir: String,
+      centroids: Seq[(Long, Seq[Float])], cb: Seq[Seq[Double]]): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = collectCentroids(emb, 0, NumCentroids)
-    val cb = pqCodebook(emb)
     val next = VersionedIndex.currentVersion(indexDir).getOrElse(-1L) + 1
     // int cid like buildIvfIndex writes — ONE on-disk centroid shape
     // (and one loader, ivfCentroids) across both IVF-family stores
@@ -889,6 +953,10 @@ object Similarity {
   def ensureIvfPqIndex(s: SparkSession, d: String): String =
     ensureIndex("ivfpq", d)(dir =>
       buildIvfPqIndex(Tables.embeddings(s, d), dir))
+
+  def ensureIvfPqLearnedIndex(s: SparkSession, d: String): String =
+    ensureIndex("ivfpq_learned", d)(dir =>
+      buildIvfPqIndexLearned(Tables.embeddings(s, d), dir))
 
   // ---- SparkEntry wiring -------------------------------------------------
 
@@ -1189,6 +1257,42 @@ object Similarity {
   val qAnnIvfKmeansSql: String =
     """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin
+
+  /** Floor for q59's AGGREGATE recall@k boolean — the
+    * [[KmeansRecallFloor]] pattern applied to the COMPOSED learned
+    * index, which pays both the coarse-probe loss (nprobe of K cells)
+    * and PQ quantization loss. Aggregate (mean over the 8 queries'
+    * hits), not per-query like q35: on the near-uniform synthetic
+    * corpus the ADC noise of an 8-byte code dominates per-query tails
+    * (a single query's recall sits at 0.1 with 0.0 one config step
+    * away — RecallProbe, all three sf), while the aggregate is stable
+    * at 0.24–0.29 across sf0.001/0.01/0.1. 0.15 sits well under every
+    * observed aggregate and ~10× the k/N random baseline. The
+    * learned-beats-seed claim lives in DedupSpec on a CLUSTERED
+    * fixture, where trained models genuinely pay. */
+  val IvfPqLearnedRecallFloor = 0.15
+
+  /** q59 — the LEARNED persisted IVF-PQ index (trained coarse centroids
+    * + trained codebook, [[buildIvfPqIndexLearned]]), queried through
+    * the same [[annIvfPqIndexed]] reader as q56, emitted as its
+    * oracle-checkable aggregate recall-floor derivative (q35's pattern,
+    * aggregated — see [[IvfPqLearnedRecallFloor]]). */
+  def qAnnIvfPqLearned(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val exact = bruteForceTopK(emb, nQueries = 8, k = 10)
+      .select(col("query_id"), col("cand_id"))
+    val approx = annIvfPqIndexed(emb, ensureIvfPqLearnedIndex(s, d))
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .agg(count_distinct(col("query_id")).as("n_queries"),
+        (sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1))
+          >= IvfPqLearnedRecallFloor).as("recall_ok"))
+      .select(col("n_queries"), lit(10L).as("k"), col("recall_ok"))
+  }
+
+  val qAnnIvfPqLearnedSql: String =
+    """SELECT CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+      |       TRUE AS recall_ok""".stripMargin
 
   val qAnnLshSql: String = {
     def bucketExpr(t: Int): String = (0 until PlanesPerTable).map { p =>

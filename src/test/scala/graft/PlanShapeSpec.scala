@@ -71,9 +71,12 @@ class PlanShapeSpec extends AnyFunSuite {
     //       broadcast HASH join + narrow filter)
     //  q56: IVF-PQ — the same corpus × 16-centroid probe as q31/q35
     //       (the candidate/ADC joins themselves are equi hash joins)
+    //  q59: the learned IVF-PQ's recall derivative — its ground-truth
+    //       side is q17's brute force and its approx side is q56's probe
     val intendedBnlj = Set("q17_cosine_topk", "q31_ann_ivf",
       "q35_ann_ivf_kmeans", "q40_tfidf_topk", "q43_pq_topk",
-      "q44_ann_recall", "q53_corpus_mix", "q56_ann_ivfpq")
+      "q44_ann_recall", "q53_corpus_mix", "q56_ann_ivfpq",
+      "q59_ann_ivfpq_learned")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val plan = executedPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
@@ -110,6 +113,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q35_ann_ivf_kmeans", "q43_pq_topk", "q44_ann_recall",
       "q56_ann_ivfpq", // also: its DPP subquery placeholder cannot be
                        // re-analyzed by this test's measurement path
+      "q59_ann_ivfpq_learned", // q56's reader + q17's ground truth
       "q46_seq_packing")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(annExempt).foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
