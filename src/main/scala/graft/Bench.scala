@@ -135,6 +135,9 @@ object Bench {
     val ivfPqBuildSec = prebuild(
       { graft.operators.Similarity.ensureIvfPqIndex(spark, sfDir); () },
       "ivfpq")
+    val ivfPqLearnedBuildSec = prebuild(
+      { graft.operators.Similarity.ensureIvfPqLearnedIndex(spark, sfDir); () },
+      "ivfpq_learned")
     val io = new IoListener
     spark.sparkContext.addSparkListener(io)
     // noop sink: forces full computation + materialization of every output
@@ -380,6 +383,7 @@ object Bench {
       s""""cpu_sec":$cpus_,"gc_sec":$gcs,"jit_sec":$jits,"io_mb":$shuffles,""" +
       s""""pq_build_sec":${fmt(pqBuildSec)},"ivf_build_sec":${fmt(ivfBuildSec)},""" +
       s""""ivfpq_build_sec":${fmt(ivfPqBuildSec)},""" +
+      s""""ivfpq_learned_build_sec":${fmt(ivfPqLearnedBuildSec)},""" +
       q51Split.map { case (s, _) => s""""q51_split":$s,""" }.getOrElse("") +
       chainJson + loadJson + s""","errors":$errs,"sf":"$sfDir"}"""
     System.err.println(s"[bench-detail] $detail")

@@ -32,11 +32,16 @@ object PrestoSql {
 
   /** Translate a single Presto-dialect SQL statement to Spark SQL. */
   def translate(sql: String): String = {
+    // the translated JDK pattern goes back INSIDE a SQL string literal,
+    // and JDK patterns quote literal letter runs with single quotes
+    // ('%d at %W' -> "dd' at 'EEEE") — those must be doubled or the
+    // emitted SQL literal ends early (found by the §2.8 property sweep)
+    def sqlLit(pat: String): String = pat.replace("'", "''")
     var out = rewriteQuotedIdentifiers(sql)
     out = rewriteCalls(out, "date_parse") { inner =>
       val (args, pat) = splitLastLiteral(inner)
       if (pat.isEmpty) s"date_parse($inner)"
-      else s"to_timestamp($args'${PrestoCompat.parsePatternToJava(pat)}')"
+      else s"to_timestamp($args'${sqlLit(PrestoCompat.parsePatternToJava(pat))}')"
     }
     out = rewriteCalls(out, "date_format") { inner =>
       val (args, pat) = splitLastLiteral(inner)
@@ -46,7 +51,7 @@ object PrestoSql {
       // what makes translate(translate(x)) == translate(x) for
       // date_format too, not just DAY_OF_WEEK.
       if (pat.isEmpty || !pat.contains('%')) s"date_format($inner)"
-      else s"date_format($args'${PrestoCompat.prestoPatternToJava(pat)}')"
+      else s"date_format($args'${sqlLit(PrestoCompat.prestoPatternToJava(pat))}')"
     }
     out = rewriteCalls(out, "day_of_week")(inner => s"(weekday($inner) + 1)")
     out
