@@ -79,6 +79,7 @@ object SparkEntry {
     "q57_lsh_salted"    -> (Dedup.qLshPairsSalted _),
     "q58_neardup_lsh"   -> (Dedup.qEmbedNearDupsLsh _),
     "q59_ann_ivfpq_learned" -> (Similarity.qAnnIvfPqLearned _),
+    "q60_ann_refined"   -> (Similarity.qAnnRefined _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -156,5 +157,8 @@ object SparkEntry {
     // q59 follows q35's pattern: learned models aren't engine-portable,
     // so the oracle pins the per-query recall-floor boolean TRUE.
     "q59_ann_ivfpq_learned" -> Similarity.qAnnIvfPqLearnedSql,
+    // q60 is fully deterministic (seed IVF-PQ probe + ADC shortlist +
+    // exact re-rank), so it gets a complete hash oracle
+    "q60_ann_refined"   -> Similarity.qAnnRefinedSql,
   )
 }

@@ -461,46 +461,60 @@ object Dedup {
         if (blk == i) { aIds += id; aVec += v.toArray }
         else { bIds += id; bVec += v.toArray }
       }
-      def nrm(v: Array[Float]): Double = {
-        var s = 0.0; var k = 0
-        while (k < v.length) { val x = v(k).toDouble; s += x * x; k += 1 }
-        math.sqrt(s)
-      }
       val aN = aVec.map(nrm)
       val bN = bVec.map(nrm)
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
-      // 1e-4 guard: rounding to 4dp moves a value by < 5e-5, so anything
-      // below threshold-1e-4 can't round up past the threshold — skip the
-      // BigDecimal for the overwhelming below-threshold majority.
-      def emit(ida: Long, va: Array[Float], na: Double,
-               idb: Long, vb: Array[Float], nb: Double): Unit = {
-        var s = 0.0; var k = 0
-        while (k < va.length) { s += va(k).toDouble * vb(k).toDouble; k += 1 }
-        val raw = s / (na * nb)
-        if (raw >= threshold - 1e-4) {
-          val r = BigDecimal(raw)
-            .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (r >= threshold)
-            out += (if (ida < idb) NearDupPair(ida, idb, r) else NearDupPair(idb, ida, r))
-        }
-      }
       if (i == j) {
         var x = 0
         while (x < aIds.length) {
           var y = x + 1
-          while (y < aIds.length) { emit(aIds(x), aVec(x), aN(x), aIds(y), aVec(y), aN(y)); y += 1 }
+          while (y < aIds.length) {
+            emitNearDup(out, threshold, aIds(x), aVec(x), aN(x), aIds(y), aVec(y), aN(y))
+            y += 1
+          }
           x += 1
         }
       } else {
         var x = 0
         while (x < aIds.length) {
           var y = 0
-          while (y < bIds.length) { emit(aIds(x), aVec(x), aN(x), bIds(y), bVec(y), bN(y)); y += 1 }
+          while (y < bIds.length) {
+            emitNearDup(out, threshold, aIds(x), aVec(x), aN(x), bIds(y), bVec(y), bN(y))
+            y += 1
+          }
           x += 1
         }
       }
       out.iterator
     }.toDF()
+  }
+
+  private def nrm(v: Array[Float]): Double = {
+    var s = 0.0; var k = 0
+    while (k < v.length) { val x = v(k).toDouble; s += x * x; k += 1 }
+    math.sqrt(s)
+  }
+
+  /** The shared exact-verify kernel of [[embeddingNearDups]] and
+    * [[embeddingNearDupsLsh]]: fused double-accumulated dot in index
+    * order, cosine = dot/(||a||·||b||), HALF_UP 4dp round like Spark's
+    * `round`, canonical `vec_a < vec_b`. The 1e-4 guard skips the
+    * BigDecimal for the overwhelming below-threshold majority (rounding
+    * to 4dp moves a value by < 5e-5, so anything below threshold−1e-4
+    * cannot round up past the threshold). */
+  private def emitNearDup(out: scala.collection.mutable.ArrayBuffer[NearDupPair],
+      threshold: Double, ida: Long, va: Array[Float], na: Double,
+      idb: Long, vb: Array[Float], nb: Double): Unit = {
+    var s = 0.0; var k = 0
+    while (k < va.length) { s += va(k).toDouble * vb(k).toDouble; k += 1 }
+    val raw = s / (na * nb)
+    if (raw >= threshold - 1e-4) {
+      val r = BigDecimal(raw)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (r >= threshold)
+        out += (if (ida < idb) NearDupPair(ida, idb, r)
+                else NearDupPair(idb, ida, r))
+    }
   }
 
   // ---- LSH-prefiltered embedding near-dup route (q58) --------------------
@@ -553,9 +567,22 @@ object Dedup {
   /** Embedding near-dups via LSH prefilter: bucket-collision candidates
     * verified by EXACT cosine ≥ threshold — the two-stage production shape
     * of the text side's q13→q14 ([[lshCandidatePairs]] →
-    * [[jaccardPairs]]), applied to the q16 question. Verification is
-    * endpoint-narrowed exactly like [[jaccardPairs]]: only candidate
-    * endpoints' embeddings enter the scoring join.
+    * [[jaccardPairs]]), applied to the q16 question.
+    *
+    * Execution shape: per-(table, bucket) blocked kernel, NOT a
+    * candidate join. The first cut of this operator materialized the
+    * candidate pairs and joined both endpoints' embeddings back —
+    * which ships two 256-byte arrays per CANDIDATE (≈N²·T/2^P rows):
+    * measured 48 s with GC thrash at the 40k-vector scale point, 5×
+    * the exact kernel it was meant to beat. This shape instead
+    * shuffles each vector once per table (N·T array rows — 40× less
+    * array traffic at that point), runs the same fused primitive loop
+    * as [[embeddingNearDups]] WITHIN each bucket, and `distinct`s the
+    * emitted above-threshold pairs across tables (pair scores are
+    * deterministic, so the cross-table distinct is exact). Numerics are
+    * bit-identical to the exact kernel (shared [[emitNearDup]]). A hot
+    * bucket does occ² work in one task — the same banding-skew story as
+    * q13/q36 (AQE skew join / salting at fleet scale).
     *
     * Semantics: a SUBSET of [[embeddingNearDups]] (spec-pinned) — every
     * emitted pair is a true ≥-threshold pair (the verify is exact), but a
@@ -567,25 +594,41 @@ object Dedup {
     * 1 − θ/π ≈ 0.65 at cos 0.45, so a table of 8 planes keeps only 3%
     * of such pairs; no banding is both selective and complete down
     * there — that regime belongs to the exact kernel, which is how
-    * [[embeddingNearDupsAuto]] routes). Candidate mass ≈ (T/2^P)·N²/2 —
-    * a 14× constant-factor cut locally, and on real near-dup corpora
-    * (clustered mass, not near-orthogonal noise) buckets separate
-    * dup groups from the bulk, which is where the route's asymptotic
-    * win lives. */
+    * [[embeddingNearDupsAuto]] routes). Verify mass ≈ (T/2^P)·N²/2
+    * dot products — a ~14× cut locally, and on real near-dup corpora
+    * (clustered mass, not near-orthogonal noise) buckets separate dup
+    * groups from the bulk, which is where the route's asymptotic win
+    * lives. */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = 0.45,
       nTables: Int = NearDupLshTables,
       planes: Int = NearDupLshPlanes): DataFrame = {
-    val cand = embeddingNearDupLshCandidates(emb, nTables, planes)
-    val ids = cand.select(col("vec_a").as("vec_id"))
-      .union(cand.select(col("vec_b").as("vec_id"))).distinct()
-    val vecs = memoPersist(emb, s"ndLshVecs:$nTables:$planes")(e =>
-      e.join(ids, Seq("vec_id"), "left_semi").select(col("vec_id"), col("embedding")))
-    cand
-      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
-      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        round(Similarity.cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bucketed = emb
+      .select(col("vec_id").cast("long"), col("embedding"), posexplode(
+        graft.functions.LshFns.lshBuckets(col("embedding"),
+          nearDupPlaneWeights(nTables, planes), planes)))
+      .select(col("vec_id"), col("embedding"),
+        (col("pos").cast("long") * (1L << planes) + col("col")).as("grp"))
+      .as[(Long, Seq[Float], Long)]
+    bucketed.groupByKey(_._3).flatMapGroups { (_, rows) =>
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      rows.foreach { case (id, v, _) => ids += id; vecs += v.toArray }
+      val ns = vecs.map(nrm)
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+      var x = 0
+      while (x < ids.length) {
+        var y = x + 1
+        while (y < ids.length) {
+          emitNearDup(out, threshold,
+            ids(x), vecs(x), ns(x), ids(y), vecs(y), ns(y))
+          y += 1
+        }
+        x += 1
+      }
+      out.iterator
+    }.toDF().distinct()
   }
 
   /** Default exact-kernel bound for [[embeddingNearDupsAuto]]: up to this

@@ -888,6 +888,48 @@ object Similarity {
     ivfPqSearch(emb, cent, index, cb, nQueries, k, nprobe)
   }
 
+  /** ANN with EXACT RE-RANK (refinement) — the production tail stage
+    * the IVF-PQ investigation showed is load-bearing: ADC over 8-byte
+    * codes separates clusters but cannot order near-ties (on tight
+    * clusters it collapses to ~k/cluster_size recall even with a
+    * perfect codebook — see [[pqCodebookTrained]]'s caveat). The fix
+    * every deployed IVF-PQ system ships: take a `shortlist`-sized ADC
+    * candidate set from the persisted index, then re-score JUST those
+    * candidates with full-precision cosine and emit the exact-ranked
+    * top-k.
+    *
+    * Scale shape: the shortlist relation is |queries|·shortlist rows —
+    * broadcast it against the corpus for the gather join, so the
+    * full-precision vectors are read only for shortlist members
+    * (columnar scan of two columns, no shuffle of the corpus). Recall
+    * is bounded only by the coarse probe ∩ shortlist, not by code
+    * granularity: refined ≥ unrefined at the same probe budget is a
+    * theorem (ADC-top-k ⊆ shortlist, and every true neighbor in the
+    * shortlist exact-ranks ≤ k there), spec-pinned. */
+  def annIvfPqRefined(emb: DataFrame, indexDir: String, nQueries: Int = 8,
+      k: Int = 10, nprobe: Int = NumProbe,
+      shortlist: Int = RefineShortlist): DataFrame = {
+    val sl = annIvfPqIndexed(emb, indexDir, nQueries, shortlist, nprobe)
+      .select(col("query_id"), col("cand_id"))
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val ce = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val scored = broadcast(sl)
+      .join(qe.hint("broadcast"), Seq("query_id"))
+      .join(ce, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Default ADC shortlist for [[annIvfPqRefined]]: 5× the usual k —
+    * small enough to broadcast (|queries|·50 rows), large enough that
+    * the shortlist, not ADC ordering noise, bounds recall. */
+  val RefineShortlist = 50
+
   /** Per-corpus-directory persisted indexes — q43's/q35's steady-state
     * shape: the first call for a corpus dir pays the one-time index
     * build into a process-lifetime temp dir; every later call queries
@@ -1132,6 +1174,66 @@ object Similarity {
        |SELECT query_id, cand_id, approx_cos, rnk::BIGINT AS rnk FROM ranked
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** q60 — refined ANN over the persisted SEED IVF-PQ index: every
+    * stage (probe, ADC shortlist, exact re-rank) is deterministic and
+    * engine-portable, so unlike the learned families this one gets a
+    * full hash oracle — DuckDB replays q56's probe/encode/ADC CTEs,
+    * widens the rank cut to [[RefineShortlist]], and re-ranks the
+    * shortlist with exact cosine. */
+  def qAnnRefined(s: SparkSession, d: String): DataFrame =
+    annIvfPqRefined(Tables.embeddings(s, d), ensureIvfPqIndex(s, d))
+      .orderBy("query_id", "rnk")
+
+  // def (not val): composes fragments declared later in the object
+  def qAnnRefinedSql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |  WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cemb::DOUBLE[]), 4) DESC,
+       |             cid) AS rnk
+       |    FROM embeddings e CROSS JOIN cent)
+       |  WHERE rnk = 1),
+       |probed AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT e.vec_id AS query_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cemb::DOUBLE[]), 4) DESC,
+       |             cid) AS rnk
+       |    FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 8)
+       |  WHERE rnk <= $NumProbe),
+       |$pqEncCtesSql,
+       |adc AS (
+       |  SELECT q.query_id, enc.cand_id,
+       |         $pqAdcScoreSql AS approx_cos
+       |  FROM probed p
+       |  JOIN assigned a USING (cid)
+       |  JOIN enc ON enc.cand_id = a.vec_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  CROSS JOIN cbt
+       |  WHERE q.query_id <> enc.cand_id),
+       |shortlist AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY approx_cos DESC, cand_id) AS rnk
+       |    FROM adc)
+       |  WHERE rnk <= $RefineShortlist),
+       |refined AS (
+       |  SELECT s.query_id, s.cand_id,
+       |         ROUND(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 4) AS cos_sim
+       |  FROM shortlist s
+       |  JOIN embeddings qe ON s.query_id = qe.vec_id
+       |  JOIN embeddings ce ON s.cand_id = ce.vec_id),
+       |rr AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY cos_sim DESC, cand_id) AS rnk
+       |  FROM refined)
+       |SELECT query_id, cand_id, cos_sim, rnk::BIGINT AS rnk FROM rr
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
   /** q44 — retrieval evaluation as a first-class query: recall@k of the
     * LSH ANN path against the brute-force ground truth, per query vector.
     * The eval loop a production ANN deployment runs continuously —
@@ -1144,9 +1246,10 @@ object Similarity {
     * runs whenever it tunes an index. One method per row family: `lsh`
     * (hyperplane buckets), `ivf` (seed-centroid cells), `pq` (the
     * persisted PQ index q43 queries), `ivfpq` (the persisted composed
-    * index q56 queries) — the learned-kmeans IVF (q35) is deliberately
-    * absent because k-means|| centroids aren't engine-portable; its
-    * checkable derivative is q35's own recall-floor boolean. The
+    * index q56 queries), `refined` (q60's exact re-rank of the ADC
+    * shortlist) — the learned families (q35's IVF, q59's IVF-PQ) are
+    * deliberately absent because k-means models aren't engine-portable;
+    * their checkable derivatives are their own recall-floor booleans. The
     * ground-truth side is computed ONCE and pinned via
     * [[graft.Checkpoints]] (k·queries rows) rather than re-planned
     * under each of the four branches.
@@ -1172,7 +1275,9 @@ object Similarity {
       recallOf("ivfpq",
         annIvfPqIndexed(emb, ensureIvfPqIndex(s, d), nQueries, k)),
       recallOf("lsh", annLsh(emb, nQueries, k)),
-      recallOf("pq", annPqIndexed(emb, ensurePqIndex(s, d), nQueries, k)))
+      recallOf("pq", annPqIndexed(emb, ensurePqIndex(s, d), nQueries, k)),
+      recallOf("refined",
+        annIvfPqRefined(emb, ensureIvfPqIndex(s, d), nQueries, k)))
       .reduce(_ unionByName _)
   }
 
@@ -1198,6 +1303,8 @@ object Similarity {
        |${arm("lsh", qAnnLshSql)}
        |UNION ALL
        |${arm("pq", qAnnPqSql)}
+       |UNION ALL
+       |${arm("refined", qAnnRefinedSql)}
        |ORDER BY method, query_id""".stripMargin
   }
 

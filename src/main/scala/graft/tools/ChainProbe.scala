@@ -20,8 +20,14 @@ import graft.streaming.DedupStream
   *      10 days, then times the frontier rep lookup both ways at
   *      frontier sizes 64 and 2048 (the KeyPushMax cap), plus a
   *      small-batch admission wall for the %-of-admit context.
+  *   L  LONG-HORIZON chain: 100 daily admissions (1% of the corpus per
+  *      day) per fold cadence K ∈ {4, 8, 16} (maxLiveSegments), with
+  *      per-day wall/cpu/jobs/state-bytes-written — the flatness claim
+  *      a production deployment actually depends on: the 10-day chains
+  *      above only ever exercise ~2 fold generations; this runs ~25.
+  *      Prints per-day series plus first-vs-last-decile summaries.
   *
-  * Usage: ChainProbe [sfDir] [variants e.g. ABC or D]
+  * Usage: ChainProbe [sfDir] [variants e.g. ABC, D or L]
   */
 object ChainProbe {
   private def cpuSec: Double =
@@ -82,9 +88,90 @@ object ChainProbe {
       case 'B' => chain("B", 100000, strip = false)
       case 'C' => chain("C", 100000, strip = true)
       case 'D' => labelsLookupAb(spark, docs)
+      case 'L' => longChain(spark, docs)
       case _ => ()
     }
     spark.stop()
+  }
+
+  /** Variant L — see the header. Per (K, day): wall, cpu, Spark jobs,
+    * MB newly written into the state dir, total state-dir MB after the
+    * commit. Flat jobs/written-MB across fold GENERATIONS (not just
+    * days) is the claim: a compaction design that re-reads or rewrites
+    * ever-growing state shows up as a trend in exactly these columns. */
+  private def longChain(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame, nDays: Int = 100,
+      ks: Seq[Int] = Seq(4, 8, 16)): Unit = {
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      })
+    def jobsNow: Long = {
+      try org.apache.spark.sql.graftbridge.Bridge
+        .drainListenerBus(spark.sparkContext, 10000)
+      catch { case _: java.util.concurrent.TimeoutException => }
+      jobCount.get
+    }
+    def fileSizes(dir: java.io.File): Map[String, Long] =
+      if (!dir.isDirectory) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        org.apache.commons.io.FileUtils.listFiles(dir, null, true)
+          .asScala.map(f => f.getPath -> f.length).toMap
+      }
+    for (k <- ks) {
+      val root = java.nio.file.Files.createTempDirectory(s"chainL$k").toString
+      val stateDir = new java.io.File(s"$root/state")
+      val days = (0 until nDays).map { d =>
+        val batch = graft.Checkpoints.pin(
+          docs.filter(col("doc_id") % nDays === d))
+        val before = fileSizes(stateDir)
+        val w0 = System.nanoTime(); val c0 = cpuSec; val j0 = jobsNow
+        DedupStream.loadState(spark, s"$root/state") match {
+          case Some(prev) =>
+            val delta = IncrementalDedup.admitBatchDelta(prev, batch)
+            DedupStream.commitDelta(spark, s"$root/state", prev, delta,
+              maxLiveSegments = k)
+            delta.release()
+          case None =>
+            DedupStream.commitState(IncrementalDedup.initialState(batch),
+              s"$root/state", maxLiveSegments = k)
+        }
+        Dedup.clearShingleCaches()
+        val wall = (System.nanoTime() - w0) / 1e9
+        val after = fileSizes(stateDir)
+        val writtenMb = after
+          .collect { case (p, n) if !before.contains(p) => n }.sum / 1048576.0
+        (wall, cpuSec - c0, jobsNow - j0, writtenMb,
+          after.values.sum / 1048576.0)
+      }
+      def col1(f: ((Double, Double, Long, Double, Double)) => String) =
+        days.map(f).mkString(" ")
+      println(s"[L k=$k] wall       " + col1(d => f"${d._1}%.2f"))
+      println(s"[L k=$k] cpu        " + col1(d => f"${d._2}%.2f"))
+      println(s"[L k=$k] jobs       " + col1(d => s"${d._3}"))
+      println(s"[L k=$k] written_mb " + col1(d => f"${d._4}%.2f"))
+      println(s"[L k=$k] state_mb   " + col1(d => f"${d._5}%.2f"))
+      // flatness summary: decile means, skipping day 0 (bootstrap)
+      def decile(from: Int, until: Int) = {
+        val s = days.slice(from, until)
+        (s.map(_._1).sum / s.size, s.map(_._3).sum.toDouble / s.size,
+          s.map(_._4).sum / s.size)
+      }
+      val (w1, j1, m1) = decile(1, 11)
+      val (w10, j10, m10) = decile(nDays - 10, nDays)
+      println(f"[L k=$k] days 1-10 mean: wall=$w1%.2f s jobs=$j1%.1f " +
+        f"written=$m1%.2f MB | days ${nDays - 10}-${nDays - 1}: " +
+        f"wall=$w10%.2f s jobs=$j10%.1f written=$m10%.2f MB | " +
+        f"final state=${days.last._5}%.1f MB")
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
+      catch { case _: Exception => }
+    }
   }
 
   /** Variant D: A/B the admission's labels READ. Side A is the shipped

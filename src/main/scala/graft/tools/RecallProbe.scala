@@ -49,6 +49,10 @@ object RecallProbe {
         Similarity.ensureIvfPqLearnedIndex(spark, d), nprobe = 6))
       recalls("ivfpq-lrn-np8", Similarity.annIvfPqIndexed(emb,
         Similarity.ensureIvfPqLearnedIndex(spark, d), nprobe = 8))
+      recalls("ivfpq-refined", Similarity.annIvfPqRefined(emb,
+        Similarity.ensureIvfPqIndex(spark, d)))
+      recalls("ivfpq-lrn-refined", Similarity.annIvfPqRefined(emb,
+        Similarity.ensureIvfPqLearnedIndex(spark, d)))
     }
     spark.stop()
   }

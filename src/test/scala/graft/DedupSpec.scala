@@ -343,6 +343,30 @@ class DedupSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("refined ANN: recall >= unrefined at same probe budget; full budget == brute force") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val dir = Similarity.ensureIvfPqIndex(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 8, k = 10)
+    val exactSet = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exactSet intersect approx).size.toDouble / exactSet.size
+    }
+    // the re-rank theorem: ADC-top-k is a subset of the shortlist, and
+    // every true neighbor in the shortlist exact-ranks <= k there
+    val unrefined = recallOf(Similarity.annIvfPqIndexed(emb, dir))
+    val refined = recallOf(Similarity.annIvfPqRefined(emb, dir))
+    assert(refined >= unrefined, s"refined=$refined unrefined=$unrefined")
+    // limiting case: all cells probed + corpus-sized shortlist makes the
+    // refined result THE exact brute-force relation, row for row
+    val full = Similarity.annIvfPqRefined(emb, dir,
+      nprobe = Similarity.NumCentroids, shortlist = 1000000)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val brute = exact.orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(full == brute, "full-budget refined ANN must equal brute force")
+  }
+
   test("q35 per-query recall clears KmeansRecallFloor for every query") {
     // The q35 oracle (qAnnIvfKmeansSql) pins recall_ok = TRUE per query;
     // this test pins the same per-query floor so the oracle boolean can't

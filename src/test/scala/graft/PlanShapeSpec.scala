@@ -76,7 +76,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val intendedBnlj = Set("q17_cosine_topk", "q31_ann_ivf",
       "q35_ann_ivf_kmeans", "q40_tfidf_topk", "q43_pq_topk",
       "q44_ann_recall", "q53_corpus_mix", "q56_ann_ivfpq",
-      "q59_ann_ivfpq_learned")
+      "q59_ann_ivfpq_learned", "q60_ann_refined")
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val plan = executedPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
@@ -114,6 +114,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q56_ann_ivfpq", // also: its DPP subquery placeholder cannot be
                        // re-analyzed by this test's measurement path
       "q59_ann_ivfpq_learned", // q56's reader + q17's ground truth
+      "q60_ann_refined",        // q56's reader + broadcast re-rank
       "q46_seq_packing")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(annExempt).foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
