@@ -20,8 +20,10 @@ import graft.functions.TextFns._
   *    cardinality is ~n_docs×n_bands with near-uniform md5 keys — no skew.
   *    Candidate pairs then get exact-Jaccard verification, so the expensive
   *    O(n²) comparison never materializes; cost is O(candidates).
-  *  - embedding near-dup: brute-force pair join at test scale; the LSH
-  *    bucketed variant in [[Similarity]] is the 100 TB path.
+  *  - embedding near-dup: the exact blocked kernel ([[embeddingNearDups]])
+  *    below [[MaxExactNearDupRows]] vectors; the LSH-prefiltered
+  *    per-bucket kernel ([[embeddingNearDupsLsh]]) above it —
+  *    [[embeddingNearDupsAuto]] routes.
   */
 object Dedup {
 
