@@ -43,20 +43,61 @@ object Checkpoints {
     try f finally policy = prev
   }
 
-  // setCheckpointDir appends a random child dir per call, so "is it
-  // already set to OUR dir" cannot be read back from the context —
-  // track the (context, dir) pairs this process already configured.
-  private val configured =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  // SparkContext holds exactly ONE current checkpoint dir, so "is OUR
+  // dir set" must track the LAST dir set per context — a seen-it-ever
+  // set would skip setCheckpointDir after an intervening Reliable(other)
+  // scope and silently land checkpoints under the other (possibly
+  // node-local, possibly deleted) dir. Recorded only AFTER a successful
+  // setCheckpointDir, so a failed set (unwritable dir) is retried, not
+  // remembered.
+  private val currentDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Materialize `df` now (or lazily with `eager = false`) and truncate
     * its lineage, under the current [[policy]]. Identical result rows
-    * either way; only the storage substrate differs. */
+    * either way; only the storage substrate differs.
+    *
+    * The Reliable path persists the plan before checkpointing:
+    * `df.checkpoint()` alone runs the lineage once for the eager
+    * materialization and a SECOND time inside the checkpoint-write job
+    * (Spark's own documented gotcha) — the persist turns that into
+    * compute-once + write-from-cache. Eager pins drop the cache as soon
+    * as the files are written; lazy pins keep it so the single later
+    * materialization feeds the write, released by [[free]]. */
   def pin(df: DataFrame, eager: Boolean = true): DataFrame = policy match {
     case CheckpointPolicy.Local => df.localCheckpoint(eager)
     case CheckpointPolicy.Reliable(dir) =>
       val sc = df.sparkSession.sparkContext
-      if (configured.add((sc.applicationId, dir))) sc.setCheckpointDir(dir)
-      df.checkpoint(eager)
+      if (currentDir.get(sc.applicationId) != dir) {
+        sc.setCheckpointDir(dir)
+        currentDir.put(sc.applicationId, dir)
+      }
+      val persisted =
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cp = persisted.checkpoint(eager)
+      if (eager) { persisted.unpersist(blocking = false); () }
+      cp
   }
+
+  /** Release the storage behind a [[pin]]ned DataFrame: block-manager
+    * blocks (Local pins — checkpoint blocks are NOT CacheManager
+    * entries, so `df.unpersist()` misses them) AND the checkpoint files
+    * of a Reliable pin (`cleanCheckpoints` defaults to false in Spark,
+    * so without this a long-running admission stream accumulates one
+    * directory per pinned batch on the shared filesystem). No-op on
+    * non-pinned frames. */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            ()
+          } catch { case _: Exception => () } // best-effort cleanup
+        }
+      case _ => ()
+    }
 }

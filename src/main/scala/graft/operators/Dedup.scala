@@ -440,8 +440,7 @@ object Dedup {
       else {
         // one count job (columnless scan) to size the grid; the kernel
         // itself then reads the embeddings exactly once more
-        val n = emb.count()
-        math.max(8L, math.min(64L, (n + 4095L) / 4096L)).toInt
+        gridBlocks(emb.count())
       }
     // one row per (vector, unordered block pair): pair_id = min*b + max
     val exploded = emb
@@ -595,8 +594,9 @@ object Dedup {
     * the weak-similarity 0.45-threshold tail (P(plane agrees) =
     * 1 − θ/π ≈ 0.65 at cos 0.45, so a table of 8 planes keeps only 3%
     * of such pairs; no banding is both selective and complete down
-    * there — that regime belongs to the exact kernel, which is how
-    * [[embeddingNearDupsAuto]] routes). Verify mass ≈ (T/2^P)·N²/2
+    * there — that regime belongs to the exact kernel, which
+    * [[embeddingNearDupsAuto]] picks while the corpus is small enough
+    * to afford it; its routing is size-only, see its doc). Verify mass ≈ (T/2^P)·N²/2
     * dot products — a ~14× cut locally, and on real near-dup corpora
     * (clustered mass, not near-orthogonal noise) buckets separate dup
     * groups from the bulk, which is where the route's asymptotic win
@@ -642,14 +642,28 @@ object Dedup {
     * [[embeddingNearDups]] explicitly and pay knowingly. */
   val MaxExactNearDupRows: Long = 150000L
 
+  /** `blocks` for [[embeddingNearDups]]'s grid at `n` vectors: ~4k
+    * vectors per block, clamped to [8, 64] (see the kernel's doc). */
+  private def gridBlocks(n: Long): Int =
+    math.max(8L, math.min(64L, (n + 4095L) / 4096L)).toInt
+
   /** Size-routed near-dup front door: the exact blocked kernel below
-    * [[MaxExactNearDupRows]] vectors, the LSH-prefiltered route above it.
-    * One columnless count sizes the route (same move as
-    * [[embeddingNearDups]]'s grid sizing). */
+    * [[MaxExactNearDupRows]] vectors, the LSH-prefiltered route above
+    * it. ONE columnless count decides the route AND sizes the exact
+    * kernel's grid (the kernel would otherwise immediately re-count).
+    *
+    * The routing is SIZE-ONLY, deliberately ignoring the threshold:
+    * above the bound the exact kernel's O(N²) is unaffordable at ANY
+    * threshold, so auto returns the LSH subset there even in the
+    * weak-similarity regime where its recall is partial (~0.45 at
+    * θ=0.45 — see [[embeddingNearDupsLsh]]). A caller that needs the
+    * COMPLETE weak-threshold answer above the bound must call
+    * [[embeddingNearDups]] explicitly and knowingly pay the quadratic
+    * kernel. */
   def embeddingNearDupsAuto(emb: DataFrame, threshold: Double = 0.45,
       maxExactRows: Long = MaxExactNearDupRows): DataFrame = {
     val n = emb.count()
-    if (n <= maxExactRows) embeddingNearDups(emb, threshold)
+    if (n <= maxExactRows) embeddingNearDups(emb, threshold, gridBlocks(n))
     else {
       System.err.println(s"[dedup] near-dup auto route: $n vectors > " +
         s"$maxExactRows, using LSH-prefiltered route (subset semantics)")

@@ -175,17 +175,13 @@ object IncrementalDedup {
     labels.join(broadcast(endpoints), Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id"))
 
-  /** Release the block-manager storage behind a `localCheckpoint()`ed
-    * DataFrame. Checkpoint blocks are NOT CacheManager entries, so
-    * `df.unpersist()` would miss them; without this a long-running
-    * admission stream accumulates per-batch candidate checkpoints until
-    * the ContextCleaner happens to GC the RDDs. */
+  /** Release the storage behind a [[graft.Checkpoints.pin]]ned
+    * DataFrame — block-manager blocks for Local pins, checkpoint files
+    * for Reliable ones. Without this a long-running admission stream
+    * accumulates per-batch candidate pins until the ContextCleaner
+    * happens to GC the RDDs (or forever, for reliable files). */
   private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.Checkpoints.free(df)
 
   /** Cap on the probe-key literals pushed as a data filter into the
     * base scan. Under the cap, the batch's exact key set rides the scan

@@ -557,20 +557,32 @@ object Similarity {
     * ADC shortlist with full-precision vectors. */
   private[graft] def pqCodebookTrained(emb: DataFrame, maxIter: Int = 20,
       fitFraction: Option[Double] = None): Seq[Seq[Double]] = {
-    // one bounded sample, pinned once; PqM sub-fits iterate over it
+    // one bounded sample, pinned once for the PqM sub-fits that iterate
+    // over it, released before returning (a build must not leak its fit
+    // sample's blocks for process lifetime)
     val sample = graft.Checkpoints.pin(
       kmeansFitSet(emb.select(col("vec_id"), col("embedding")), fitFraction))
-    val sub = (0 until PqM).map { m =>
-      val feats = sample.select(
-        org.apache.spark.ml.functions.array_to_vector(
-          expr(s"transform(slice(embedding, ${m * PqD + 1}, $PqD), x -> double(x))"))
-          .as("features"))
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(PqK).setSeed(42L + m).setMaxIter(maxIter)
-        .setFeaturesCol("features").fit(feats)
-        .clusterCenters.map(_.toArray.toIndexedSeq).toIndexedSeq
-    }
-    (0 until PqK).map(k => (0 until PqM).flatMap(m => sub(m)(k)).toSeq)
+    try {
+      val sub = (0 until PqM).map { m =>
+        val feats = sample.select(
+          org.apache.spark.ml.functions.array_to_vector(
+            expr(s"transform(slice(embedding, ${m * PqD + 1}, $PqD), x -> double(x))"))
+            .as("features"))
+        val centers = new org.apache.spark.ml.clustering.KMeans()
+          .setK(PqK).setSeed(42L + m).setMaxIter(maxIter)
+          .setFeaturesCol("features").fit(feats)
+          .clusterCenters.map(_.toArray.toIndexedSeq).toIndexedSeq
+        // k-means can return < K centers on low-cardinality subvectors;
+        // fail with the same named diagnostic as the seed pqCodebook
+        // instead of an opaque index error in the concat below
+        require(centers.length == PqK,
+          s"trained PQ codebook needs $PqK centers in subspace $m; " +
+            s"k-means returned ${centers.length} (fit sample too " +
+            "small or subspace values too few) — lower PqK or widen the fit")
+        centers
+      }
+      (0 until PqK).map(k => (0 until PqM).flatMap(m => sub(m)(k)).toSeq)
+    } finally graft.Checkpoints.free(sample)
   }
 
   /** The PQ index relation — (cand_id, codes, rnorm), one row per

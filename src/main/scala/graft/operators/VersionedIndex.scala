@@ -228,7 +228,14 @@ private[graft] object VersionedIndex {
     * old centroids against the new assignments — silent recall
     * collapse, no error. The buildId is a fresh UUID per commit (mtime,
     * the previous identity, aliases under 1s-granularity filesystems);
-    * manifests from older builds without the field fall back to mtime. */
+    * manifests from older builds without the field fall back to mtime.
+    *
+    * The manifest is a <200-byte file re-read on every call —
+    * deliberate: identity must be re-validated per call or the
+    * same-tick rebuild aliasing returns through a cached id, and a
+    * small-file read is the same one-round-trip cost class as the
+    * lastModified stat it replaced (this cache's job is eliminating
+    * the K-row Spark read, not the manifest peek). */
   private def modelKey(indexDir: String, version: Long,
       name: String): (String, Long, String) = {
     val mf = new java.io.File(indexDir, s"v$version/MANIFEST")

@@ -36,6 +36,38 @@ class CheckpointSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("alternating Reliable dirs land pins in the CURRENT policy dir; free() removes files") {
+    import scala.jdk.CollectionConverters._
+    def filesUnder(dir: String): Seq[java.io.File] =
+      if (!new java.io.File(dir).isDirectory) Seq.empty
+      else org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(dir), null, true).asScala.toSeq
+    val df = graft.engine.Tables.documents(spark, sf).select(col("doc_id"))
+    val dirA = java.nio.file.Files.createTempDirectory("ckptA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ckptB").toString
+    val pinA1 = Checkpoints.withPolicy(CheckpointPolicy.Reliable(dirA))(
+      Checkpoints.pin(df))
+    assert(filesUnder(dirA).nonEmpty, "first pin must land under dir A")
+    Checkpoints.withPolicy(CheckpointPolicy.Reliable(dirB))(
+      Checkpoints.pin(df))
+    val aCount = filesUnder(dirA).size
+    assert(filesUnder(dirB).nonEmpty, "pin under dir B must land under dir B")
+    // returning to a PREVIOUSLY-USED dir must re-set the context's
+    // checkpoint dir, not serve the stale one (the seen-it-ever bug)
+    Checkpoints.withPolicy(CheckpointPolicy.Reliable(dirA))(
+      Checkpoints.pin(df))
+    assert(filesUnder(dirA).size > aCount,
+      "re-entering policy Reliable(dirA) must checkpoint under dir A again")
+    // free() deletes a reliable pin's files (cleanCheckpoints is off by
+    // default in Spark — without free they accumulate per pinned batch)
+    val before = filesUnder(dirA).size
+    Checkpoints.free(pinA1)
+    assert(filesUnder(dirA).size < before,
+      "free() must remove the reliable pin's checkpoint files")
+    Seq(dirA, dirB).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("clustering + incremental admission + ANN recall are policy-invariant") {
     val docs = graft.engine.Tables.documents(spark, sf)
     // exercises the fixpoint pins (Components), the verified-edge pin
