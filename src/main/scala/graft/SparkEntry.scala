@@ -80,6 +80,7 @@ object SparkEntry {
     "q58_neardup_lsh"   -> (Dedup.qEmbedNearDupsLsh _),
     "q59_ann_ivfpq_learned" -> (Similarity.qAnnIvfPqLearned _),
     "q60_ann_refined"   -> (Similarity.qAnnRefined _),
+    "q61_embed_clusters" -> (Dedup.qEmbedClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -160,5 +161,8 @@ object SparkEntry {
     // q60 is fully deterministic (seed IVF-PQ probe + ADC shortlist +
     // exact re-rank), so it gets a complete hash oracle
     "q60_ann_refined"   -> Similarity.qAnnRefinedSql,
+    // q61 closes q58's pair relation into components via the q37
+    // recursive-CTE pattern — the whole chain stays hash-replayable
+    "q61_embed_clusters" -> Dedup.qEmbedClustersSql,
   )
 }

@@ -368,34 +368,60 @@ object Dedup {
       computeClusters(d, threshold, maxIter))
 
   private def computeClusters(docs: DataFrame, threshold: Double,
-      maxIter: Int): DataFrame = {
-    val edgesLazy = jaccardPairs(docs)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    // pin the verified edge set before the fixpoint probes it repeatedly
-    // (bounded take → local relation; checkpoint over the cap — the same
-    // role the old propagation loop's `sym` checkpoint played)
+      maxIter: Int): DataFrame =
+    componentLabels(docs.select(col("doc_id")), "doc_id",
+      jaccardPairs(docs)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")),
+      maxIter)
+
+  /** Shared clustering tail of [[duplicateClusters]] (text) and
+    * [[embeddingDupClusters]] (vectors): pin the verified edge set
+    * (bounded take → local relation; checkpoint over the cap — the
+    * fixpoint probes it repeatedly), run the component fixpoint on the
+    * DUPLICATE SUBGRAPH only, then label the full id universe
+    * (singletons label themselves) with per-cluster sizes. The final
+    * pin truncates the candidate/verify/fixpoint lineage — every
+    * consumer (and the memo's cached plan) sees a flat label relation,
+    * not a re-runnable clustering pipeline; deployments set
+    * CheckpointPolicy.Reliable to put the pins on shared storage. */
+  private def componentLabels(universe: DataFrame, idCol: String,
+      edgesLazy: DataFrame, maxIter: Int): DataFrame = {
     val edges = {
       val tk = edgesLazy.take(IncrementalDedup.KeyPushMax + 1)
       if (tk.length <= IncrementalDedup.KeyPushMax)
-        docs.sparkSession.createDataFrame(
+        universe.sparkSession.createDataFrame(
           java.util.Arrays.asList(tk: _*), edgesLazy.schema)
       else graft.Checkpoints.pin(edgesLazy)
     }
     val comp = Components.connectedComponents(edges, maxRounds = maxIter)
-    // the checkpoint truncates the candidate/verify/fixpoint lineage —
-    // every consumer (and the memo's cached plan) sees a flat label
-    // relation, not a re-runnable clustering pipeline; deployments set
-    // CheckpointPolicy.Reliable to put the pin on shared storage
-    val labels = graft.Checkpoints.pin(docs.select(col("doc_id"))
-      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("cluster_id")))
+    val labels = graft.Checkpoints.pin(universe
+      .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id")))
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
   }
+
+  /** Semantic-dedup clustering: connected components over the
+    * embedding near-dup graph — the vector-side analog of
+    * [[duplicateClusters]], with [[embeddingNearDupsLsh]] as the edge
+    * relation so the WHOLE chain (hyperplanes → buckets → kernel
+    * verify → closure) stays oracle-replayable (q61). Every vector is
+    * labeled (singletons as their own cluster) with cluster sizes;
+    * downstream keeps one canonical member per cluster exactly like
+    * the text side's [[Corpus.corpusFilter]]. Scale shape = the edge
+    * relation's (per-bucket kernels, one shuffle) + the subgraph
+    * fixpoint (duplicate pairs only, never the corpus). */
+  def embeddingDupClusters(emb: DataFrame, threshold: Double = 0.45,
+      maxIter: Int = 20): DataFrame =
+    memoPersist(emb, s"embClusters:$threshold:$maxIter")(e =>
+      componentLabels(e.select(col("vec_id")), "vec_id",
+        embeddingNearDupsLsh(e, threshold)
+          .select(col("vec_a").as("a"), col("vec_b").as("b")),
+        maxIter))
 
   /** Output row of the blocked near-dup kernel. */
   final case class NearDupPair(vec_a: Long, vec_b: Long, cos_sim: Double)
@@ -867,7 +893,11 @@ object Dedup {
   def qEmbedNearDupsLsh(s: SparkSession, d: String): DataFrame =
     embeddingNearDupsLsh(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")
 
-  val qEmbedNearDupsLshSql: String = {
+  /** CTE fragment replaying the whole LSH near-dup route in DuckDB —
+    * `b` (per-table buckets from the identical md5-derived
+    * hyperplanes), `cand` (bucket collisions), `epairs` (the exact
+    * cosine verify ≥ 0.45). Shared by q58 and q61's closure. */
+  private[operators] val embedLshCtesSql: String = {
     def bucketExpr(t: Int): String = (0 until NearDupLshPlanes).map { p =>
       val plane = NearDupLshPlaneBase + t * NearDupLshPlanes + p
       s"""CASE WHEN list_sum(list_transform(range(0, 64), i ->
@@ -877,16 +907,41 @@ object Dedup {
     val tableRows = (0 until NearDupLshTables)
       .map(t => s"SELECT vec_id, $t AS t, ${bucketExpr(t)} AS bucket FROM embeddings")
       .mkString("\nUNION ALL\n")
-    s"""WITH b AS (
+    s"""b AS (
        |$tableRows),
        |cand AS (
        |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
-       |  FROM b l JOIN b r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
-       |SELECT vec_a, vec_b,
-       |       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
-       |FROM cand JOIN embeddings a ON cand.vec_a = a.vec_id
-       |          JOIN embeddings b ON cand.vec_b = b.vec_id
-       |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |  FROM b l JOIN b r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |epairs AS (
+       |  SELECT vec_a, vec_b,
+       |         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+       |  FROM cand JOIN embeddings a ON cand.vec_a = a.vec_id
+       |            JOIN embeddings b ON cand.vec_b = b.vec_id
+       |  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45)""".stripMargin
   }
+
+  val qEmbedNearDupsLshSql: String =
+    s"""WITH $embedLshCtesSql
+       |SELECT vec_a, vec_b, cos_sim FROM epairs ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q61 — semantic-dedup clustering over the LSH near-dup graph. */
+  def qEmbedClusters(s: SparkSession, d: String): DataFrame =
+    embeddingDupClusters(Tables.embeddings(s, d)).orderBy("vec_id")
+
+  /** Transitive closure as a recursive CTE over the SAME LSH-routed
+    * edge relation the Spark side clusters — the q37 pattern on the
+    * vector side, so the whole chain hash-matches. */
+  val qEmbedClustersSql: String =
+    s"""WITH RECURSIVE $embedLshCtesSql,
+       |sym AS (SELECT vec_a AS a, vec_b AS b FROM epairs
+       |        UNION SELECT vec_b, vec_a FROM epairs),
+       |reach(node, root) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node),
+       |lab AS (SELECT node AS vec_id, MIN(root) AS cluster_id
+       |        FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size
+       |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin
 }

@@ -231,6 +231,32 @@ class DedupSpec extends AnyFunSuite {
       s"candidates ($nCand) should be well under all-pairs (${n * (n - 1) / 2})")
   }
 
+  test("embedding dup clusters: planted twins pair up, everything else singleton") {
+    // same planted-dup construction as the recall test: 400 seeded base
+    // vectors + 20 high-cosine twins of base(j*7)
+    val rnd = new scala.util.Random(4242L)
+    val base = (0 until 400).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val planted = (0 until 20).map { j =>
+      val (_, v) = base(j * 7)
+      (1000L + j, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingDupClusters(emb, threshold = 0.8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 420)
+    (0 until 20).foreach { j =>
+      val src = (j * 7).toLong
+      assert(out(src) == ((src, 2L)), s"source $src: ${out(src)}")
+      assert(out(1000L + j) == ((src, 2L)), "twin labeled by min member id")
+    }
+    val paired = (0 until 20).flatMap(j => Seq((j * 7).toLong, 1000L + j)).toSet
+    out.foreach { case (id, (cid, size)) =>
+      if (!paired(id))
+        assert((cid, size) == ((id, 1L)), s"vector $id must be a singleton")
+    }
+  }
+
   test("fused LshBuckets expression == composable HOF formulation") {
     import org.apache.spark.sql.functions.{aggregate => agg_, _}
     val emb = graft.engine.Tables.embeddings(spark, sf).limit(100)
