@@ -68,6 +68,23 @@ class CheckpointSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("streaming dedup chain is policy-invariant (per-batch pin + release under Reliable)") {
+    // the q54 chain pins EVERY micro-batch via Checkpoints.pin and
+    // releases the admission delta after each durable commit — under
+    // Reliable that now includes deleting checkpoint FILES, so this
+    // end-to-end run proves a released pin is never read again and the
+    // chain's result is substrate-independent
+    val local = graft.streaming.DedupStream.qChainBucketed(spark, sf)
+      .collect().map(_.toString).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_chain").toString
+    val reliable = Checkpoints.withPolicy(CheckpointPolicy.Reliable(dir))(
+      graft.streaming.DedupStream.qChainBucketed(spark, sf)
+        .collect().map(_.toString).toSeq)
+    assert(local == reliable,
+      "chain results must be identical under Local and Reliable policies")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("clustering + incremental admission + ANN recall are policy-invariant") {
     val docs = graft.engine.Tables.documents(spark, sf)
     // exercises the fixpoint pins (Components), the verified-edge pin
