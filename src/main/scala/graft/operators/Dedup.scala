@@ -387,13 +387,20 @@ object Dedup {
     * CheckpointPolicy.Reliable to put the pins on shared storage. */
   private def componentLabels(universe: DataFrame, idCol: String,
       edgesLazy: DataFrame, maxIter: Int): DataFrame = {
-    val edges = {
-      val tk = edgesLazy.take(IncrementalDedup.KeyPushMax + 1)
-      if (tk.length <= IncrementalDedup.KeyPushMax)
+    // pin FIRST, then take: every edge relation here ends in a
+    // distinct() (a full shuffle), so a bare take(cap) computes the
+    // whole upstream anyway and the old take-then-pin order ran the
+    // verify pipeline TWICE whenever the edge set was over the cap
+    // (measured: ~2x the cold wall of the q61 edge relation at the 40k-
+    // vector scale point). Under the cap the pin is freed immediately.
+    val pinnedEdges = graft.Checkpoints.pin(edgesLazy)
+    val tk = pinnedEdges.take(IncrementalDedup.KeyPushMax + 1)
+    val edges =
+      if (tk.length <= IncrementalDedup.KeyPushMax) {
+        graft.Checkpoints.free(pinnedEdges)
         universe.sparkSession.createDataFrame(
           java.util.Arrays.asList(tk: _*), edgesLazy.schema)
-      else graft.Checkpoints.pin(edgesLazy)
-    }
+      } else pinnedEdges
     val comp = Components.connectedComponents(edges, maxRounds = maxIter)
     val labels = graft.Checkpoints.pin(universe
       .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
