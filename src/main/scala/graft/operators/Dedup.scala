@@ -485,42 +485,52 @@ object Dedup {
           .as("pair_id"))
       .as[(Long, Seq[Float], Int, Int)]
     exploded.groupByKey(_._4).flatMapGroups { (pid: Int, rows: Iterator[(Long, Seq[Float], Int, Int)]) =>
-      val i = pid / b
-      val j = pid % b
-      val aIds = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val aVec = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-      val bIds = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val bVec = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-      rows.foreach { case (id, v, blk, _) =>
-        if (blk == i) { aIds += id; aVec += v.toArray }
-        else { bIds += id; bVec += v.toArray }
-      }
-      val aN = aVec.map(nrm)
-      val bN = bVec.map(nrm)
-      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
-      if (i == j) {
-        var x = 0
-        while (x < aIds.length) {
-          var y = x + 1
-          while (y < aIds.length) {
-            emitNearDup(out, threshold, aIds(x), aVec(x), aN(x), aIds(y), aVec(y), aN(y))
-            y += 1
-          }
-          x += 1
-        }
-      } else {
-        var x = 0
-        while (x < aIds.length) {
-          var y = 0
-          while (y < bIds.length) {
-            emitNearDup(out, threshold, aIds(x), aVec(x), aN(x), bIds(y), bVec(y), bN(y))
-            y += 1
-          }
-          x += 1
-        }
-      }
-      out.iterator
+      blockPairKernel(pid / b, pid % b,
+        rows.map { case (id, v, blk, _) => (id, v, blk) }, threshold)
     }.toDF()
+  }
+
+  /** One grid cell (i, j) of a block-decomposed pair product: rows are
+    * (id, vec, blk) with blk ∈ {i, j}; diagonal cells (i == j) run the
+    * within-block upper triangle, off-diagonal cells the full A×B
+    * cross. Shared by [[embeddingNearDups]] and the hot-bucket sub-grid
+    * of [[embeddingNearDupsLsh]]. */
+  private def blockPairKernel(i: Int, j: Int,
+      rows: Iterator[(Long, Seq[Float], Int)],
+      threshold: Double): Iterator[NearDupPair] = {
+    val aIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val aVec = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val bIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bVec = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    rows.foreach { case (id, v, blk) =>
+      if (blk == i) { aIds += id; aVec += v.toArray }
+      else { bIds += id; bVec += v.toArray }
+    }
+    val aN = aVec.map(nrm)
+    val bN = bVec.map(nrm)
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+    if (i == j) {
+      var x = 0
+      while (x < aIds.length) {
+        var y = x + 1
+        while (y < aIds.length) {
+          emitNearDup(out, threshold, aIds(x), aVec(x), aN(x), aIds(y), aVec(y), aN(y))
+          y += 1
+        }
+        x += 1
+      }
+    } else {
+      var x = 0
+      while (x < aIds.length) {
+        var y = 0
+        while (y < bIds.length) {
+          emitNearDup(out, threshold, aIds(x), aVec(x), aN(x), bIds(y), bVec(y), bN(y))
+          y += 1
+        }
+        x += 1
+      }
+    }
+    out.iterator
   }
 
   private def nrm(v: Array[Float]): Double = {
@@ -614,9 +624,18 @@ object Dedup {
     * as [[embeddingNearDups]] WITHIN each bucket, and `distinct`s the
     * emitted above-threshold pairs across tables (pair scores are
     * deterministic, so the cross-table distinct is exact). Numerics are
-    * bit-identical to the exact kernel (shared [[emitNearDup]]). A hot
-    * bucket does occ² work in one task — the same banding-skew story as
-    * q13/q36 (AQE skew join / salting at fleet scale).
+    * bit-identical to the exact kernel (shared [[emitNearDup]]).
+    *
+    * Skew: a bucket's kernel does occ² work, and unlike the text
+    * bands' md5 keys, embedding buckets CAN run hot (a dup-heavy
+    * corpus concentrates a cluster in one bucket per table). Buckets
+    * over [[HotBucketKernelRows]] are detected by a cheap occupancy
+    * agg and automatically decomposed through a [[HotSubGridBlocks]]²
+    * block grid WITHIN the bucket — an exact, lossless spread of the
+    * same pair product across tasks (spec-pinned row identity on a
+    * one-hot-bucket fixture), the group-kernel analog of
+    * [[Skew.saltGridSides]]. The hot branch costs nothing when no
+    * bucket is hot (empty broadcast marker).
     *
     * Semantics: a SUBSET of [[embeddingNearDups]] (spec-pinned) — every
     * emitted pair is a true ≥-threshold pair (the verify is exact), but a
@@ -634,36 +653,59 @@ object Dedup {
     * (clustered mass, not near-orthogonal noise) buckets separate dup
     * groups from the bulk, which is where the route's asymptotic win
     * lives. */
+  /** Bucket occupancy above which [[embeddingNearDupsLsh]] decomposes
+    * the bucket's pair kernel across a block grid — aligned with the
+    * exact kernel's ~4k-vectors-per-block task sizing. */
+  val HotBucketKernelRows = 4096
+
+  /** Side length of the within-bucket sub-grid for hot buckets:
+    * 16² = 256 cells per hot bucket, each ≤ (occ/16)² pair work. */
+  val HotSubGridBlocks = 16
+
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = 0.45,
       nTables: Int = NearDupLshTables,
-      planes: Int = NearDupLshPlanes): DataFrame = {
+      planes: Int = NearDupLshPlanes,
+      maxBucket: Int = HotBucketKernelRows): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bucketed = emb
-      .select(col("vec_id").cast("long"), col("embedding"), posexplode(
-        graft.functions.LshFns.lshBuckets(col("embedding"),
-          nearDupPlaneWeights(nTables, planes), planes)))
-      .select(col("vec_id"), col("embedding"),
-        (col("pos").cast("long") * (1L << planes) + col("col")).as("grp"))
+    // memoized: the occupancy agg, the cold kernel, and the hot branch
+    // all consume this relation — unmemoized, each would re-run the
+    // bucketing pass over the corpus (measured 2x the route's wall)
+    val bucketed = memoPersist(emb, s"ndBuckets:$nTables:$planes")(e =>
+      e.select(col("vec_id").cast("long"), col("embedding"), posexplode(
+          graft.functions.LshFns.lshBuckets(col("embedding"),
+            nearDupPlaneWeights(nTables, planes), planes)))
+        .select(col("vec_id"), col("embedding"),
+          (col("pos").cast("long") * (1L << planes) + col("col")).as("grp")))
+    // hot-bucket detection: a narrow-key count; the hot id set is
+    // broadcast as a marker (usually empty)
+    val hot = bucketed.groupBy("grp").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select(col("grp"), lit(true).as("hot"))
+    val marked = bucketed.join(broadcast(hot), Seq("grp"), "left")
+    val coldPairs = marked.filter(col("hot").isNull)
+      .select(col("vec_id"), col("embedding"), col("grp"))
       .as[(Long, Seq[Float], Long)]
-    bucketed.groupByKey(_._3).flatMapGroups { (_, rows) =>
-      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-      rows.foreach { case (id, v, _) => ids += id; vecs += v.toArray }
-      val ns = vecs.map(nrm)
-      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
-      var x = 0
-      while (x < ids.length) {
-        var y = x + 1
-        while (y < ids.length) {
-          emitNearDup(out, threshold,
-            ids(x), vecs(x), ns(x), ids(y), vecs(y), ns(y))
-          y += 1
-        }
-        x += 1
-      }
-      out.iterator
-    }.toDF().distinct()
+      .groupByKey(_._3).flatMapGroups { (_, rows) =>
+        // whole bucket in one cell: diagonal kernel over a single block
+        blockPairKernel(0, 0,
+          rows.map { case (id, v, _) => (id, v, 0) }, threshold)
+      }.toDF()
+    val hb = HotSubGridBlocks
+    val hotPairs = marked.filter(col("hot").isNotNull)
+      .select(col("vec_id"), col("embedding"), col("grp"),
+        pmod(col("vec_id"), lit(hb)).cast("int").as("blk"))
+      .select(col("vec_id"), col("embedding"), col("grp"), col("blk"),
+        explode(expr(
+          s"transform(sequence(0, ${hb - 1}), p -> int(if(p < blk, p * $hb + blk, blk * $hb + p)))"))
+          .as("pid"))
+      .as[(Long, Seq[Float], Long, Int, Int)]
+      .groupByKey(r => (r._3, r._5))
+      .flatMapGroups { (key: (Long, Int), rows: Iterator[(Long, Seq[Float], Long, Int, Int)]) =>
+        blockPairKernel(key._2 / hb, key._2 % hb,
+          rows.map { case (id, v, _, blk, _) => (id, v, blk) }, threshold)
+      }.toDF()
+    coldPairs.unionByName(hotPairs).distinct()
   }
 
   /** Default exact-kernel bound for [[embeddingNearDupsAuto]]: up to this

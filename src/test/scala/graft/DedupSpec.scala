@@ -231,6 +231,26 @@ class DedupSpec extends AnyFunSuite {
       s"candidates ($nCand) should be well under all-pairs (${n * (n - 1) / 2})")
   }
 
+  test("LSH near-dup hot-bucket sub-grid is an exact decomposition") {
+    // one-direction cluster: 300 vectors around a single direction all
+    // land in the SAME bucket of every table — the hot shape the
+    // sub-grid exists for — plus 100 background vectors
+    val rnd = new scala.util.Random(99L)
+    val dir = Array.fill(64)(rnd.nextGaussian())
+    val emb = ((0 until 300).map(i =>
+      (i.toLong, dir.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat))) ++
+      (300 until 400).map(i =>
+        (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    def pairs(maxBucket: Int) =
+      Dedup.embeddingNearDupsLsh(emb, threshold = 0.8, maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cold = pairs(Int.MaxValue) // pure per-bucket kernel
+    val hotRouted = pairs(64)      // the 300-vector buckets go through the sub-grid
+    assert(cold.nonEmpty, "hot fixture produced no near-dup pairs")
+    assert(hotRouted == cold, "sub-grid must be row-identical to the plain kernel")
+  }
+
   test("embedding dup clusters: planted twins pair up, everything else singleton") {
     // same planted-dup construction as the recall test: 400 seeded base
     // vectors + 20 high-cosine twins of base(j*7)
