@@ -81,6 +81,7 @@ object SparkEntry {
     "q59_ann_ivfpq_learned" -> (Similarity.qAnnIvfPqLearned _),
     "q60_ann_refined"   -> (Similarity.qAnnRefined _),
     "q61_embed_clusters" -> (Dedup.qEmbedClusters _),
+    "q62_incr_embed_dedup" -> (graft.operators.EmbeddingIncremental.qIncremental _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -164,5 +165,8 @@ object SparkEntry {
     // q61 closes q58's pair relation into components via the q37
     // recursive-CTE pattern — the whole chain stays hash-replayable
     "q61_embed_clusters" -> Dedup.qEmbedClustersSql,
+    // q62 shares q61's oracle VERBATIM: incremental admission over the
+    // 80/20 split must equal the batch clustering of the full corpus
+    "q62_incr_embed_dedup" -> graft.operators.EmbeddingIncremental.qIncrementalSql,
   )
 }

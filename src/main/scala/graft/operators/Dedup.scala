@@ -539,6 +539,37 @@ object Dedup {
     math.sqrt(s)
   }
 
+  /** Within-bucket pair kernel for the INCREMENTAL probe
+    * ([[EmbeddingIncremental.admitBatch]]): all pairs with at least one
+    * NEW endpoint — old-old pairs were verified when the old vectors
+    * were admitted, so the kernel never recomputes them. Same fused
+    * numerics ([[emitNearDup]]) as the batch route. */
+  private[operators] def newPairKernel(rows: Iterator[(Long, Seq[Float], Boolean)],
+      threshold: Double): Iterator[NearDupPair] = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val isNew = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    rows.foreach { case (id, v, n) => ids += id; vecs += v.toArray; isNew += n }
+    val ns = vecs.map(nrm)
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+    var x = 0
+    while (x < ids.length) {
+      var y = x + 1
+      while (y < ids.length) {
+        if (isNew(x) || isNew(y))
+          emitNearDup(out, threshold, ids(x), vecs(x), ns(x), ids(y), vecs(y), ns(y))
+        y += 1
+      }
+      x += 1
+    }
+    out.iterator
+  }
+
+  /** The default near-dup plane-weight grid, shared with the
+    * incremental probe so its candidates match the batch route. */
+  private[operators] def nearDupLshWeights: Seq[Seq[Double]] =
+    nearDupPlaneWeights(NearDupLshTables, NearDupLshPlanes)
+
   /** The shared exact-verify kernel of [[embeddingNearDups]] and
     * [[embeddingNearDupsLsh]]: fused double-accumulated dot in index
     * order, cosine = dot/(||a||·||b||), HALF_UP 4dp round like Spark's

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Persisted-corpus semantic-dedup state for EMBEDDINGS — the vector
+  * analog of [[IncrementalDedup]]: a corpus's near-dup clusters are
+  * computed once ([[initialState]]), then each day's new vectors are
+  * admitted against the state ([[admitBatch]]) without ever re-reading
+  * or re-pairing the old corpus beyond the LSH buckets the batch
+  * touches.
+  *
+  * Why the admission algebra is exact (the q62 oracle shares q61's SQL
+  * verbatim): bucket membership is a per-vector deterministic function,
+  * so the LSH candidate relation of the full corpus decomposes over
+  * admissions — old-old pairs were candidates when the old vectors were
+  * admitted, and every pair involving a new vector shares one of the
+  * batch's buckets. Verify is the same fused kernel at the same
+  * threshold, and the contracted component fixpoint preserves min
+  * labels (every old representative is the MIN vec_id of its members,
+  * so min-over-contracted-nodes equals min-over-all-members — the
+  * [[IncrementalDedup]] theorem). Incremental-over-any-split therefore
+  * equals the batch [[Dedup.embeddingDupClusters]], which the driver
+  * oracle pins by hash.
+  *
+  * Scale shape per admission: bucket the batch (narrow), probe ONLY the
+  * touched (table, bucket) groups of the stored bucket relation (a
+  * semi-join here; partition pruning on a persisted `grp=`-partitioned
+  * store, exactly like [[graft.streaming.DedupStream]]'s bucketed
+  * tiers), kernel-verify batch×(stored∪batch) within those groups
+  * (old-old pairs are skipped in the kernel — they were already
+  * admitted), then contract through the labels relation (streamed via a
+  * broadcast lookup, never shuffled) and run the component fixpoint on
+  * the frontier subgraph only. State growth per admission is O(batch):
+  * the bucket log appends the batch's rows, labels append the batch's
+  * assignments, and only merged clusters relabel.
+  *
+  * PRECONDITION (as [[IncrementalDedup.admitBatch]]): batch vec_ids are
+  * NEW — disjoint from the state's. Content-duplicate re-embeddings
+  * under fresh ids are fine; that is the near-dup case this clusters. */
+final case class EmbedDedupState(labels: DataFrame, sizes: DataFrame,
+                                 buckets: DataFrame)
+
+object EmbeddingIncremental {
+
+  /** (grp, vec_id, embedding) — one row per vector per LSH table, the
+    * probe-able bucket relation ([[Dedup.embeddingNearDupsLsh]]'s grid,
+    * same plane family so candidates match the batch route exactly). */
+  private def bucketRows(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").cast("long"), col("embedding"), posexplode(
+        graft.functions.LshFns.lshBuckets(col("embedding"),
+          Dedup.nearDupLshWeights, Dedup.NearDupLshPlanes)))
+      .select(
+        (col("pos").cast("long") * (1L << Dedup.NearDupLshPlanes) + col("col"))
+          .as("grp"),
+        col("vec_id"), col("embedding"))
+
+  def initialState(emb: DataFrame, threshold: Double = 0.45): EmbedDedupState = {
+    val lab = Dedup.embeddingDupClusters(emb, threshold)
+    EmbedDedupState(
+      labels = lab.select(col("vec_id"), col("cluster_id")),
+      sizes = lab.select(col("cluster_id"), col("cluster_size")).distinct(),
+      buckets = bucketRows(emb))
+  }
+
+  /** Admit one batch of new vectors; returns the grown state. New
+    * edges may MERGE existing clusters (a new vector bridging two old
+    * clusters relabels the higher-labeled one via the remap join). */
+  def admitBatch(state: EmbedDedupState, newVecs: DataFrame,
+      threshold: Double = 0.45): EmbedDedupState = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val newBucketRows = bucketRows(newVecs)
+    // probe: stored rows in TOUCHED groups only — the persisted-store
+    // analog is partition pruning on grp=
+    val touched = newBucketRows.select(col("grp")).distinct()
+    val stored = state.buckets.join(touched, Seq("grp"), "left_semi")
+    // per-group kernel over stored∪batch rows, skipping old-old pairs
+    // (already admitted); the same fused numerics as the batch route
+    val tagged = stored.withColumn("is_new", lit(false))
+      .unionByName(newBucketRows.withColumn("is_new", lit(true)))
+      .select(col("grp"), col("vec_id"), col("embedding"), col("is_new"))
+      .as[(Long, Long, Seq[Float], Boolean)]
+    val edgesLazy = tagged.groupByKey(_._1).flatMapGroups { (_, rows) =>
+      Dedup.newPairKernel(rows.map { case (_, id, v, isNew) => (id, v, isNew) },
+        threshold)
+    }.toDF().select(col("vec_a").as("a"), col("vec_b").as("b")).distinct()
+    val edges = graft.Checkpoints.pin(edgesLazy)
+
+    // contract endpoints through the persisted labels: old vectors
+    // collapse to their cluster representative, new vectors stand for
+    // themselves. labels streams through a broadcast lookup
+    // ([[IncrementalDedup.repLookup]]) — read once, never shuffled.
+    val endpoints = edges.select(col("a").as("doc_id"))
+      .union(edges.select(col("b").as("doc_id"))).distinct()
+    val reps = graft.Checkpoints.pin(IncrementalDedup.repLookup(
+      state.labels.select(col("vec_id").as("doc_id"), col("cluster_id")),
+      endpoints))
+    val contracted = edges
+      .join(reps.select(col("doc_id").as("a"), col("cluster_id").as("rep_a")),
+        Seq("a"), "left")
+      .join(reps.select(col("doc_id").as("b"), col("cluster_id").as("rep_b")),
+        Seq("b"), "left")
+      .select(coalesce(col("rep_a"), col("a")).as("a"),
+        coalesce(col("rep_b"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val comp = graft.Checkpoints.pin(
+      Components.connectedComponents(graft.Checkpoints.pin(contracted)))
+    Seq(edges, reps).foreach(graft.Checkpoints.free)
+
+    val newAssign = newVecs.select(col("vec_id"))
+      .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+    // comp rows keyed by new vec ids never match an old cluster_id
+    // (new-ids precondition), so no filter is needed
+    val remap = comp.select(col("node").as("cluster_id"),
+      col("component").as("merged"))
+
+    val oldRelabeled = state.labels
+      .join(broadcast(remap), Seq("cluster_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("merged"), col("cluster_id")).as("cluster_id"))
+    val newCounts = newAssign.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("delta"))
+    val untouched = state.sizes
+      .join(broadcast(remap.select(col("cluster_id"))), Seq("cluster_id"),
+        "left_anti")
+    val touchedSizes = state.sizes.join(broadcast(remap), Seq("cluster_id"))
+      .select(col("merged").as("cluster_id"), col("cluster_size").as("delta"))
+      .union(newCounts)
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("delta")).as("cluster_size"))
+
+    EmbedDedupState(
+      labels = oldRelabeled.union(newAssign),
+      sizes = untouched.union(touchedSizes),
+      buckets = state.buckets.union(newBucketRows))
+  }
+
+  /** (vec_id, cluster_id, cluster_size) — the batch
+    * [[Dedup.embeddingDupClusters]] output shape, from a state. */
+  def labelsWithSizes(state: EmbedDedupState): DataFrame =
+    state.labels.join(state.sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
+
+  // ---- SparkEntry wiring -------------------------------------------------
+
+  /** q62: day-1 corpus = vec_id % 5 != 0, day-2 drop = vec_id % 5 == 0 —
+    * the q51 split shape, scattering near-dup endpoints across both days
+    * so the admission exercises new-joins-old, old-merges, and new
+    * singletons. The oracle is q61's full-corpus closure VERBATIM:
+    * equality proves the admission algebra decomposes the batch
+    * clustering exactly. */
+  def qIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val st0 = initialState(emb.filter(col("vec_id") % 5 =!= 0))
+    val st1 = admitBatch(st0, emb.filter(col("vec_id") % 5 === 0))
+    labelsWithSizes(st1).orderBy("vec_id")
+  }
+
+  val qIncrementalSql: String = Dedup.qEmbedClustersSql
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, EmbeddingIncremental}
+
+class EmbeddingIncrementalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("chained admissions equal the batch clustering (3-way split)") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val batchTruth = rows(Dedup.embeddingDupClusters(emb))
+    var st = EmbeddingIncremental.initialState(emb.filter(col("vec_id") % 3 === 0))
+    st = EmbeddingIncremental.admitBatch(st, emb.filter(col("vec_id") % 3 === 1))
+    st = EmbeddingIncremental.admitBatch(st, emb.filter(col("vec_id") % 3 === 2))
+    assert(rows(EmbeddingIncremental.labelsWithSizes(st)) == batchTruth,
+      "3-day chain must equal the one-shot clustering")
+  }
+
+  test("a new vector bridging two old clusters merges them under the min label") {
+    def unit(theta: Double): Array[Float] = {
+      val v = Array.fill(64)(0f)
+      v(0) = math.cos(theta).toFloat; v(1) = math.sin(theta).toFloat; v
+    }
+    val rad40 = math.toRadians(40) // cos 0.766 < 0.8: a-b NOT near-dups
+    val rad20 = math.toRadians(20) // cos 0.94 >= 0.8 to both: c bridges
+    val rnd = new scala.util.Random(5L)
+    val day1 = (Seq((10L, unit(0)), (20L, unit(rad40))) ++
+      (30 until 50).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val st0 = EmbeddingIncremental.initialState(day1, threshold = 0.8)
+    val before = rows(EmbeddingIncremental.labelsWithSizes(st0))
+    assert(before(10L) == ((10L, 1L)) && before(20L) == ((20L, 1L)),
+      "the two directions must start as separate singletons")
+    val st1 = EmbeddingIncremental.admitBatch(st0,
+      Seq((100L, unit(rad20))).toDF("vec_id", "embedding"), threshold = 0.8)
+    val after = rows(EmbeddingIncremental.labelsWithSizes(st1))
+    assert(after(10L) == ((10L, 3L)) && after(20L) == ((10L, 3L)) &&
+      after(100L) == ((10L, 3L)),
+      s"bridge must merge both old clusters under the min label: $after")
+    // background vectors untouched
+    (30L until 50L).foreach(i => assert(after(i) == ((i, 1L))))
+  }
+
+  test("a batch colliding with nothing self-assigns as singletons") {
+    val rnd = new scala.util.Random(6L)
+    val day1 = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val st0 = EmbeddingIncremental.initialState(day1, threshold = 0.95)
+    val batch = (100 until 105).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val st1 = EmbeddingIncremental.admitBatch(st0, batch, threshold = 0.95)
+    val after = rows(EmbeddingIncremental.labelsWithSizes(st1))
+    assert(after.size == 35)
+    (100L until 105L).foreach(i => assert(after(i) == ((i, 1L))))
+  }
+}
