@@ -72,10 +72,16 @@ object EmbeddingIncremental {
     val spark = newVecs.sparkSession
     import spark.implicits._
     val newBucketRows = bucketRows(newVecs)
-    // probe: stored rows in TOUCHED groups only — the persisted-store
-    // analog is partition pruning on grp=
-    val touched = newBucketRows.select(col("grp")).distinct()
-    val stored = state.buckets.join(touched, Seq("grp"), "left_semi")
+    // probe: stored rows in TOUCHED groups only. The touched grp set is
+    // collected driver-side — BOUNDED at nTables·2^planes = 4096 values
+    // by construction, so this is K-row material like the ANN centroid
+    // collects — and pushed as an IN literal filter: over an in-memory
+    // state it's a narrow filter (no shuffle, unlike a semi-join); over
+    // the persisted `grp=`-partitioned bucket log ([[admitDrop]]) it
+    // statically prunes to the touched partition directories.
+    val touchedGrps: Seq[Long] = newBucketRows.select(col("grp")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val stored = state.buckets.filter(col("grp").isin(touchedGrps: _*))
     // per-group kernel over stored∪batch rows, skipping old-old pairs
     // (already admitted); the same fused numerics as the batch route
     val tagged = stored.withColumn("is_new", lit(false))
@@ -137,7 +143,9 @@ object EmbeddingIncremental {
     EmbedDedupState(
       labels = oldRelabeled.union(newAssign),
       sizes = untouched.union(touchedSizes),
-      buckets = state.buckets.union(newBucketRows))
+      // by NAME: a loaded bucket log reads as (vec_id, embedding, grp)
+      // while fresh bucket rows are (grp, vec_id, embedding)
+      buckets = state.buckets.unionByName(newBucketRows))
   }
 
   /** (vec_id, cluster_id, cluster_size) — the batch
@@ -145,6 +153,73 @@ object EmbeddingIncremental {
   def labelsWithSizes(state: EmbedDedupState): DataFrame =
     state.labels.join(state.sizes, "cluster_id")
       .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
+
+  // ---- persisted store ---------------------------------------------------
+
+  /** On-disk layout (the [[VersionedIndex]] protocol — atomic CURRENT
+    * pointer, manifest-listed segments, crashed commits invisible):
+    *
+    * {{{
+    * dir/
+    *   CURRENT                     # committed version
+    *   v$N/MANIFEST  v$N/labels/  v$N/sizes/
+    *   buckets/seg=$M/grp=.../    # append-only bucket log
+    * }}}
+    *
+    * The bucket log appends ONE segment per admission, partitioned by
+    * `grp` (≤ 4096 dirs — nTables·2^planes), so [[admitBatch]]'s IN
+    * filter statically prunes each probe to the touched directories
+    * (spec-pinned via PartitionFilters). labels/sizes are rewritten per
+    * commit — the v1 trade, O(corpus) bytes per admission but ONE
+    * narrow write with no shuffle; the deployment upgrade is the text
+    * side's copy-on-write bucketed label tiers
+    * ([[graft.streaming.DedupStream]]), which rewrite only touched
+    * label buckets per day (measured O(batch+touched) there). */
+  def saveState(state: EmbedDedupState, dir: String): Unit = {
+    // fresh-store bootstrap only: a resave would append the FULL bucket
+    // relation as a duplicate segment next to the ones it already holds
+    require(VersionedIndex.currentVersion(dir).isEmpty,
+      s"$dir already holds a committed state — grow it with admitDrop")
+    state.buckets.write.mode("overwrite").partitionBy("grp")
+      .parquet(s"$dir/buckets/seg=0")
+    state.labels.write.mode("overwrite").parquet(s"$dir/v0/labels")
+    state.sizes.write.mode("overwrite").parquet(s"$dir/v0/sizes")
+    val rows = state.labels.sparkSession.read
+      .parquet(s"$dir/v0/labels").count()
+    VersionedIndex.commit(dir, 0, trainedRows = rows, totalRows = rows,
+      segs = Vector(0L), logs = Seq("buckets"))
+  }
+
+  def loadState(spark: SparkSession, dir: String): Option[EmbedDedupState] =
+    VersionedIndex.meta(dir).map { m =>
+      EmbedDedupState(
+        labels = spark.read.parquet(s"$dir/v${m.version}/labels"),
+        sizes = spark.read.parquet(s"$dir/v${m.version}/sizes"),
+        buckets = VersionedIndex.readLog(spark, dir, "buckets", m.segs,
+          "vec_id BIGINT, embedding ARRAY<FLOAT>", partitionDdl = "grp BIGINT"))
+    }
+
+  /** Admit a batch against the PERSISTED state at `dir` and commit the
+    * grown state as the next version: the batch's bucket rows land as
+    * their own `buckets/seg=$N` (O(batch) write), labels/sizes are
+    * rewritten (see [[saveState]]'s note), and the CURRENT pointer
+    * moves atomically — a crashed admission publishes nothing and the
+    * retry overwrites its partial segment. */
+  def admitDrop(spark: SparkSession, dir: String, newVecs: DataFrame,
+      threshold: Double = 0.45): Unit = {
+    val st0 = loadState(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir holds no committed embedding-dedup state — saveState first"))
+    val m = VersionedIndex.metaOrThrow(dir)
+    val st1 = admitBatch(st0, newVecs, threshold)
+    val next = m.version + 1
+    bucketRows(newVecs).write.mode("overwrite").partitionBy("grp")
+      .parquet(s"$dir/buckets/seg=$next")
+    st1.labels.write.mode("overwrite").parquet(s"$dir/v$next/labels")
+    st1.sizes.write.mode("overwrite").parquet(s"$dir/v$next/sizes")
+    val rows = spark.read.parquet(s"$dir/v$next/labels").count()
+    VersionedIndex.commit(dir, next, trainedRows = rows, totalRows = rows,
+      segs = m.segs :+ next, logs = Seq("buckets"))
+  }
 
   // ---- SparkEntry wiring -------------------------------------------------
 

@@ -46,6 +46,32 @@ class EmbeddingIncrementalSpec extends AnyFunSuite {
     (30L until 50L).foreach(i => assert(after(i) == ((i, 1L))))
   }
 
+  test("persisted store: save/admit/load chain equals one-shot; probe prunes grp= partitions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val batchTruth = rows(Dedup.embeddingDupClusters(emb))
+    val dir = java.nio.file.Files.createTempDirectory("embstate").toString
+    EmbeddingIncremental.saveState(
+      EmbeddingIncremental.initialState(emb.filter(col("vec_id") % 3 === 0)), dir)
+    EmbeddingIncremental.admitDrop(spark, dir, emb.filter(col("vec_id") % 3 === 1))
+    EmbeddingIncremental.admitDrop(spark, dir, emb.filter(col("vec_id") % 3 === 2))
+    val grown = EmbeddingIncremental.loadState(spark, dir).get
+    assert(rows(EmbeddingIncremental.labelsWithSizes(grown)) == batchTruth,
+      "persisted 3-day chain must equal the one-shot clustering")
+    // a fresh save over a committed store must refuse (duplicate segs)
+    intercept[IllegalArgumentException] {
+      EmbeddingIncremental.saveState(grown, dir)
+    }
+    // the probe's IN filter must prune the grp= partition directories of
+    // the persisted bucket log, not scan the whole relation
+    val pruned = grown.buckets.filter(col("grp").isin(0L, 1L, 2L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("grp"),
+      s"expected a grp partition filter in:\n$plan")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("a batch colliding with nothing self-assigns as singletons") {
     val rnd = new scala.util.Random(6L)
     val day1 = (0 until 30).map(i =>
