@@ -81,7 +81,17 @@ object EmbeddingIncremental {
     // statically prunes to the touched partition directories.
     val touchedGrps: Seq[Long] = newBucketRows.select(col("grp")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val stored = state.buckets.filter(col("grp").isin(touchedGrps: _*))
+    val storedAll = state.buckets
+    // loaded states carry the coarse grpb PARTITION column: its IN
+    // filter prunes directories statically; the grp IN filter then
+    // prunes row groups via min/max stats on the sorted grp column
+    val storedPruned =
+      if (storedAll.columns.contains("grpb"))
+        storedAll.filter(col("grpb").isin(
+          touchedGrps.map(_ % EmbStateBuckets).distinct: _*))
+      else storedAll
+    val stored = storedPruned.filter(col("grp").isin(touchedGrps: _*))
+      .select(col("grp"), col("vec_id"), col("embedding"))
     // per-group kernel over stored∪batch rows, skipping old-old pairs
     // (already admitted); the same fused numerics as the batch route
     val tagged = stored.withColumn("is_new", lit(false))
@@ -143,9 +153,10 @@ object EmbeddingIncremental {
     EmbedDedupState(
       labels = oldRelabeled.union(newAssign),
       sizes = untouched.union(touchedSizes),
-      // by NAME: a loaded bucket log reads as (vec_id, embedding, grp)
-      // while fresh bucket rows are (grp, vec_id, embedding)
-      buckets = state.buckets.unionByName(newBucketRows))
+      // normalized projection: a loaded log carries the extra grpb
+      // partition column and its own column order
+      buckets = state.buckets.select(col("grp"), col("vec_id"), col("embedding"))
+        .unionByName(newBucketRows))
   }
 
   /** (vec_id, cluster_id, cluster_size) — the batch
@@ -156,6 +167,26 @@ object EmbeddingIncremental {
 
   // ---- persisted store ---------------------------------------------------
 
+  /** Coarse partition count of the persisted bucket log: `grpb =
+    * grp % EmbStateBuckets` is the partition column, `grp` a sorted
+    * data column inside each file. Partitioning by raw `grp` (≤ 4096
+    * values) was measured unusable: every 100-vector admission wrote
+    * ~1600 one-row files (one per touched grp dir), the per-admission
+    * wall started at 17 s of filesystem churn and grew ~2 s/day from
+    * partition-listing alone (ChainProbe E, first cut). 64 coarse
+    * buckets keep writes to a few files per segment while the probe
+    * still prunes: touched-grpb partition dirs statically, then
+    * row-group min/max stats on the SORTED grp column inside them —
+    * the same two-level pruning as the text side's bucketed tiers. */
+  val EmbStateBuckets = 64
+
+  private def writeBucketSeg(rows: DataFrame, path: String): Unit =
+    rows.select(col("grp"), col("vec_id"), col("embedding"))
+      .withColumn("grpb", pmod(col("grp"), lit(EmbStateBuckets)).cast("int"))
+      .repartition(col("grpb"))
+      .sortWithinPartitions(col("grpb"), col("grp"))
+      .write.mode("overwrite").partitionBy("grpb").parquet(path)
+
   /** On-disk layout (the [[VersionedIndex]] protocol — atomic CURRENT
     * pointer, manifest-listed segments, crashed commits invisible):
     *
@@ -163,25 +194,25 @@ object EmbeddingIncremental {
     * dir/
     *   CURRENT                     # committed version
     *   v$N/MANIFEST  v$N/labels/  v$N/sizes/
-    *   buckets/seg=$M/grp=.../    # append-only bucket log
+    *   buckets/seg=$M/grpb=.../   # append-only bucket log
     * }}}
     *
-    * The bucket log appends ONE segment per admission, partitioned by
-    * `grp` (≤ 4096 dirs — nTables·2^planes), so [[admitBatch]]'s IN
-    * filter statically prunes each probe to the touched directories
-    * (spec-pinned via PartitionFilters). labels/sizes are rewritten per
-    * commit — the v1 trade, O(corpus) bytes per admission but ONE
-    * narrow write with no shuffle; the deployment upgrade is the text
-    * side's copy-on-write bucketed label tiers
-    * ([[graft.streaming.DedupStream]]), which rewrite only touched
-    * label buckets per day (measured O(batch+touched) there). */
+    * The bucket log appends ONE segment per admission; past
+    * `maxLiveSegments` the commit FOLDS the grown relation into a
+    * single segment (an O(corpus) rewrite every K days — amortized
+    * O(corpus/K), bounding the listing and read fan-in exactly like
+    * [[graft.streaming.DedupStream]]'s folds). labels/sizes are
+    * rewritten per commit — the v1 trade, O(corpus) bytes per
+    * admission but ONE narrow write with no shuffle; the deployment
+    * upgrade is the text side's copy-on-write bucketed label tiers,
+    * which rewrite only touched label buckets per day (measured
+    * O(batch+touched) there). */
   def saveState(state: EmbedDedupState, dir: String): Unit = {
     // fresh-store bootstrap only: a resave would append the FULL bucket
     // relation as a duplicate segment next to the ones it already holds
     require(VersionedIndex.currentVersion(dir).isEmpty,
       s"$dir already holds a committed state — grow it with admitDrop")
-    state.buckets.write.mode("overwrite").partitionBy("grp")
-      .parquet(s"$dir/buckets/seg=0")
+    writeBucketSeg(state.buckets, s"$dir/buckets/seg=0")
     state.labels.write.mode("overwrite").parquet(s"$dir/v0/labels")
     state.sizes.write.mode("overwrite").parquet(s"$dir/v0/sizes")
     val rows = state.labels.sparkSession.read
@@ -196,29 +227,38 @@ object EmbeddingIncremental {
         labels = spark.read.parquet(s"$dir/v${m.version}/labels"),
         sizes = spark.read.parquet(s"$dir/v${m.version}/sizes"),
         buckets = VersionedIndex.readLog(spark, dir, "buckets", m.segs,
-          "vec_id BIGINT, embedding ARRAY<FLOAT>", partitionDdl = "grp BIGINT"))
+          "grp BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>",
+          partitionDdl = "grpb INT"))
     }
 
   /** Admit a batch against the PERSISTED state at `dir` and commit the
     * grown state as the next version: the batch's bucket rows land as
-    * their own `buckets/seg=$N` (O(batch) write), labels/sizes are
-    * rewritten (see [[saveState]]'s note), and the CURRENT pointer
-    * moves atomically — a crashed admission publishes nothing and the
-    * retry overwrites its partial segment. */
+    * their own `buckets/seg=$N` (O(batch) write; a fold commit every
+    * `maxLiveSegments` admissions — see [[saveState]]'s note),
+    * labels/sizes are rewritten, and the CURRENT pointer moves
+    * atomically — a crashed admission publishes nothing and the retry
+    * overwrites its partial segment. */
   def admitDrop(spark: SparkSession, dir: String, newVecs: DataFrame,
-      threshold: Double = 0.45): Unit = {
+      threshold: Double = 0.45, maxLiveSegments: Int = 16): Unit = {
     val st0 = loadState(spark, dir).getOrElse(throw new IllegalStateException(
       s"$dir holds no committed embedding-dedup state — saveState first"))
     val m = VersionedIndex.metaOrThrow(dir)
     val st1 = admitBatch(st0, newVecs, threshold)
     val next = m.version + 1
-    bucketRows(newVecs).write.mode("overwrite").partitionBy("grp")
-      .parquet(s"$dir/buckets/seg=$next")
+    val segs =
+      if (m.segs.size + 1 > maxLiveSegments) {
+        // fold: the whole grown bucket relation becomes one segment
+        writeBucketSeg(st1.buckets, s"$dir/buckets/seg=$next")
+        Vector(next)
+      } else {
+        writeBucketSeg(bucketRows(newVecs), s"$dir/buckets/seg=$next")
+        m.segs :+ next
+      }
     st1.labels.write.mode("overwrite").parquet(s"$dir/v$next/labels")
     st1.sizes.write.mode("overwrite").parquet(s"$dir/v$next/sizes")
     val rows = spark.read.parquet(s"$dir/v$next/labels").count()
     VersionedIndex.commit(dir, next, trainedRows = rows, totalRows = rows,
-      segs = m.segs :+ next, logs = Seq("buckets"))
+      segs = segs, logs = Seq("buckets"))
   }
 
   // ---- SparkEntry wiring -------------------------------------------------

@@ -89,9 +89,47 @@ object ChainProbe {
       case 'C' => chain("C", 100000, strip = true)
       case 'D' => labelsLookupAb(spark, docs)
       case 'L' => longChain(spark, docs)
+      case 'E' => embeddingChain(spark, sfDir)
       case _ => ()
     }
     spark.stop()
+  }
+
+  /** Variant E: 20 daily EMBEDDING admissions against the persisted
+    * store ([[graft.operators.EmbeddingIncremental.admitDrop]]) — the
+    * per-day cost evidence for the vector-side chain: wall/cpu per day
+    * plus the bucket-log bytes written (must stay O(batch)) and the
+    * labels rewrite bytes (the documented v1 O(corpus) term). */
+  private def embeddingChain(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.EmbeddingIncremental
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("embchain").toString
+    def dirMb(sub: String): Double = {
+      val f = new java.io.File(dir, sub)
+      if (f.isDirectory)
+        org.apache.commons.io.FileUtils.sizeOfDirectory(f) / 1048576.0
+      else 0.0
+    }
+    val nDays = 20
+    EmbeddingIncremental.saveState(
+      EmbeddingIncremental.initialState(emb.filter(col("vec_id") % nDays === 0)),
+      dir)
+    val days = (1 until nDays).map { d =>
+      val batch = graft.Checkpoints.pin(emb.filter(col("vec_id") % nDays === d))
+      val before = dirMb("buckets")
+      val w0 = System.nanoTime(); val c0 = cpuSec
+      EmbeddingIncremental.admitDrop(spark, dir, batch)
+      graft.operators.Dedup.clearShingleCaches()
+      val m = graft.operators.VersionedIndex.metaOrThrow(dir)
+      ((System.nanoTime() - w0) / 1e9, cpuSec - c0,
+        dirMb("buckets") - before, dirMb(s"v${m.version}/labels"))
+    }
+    println("[E] wall        " + days.map(d => f"${d._1}%.2f").mkString(" "))
+    println("[E] cpu         " + days.map(d => f"${d._2}%.2f").mkString(" "))
+    println("[E] bucketlog+mb " + days.map(d => f"${d._3}%.3f").mkString(" "))
+    println("[E] labels_mb   " + days.map(d => f"${d._4}%.3f").mkString(" "))
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    catch { case _: Exception => }
   }
 
   /** Variant L — see the header. Per (K, day): wall, cpu, Spark jobs,

@@ -63,12 +63,37 @@ class EmbeddingIncrementalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       EmbeddingIncremental.saveState(grown, dir)
     }
-    // the probe's IN filter must prune the grp= partition directories of
-    // the persisted bucket log, not scan the whole relation
-    val pruned = grown.buckets.filter(col("grp").isin(0L, 1L, 2L))
+    // two-level probe pruning over the persisted bucket log: the coarse
+    // grpb IN filter prunes partition DIRECTORIES statically, and the
+    // grp IN filter is pushed into the scan for row-group pruning on
+    // the sorted grp column
+    val pruned = grown.buckets
+      .filter(col("grpb").isin(0, 1) && col("grp").isin(0L, 64L))
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") && plan.contains("grp"),
-      s"expected a grp partition filter in:\n$plan")
+    assert(plan.contains("PartitionFilters: [") && plan.contains("grpb"),
+      s"expected a grpb partition filter in:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("In(grp"),
+      s"expected the grp IN filter pushed to the scan in:\n$plan")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("log folds past maxLiveSegments and the folded chain equals one-shot") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val batchTruth = rows(Dedup.embeddingDupClusters(emb))
+    val dir = java.nio.file.Files.createTempDirectory("embfold").toString
+    EmbeddingIncremental.saveState(
+      EmbeddingIncremental.initialState(emb.filter(col("vec_id") % 4 === 0)), dir)
+    (1 until 4).foreach { d =>
+      EmbeddingIncremental.admitDrop(spark, dir,
+        emb.filter(col("vec_id") % 4 === d), maxLiveSegments = 2)
+    }
+    // save → [0]; admit1 → [0,1]; admit2 folds → [2]; admit3 → [2,3]
+    val m = graft.operators.VersionedIndex.metaOrThrow(dir)
+    assert(m.segs == Vector(2L, 3L),
+      s"expected the day-2 commit to fold the log: ${m.segs}")
+    val grown = EmbeddingIncremental.loadState(spark, dir).get
+    assert(rows(EmbeddingIncremental.labelsWithSizes(grown)) == batchTruth,
+      "folded 4-day chain must equal the one-shot clustering")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
