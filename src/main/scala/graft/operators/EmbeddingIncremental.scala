@@ -26,7 +26,7 @@ import graft.engine.Tables
   *
   * Scale shape per admission: bucket the batch (narrow), probe ONLY the
   * touched (table, bucket) groups of the stored bucket relation (a
-  * semi-join here; partition pruning on a persisted `grp=`-partitioned
+  * semi-join here; partition pruning on the persisted `grpb=`-partitioned
   * store, exactly like [[graft.streaming.DedupStream]]'s bucketed
   * tiers), kernel-verify batch×(stored∪batch) within those groups
   * (old-old pairs are skipped in the kernel — they were already
@@ -69,6 +69,20 @@ object EmbeddingIncremental {
     * clusters relabels the higher-labeled one via the remap join). */
   def admitBatch(state: EmbedDedupState, newVecs: DataFrame,
       threshold: Double = 0.45): EmbedDedupState = {
+    val (newAssign, remap, newBucketRows) = admitCore(state, newVecs, threshold)
+    applyCore(state, newAssign, remap, newBucketRows)
+  }
+
+  /** The admission's frontier-sized outcome — the analog of the text
+    * side's [[IncrementalDedup.admitBatchDelta]]: `newAssign`
+    * (vec_id, cluster_id) label rows for the batch, `remap`
+    * (cluster_id, merged) relabelings of every contracted node, and the
+    * batch's bucket rows. Everything a persisted commit needs WITHOUT
+    * materializing the grown corpus-sized relations; both newAssign and
+    * remap derive from the pinned component fixpoint, so consuming them
+    * repeatedly never re-runs the probe. */
+  private def admitCore(state: EmbedDedupState, newVecs: DataFrame,
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val spark = newVecs.sparkSession
     import spark.implicits._
     val newBucketRows = bucketRows(newVecs)
@@ -77,7 +91,7 @@ object EmbeddingIncremental {
     // by construction, so this is K-row material like the ANN centroid
     // collects — and pushed as an IN literal filter: over an in-memory
     // state it's a narrow filter (no shuffle, unlike a semi-join); over
-    // the persisted `grp=`-partitioned bucket log ([[admitDrop]]) it
+    // the persisted grpb-partitioned bucket log ([[admitDrop]]) it
     // statically prunes to the touched partition directories.
     val touchedGrps: Seq[Long] = newBucketRows.select(col("grp")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -134,7 +148,15 @@ object EmbeddingIncremental {
     // (new-ids precondition), so no filter is needed
     val remap = comp.select(col("node").as("cluster_id"),
       col("component").as("merged"))
+    (newAssign, remap, newBucketRows)
+  }
 
+  /** Assemble the grown in-memory state from an admission's frontier
+    * ([[admitCore]]): relabel merged old clusters, append the batch's
+    * labels, re-aggregate only the touched sizes, extend the bucket
+    * relation. */
+  private def applyCore(state: EmbedDedupState, newAssign: DataFrame,
+      remap: DataFrame, newBucketRows: DataFrame): EmbedDedupState = {
     val oldRelabeled = state.labels
       .join(broadcast(remap), Seq("cluster_id"), "left")
       .select(col("vec_id"),
@@ -187,78 +209,158 @@ object EmbeddingIncremental {
       .sortWithinPartitions(col("grpb"), col("grp"))
       .write.mode("overwrite").partitionBy("grpb").parquet(path)
 
+  private val LabelsDdl = "vec_id BIGINT, cluster_id BIGINT"
+  private val RemapDdl = "cluster_id BIGINT, merged BIGINT"
+
+  /** The committed composed remap `C` of version `v` — the LSM read
+    * repair relation: every cluster id ever merged AWAY maps to its
+    * CURRENT root. Size is bounded by cumulative merge events (plus the
+    * batch's bridged new ids), not by the corpus — merges only happen
+    * when new data connects existing clusters. */
+  private def remapOf(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val p = s"$dir/v$v/remap"
+    if (!new java.io.File(p).isDirectory) throw new IllegalStateException(
+      s"$dir/v$v has no remap relation — this store predates the " +
+        "labels-log layout; rebuild it (saveState) to migrate")
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(RemapDdl))
+      .parquet(p)
+  }
+
+  /** Labels as of the committed version: the append-only label log
+    * (base fold + one O(batch) segment per admission) repaired through
+    * the broadcast composed remap. Every vector's row is written exactly
+    * once — rows never move; only their cluster VALUE is re-pointed at
+    * read via `C`. */
+  private def labelsOf(spark: SparkSession, dir: String, m: VersionedIndex.Meta,
+      c: DataFrame): DataFrame =
+    VersionedIndex.readLog(spark, dir, "labels", m.segs, LabelsDdl)
+      .join(broadcast(c.select(col("cluster_id").as("ck"), col("merged"))),
+        col("cluster_id") === col("ck"), "left")
+      .select(col("vec_id"),
+        coalesce(col("merged"), col("cluster_id")).as("cluster_id"))
+
   /** On-disk layout (the [[VersionedIndex]] protocol — atomic CURRENT
     * pointer, manifest-listed segments, crashed commits invisible):
     *
     * {{{
     * dir/
     *   CURRENT                     # committed version
-    *   v$N/MANIFEST  v$N/labels/  v$N/sizes/
+    *   v$N/MANIFEST  v$N/remap/   # composed remap C (merges only)
     *   buckets/seg=$M/grpb=.../   # append-only bucket log
+    *   labels/seg=$M/             # append-only label log (LSM)
     * }}}
     *
-    * The bucket log appends ONE segment per admission; past
-    * `maxLiveSegments` the commit FOLDS the grown relation into a
-    * single segment (an O(corpus) rewrite every K days — amortized
-    * O(corpus/K), bounding the listing and read fan-in exactly like
-    * [[graft.streaming.DedupStream]]'s folds). labels/sizes are
-    * rewritten per commit — the v1 trade, O(corpus) bytes per
-    * admission but ONE narrow write with no shuffle; the deployment
-    * upgrade is the text side's copy-on-write bucketed label tiers,
-    * which rewrite only touched label buckets per day (measured
-    * O(batch+touched) there). */
+    * Both logs append ONE O(batch) segment per admission and share the
+    * manifest's `segs` vector; past `maxLiveSegments` the commit FOLDS
+    * each grown relation into a single segment (an O(corpus) rewrite
+    * every K days — amortized O(corpus/K), bounding listing and read
+    * fan-in exactly like [[graft.streaming.DedupStream]]'s folds).
+    *
+    * Labels are LSM-style, NOT rewritten per commit: cluster MERGES are
+    * recorded in the composed remap `C` (`v$N/remap`, size = cumulative
+    * merge events) and applied at read by one broadcast join, so the
+    * per-admission label write is the batch's own rows plus `C` — the
+    * text side's copy-on-write label tiers rewrite every TOUCHED bucket
+    * instead, which degrades to a full labels rewrite once the day's
+    * new cluster ids hash across all buckets; the log-plus-remap shape
+    * keeps the daily write O(batch + merges) at every batch size.
+    * `sizes` is derived from labels at load (cluster_size ≡ member
+    * count is a state invariant), so it needs no store of its own.
+    * The fold applies `C` into the rewritten base and resets it to
+    * empty. Local segment writes coalesce to one file; a deployment
+    * sizes segment files by target block size instead. */
   def saveState(state: EmbedDedupState, dir: String): Unit = {
     // fresh-store bootstrap only: a resave would append the FULL bucket
     // relation as a duplicate segment next to the ones it already holds
     require(VersionedIndex.currentVersion(dir).isEmpty,
       s"$dir already holds a committed state — grow it with admitDrop")
+    val spark = state.labels.sparkSession
     writeBucketSeg(state.buckets, s"$dir/buckets/seg=0")
-    state.labels.write.mode("overwrite").parquet(s"$dir/v0/labels")
-    state.sizes.write.mode("overwrite").parquet(s"$dir/v0/sizes")
-    val rows = state.labels.sparkSession.read
-      .parquet(s"$dir/v0/labels").count()
+    state.labels.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/labels/seg=0")
+    emptyRemap(spark).write.mode("overwrite").parquet(s"$dir/v0/remap")
+    val rows = spark.read.parquet(s"$dir/labels/seg=0").count()
     VersionedIndex.commit(dir, 0, trainedRows = rows, totalRows = rows,
-      segs = Vector(0L), logs = Seq("buckets"))
+      segs = Vector(0L), logs = Seq("buckets", "labels"))
   }
+
+  private def emptyRemap(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(RemapDdl))
 
   def loadState(spark: SparkSession, dir: String): Option[EmbedDedupState] =
     VersionedIndex.meta(dir).map { m =>
+      if (!new java.io.File(dir, "labels").isDirectory)
+        throw new IllegalStateException(
+          s"$dir has no labels log — this store predates the labels-log " +
+            "layout; rebuild it (saveState) to migrate")
+      val labels = labelsOf(spark, dir, m, remapOf(spark, dir, m.version))
       EmbedDedupState(
-        labels = spark.read.parquet(s"$dir/v${m.version}/labels"),
-        sizes = spark.read.parquet(s"$dir/v${m.version}/sizes"),
+        labels = labels,
+        sizes = labels.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size")),
         buckets = VersionedIndex.readLog(spark, dir, "buckets", m.segs,
           "grp BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>",
           partitionDdl = "grpb INT"))
     }
 
   /** Admit a batch against the PERSISTED state at `dir` and commit the
-    * grown state as the next version: the batch's bucket rows land as
-    * their own `buckets/seg=$N` (O(batch) write; a fold commit every
-    * `maxLiveSegments` admissions — see [[saveState]]'s note),
-    * labels/sizes are rewritten, and the CURRENT pointer moves
-    * atomically — a crashed admission publishes nothing and the retry
-    * overwrites its partial segment. */
+    * grown state as the next version — per-admission I/O is
+    * O(batch + cumulative merges), never the corpus: the batch's bucket
+    * rows and label rows land as their own `seg=$N` of each log, the
+    * composed remap re-points through this admission's merges, and the
+    * CURRENT pointer moves atomically (a crashed admission publishes
+    * nothing; the retry overwrites its partial segment). Every
+    * `maxLiveSegments` admissions the commit folds both logs (see
+    * [[saveState]]'s layout note). */
   def admitDrop(spark: SparkSession, dir: String, newVecs: DataFrame,
       threshold: Double = 0.45, maxLiveSegments: Int = 16): Unit = {
     val st0 = loadState(spark, dir).getOrElse(throw new IllegalStateException(
       s"$dir holds no committed embedding-dedup state — saveState first"))
     val m = VersionedIndex.metaOrThrow(dir)
-    val st1 = admitBatch(st0, newVecs, threshold)
+    val (newAssign, remap, newBucketRows) = admitCore(st0, newVecs, threshold)
     val next = m.version + 1
+    // true merges only: drop identity rows and rows keyed by the batch's
+    // own ids (new ids never appear as a stored label VALUE — newAssign
+    // rows already carry final roots — so they would only bloat C)
+    val merges = remap.filter(col("cluster_id") =!= col("merged"))
+      .join(broadcast(newVecs.select(col("vec_id").as("cluster_id"))),
+        Seq("cluster_id"), "left_anti")
+    val prevC = remapOf(spark, dir, m.version)
+    // compose: entries of C whose root was merged again re-point to the
+    // new root; this admission's merges append. Keys stay disjoint —
+    // C's keys are dead clusters, a remap key is a live one.
+    val r = merges.select(col("cluster_id").as("rk"), col("merged").as("rv"))
+    val composed = prevC
+      .join(broadcast(r), prevC("merged") === col("rk"), "left")
+      .select(prevC("cluster_id"),
+        coalesce(col("rv"), prevC("merged")).as("merged"))
+      .unionByName(merges)
+    val batchRows = newVecs.count()
+    val fold = m.segs.size + 1 > maxLiveSegments
     val segs =
-      if (m.segs.size + 1 > maxLiveSegments) {
-        // fold: the whole grown bucket relation becomes one segment
-        writeBucketSeg(st1.buckets, s"$dir/buckets/seg=$next")
+      if (fold) {
+        // fold both logs: the grown relations become one segment each,
+        // C folds into the rewritten label base and resets to empty
+        writeBucketSeg(
+          st0.buckets.select(col("grp"), col("vec_id"), col("embedding"))
+            .unionByName(newBucketRows), s"$dir/buckets/seg=$next")
+        applyCore(st0, newAssign, remap, newBucketRows).labels.coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/labels/seg=$next")
+        emptyRemap(spark).write.mode("overwrite")
+          .parquet(s"$dir/v$next/remap")
         Vector(next)
       } else {
-        writeBucketSeg(bucketRows(newVecs), s"$dir/buckets/seg=$next")
+        writeBucketSeg(newBucketRows, s"$dir/buckets/seg=$next")
+        newAssign.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/labels/seg=$next")
+        composed.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/v$next/remap")
         m.segs :+ next
       }
-    st1.labels.write.mode("overwrite").parquet(s"$dir/v$next/labels")
-    st1.sizes.write.mode("overwrite").parquet(s"$dir/v$next/sizes")
-    val rows = spark.read.parquet(s"$dir/v$next/labels").count()
-    VersionedIndex.commit(dir, next, trainedRows = rows, totalRows = rows,
-      segs = segs, logs = Seq("buckets"))
+    VersionedIndex.commit(dir, next, trainedRows = m.trainedRows + batchRows,
+      totalRows = m.totalRows + batchRows, segs = segs,
+      logs = Seq("buckets", "labels"))
   }
 
   // ---- SparkEntry wiring -------------------------------------------------

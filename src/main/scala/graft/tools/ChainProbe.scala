@@ -98,8 +98,9 @@ object ChainProbe {
   /** Variant E: 20 daily EMBEDDING admissions against the persisted
     * store ([[graft.operators.EmbeddingIncremental.admitDrop]]) — the
     * per-day cost evidence for the vector-side chain: wall/cpu per day
-    * plus the bucket-log bytes written (must stay O(batch)) and the
-    * labels rewrite bytes (the documented v1 O(corpus) term). */
+    * plus per-log bytes written that day (bucket log AND label log must
+    * stay O(batch) outside fold days) and the composed-remap size (the
+    * O(cumulative merges) read-repair relation). */
   private def embeddingChain(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.EmbeddingIncremental
     val emb = graft.engine.Tables.embeddings(spark, sfDir)
@@ -116,18 +117,20 @@ object ChainProbe {
       dir)
     val days = (1 until nDays).map { d =>
       val batch = graft.Checkpoints.pin(emb.filter(col("vec_id") % nDays === d))
-      val before = dirMb("buckets")
+      val beforeB = dirMb("buckets"); val beforeL = dirMb("labels")
       val w0 = System.nanoTime(); val c0 = cpuSec
       EmbeddingIncremental.admitDrop(spark, dir, batch)
       graft.operators.Dedup.clearShingleCaches()
       val m = graft.operators.VersionedIndex.metaOrThrow(dir)
       ((System.nanoTime() - w0) / 1e9, cpuSec - c0,
-        dirMb("buckets") - before, dirMb(s"v${m.version}/labels"))
+        dirMb("buckets") - beforeB, dirMb("labels") - beforeL,
+        dirMb(s"v${m.version}/remap") * 1024)
     }
     println("[E] wall        " + days.map(d => f"${d._1}%.2f").mkString(" "))
     println("[E] cpu         " + days.map(d => f"${d._2}%.2f").mkString(" "))
     println("[E] bucketlog+mb " + days.map(d => f"${d._3}%.3f").mkString(" "))
-    println("[E] labels_mb   " + days.map(d => f"${d._4}%.3f").mkString(" "))
+    println("[E] labellog+mb " + days.map(d => f"${d._4}%.3f").mkString(" "))
+    println("[E] remap_kb    " + days.map(d => f"${d._5}%.1f").mkString(" "))
     try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     catch { case _: Exception => }
   }

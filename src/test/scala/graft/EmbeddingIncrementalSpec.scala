@@ -97,6 +97,36 @@ class EmbeddingIncrementalSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("persisted remap composes across commits: a root merged again re-points") {
+    def unit(thetaDeg: Double): Array[Float] = {
+      val t = math.toRadians(thetaDeg)
+      val v = Array.fill(64)(0f)
+      v(0) = math.cos(t).toFloat; v(1) = math.sin(t).toFloat; v
+    }
+    val spark0 = spark
+    import spark0.implicits._
+    // day 1: three pairwise-distant singletons (cos 40° = 0.77 < 0.8)
+    val day1 = Seq((10L, unit(0)), (20L, unit(40)), (5L, unit(80)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("embremap").toString
+    EmbeddingIncremental.saveState(
+      EmbeddingIncremental.initialState(day1, threshold = 0.8), dir)
+    // day 2: 100 @ 20° bridges 10 and 20 → C gains 20→10
+    EmbeddingIncremental.admitDrop(spark, dir,
+      Seq((100L, unit(20))).toDF("vec_id", "embedding"), threshold = 0.8)
+    // day 3: 200 @ 60° bridges cluster 10 (via member 20) and 5 →
+    // remap 10→5 must RE-POINT the stored 20→10 entry to 20→5
+    EmbeddingIncremental.admitDrop(spark, dir,
+      Seq((200L, unit(60))).toDF("vec_id", "embedding"), threshold = 0.8)
+    val grown = EmbeddingIncremental.loadState(spark, dir).get
+    val after = rows(EmbeddingIncremental.labelsWithSizes(grown))
+    Seq(5L, 10L, 20L, 100L, 200L).foreach(i =>
+      assert(after(i) == ((5L, 5L)),
+        s"vec $i must resolve to cluster 5 of size 5 after the chained " +
+          s"merges: $after"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("a batch colliding with nothing self-assigns as singletons") {
     val rnd = new scala.util.Random(6L)
     val day1 = (0 until 30).map(i =>
