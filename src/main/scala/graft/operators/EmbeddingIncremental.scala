@@ -66,11 +66,18 @@ object EmbeddingIncremental {
 
   /** Admit one batch of new vectors; returns the grown state. New
     * edges may MERGE existing clusters (a new vector bridging two old
-    * clusters relabels the higher-labeled one via the remap join). */
+    * clusters relabels the higher-labeled one via the remap join).
+    *
+    * The returned state's relations are LAZY over the admission's
+    * pinned component fixpoint, so an in-memory chain retains one pin
+    * pair per admission for the life of the chain (q62 runs one). The
+    * persisted path ([[admitDrop]]) materializes its writes and then
+    * releases via [[AdmitFrontier.release]] — the analog of the text
+    * side's `AdmitDelta.release()`. */
   def admitBatch(state: EmbedDedupState, newVecs: DataFrame,
       threshold: Double = 0.45): EmbedDedupState = {
-    val (newAssign, remap, newBucketRows) = admitCore(state, newVecs, threshold)
-    applyCore(state, newAssign, remap, newBucketRows)
+    val f = admitCore(state, newVecs, threshold)
+    applyCore(state, f.newAssign, f.remap, f.newBucketRows)
   }
 
   /** The admission's frontier-sized outcome — the analog of the text
@@ -80,9 +87,14 @@ object EmbeddingIncremental {
     * batch's bucket rows. Everything a persisted commit needs WITHOUT
     * materializing the grown corpus-sized relations; both newAssign and
     * remap derive from the pinned component fixpoint, so consuming them
-    * repeatedly never re-runs the probe. */
+    * repeatedly never re-runs the probe. `release` frees the fixpoint's
+    * checkpoint pins — call it once every consumer is durable (the
+    * returned DataFrames must not be evaluated after). */
+  private final case class AdmitFrontier(newAssign: DataFrame,
+      remap: DataFrame, newBucketRows: DataFrame, release: () => Unit)
+
   private def admitCore(state: EmbedDedupState, newVecs: DataFrame,
-      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+      threshold: Double): AdmitFrontier = {
     val spark = newVecs.sparkSession
     import spark.implicits._
     val newBucketRows = bucketRows(newVecs)
@@ -136,8 +148,9 @@ object EmbeddingIncremental {
         coalesce(col("rep_b"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    val pinnedContracted = graft.Checkpoints.pin(contracted)
     val comp = graft.Checkpoints.pin(
-      Components.connectedComponents(graft.Checkpoints.pin(contracted)))
+      Components.connectedComponents(pinnedContracted))
     Seq(edges, reps).foreach(graft.Checkpoints.free)
 
     val newAssign = newVecs.select(col("vec_id"))
@@ -148,7 +161,8 @@ object EmbeddingIncremental {
     // (new-ids precondition), so no filter is needed
     val remap = comp.select(col("node").as("cluster_id"),
       col("component").as("merged"))
-    (newAssign, remap, newBucketRows)
+    AdmitFrontier(newAssign, remap, newBucketRows,
+      () => Seq(comp, pinnedContracted).foreach(graft.Checkpoints.free))
   }
 
   /** Assemble the grown in-memory state from an admission's frontier
@@ -196,10 +210,17 @@ object EmbeddingIncremental {
     * ~1600 one-row files (one per touched grp dir), the per-admission
     * wall started at 17 s of filesystem churn and grew ~2 s/day from
     * partition-listing alone (ChainProbe E, first cut). 64 coarse
-    * buckets keep writes to a few files per segment while the probe
-    * still prunes: touched-grpb partition dirs statically, then
-    * row-group min/max stats on the SORTED grp column inside them —
-    * the same two-level pruning as the text side's bucketed tiers. */
+    * buckets keep writes to a few files per segment; the probe's two
+    * filters (touched-grpb dirs statically, then the grp IN pushed onto
+    * the SORTED grp column) prune in the TRICKLE regime only — a
+    * handful of vectors touch few grpb values. A bulk daily batch
+    * saturates the fixed 4096-cell grid (≈300 vectors already touch
+    * ~40% of cells, covering every grpb), so the probe reads most of
+    * the log — which is within a small constant of the rows its verify
+    * kernel needs anyway, and that kernel, not the scan, dominates. The
+    * 100 TB lever is grid SIZING (more tables × planes bounds cell
+    * occupancy — the [[Dedup.embeddingNearDupsLsh]] recall trade), not
+    * scan pruning at a saturated grid. */
   val EmbStateBuckets = 64
 
   private def writeBucketSeg(rows: DataFrame, path: String): Unit =
@@ -221,7 +242,8 @@ object EmbeddingIncremental {
     val p = s"$dir/v$v/remap"
     if (!new java.io.File(p).isDirectory) throw new IllegalStateException(
       s"$dir/v$v has no remap relation — this store predates the " +
-        "labels-log layout; rebuild it (saveState) to migrate")
+        "labels-log layout; migrate by rebuilding into a FRESH directory " +
+        "(initialState over the corpus, then saveState there)")
     spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(RemapDdl))
       .parquet(p)
   }
@@ -293,7 +315,8 @@ object EmbeddingIncremental {
       if (!new java.io.File(dir, "labels").isDirectory)
         throw new IllegalStateException(
           s"$dir has no labels log — this store predates the labels-log " +
-            "layout; rebuild it (saveState) to migrate")
+            "layout; migrate by rebuilding into a FRESH directory " +
+            "(initialState over the corpus, then saveState there)")
       val labels = labelsOf(spark, dir, m, remapOf(spark, dir, m.version))
       EmbedDedupState(
         labels = labels,
@@ -305,38 +328,23 @@ object EmbeddingIncremental {
     }
 
   /** Admit a batch against the PERSISTED state at `dir` and commit the
-    * grown state as the next version — per-admission I/O is
+    * grown state as the next version — per-admission state WRITES are
     * O(batch + cumulative merges), never the corpus: the batch's bucket
     * rows and label rows land as their own `seg=$N` of each log, the
     * composed remap re-points through this admission's merges, and the
     * CURRENT pointer moves atomically (a crashed admission publishes
     * nothing; the retry overwrites its partial segment). Every
     * `maxLiveSegments` admissions the commit folds both logs (see
-    * [[saveState]]'s layout note). */
+    * [[saveState]]'s layout note). The probe-side bucket-log READ
+    * saturates with batch size — see [[EmbStateBuckets]]'s regime
+    * note. */
   def admitDrop(spark: SparkSession, dir: String, newVecs: DataFrame,
       threshold: Double = 0.45, maxLiveSegments: Int = 16): Unit = {
     val st0 = loadState(spark, dir).getOrElse(throw new IllegalStateException(
       s"$dir holds no committed embedding-dedup state — saveState first"))
     val m = VersionedIndex.metaOrThrow(dir)
-    val (newAssign, remap, newBucketRows) = admitCore(st0, newVecs, threshold)
+    val f = admitCore(st0, newVecs, threshold)
     val next = m.version + 1
-    // true merges only: drop identity rows and rows keyed by the batch's
-    // own ids (new ids never appear as a stored label VALUE — newAssign
-    // rows already carry final roots — so they would only bloat C)
-    val merges = remap.filter(col("cluster_id") =!= col("merged"))
-      .join(broadcast(newVecs.select(col("vec_id").as("cluster_id"))),
-        Seq("cluster_id"), "left_anti")
-    val prevC = remapOf(spark, dir, m.version)
-    // compose: entries of C whose root was merged again re-point to the
-    // new root; this admission's merges append. Keys stay disjoint —
-    // C's keys are dead clusters, a remap key is a live one.
-    val r = merges.select(col("cluster_id").as("rk"), col("merged").as("rv"))
-    val composed = prevC
-      .join(broadcast(r), prevC("merged") === col("rk"), "left")
-      .select(prevC("cluster_id"),
-        coalesce(col("rv"), prevC("merged")).as("merged"))
-      .unionByName(merges)
-    val batchRows = newVecs.count()
     val fold = m.segs.size + 1 > maxLiveSegments
     val segs =
       if (fold) {
@@ -344,23 +352,49 @@ object EmbeddingIncremental {
         // C folds into the rewritten label base and resets to empty
         writeBucketSeg(
           st0.buckets.select(col("grp"), col("vec_id"), col("embedding"))
-            .unionByName(newBucketRows), s"$dir/buckets/seg=$next")
-        applyCore(st0, newAssign, remap, newBucketRows).labels.coalesce(1)
-          .write.mode("overwrite").parquet(s"$dir/labels/seg=$next")
+            .unionByName(f.newBucketRows), s"$dir/buckets/seg=$next")
+        applyCore(st0, f.newAssign, f.remap, f.newBucketRows).labels
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/labels/seg=$next")
         emptyRemap(spark).write.mode("overwrite")
           .parquet(s"$dir/v$next/remap")
         Vector(next)
       } else {
-        writeBucketSeg(newBucketRows, s"$dir/buckets/seg=$next")
-        newAssign.coalesce(1).write.mode("overwrite")
+        // true merges only: drop identity rows and rows keyed by the
+        // batch's own ids (new ids never appear as a stored label VALUE
+        // — newAssign rows already carry final roots — so they would
+        // only bloat C)
+        val merges = f.remap.filter(col("cluster_id") =!= col("merged"))
+          .join(broadcast(newVecs.select(col("vec_id").as("cluster_id"))),
+            Seq("cluster_id"), "left_anti")
+        val prevC = remapOf(spark, dir, m.version)
+        // compose: entries of C whose root was merged again re-point to
+        // the new root; this admission's merges append. Keys stay
+        // disjoint — C's keys are dead clusters, a remap key is a live
+        // one.
+        val r = merges.select(col("cluster_id").as("rk"),
+          col("merged").as("rv"))
+        val composed = prevC
+          .join(broadcast(r), prevC("merged") === col("rk"), "left")
+          .select(prevC("cluster_id"),
+            coalesce(col("rv"), prevC("merged")).as("merged"))
+          .unionByName(merges)
+        writeBucketSeg(f.newBucketRows, s"$dir/buckets/seg=$next")
+        f.newAssign.coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/labels/seg=$next")
         composed.coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/v$next/remap")
         m.segs :+ next
       }
-    VersionedIndex.commit(dir, next, trainedRows = m.trainedRows + batchRows,
-      totalRows = m.totalRows + batchRows, segs = segs,
-      logs = Seq("buckets", "labels"))
+    // footer-only count of the just-written label segment (no data
+    // read — the saveState pattern): the full labels count after this
+    // commit is the fold's rewritten base, or the prior total plus the
+    // batch segment
+    val segRows = spark.read.parquet(s"$dir/labels/seg=$next").count()
+    val total = if (fold) segRows else m.totalRows + segRows
+    VersionedIndex.commit(dir, next, trainedRows = total,
+      totalRows = total, segs = segs, logs = Seq("buckets", "labels"))
+    f.release()
   }
 
   // ---- SparkEntry wiring -------------------------------------------------

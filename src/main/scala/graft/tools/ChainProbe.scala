@@ -120,11 +120,14 @@ object ChainProbe {
       val beforeB = dirMb("buckets"); val beforeL = dirMb("labels")
       val w0 = System.nanoTime(); val c0 = cpuSec
       EmbeddingIncremental.admitDrop(spark, dir, batch)
-      graft.operators.Dedup.clearShingleCaches()
       val m = graft.operators.VersionedIndex.metaOrThrow(dir)
-      ((System.nanoTime() - w0) / 1e9, cpuSec - c0,
+      val res = ((System.nanoTime() - w0) / 1e9, cpuSec - c0,
         dirMb("buckets") - beforeB, dirMb("labels") - beforeL,
         dirMb(s"v${m.version}/remap") * 1024)
+      // the commit is durable — release the day's pinned batch so the
+      // series measures steady-state cost, not accumulating blocks
+      graft.Checkpoints.free(batch)
+      res
     }
     println("[E] wall        " + days.map(d => f"${d._1}%.2f").mkString(" "))
     println("[E] cpu         " + days.map(d => f"${d._2}%.2f").mkString(" "))
