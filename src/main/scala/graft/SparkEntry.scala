@@ -82,6 +82,7 @@ object SparkEntry {
     "q60_ann_refined"   -> (Similarity.qAnnRefined _),
     "q61_embed_clusters" -> (Dedup.qEmbedClusters _),
     "q62_incr_embed_dedup" -> (graft.operators.EmbeddingIncremental.qIncremental _),
+    "q63_embed_chain"   -> (graft.streaming.EmbedStream.qEmbedChain _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -168,5 +169,8 @@ object SparkEntry {
     // q62 shares q61's oracle VERBATIM: incremental admission over the
     // 80/20 split must equal the batch clustering of the full corpus
     "q62_incr_embed_dedup" -> graft.operators.EmbeddingIncremental.qIncrementalSql,
+    // q63 streams three day drops through the PERSISTED LSM store —
+    // q61's closure oracle, source-parameterized to the capped subset
+    "q63_embed_chain"   -> graft.streaming.EmbedStream.qEmbedChainSql,
   )
 }

@@ -974,10 +974,12 @@ object Dedup {
     embeddingNearDupsLsh(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b")
 
   /** CTE fragment replaying the whole LSH near-dup route in DuckDB —
-    * `b` (per-table buckets from the identical md5-derived
-    * hyperplanes), `cand` (bucket collisions), `epairs` (the exact
-    * cosine verify ≥ 0.45). Shared by q58 and q61's closure. */
-  private[operators] val embedLshCtesSql: String = {
+    * `esrc` (the source relation, parameterizable so chained queries
+    * can cap a subset), `b` (per-table buckets from the identical
+    * md5-derived hyperplanes), `cand` (bucket collisions), `epairs`
+    * (the exact cosine verify ≥ 0.45). Shared by q58 and the q61/q63
+    * closures. */
+  private[graft] def embedLshCtesSqlFrom(src: String): String = {
     def bucketExpr(t: Int): String = (0 until NearDupLshPlanes).map { p =>
       val plane = NearDupLshPlaneBase + t * NearDupLshPlanes + p
       s"""CASE WHEN list_sum(list_transform(range(0, 64), i ->
@@ -985,9 +987,10 @@ object Dedup {
          |)) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
     }.mkString(" +\n  ")
     val tableRows = (0 until NearDupLshTables)
-      .map(t => s"SELECT vec_id, $t AS t, ${bucketExpr(t)} AS bucket FROM embeddings")
+      .map(t => s"SELECT vec_id, $t AS t, ${bucketExpr(t)} AS bucket FROM esrc")
       .mkString("\nUNION ALL\n")
-    s"""b AS (
+    s"""esrc AS ($src),
+       |b AS (
        |$tableRows),
        |cand AS (
        |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
@@ -995,10 +998,13 @@ object Dedup {
        |epairs AS (
        |  SELECT vec_a, vec_b,
        |         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
-       |  FROM cand JOIN embeddings a ON cand.vec_a = a.vec_id
-       |            JOIN embeddings b ON cand.vec_b = b.vec_id
+       |  FROM cand JOIN esrc a ON cand.vec_a = a.vec_id
+       |            JOIN esrc b ON cand.vec_b = b.vec_id
        |  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45)""".stripMargin
   }
+
+  private[operators] val embedLshCtesSql: String =
+    embedLshCtesSqlFrom("SELECT * FROM embeddings")
 
   val qEmbedNearDupsLshSql: String =
     s"""WITH $embedLshCtesSql
@@ -1010,13 +1016,14 @@ object Dedup {
 
   /** Transitive closure as a recursive CTE over the SAME LSH-routed
     * edge relation the Spark side clusters — the q37 pattern on the
-    * vector side, so the whole chain hash-matches. */
-  val qEmbedClustersSql: String =
-    s"""WITH RECURSIVE $embedLshCtesSql,
+    * vector side, so the whole chain hash-matches.
+    * Source-parameterized for the chained q63 subset. */
+  private[graft] def qEmbedClustersSqlFrom(src: String): String =
+    s"""WITH RECURSIVE ${embedLshCtesSqlFrom(src)},
        |sym AS (SELECT vec_a AS a, vec_b AS b FROM epairs
        |        UNION SELECT vec_b, vec_a FROM epairs),
        |reach(node, root) AS (
-       |  SELECT vec_id, vec_id FROM embeddings
+       |  SELECT vec_id, vec_id FROM esrc
        |  UNION
        |  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node),
        |lab AS (SELECT node AS vec_id, MIN(root) AS cluster_id
@@ -1024,4 +1031,7 @@ object Dedup {
        |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
        |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size
        |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin
+
+  val qEmbedClustersSql: String =
+    qEmbedClustersSqlFrom("SELECT * FROM embeddings")
 }

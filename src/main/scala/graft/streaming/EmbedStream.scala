@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.EmbeddingIncremental
+
+/** Structured-Streaming wiring for the persisted EMBEDDING dedup state
+  * ([[graft.operators.EmbeddingIncremental]]) — the vector analog of
+  * [[DedupStream.admitNewDrops]]: each parquet drop of
+  * (vec_id, embedding) rows under a watched path is admitted against
+  * the store exactly once (the streaming checkpoint is the bookmark,
+  * like `Ingest.processNewFiles`), batch 0 bootstrapping with
+  * `initialState`/`saveState` and later batches taking the LSM
+  * `admitDrop` path (O(batch + merges) state writes, log folds on
+  * cadence).
+  *
+  * Same execution model as the text chain: `Trigger.AvailableNow`
+  * reproduces "process everything new, then stop" (the scheduled-job
+  * shape), and `maxFilesPerBatch` lets ONE stream run replay several
+  * day drops as separate admissions — stream setup is paid once. */
+object EmbedStream {
+
+  /** Admit every not-yet-seen parquet drop under `vecsPath` into the
+    * embedding-dedup state at `stateDir`, blocking until the
+    * AvailableNow run drains. Day-directory drops (`drops/day=0/`…)
+    * need the glob `drops/day=*` — the file source does not recurse. */
+  def admitNewDrops(spark: SparkSession, vecsPath: String, stateDir: String,
+      checkpointDir: String, threshold: Double = 0.45,
+      maxLiveSegments: Int = 16,
+      maxFilesPerBatch: Option[Int] = None): Unit = {
+    val reader = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>"))
+    maxFilesPerBatch.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val drops = reader.parquet(vecsPath)
+    val q = drops.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // foreachBatch hands a streaming-backed DataFrame; the
+        // admission builds an iterative multi-action plan over it, so
+        // pin a stable local copy first and release it once the commit
+        // is durable
+        val pinned = graft.Checkpoints.pin(batch)
+        if (!pinned.isEmpty) {
+          if (graft.operators.VersionedIndex.currentVersion(stateDir).isEmpty)
+            EmbeddingIncremental.saveState(
+              EmbeddingIncremental.initialState(pinned, threshold), stateDir)
+          else
+            EmbeddingIncremental.admitDrop(spark, stateDir, pinned,
+              threshold, maxLiveSegments)
+        }
+        graft.Checkpoints.free(pinned)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  // ---- SparkEntry wiring -------------------------------------------------
+
+  /** Subset cap for q63: bounds the closure oracle and the bench slot
+    * while leaving enough vectors for real merges at every SF. */
+  val ChainSubsetMax = 3000L
+
+  /** q63: the PRODUCTION embedding-dedup path — three daily vector
+    * drops streamed through the persisted LSM store (maxLiveSegments=1,
+    * so every commit folds the logs and re-points labels through the
+    * composed remap under a real MANIFEST) — oracle-checked against a
+    * from-scratch closure clustering of the same subset, which the
+    * chain must equal by the admission algebra
+    * ([[graft.operators.EmbeddingIncremental]]). q62 covers the
+    * in-memory admission; this covers the storage layout, commit
+    * protocol, fold cadence, and streaming bookmark end-to-end in the
+    * driver's correctness gate — the vector-side q54. All three drops
+    * are staged with ONE partitioned write and replayed through ONE
+    * AvailableNow run at maxFilesPerBatch=1: three separate
+    * micro-batch admissions, one stream setup. */
+  def qEmbedChain(s: SparkSession, d: String): DataFrame = {
+    val vecs = graft.engine.Tables.embeddings(s, d)
+      .filter(col("vec_id") < ChainSubsetMax)
+    val root = java.nio.file.Files.createTempDirectory("graft-q63").toString
+    vecs.withColumn("day", pmod(col("vec_id"), lit(3)))
+      .repartition(3, col("day"))
+      .write.partitionBy("day").parquet(s"$root/vecs")
+    admitNewDrops(s, s"$root/vecs/day=*", s"$root/state", s"$root/ckpt",
+      maxLiveSegments = 1, maxFilesPerBatch = Some(1))
+    // pin rows before the state dir is deleted (the caller writes the
+    // result AFTER this returns; a lazy scan would read deleted files)
+    val out = graft.Checkpoints.pin(EmbeddingIncremental.labelsWithSizes(
+        EmbeddingIncremental.loadState(s, s"$root/state").get)
+      .orderBy("vec_id"))
+    try org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+    catch { case _: Exception => }
+    out
+  }
+
+  /** Chain ≡ batch: q61's closure clustering, source-parameterized to
+    * the capped subset. */
+  val qEmbedChainSql: String =
+    graft.operators.Dedup.qEmbedClustersSqlFrom(
+      s"SELECT * FROM embeddings WHERE vec_id < $ChainSubsetMax")
+}

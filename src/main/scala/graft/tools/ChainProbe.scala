@@ -111,7 +111,10 @@ object ChainProbe {
         org.apache.commons.io.FileUtils.sizeOfDirectory(f) / 1048576.0
       else 0.0
     }
-    val nDays = 20
+    // GRAFT_EMBCHAIN_DAYS=60 runs ~4 fold generations at the default
+    // K=16 — the cross-generation flatness evidence (the 20-day run
+    // sees exactly one fold)
+    val nDays = sys.env.get("GRAFT_EMBCHAIN_DAYS").map(_.toInt).getOrElse(20)
     EmbeddingIncremental.saveState(
       EmbeddingIncremental.initialState(emb.filter(col("vec_id") % nDays === 0)),
       dir)

@@ -129,6 +129,30 @@ class EmbeddingIncrementalSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("streamed daily vector drops equal one-shot; bookmark is exactly-once") {
+    import graft.streaming.EmbedStream
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val batchTruth = rows(Dedup.embeddingDupClusters(emb))
+    val root = java.nio.file.Files.createTempDirectory("embstream").toString
+    val (vecs, state, ckpt) = (s"$root/vecs", s"$root/state", s"$root/ckpt")
+    // day 1 bootstrap, day 2 admission — only the NEW file is processed
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$vecs/day1")
+    EmbedStream.admitNewDrops(spark, s"$vecs/*", state, ckpt)
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$vecs/day2")
+    EmbedStream.admitNewDrops(spark, s"$vecs/*", state, ckpt)
+    val grown = EmbeddingIncremental.loadState(spark, state).get
+    assert(rows(EmbeddingIncremental.labelsWithSizes(grown)) == batchTruth,
+      "streamed 2-day chain must equal the one-shot clustering")
+    // no new drops: AvailableNow drains without a commit
+    val before = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(state, "CURRENT"))
+    EmbedStream.admitNewDrops(spark, s"$vecs/*", state, ckpt)
+    assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(state, "CURRENT")) == before,
+      "an empty run must not publish a new state version")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("a batch colliding with nothing self-assigns as singletons") {
     val rnd = new scala.util.Random(6L)
     val day1 = (0 until 30).map(i =>
