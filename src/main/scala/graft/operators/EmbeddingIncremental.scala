@@ -44,6 +44,27 @@ final case class EmbedDedupState(labels: DataFrame, sizes: DataFrame,
 
 object EmbeddingIncremental {
 
+  /** Run independent Spark actions as concurrent jobs (a commit's
+    * segment/remap writes touch disjoint paths and share no lineage
+    * beyond already-pinned blocks) — commit wall is the slowest write,
+    * not the sum; failures propagate before the manifest is written. */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(tasks.map(tk => Future(tk()))), Duration.Inf): Unit
+  }
+
+  /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer, as in
+    * [[graft.streaming.DedupStream]]. */
+  private def t[A](tag: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"[embadmit] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    } else f
+
   /** (grp, vec_id, embedding) — one row per vector per LSH table, the
     * probe-able bucket relation ([[Dedup.embeddingNearDupsLsh]]'s grid,
     * same plane family so candidates match the batch route exactly). */
@@ -105,8 +126,9 @@ object EmbeddingIncremental {
     // state it's a narrow filter (no shuffle, unlike a semi-join); over
     // the persisted grpb-partitioned bucket log ([[admitDrop]]) it
     // statically prunes to the touched partition directories.
-    val touchedGrps: Seq[Long] = newBucketRows.select(col("grp")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val touchedGrps: Seq[Long] = t("core.touched")(
+      newBucketRows.select(col("grp")).distinct()
+        .collect().map(_.getLong(0)).toSeq)
     val storedAll = state.buckets
     // loaded states carry the coarse grpb PARTITION column: its IN
     // filter prunes directories statically; the grp IN filter then
@@ -128,7 +150,7 @@ object EmbeddingIncremental {
       Dedup.newPairKernel(rows.map { case (_, id, v, isNew) => (id, v, isNew) },
         threshold)
     }.toDF().select(col("vec_a").as("a"), col("vec_b").as("b")).distinct()
-    val edges = graft.Checkpoints.pin(edgesLazy)
+    val edges = t("core.edges")(graft.Checkpoints.pin(edgesLazy))
 
     // contract endpoints through the persisted labels: old vectors
     // collapse to their cluster representative, new vectors stand for
@@ -136,9 +158,9 @@ object EmbeddingIncremental {
     // ([[IncrementalDedup.repLookup]]) — read once, never shuffled.
     val endpoints = edges.select(col("a").as("doc_id"))
       .union(edges.select(col("b").as("doc_id"))).distinct()
-    val reps = graft.Checkpoints.pin(IncrementalDedup.repLookup(
+    val reps = t("core.reps")(graft.Checkpoints.pin(IncrementalDedup.repLookup(
       state.labels.select(col("vec_id").as("doc_id"), col("cluster_id")),
-      endpoints))
+      endpoints)))
     val contracted = edges
       .join(reps.select(col("doc_id").as("a"), col("cluster_id").as("rep_a")),
         Seq("a"), "left")
@@ -148,9 +170,27 @@ object EmbeddingIncremental {
         coalesce(col("rep_b"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val pinnedContracted = graft.Checkpoints.pin(contracted)
-    val comp = graft.Checkpoints.pin(
-      Components.connectedComponents(pinnedContracted))
+    // frontier fixpoint: the steady small-batch case keeps it DRIVER-
+    // LOCAL (one bounded take materializes the contracted join, the
+    // union-find labels it with zero further jobs, and comp becomes a
+    // local relation every later join broadcasts) — the text side's
+    // localRemap/localAssign shape. An over-cap frontier falls through
+    // to the pinned distributed rounds; `release` frees exactly what
+    // was pinned.
+    val (comp, release) = {
+      val take = t("core.contract")(contracted.take(FrontierCap + 1))
+      if (take.length <= FrontierCap) {
+        val es = take.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        (Components.unionFindLocal(nodes, es).toDF("node", "component"),
+          () => ())
+      } else {
+        val pc = graft.Checkpoints.pin(contracted)
+        val c = t("core.comp")(graft.Checkpoints.pin(
+          Components.connectedComponents(pc)))
+        (c, () => Seq(c, pc).foreach(graft.Checkpoints.free))
+      }
+    }
     Seq(edges, reps).foreach(graft.Checkpoints.free)
 
     val newAssign = newVecs.select(col("vec_id"))
@@ -161,9 +201,14 @@ object EmbeddingIncremental {
     // (new-ids precondition), so no filter is needed
     val remap = comp.select(col("node").as("cluster_id"),
       col("component").as("merged"))
-    AdmitFrontier(newAssign, remap, newBucketRows,
-      () => Seq(comp, pinnedContracted).foreach(graft.Checkpoints.free))
+    AdmitFrontier(newAssign, remap, newBucketRows, release)
   }
+
+  /** Cap on contracted frontier edges kept driver-local (the
+    * [[Components.connectedComponents]] `driverThreshold` class of
+    * bounded collect — K-row material, same as the ANN centroid
+    * collects). */
+  private val FrontierCap = 1 << 16
 
   /** Assemble the grown in-memory state from an admission's frontier
     * ([[admitCore]]): relabel merged old clusters, append the batch's
@@ -297,10 +342,12 @@ object EmbeddingIncremental {
     require(VersionedIndex.currentVersion(dir).isEmpty,
       s"$dir already holds a committed state — grow it with admitDrop")
     val spark = state.labels.sparkSession
-    writeBucketSeg(state.buckets, s"$dir/buckets/seg=0")
-    state.labels.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/labels/seg=0")
-    emptyRemap(spark).write.mode("overwrite").parquet(s"$dir/v0/remap")
+    inParallel(
+      () => writeBucketSeg(state.buckets, s"$dir/buckets/seg=0"),
+      () => state.labels.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/labels/seg=0"),
+      () => emptyRemap(spark).write.mode("overwrite")
+        .parquet(s"$dir/v0/remap"))
     val rows = spark.read.parquet(s"$dir/labels/seg=0").count()
     VersionedIndex.commit(dir, 0, trainedRows = rows, totalRows = rows,
       segs = Vector(0L), logs = Seq("buckets", "labels"))
@@ -340,24 +387,27 @@ object EmbeddingIncremental {
     * note. */
   def admitDrop(spark: SparkSession, dir: String, newVecs: DataFrame,
       threshold: Double = 0.45, maxLiveSegments: Int = 16): Unit = {
-    val st0 = loadState(spark, dir).getOrElse(throw new IllegalStateException(
-      s"$dir holds no committed embedding-dedup state — saveState first"))
+    val st0 = t("load")(loadState(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir holds no committed embedding-dedup state — saveState first")))
     val m = VersionedIndex.metaOrThrow(dir)
-    val f = admitCore(st0, newVecs, threshold)
+    val f = t("core")(admitCore(st0, newVecs, threshold))
     val next = m.version + 1
     val fold = m.segs.size + 1 > maxLiveSegments
     val segs =
       if (fold) {
         // fold both logs: the grown relations become one segment each,
         // C folds into the rewritten label base and resets to empty
-        writeBucketSeg(
-          st0.buckets.select(col("grp"), col("vec_id"), col("embedding"))
-            .unionByName(f.newBucketRows), s"$dir/buckets/seg=$next")
-        applyCore(st0, f.newAssign, f.remap, f.newBucketRows).labels
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$dir/labels/seg=$next")
-        emptyRemap(spark).write.mode("overwrite")
-          .parquet(s"$dir/v$next/remap")
+        inParallel(
+          () => t("fold.buckets")(writeBucketSeg(
+            st0.buckets.select(col("grp"), col("vec_id"), col("embedding"))
+              .unionByName(f.newBucketRows), s"$dir/buckets/seg=$next")),
+          () => t("fold.labels")(
+            applyCore(st0, f.newAssign, f.remap, f.newBucketRows)
+              .labels.coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/labels/seg=$next")),
+          () => t("fold.remap")(emptyRemap(spark).write.mode("overwrite")
+            .parquet(s"$dir/v$next/remap")))
         Vector(next)
       } else {
         // true merges only: drop identity rows and rows keyed by the
@@ -379,18 +429,22 @@ object EmbeddingIncremental {
           .select(prevC("cluster_id"),
             coalesce(col("rv"), prevC("merged")).as("merged"))
           .unionByName(merges)
-        writeBucketSeg(f.newBucketRows, s"$dir/buckets/seg=$next")
-        f.newAssign.coalesce(1).write.mode("overwrite")
-          .parquet(s"$dir/labels/seg=$next")
-        composed.coalesce(1).write.mode("overwrite")
-          .parquet(s"$dir/v$next/remap")
+        inParallel(
+          () => t("app.buckets")(
+            writeBucketSeg(f.newBucketRows, s"$dir/buckets/seg=$next")),
+          () => t("app.labels")(
+            f.newAssign.coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/labels/seg=$next")),
+          () => t("app.remap")(composed.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/v$next/remap")))
         m.segs :+ next
       }
     // footer-only count of the just-written label segment (no data
     // read — the saveState pattern): the full labels count after this
     // commit is the fold's rewritten base, or the prior total plus the
     // batch segment
-    val segRows = spark.read.parquet(s"$dir/labels/seg=$next").count()
+    val segRows = t("count")(
+      spark.read.parquet(s"$dir/labels/seg=$next").count())
     val total = if (fold) segRows else m.totalRows + segRows
     VersionedIndex.commit(dir, next, trainedRows = total,
       totalRows = total, segs = segs, logs = Seq("buckets", "labels"))

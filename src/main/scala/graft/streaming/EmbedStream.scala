@@ -21,6 +21,14 @@ import graft.operators.EmbeddingIncremental
   * day drops as separate admissions — stream setup is paid once. */
 object EmbedStream {
 
+  /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer, as in [[DedupStream]]. */
+  private def chainTimer[A](tag: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"[embchain] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    } else f
+
   /** Admit every not-yet-seen parquet drop under `vecsPath` into the
     * embedding-dedup state at `stateDir`, blocking until the
     * AvailableNow run drains. Day-directory drops (`drops/day=0/`…)
@@ -43,11 +51,11 @@ object EmbedStream {
         val pinned = graft.Checkpoints.pin(batch)
         if (!pinned.isEmpty) {
           if (graft.operators.VersionedIndex.currentVersion(stateDir).isEmpty)
-            EmbeddingIncremental.saveState(
-              EmbeddingIncremental.initialState(pinned, threshold), stateDir)
+            chainTimer("bootstrap")(EmbeddingIncremental.saveState(
+              EmbeddingIncremental.initialState(pinned, threshold), stateDir))
           else
-            EmbeddingIncremental.admitDrop(spark, stateDir, pinned,
-              threshold, maxLiveSegments)
+            chainTimer("admitDrop")(EmbeddingIncremental.admitDrop(
+              spark, stateDir, pinned, threshold, maxLiveSegments))
         }
         graft.Checkpoints.free(pinned)
       }
@@ -61,35 +69,44 @@ object EmbedStream {
 
   /** Subset cap for q63: bounds the closure oracle and the bench slot
     * while leaving enough vectors for real merges at every SF. */
-  val ChainSubsetMax = 3000L
+  val ChainSubsetMax = 2000L
 
-  /** q63: the PRODUCTION embedding-dedup path — three daily vector
-    * drops streamed through the persisted LSM store (maxLiveSegments=1,
-    * so every commit folds the logs and re-points labels through the
-    * composed remap under a real MANIFEST) — oracle-checked against a
-    * from-scratch closure clustering of the same subset, which the
-    * chain must equal by the admission algebra
+  /** q63: the PRODUCTION embedding-dedup path — two daily vector
+    * drops streamed through the persisted LSM store at
+    * maxLiveSegments=1, so the day-2 commit FOLDS the grown logs,
+    * resets the composed remap into the rewritten label base, and
+    * publishes a real MANIFEST — oracle-checked against a from-scratch
+    * closure clustering of the same subset, which the chain must equal
+    * by the admission algebra
     * ([[graft.operators.EmbeddingIncremental]]). q62 covers the
     * in-memory admission; this covers the storage layout, commit
-    * protocol, fold cadence, and streaming bookmark end-to-end in the
-    * driver's correctness gate — the vector-side q54. All three drops
-    * are staged with ONE partitioned write and replayed through ONE
-    * AvailableNow run at maxFilesPerBatch=1: three separate
+    * protocol, fold, and streaming bookmark end-to-end in the driver's
+    * correctness gate — the vector-side q54. The append/remap-compose
+    * commit path and multi-generation cadence are pinned by
+    * EmbeddingIncrementalSpec and the 60-day chain probe
+    * (`bench/EMBCHAIN_r14_sf01_60day.txt`); two drops keep the gate
+    * query's bench slot to the chain's fixed cost (admissions here are
+    * ~15 small sequential jobs — overhead-bound at ANY subset size,
+    * which is why shrinking the subset does not shrink the slot). Both
+    * drops are staged with ONE partitioned write and replayed through
+    * ONE AvailableNow run at maxFilesPerBatch=1: two separate
     * micro-batch admissions, one stream setup. */
   def qEmbedChain(s: SparkSession, d: String): DataFrame = {
     val vecs = graft.engine.Tables.embeddings(s, d)
       .filter(col("vec_id") < ChainSubsetMax)
     val root = java.nio.file.Files.createTempDirectory("graft-q63").toString
-    vecs.withColumn("day", pmod(col("vec_id"), lit(3)))
-      .repartition(3, col("day"))
-      .write.partitionBy("day").parquet(s"$root/vecs")
-    admitNewDrops(s, s"$root/vecs/day=*", s"$root/state", s"$root/ckpt",
-      maxLiveSegments = 1, maxFilesPerBatch = Some(1))
+    chainTimer("stage")(vecs.withColumn("day", pmod(col("vec_id"), lit(2)))
+      .repartition(2, col("day"))
+      .write.partitionBy("day").parquet(s"$root/vecs"))
+    chainTimer("stream")(
+      admitNewDrops(s, s"$root/vecs/day=*", s"$root/state", s"$root/ckpt",
+        maxLiveSegments = 1, maxFilesPerBatch = Some(1)))
     // pin rows before the state dir is deleted (the caller writes the
     // result AFTER this returns; a lazy scan would read deleted files)
-    val out = graft.Checkpoints.pin(EmbeddingIncremental.labelsWithSizes(
+    val out = chainTimer("read")(graft.Checkpoints.pin(
+      EmbeddingIncremental.labelsWithSizes(
         EmbeddingIncremental.loadState(s, s"$root/state").get)
-      .orderBy("vec_id"))
+      .orderBy("vec_id")))
     try org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
     catch { case _: Exception => }
