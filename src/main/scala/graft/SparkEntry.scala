@@ -169,8 +169,9 @@ object SparkEntry {
     // q62 shares q61's oracle VERBATIM: incremental admission over the
     // 80/20 split must equal the batch clustering of the full corpus
     "q62_incr_embed_dedup" -> graft.operators.EmbeddingIncremental.qIncrementalSql,
-    // q63 streams three day drops through the PERSISTED LSM store —
-    // q61's closure oracle, source-parameterized to the capped subset
+    // q63 streams two day drops through the PERSISTED LSM store (the
+    // day-2 commit folds) — q61's closure oracle, source-parameterized
+    // to the capped subset
     "q63_embed_chain"   -> graft.streaming.EmbedStream.qEmbedChainSql,
   )
 }

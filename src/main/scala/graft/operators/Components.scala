@@ -94,8 +94,12 @@ object Components {
     * collects, and the result is identical by construction (union-find
     * under min-representative = min node id per component). Pass 0 to
     * force the distributed path. */
+  /** Default driver-side cap — shared with the admission paths'
+    * own bounded frontier takes so the two fast paths cannot drift. */
+  val DefaultDriverThreshold: Int = 1 << 16
+
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
-      driverThreshold: Int = 1 << 16): DataFrame = {
+      driverThreshold: Int = DefaultDriverThreshold): DataFrame = {
     val ePlan = edges.select(col("a"), col("b"))
       .filter(col("a") =!= col("b")).distinct()
     val uPlan = edges.select(col("a").as("node"))

@@ -44,26 +44,9 @@ final case class EmbedDedupState(labels: DataFrame, sizes: DataFrame,
 
 object EmbeddingIncremental {
 
-  /** Run independent Spark actions as concurrent jobs (a commit's
-    * segment/remap writes touch disjoint paths and share no lineage
-    * beyond already-pinned blocks) — commit wall is the slowest write,
-    * not the sum; failures propagate before the manifest is written. */
-  private def inParallel(tasks: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
-      Future.sequence(tasks.map(tk => Future(tk()))), Duration.Inf): Unit
-  }
-
-  /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer, as in
-    * [[graft.streaming.DedupStream]]. */
-  private def t[A](tag: String)(f: => A): A =
-    if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
-      val t0 = System.nanoTime(); val r = f
-      System.err.println(
-        f"[embadmit] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    } else f
+  private def inParallel(tasks: (() => Unit)*): Unit =
+    graft.Par.inParallel(tasks: _*)
+  private def t[A](tag: String)(f: => A): A = graft.Par.timed(s"emb.$tag")(f)
 
   /** (grp, vec_id, embedding) — one row per vector per LSH table, the
     * probe-able bucket relation ([[Dedup.embeddingNearDupsLsh]]'s grid,
@@ -186,8 +169,11 @@ object EmbeddingIncremental {
           () => ())
       } else {
         val pc = graft.Checkpoints.pin(contracted)
+        // driverThreshold = 0: this branch already PROVED the frontier
+        // is over-cap, so connectedComponents' own bounded-take probe
+        // would be a guaranteed-wasted job
         val c = t("core.comp")(graft.Checkpoints.pin(
-          Components.connectedComponents(pc)))
+          Components.connectedComponents(pc, driverThreshold = 0)))
         (c, () => Seq(c, pc).foreach(graft.Checkpoints.free))
       }
     }
@@ -204,11 +190,11 @@ object EmbeddingIncremental {
     AdmitFrontier(newAssign, remap, newBucketRows, release)
   }
 
-  /** Cap on contracted frontier edges kept driver-local (the
-    * [[Components.connectedComponents]] `driverThreshold` class of
-    * bounded collect — K-row material, same as the ANN centroid
-    * collects). */
-  private val FrontierCap = 1 << 16
+  /** Cap on contracted frontier edges kept driver-local — SHARED with
+    * [[Components.connectedComponents]]'s `driverThreshold` (one
+    * invariant, one constant): K-row bounded-collect material, same as
+    * the ANN centroid collects. */
+  private def FrontierCap = Components.DefaultDriverThreshold
 
   /** Assemble the grown in-memory state from an admission's frontier
     * ([[admitCore]]): relabel merged old clusters, append the batch's
@@ -336,7 +322,9 @@ object EmbeddingIncremental {
     * The fold applies `C` into the rewritten base and resets it to
     * empty. Local segment writes coalesce to one file; a deployment
     * sizes segment files by target block size instead. */
-  def saveState(state: EmbedDedupState, dir: String): Unit = {
+  def saveState(state: EmbedDedupState, dir: String,
+      streamBatchId: Option[Long] = None,
+      streamCkptHash: Option[Long] = None): Unit = {
     // fresh-store bootstrap only: a resave would append the FULL bucket
     // relation as a duplicate segment next to the ones it already holds
     require(VersionedIndex.currentVersion(dir).isEmpty,
@@ -350,7 +338,8 @@ object EmbeddingIncremental {
         .parquet(s"$dir/v0/remap"))
     val rows = spark.read.parquet(s"$dir/labels/seg=0").count()
     VersionedIndex.commit(dir, 0, trainedRows = rows, totalRows = rows,
-      segs = Vector(0L), logs = Seq("buckets", "labels"))
+      segs = Vector(0L), logs = Seq("buckets", "labels"),
+      streamBatchId = streamBatchId, streamCkptHash = streamCkptHash)
   }
 
   private def emptyRemap(spark: SparkSession): DataFrame =
@@ -386,7 +375,9 @@ object EmbeddingIncremental {
     * saturates with batch size — see [[EmbStateBuckets]]'s regime
     * note. */
   def admitDrop(spark: SparkSession, dir: String, newVecs: DataFrame,
-      threshold: Double = 0.45, maxLiveSegments: Int = 16): Unit = {
+      threshold: Double = 0.45, maxLiveSegments: Int = 16,
+      streamBatchId: Option[Long] = None,
+      streamCkptHash: Option[Long] = None): Unit = {
     val st0 = t("load")(loadState(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"$dir holds no committed embedding-dedup state — saveState first")))
@@ -447,7 +438,8 @@ object EmbeddingIncremental {
       spark.read.parquet(s"$dir/labels/seg=$next").count())
     val total = if (fold) segRows else m.totalRows + segRows
     VersionedIndex.commit(dir, next, trainedRows = total,
-      totalRows = total, segs = segs, logs = Seq("buckets", "labels"))
+      totalRows = total, segs = segs, logs = Seq("buckets", "labels"),
+      streamBatchId = streamBatchId, streamCkptHash = streamCkptHash)
     f.release()
   }
 

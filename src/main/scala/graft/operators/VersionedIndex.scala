@@ -38,9 +38,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object VersionedIndex {
 
   /** The committed state a reader resolves: version, drift baseline,
-    * log size, and the log segments this version references. */
+    * log size, the log segments this version references, and (when the
+    * writer is a streaming admission) the micro-batch id that produced
+    * it — the replay guard: a crash between this commit and the
+    * streaming checkpoint's own commit redelivers the same batch, and
+    * the recorded id lets the admission skip it instead of
+    * double-admitting (manifests without the field read as None). */
   final case class Meta(version: Long, trainedRows: Long, totalRows: Long,
-      segs: Vector[Long])
+      segs: Vector[Long], streamBatchId: Option[Long] = None,
+      streamCkptHash: Option[Long] = None)
 
   def currentVersion(indexDir: String): Option[Long] = {
     val f = new java.io.File(indexDir, "CURRENT")
@@ -79,7 +85,11 @@ private[graft] object VersionedIndex {
         .getOrElse(if (txt.contains("trainedRows")) legacy()
           else throw new IllegalStateException(
             s"unreadable index manifest v$v: $txt"))
-      Meta(v, num("trainedRows"), num("totalRows"), segs)
+      val sb = """"streamBatchId":(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+      val sc = """"streamCkptHash":(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+      Meta(v, num("trainedRows"), num("totalRows"), segs, sb, sc)
   }
 
   def metaOrThrow(indexDir: String): Meta = meta(indexDir).getOrElse(
@@ -123,7 +133,9 @@ private[graft] object VersionedIndex {
     * `<log>/seg=$next` is already written): manifest, atomic pointer
     * move, then retention. `logs` names the data-log roots to prune. */
   def commit(indexDir: String, next: Long, trainedRows: Long,
-      totalRows: Long, segs: Vector[Long], logs: Seq[String]): Unit = {
+      totalRows: Long, segs: Vector[Long], logs: Seq[String],
+      streamBatchId: Option[Long] = None,
+      streamCkptHash: Option[Long] = None): Unit = {
     val dir = java.nio.file.Paths.get(indexDir, s"v$next")
     java.nio.file.Files.createDirectories(dir)
     // single-writer guard: the protocol assumes one writer per index
@@ -153,6 +165,8 @@ private[graft] object VersionedIndex {
     java.nio.file.Files.writeString(mf,
       s"""{"trainedRows":$trainedRows,"totalRows":$totalRows,""" +
         s""""buildId":"${java.util.UUID.randomUUID()}",""" +
+        streamBatchId.map(id => s""""streamBatchId":$id,""").getOrElse("") +
+        streamCkptHash.map(h => s""""streamCkptHash":$h,""").getOrElse("") +
         s""""segs":[${segs.mkString(",")}]}""",
       java.nio.file.StandardOpenOption.CREATE_NEW)
     // strict parse (metaAt): a CORRUPT previous manifest must abort the

@@ -82,27 +82,10 @@ object DedupStream {
     r.parquet(paths: _*)
   }
 
-  /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer for the admission path. */
   private def chainTimer[A](tag: String)(f: => A): A =
-    if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
-      val t0 = System.nanoTime(); val r = f
-      System.err.println(
-        f"[chain] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    } else f
-
-  /** Run independent Spark actions as concurrent jobs (labels/sizes/
-    * segment writes within one commit touch disjoint paths and share no
-    * lineage). Commit wall time is the slowest write, not the sum — the
-    * scheduler interleaves the stages; on a real cluster this is the
-    * standard multi-threaded-driver pattern. Any failure propagates
-    * before the commit's manifest is written. */
-  private def inParallel(tasks: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
-      Future.sequence(tasks.map(t => Future(t()))), Duration.Inf): Unit
-  }
+    graft.Par.timed(tag)(f)
+  private def inParallel(tasks: (() => Unit)*): Unit =
+    graft.Par.inParallel(tasks: _*)
 
   private def versionOf(stateDir: String): Option[Long] = {
     val f = new java.io.File(stateDir, "CURRENT")
@@ -117,7 +100,9 @@ object DedupStream {
     * before the copy-on-write layout (labels/sizes then live whole at
     * `v$N/`). */
   private final case class Manifest(compactions: Int, cFrom: Int,
-      segFrom: Long, buckets: Int, owners: Option[Vector[Long]])
+      segFrom: Long, buckets: Int, owners: Option[Vector[Long]],
+      streamBatchId: Option[Long] = None,
+      streamCkptHash: Option[Long] = None)
 
   /** Versions committed before the bucketed layout have no MANIFEST —
     * they read as (0, 0, 0, 0, None): all segments live, no base,
@@ -135,7 +120,9 @@ object DedupStream {
       (num("compactions"), num("segFrom"), num("buckets")) match {
         case (Some(c), Some(fr), Some(b)) =>
           Some(Manifest(c.toInt, num("cFrom").getOrElse(0L).toInt, fr,
-            b.toInt, owners))
+            b.toInt, owners, num("streamBatchId"),
+            """"streamCkptHash":(-?\d+)""".r.findFirstMatchIn(txt)
+              .map(_.group(1).toLong)))
         case _ => throw new IllegalStateException(
           s"unreadable state manifest v$v: $txt")
       }
@@ -143,12 +130,15 @@ object DedupStream {
   }
 
   private def writeManifest(stateDir: String, v: Long, compactions: Int,
-      cFrom: Int, segFrom: Long, buckets: Int,
-      owners: Vector[Long]): Unit = {
+      cFrom: Int, segFrom: Long, buckets: Int, owners: Vector[Long],
+      stream: Option[(Long, Long)] = None): Unit = {
     val dir = java.nio.file.Paths.get(stateDir, s"v$v")
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(dir.resolve("MANIFEST"),
       s"""{"compactions":$compactions,"cFrom":$cFrom,"segFrom":$segFrom,""" +
+        stream.map { case (ck, id) =>
+          s""""streamCkptHash":$ck,"streamBatchId":$id,"""
+        }.getOrElse("") +
         s""""buckets":$buckets,"owners":[${owners.mkString(",")}]}""")
   }
 
@@ -428,7 +418,8 @@ object DedupStream {
       newBands: Option[DataFrame] = None,
       newShingles: Option[DataFrame] = None,
       buckets: Int = StateBuckets,
-      maxLiveSegments: Int = MaxLiveSegments): Long = {
+      maxLiveSegments: Int = MaxLiveSegments,
+      stream: Option[(Long, Long)] = None): Long = {
     val prevVersion = versionOf(stateDir)
     val next = prevVersion.getOrElse(-1L) + 1
     require(next == 0 || (newBands.isDefined && newShingles.isDefined),
@@ -462,7 +453,7 @@ object DedupStream {
       () => wr(dropB(newShingles.getOrElse(st.shingles)),
         s"shingles/seg$next")) ++ foldTask: _*))
     val owners = Vector.fill(b)(next)
-    writeManifest(stateDir, next, newC, prevCFrom, newF, b, owners)
+    writeManifest(stateDir, next, newC, prevCFrom, newF, b, owners, stream)
     promote(stateDir, next)
     retire(stateDir, next, newF, prevF, prevCFrom, prevCFrom,
       Some(owners), prevMan.flatMap(_.owners))
@@ -480,7 +471,8 @@ object DedupStream {
     * segment fold. A legacy previous state (pre-owners manifest) takes
     * the [[commitState]] upgrade path once. */
   def commitDelta(spark: SparkSession, stateDir: String, prev: DedupState,
-      delta: AdmitDelta, maxLiveSegments: Int = MaxLiveSegments): Long = {
+      delta: AdmitDelta, maxLiveSegments: Int = MaxLiveSegments,
+      stream: Option[(Long, Long)] = None): Long = {
     val prevV = versionOf(stateDir).getOrElse(throw new IllegalStateException(
       "commitDelta requires an existing committed state (bootstrap with commitState)"))
     manifestOf(stateDir, prevV).filter(_.owners.isDefined) match {
@@ -488,7 +480,8 @@ object DedupStream {
         commitState(IncrementalDedup.applyDelta(prev, delta), stateDir,
           newBands = Some(delta.newBands),
           newShingles = Some(delta.newShingles),
-          maxLiveSegments = maxLiveSegments)
+          maxLiveSegments = maxLiveSegments,
+          stream = stream)
       case Some(man) =>
         def t[A](tag: String)(f: => A): A = chainTimer(s"  commit.$tag")(f)
         val next = prevV + 1
@@ -540,7 +533,8 @@ object DedupStream {
             wr(delta.newShingles, s"shingles/seg$next")),
           () => foldTask.foreach(f => t("fold")(f()))): _*))
         val owners = touched.foldLeft(own)((v, k) => v.updated(k, next))
-        writeManifest(stateDir, next, newC, man.cFrom, newF, b, owners)
+        writeManifest(stateDir, next, newC, man.cFrom, newF, b, owners,
+          stream)
         promote(stateDir, next)
         retire(stateDir, next, newF, man.segFrom, man.cFrom, man.cFrom,
           Some(owners), Some(own))
@@ -624,19 +618,33 @@ object DedupStream {
     maxFilesPerBatch.foreach(n => reader.option("maxFilesPerTrigger", n))
     val drops = reader.parquet(docsPath)
     val q = drops.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay guard: foreachBatch is at-least-once — a crash between
+        // the state commit and the streaming checkpoint's own commit
+        // redelivers this batch on restart; the manifest records the
+        // (checkpoint identity, batch id) pair atomically with the
+        // commit — graft.Par.ckptIdentity's Delta-recipe note — so the
+        // redelivery is skipped instead of double-admitted (the docs
+        // would otherwise re-pair with their own stored copies), while
+        // a FRESH checkpoint's restarted ids are not mistaken for one.
+        val ckptId = graft.Par.ckptIdentity(checkpointDir)
+        val already = versionOf(stateDir)
+          .flatMap(v => manifestOf(stateDir, v))
+          .exists(m => m.streamCkptHash.contains(ckptId) &&
+            m.streamBatchId.exists(_ >= batchId))
         // foreachBatch hands a streaming-backed DataFrame; the admission
         // builds an iterative multi-action plan over it, so pin the
         // batch to a stable local copy first
         val pinned = graft.Checkpoints.pin(batch)
-        if (!pinned.isEmpty) {
+        if (!already && !pinned.isEmpty) {
           def t[A](tag: String)(f: => A): A = chainTimer(tag)(f)
           t("load+admit+commit")(loadState(spark, stateDir)) match {
             case Some(prev) =>
               val delta = t("admitDelta")(
                 IncrementalDedup.admitBatchDelta(prev, pinned))
               t("commitDelta")(commitDelta(spark, stateDir, prev, delta,
-                maxLiveSegments = maxLiveSegments))
+                maxLiveSegments = maxLiveSegments,
+                stream = Some((ckptId, batchId))))
               // the commit is durable — release the delta's component
               // checkpoint rather than waiting on the ContextCleaner
               delta.release()
@@ -645,7 +653,8 @@ object DedupStream {
                 commitState(
                   t("  bootstrap.cluster")(IncrementalDedup.initialState(pinned)),
                   stateDir,
-                  buckets = buckets, maxLiveSegments = maxLiveSegments))
+                  buckets = buckets, maxLiveSegments = maxLiveSegments,
+                  stream = Some((ckptId, batchId))))
           }
           // per-batch shingle/band memos are keyed on this batch's plan
           // and never hit again — drop them so a long-running stream

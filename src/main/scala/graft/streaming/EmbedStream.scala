@@ -9,8 +9,11 @@ import graft.operators.EmbeddingIncremental
   * ([[graft.operators.EmbeddingIncremental]]) — the vector analog of
   * [[DedupStream.admitNewDrops]]: each parquet drop of
   * (vec_id, embedding) rows under a watched path is admitted against
-  * the store exactly once (the streaming checkpoint is the bookmark,
-  * like `Ingest.processNewFiles`), batch 0 bootstrapping with
+  * the store exactly once — the streaming checkpoint is the bookmark
+  * for new files (like `Ingest.processNewFiles`), and the store
+  * manifest records the admitting micro-batch id so a batch
+  * crash-redelivered by foreachBatch's at-least-once contract is
+  * skipped, not double-admitted — batch 0 bootstrapping with
   * `initialState`/`saveState` and later batches taking the LSM
   * `admitDrop` path (O(batch + merges) state writes, log folds on
   * cadence).
@@ -21,13 +24,8 @@ import graft.operators.EmbeddingIncremental
   * day drops as separate admissions — stream setup is paid once. */
 object EmbedStream {
 
-  /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer, as in [[DedupStream]]. */
   private def chainTimer[A](tag: String)(f: => A): A =
-    if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
-      val t0 = System.nanoTime(); val r = f
-      System.err.println(
-        f"[embchain] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    } else f
+    graft.Par.timed(s"embchain.$tag")(f)
 
   /** Admit every not-yet-seen parquet drop under `vecsPath` into the
     * embedding-dedup state at `stateDir`, blocking until the
@@ -43,19 +41,37 @@ object EmbedStream {
     maxFilesPerBatch.foreach(n => reader.option("maxFilesPerTrigger", n))
     val drops = reader.parquet(vecsPath)
     val q = drops.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay guard: foreachBatch is at-least-once — a crash between
+        // the store's commit and the STREAMING checkpoint's own commit
+        // redelivers this batch on restart, and re-admitting rows whose
+        // vec_ids the state already holds would silently violate the
+        // new-ids precondition (self-pairs, duplicate labels). The
+        // store's manifest records (checkpoint identity, batch id)
+        // atomically with the commit — the Delta txnAppId/txnVersion
+        // recipe ([[graft.Par.ckptIdentity]]): a redelivered id under
+        // the SAME checkpoint is skipped; a fresh checkpoint (ids
+        // restart at 0) is not mistaken for a replay.
+        val ckptId = graft.Par.ckptIdentity(checkpointDir)
+        val already = graft.operators.VersionedIndex.meta(stateDir).exists(m =>
+          m.streamCkptHash.contains(ckptId) &&
+            m.streamBatchId.exists(_ >= batchId))
         // foreachBatch hands a streaming-backed DataFrame; the
         // admission builds an iterative multi-action plan over it, so
         // pin a stable local copy first and release it once the commit
         // is durable
         val pinned = graft.Checkpoints.pin(batch)
-        if (!pinned.isEmpty) {
+        if (!already && !pinned.isEmpty) {
           if (graft.operators.VersionedIndex.currentVersion(stateDir).isEmpty)
             chainTimer("bootstrap")(EmbeddingIncremental.saveState(
-              EmbeddingIncremental.initialState(pinned, threshold), stateDir))
+              EmbeddingIncremental.initialState(pinned, threshold),
+              stateDir, streamBatchId = Some(batchId),
+              streamCkptHash = Some(ckptId)))
           else
             chainTimer("admitDrop")(EmbeddingIncremental.admitDrop(
-              spark, stateDir, pinned, threshold, maxLiveSegments))
+              spark, stateDir, pinned, threshold, maxLiveSegments,
+              streamBatchId = Some(batchId),
+              streamCkptHash = Some(ckptId)))
         }
         graft.Checkpoints.free(pinned)
       }

@@ -39,6 +39,12 @@ class DedupStreamSpec extends AnyFunSuite {
       Map(10L -> (10L, 2L), 11L -> (10L, 2L), 20L -> (20L, 2L),
         21L -> (20L, 2L), 30L -> (30L, 1L)))
 
+    // snapshot the checkpoint image as of day 1 — the crash picture a
+    // restart would see if the process died after the DAY-2 state
+    // commit but before the streaming checkpoint's own commit
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(ckpt), new java.io.File(s"$root/ckpt_crash"))
+
     // day 2 drop: only the NEW file is processed (bookmark), the bridge
     // doc merges both old clusters, and the streamed state equals a
     // from-scratch batch recompute over day1 ∪ day2
@@ -52,8 +58,23 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed(1L) == (1L, 5L) && streamed(21L) == (1L, 5L))
 
-    // no new drops: AvailableNow drains without a commit
+    // crash replay: restart from the day-1 checkpoint image — the
+    // stream redelivers day 2 under the SAME batch id and (via the
+    // metadata-persisted query id) the SAME lineage identity;
+    // foreachBatch is at-least-once, and the manifest's
+    // (lineage, batchId) guard must skip the redelivery instead of
+    // double-admitting day 2's doc_ids
     val before = Files.readString(java.nio.file.Paths.get(state, "CURRENT"))
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, s"$root/ckpt_crash")
+    assert(Files.readString(java.nio.file.Paths.get(state, "CURRENT")) == before,
+      "a crash-redelivered batch must not publish a new state version")
+    val replayed = IncrementalDedup.labelsWithSizes(
+        DedupStream.loadState(spark, state).get).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(replayed == batch,
+      "state must be unchanged after the redelivered batch")
+
+    // no new drops: AvailableNow drains without a commit
     DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
     assert(Files.readString(java.nio.file.Paths.get(state, "CURRENT")) == before,
       "an empty run must not publish a new state version")

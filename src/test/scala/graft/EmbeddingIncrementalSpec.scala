@@ -138,14 +138,32 @@ class EmbeddingIncrementalSpec extends AnyFunSuite {
     // day 1 bootstrap, day 2 admission — only the NEW file is processed
     emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$vecs/day1")
     EmbedStream.admitNewDrops(spark, s"$vecs/*", state, ckpt)
+    // snapshot the checkpoint image as of day 1 — the crash picture a
+    // restart would see if the process died after the DAY-2 state
+    // commit but before the streaming checkpoint's own commit
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(ckpt), new java.io.File(s"$root/ckpt_crash"))
     emb.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$vecs/day2")
     EmbedStream.admitNewDrops(spark, s"$vecs/*", state, ckpt)
     val grown = EmbeddingIncremental.loadState(spark, state).get
     assert(rows(EmbeddingIncremental.labelsWithSizes(grown)) == batchTruth,
       "streamed 2-day chain must equal the one-shot clustering")
-    // no new drops: AvailableNow drains without a commit
+    // crash replay: restart from the day-1 checkpoint image — the
+    // stream redelivers day 2 under the SAME batch id and (via the
+    // metadata-persisted query id) the SAME lineage identity;
+    // foreachBatch is at-least-once, and the manifest's
+    // (lineage, batchId) guard must skip the redelivery instead of
+    // double-admitting day 2's vec_ids
     val before = java.nio.file.Files.readString(
       java.nio.file.Paths.get(state, "CURRENT"))
+    EmbedStream.admitNewDrops(spark, s"$vecs/*", state, s"$root/ckpt_crash")
+    assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(state, "CURRENT")) == before,
+      "a crash-redelivered batch must not publish a new state version")
+    val replayed = EmbeddingIncremental.loadState(spark, state).get
+    assert(rows(EmbeddingIncremental.labelsWithSizes(replayed)) == batchTruth,
+      "state must be unchanged after the redelivered batch")
+    // no new drops: AvailableNow drains without a commit
     EmbedStream.admitNewDrops(spark, s"$vecs/*", state, ckpt)
     assert(java.nio.file.Files.readString(
         java.nio.file.Paths.get(state, "CURRENT")) == before,
