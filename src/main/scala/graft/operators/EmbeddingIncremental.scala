@@ -347,21 +347,34 @@ object EmbeddingIncremental {
       org.apache.spark.sql.types.StructType.fromDDL(RemapDdl))
 
   def loadState(spark: SparkSession, dir: String): Option[EmbedDedupState] =
-    VersionedIndex.meta(dir).map { m =>
-      if (!new java.io.File(dir, "labels").isDirectory)
-        throw new IllegalStateException(
-          s"$dir has no labels log — this store predates the labels-log " +
-            "layout; migrate by rebuilding into a FRESH directory " +
-            "(initialState over the corpus, then saveState there)")
-      val labels = labelsOf(spark, dir, m, remapOf(spark, dir, m.version))
-      EmbedDedupState(
-        labels = labels,
-        sizes = labels.groupBy(col("cluster_id"))
-          .agg(count(lit(1)).as("cluster_size")),
-        buckets = VersionedIndex.readLog(spark, dir, "buckets", m.segs,
-          "grp BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>",
-          partitionDdl = "grpb INT"))
-    }
+    VersionedIndex.meta(dir).map(m => stateAt(spark, dir, m))
+
+  /** Time-travel read of a RETAINED version — retention keeps the
+    * current + previous versions' manifests, remaps, and log segments,
+    * so an in-flight reader of the prior commit stays valid across one
+    * promote (and an explicit audit read can pin it). Throws, naming
+    * the version, once retention has reclaimed it — the
+    * [[VersionedIndex.metaAt]] contract. */
+  def loadStateAt(spark: SparkSession, dir: String,
+      version: Long): EmbedDedupState =
+    stateAt(spark, dir, VersionedIndex.metaAt(dir, version))
+
+  private def stateAt(spark: SparkSession, dir: String,
+      m: VersionedIndex.Meta): EmbedDedupState = {
+    if (!new java.io.File(dir, "labels").isDirectory)
+      throw new IllegalStateException(
+        s"$dir has no labels log — this store predates the labels-log " +
+          "layout; migrate by rebuilding into a FRESH directory " +
+          "(initialState over the corpus, then saveState there)")
+    val labels = labelsOf(spark, dir, m, remapOf(spark, dir, m.version))
+    EmbedDedupState(
+      labels = labels,
+      sizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size")),
+      buckets = VersionedIndex.readLog(spark, dir, "buckets", m.segs,
+        "grp BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>",
+        partitionDdl = "grpb INT"))
+  }
 
   /** Admit a batch against the PERSISTED state at `dir` and commit the
     * grown state as the next version — per-admission state WRITES are

@@ -79,6 +79,33 @@ class EmbeddingIncrementalSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("time-travel read: the previous version stays valid across one promote") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val dir = java.nio.file.Files.createTempDirectory("embtt").toString
+    EmbeddingIncremental.saveState(
+      EmbeddingIncremental.initialState(emb.filter(col("vec_id") % 3 === 0)), dir)
+    EmbeddingIncremental.admitDrop(spark, dir, emb.filter(col("vec_id") % 3 === 1))
+    EmbeddingIncremental.admitDrop(spark, dir, emb.filter(col("vec_id") % 3 === 2))
+    // v1 (the PREVIOUS version) reads as the state after day 2: equal
+    // to a one-shot clustering of days 1∪2 by the admission algebra
+    val v1Truth = rows(Dedup.embeddingDupClusters(
+      emb.filter(col("vec_id") % 3 =!= 2)))
+    val v1 = EmbeddingIncremental.loadStateAt(spark, dir, 1)
+    assert(rows(EmbeddingIncremental.labelsWithSizes(v1)) == v1Truth,
+      "previous version must read as the state before the last admission")
+    // the current version reads identically through both entry points
+    assert(rows(EmbeddingIncremental.labelsWithSizes(
+        EmbeddingIncremental.loadStateAt(spark, dir, 2))) ==
+      rows(EmbeddingIncremental.labelsWithSizes(
+        EmbeddingIncremental.loadState(spark, dir).get)))
+    // v0 is past retention (current + previous only) — loud, named error
+    val e = intercept[IllegalStateException] {
+      EmbeddingIncremental.loadStateAt(spark, dir, 0)
+    }
+    assert(e.getMessage.contains("v0"), s"error must name the version: $e")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("log folds past maxLiveSegments and the folded chain equals one-shot") {
     val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val batchTruth = rows(Dedup.embeddingDupClusters(emb))
