@@ -198,6 +198,41 @@ class EmbeddingIncrementalSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("randomized persisted chains equal one-shot (seeded merge-heavy property)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // clustered fixture: vectors are noisy copies of a few base
+    // directions, so random day splits constantly bridge and merge
+    // clusters across admissions — the composition-heavy regime
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rnd = new scala.util.Random(seed)
+      val bases = Array.fill(6)(Array.fill(64)(rnd.nextGaussian().toFloat))
+      val vecs = (0 until 60).map { i =>
+        val b = bases(rnd.nextInt(6))
+        (i.toLong, b.zip(Array.fill(64)(rnd.nextGaussian().toFloat * 0.15f))
+          .map { case (x, n) => x + n })
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val truth = rows(Dedup.embeddingDupClusters(df, threshold = 0.8))
+      val days = vecs.map { case (id, _) => id -> rnd.nextInt(5) }.toMap
+      val dir = java.nio.file.Files.createTempDirectory(s"embprop$seed").toString
+      val dayOf = udf((id: Long) => days(id))
+      EmbeddingIncremental.saveState(
+        EmbeddingIncremental.initialState(
+          df.filter(dayOf(col("vec_id")) === 0), threshold = 0.8), dir)
+      (1 until 5).foreach { d =>
+        // small maxLiveSegments so folds interleave with compositions
+        EmbeddingIncremental.admitDrop(spark, dir,
+          df.filter(dayOf(col("vec_id")) === d), threshold = 0.8,
+          maxLiveSegments = 2)
+      }
+      val grown = EmbeddingIncremental.loadState(spark, dir).get
+      assert(rows(EmbeddingIncremental.labelsWithSizes(grown)) == truth,
+        s"seed $seed: 5-day random chain must equal one-shot")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("a batch colliding with nothing self-assigns as singletons") {
     val rnd = new scala.util.Random(6L)
     val day1 = (0 until 30).map(i =>
