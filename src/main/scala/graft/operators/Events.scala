@@ -92,31 +92,79 @@ object Events {
         col("event_type"), col("asof_orderkey"))
   }
 
-  /** Range join via minute-bucketing (a join type with no equi key —
-    * Spark would otherwise nested-loop it): for each event, count events
-    * (any user) in the preceding `windowSeconds`. Candidates are
-    * duplicated into their own bucket and the next, so an event joins
-    * exactly the two buckets its window can span — an equi-join on the
-    * bucket key + a residual range filter. At 100 TB this is the standard
-    * shape: shuffle on a dense integer key, per-bucket row counts bounded
-    * by event rate × bucket width.
+  /** Range "join" without the join: for each event, count events (any
+    * user) in the preceding `windowSeconds` — at microsecond precision,
+    * self excluded.
     *
-    * Timestamps compare at full microsecond precision (the bucket is
-    * pruning only, derived from truncated epoch — conservative by
-    * construction). */
+    * The v1 formulation bucketed candidates into (bucket, bucket+1) and
+    * equi-joined with a residual range filter. That materializes every
+    * in-window PAIR, so its cost is quadratic in event DENSITY: the
+    * scale sweep measured ×13 wall for ×50 rows at constant time-span
+    * (a hot minute at fleet scale is the q16 trap with no scale path).
+    * But the aggregate never needed pairs — it is a classic sliding-
+    * window count: duplicate each event into its own bucket and the
+    * next (the only two buckets a window can span), hash-shuffle on the
+    * bucket, sort within partitions by (bucket, ts), and run a
+    * two-pointer pass per bucket — a deque of candidate timestamps
+    * still inside the window, evicted from the front as time advances.
+    * One shuffle of 2N rows, O(N log N) sort, O(N) kernel, O(window
+    * occupancy) memory; per-event output is `deque − self`, with equal
+    * timestamps grouped so ties count each other symmetrically (the
+    * `c_ts <= ts` contract). A hot bucket costs linear work in ONE
+    * task instead of quadratic pairs. (The declarative alternative — a
+    * global `RANGE BETWEEN INTERVAL` window — funnels the corpus
+    * through one unpartitioned sort task, the plan shape PlanShapeSpec
+    * bans; the per-bucket kernel is the distributed form of the same
+    * frame.) Row-identical to the v1 join (ids are unique per the
+    * events contract): spec-pinned against a direct O(n²) ground truth
+    * and DuckDB's own range join (q33). */
   def rangeJoinPriorCount(events: DataFrame, windowSeconds: Int = 60): DataFrame = {
-    val e = events.select(col("event_id"), col("ts"),
-      (col("ts").cast("long") / windowSeconds).cast("long").as("bucket"))
-    val cand = e.select(col("event_id").as("c_id"), col("ts").as("c_ts"),
-      explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
-    e.join(cand,
-        e("bucket") === cand("bucket") &&
-          col("c_ts") > col("ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
-          col("c_ts") <= col("ts") &&
-          col("c_id") =!= col("event_id"),
-        "left")
-      .groupBy(e("event_id"))
-      .agg(count(col("c_id")).as("n_prior"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = windowSeconds * 1000000L
+    val rows = events.select(col("event_id").cast("long"),
+      unix_micros(col("ts")).as("tus"))
+    // integer `div`, not double division: tus is ~2^50 microseconds and
+    // a double-rounded bucket boundary would misplace edge rows
+    val tagged = rows
+      .withColumn("own_bucket", expr(s"tus div $w"))
+      .select(col("event_id"), col("tus"), col("own_bucket"),
+        explode(array(col("own_bucket"), col("own_bucket") + 1))
+          .as("target"))
+      .select(col("event_id"), col("tus"), col("target"),
+        (col("target") === col("own_bucket")).as("is_own"))
+      .as[(Long, Long, Long, Boolean)]
+    tagged.repartition(col("target"))
+      .sortWithinPartitions(col("target"), col("tus"), col("event_id"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long)] {
+          private val win = new java.util.ArrayDeque[Long]()
+          private var curTarget = Long.MinValue
+          private var out: List[(Long, Long)] = Nil
+          private def advance(): Unit =
+            while (out.isEmpty && buf.hasNext) {
+              val (_, tus, target, _) = buf.head
+              if (target != curTarget) { win.clear(); curTarget = target }
+              // the tie group: rows at this exact timestamp count each
+              // other (c_ts <= ts), so push them all before emitting
+              var group: List[(Long, Long, Long, Boolean)] = Nil
+              while (buf.hasNext && buf.head._3 == curTarget
+                  && buf.head._2 == tus)
+                group ::= buf.next()
+              while (!win.isEmpty && win.peekFirst() <= tus - w)
+                win.removeFirst()
+              group.foreach(g => win.addLast(g._2))
+              out = group.collect { case (id, _, _, true) =>
+                (id, win.size().toLong - 1) // − self
+              }
+            }
+          def hasNext: Boolean = { advance(); out.nonEmpty }
+          def next(): (Long, Long) =
+            { advance(); val h = out.head; out = out.tail; h }
+        }
+      }
+      .toDF("event_id", "n_prior")
   }
 
   // ---- SparkEntry wiring -------------------------------------------------
