@@ -122,8 +122,16 @@ object Events {
     val spark = events.sparkSession
     import spark.implicits._
     val w = windowSeconds * 1000000L
-    val rows = events.select(col("event_id").cast("long"),
+    val allRows = events.select(col("event_id").cast("long"),
       unix_micros(col("ts")).as("tus"))
+    // NULL ts/id rows: the v1 join's NULL-propagating predicate matched
+    // nothing, emitting those events with n_prior = 0 and counting them
+    // as candidates never — preserve exactly that (the typed kernel
+    // encoder would otherwise fail the whole query on the first NULL)
+    val nullRows = allRows
+      .filter(col("tus").isNull || col("event_id").isNull)
+      .select(col("event_id"), lit(0L).as("n_prior"))
+    val rows = allRows.filter(col("tus").isNotNull && col("event_id").isNotNull)
     // integer `div`, not double division: tus is ~2^50 microseconds and
     // a double-rounded bucket boundary would misplace edge rows
     val tagged = rows
@@ -165,6 +173,7 @@ object Events {
         }
       }
       .toDF("event_id", "n_prior")
+      .unionByName(nullRows)
   }
 
   // ---- SparkEntry wiring -------------------------------------------------

@@ -82,6 +82,17 @@ class PricingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == direct)
     assert(got.values.sum > 0, "some events have prior neighbors")
+    // NULL-ts rows must surface with n_prior = 0 (the v1 join's
+    // NULL-propagating predicate semantics), not crash the kernel
+    val spark0 = spark
+    import spark0.implicits._
+    val withNull = events.select(col("event_id"), col("ts"))
+      .unionByName(Seq((999999L, None: Option[java.sql.Timestamp]))
+        .toDF("event_id", "ts"))
+    val n = Events.rangeJoinPriorCount(withNull).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n(999999L) == 0L, "a NULL-ts event must emit n_prior = 0")
+    assert(n.size == got.size + 1)
   }
 
   test("HLL column profile lands within 10% of the exact profile") {
