@@ -53,6 +53,16 @@ object Checkpoints {
   private val currentDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // Lazy Reliable pins keep their MEMORY_AND_DISK cache alive so the one
+  // later materialization feeds the checkpoint write — but that cache is a
+  // CacheManager entry on the ORIGINAL plan, which free() (which only sees
+  // the returned LogicalRDD) cannot reach. Track it here, keyed weakly on
+  // the checkpoint RDD, so free() can drop the cache entry too instead of
+  // leaking a corpus-sized cached relation for process life.
+  private val lazyPinCaches =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_], DataFrame]())
+
   /** Materialize `df` now (or lazily with `eager = false`) and truncate
     * its lineage, under the current [[policy]]. Identical result rows
     * either way; only the storage substrate differs.
@@ -76,6 +86,11 @@ object Checkpoints {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cp = persisted.checkpoint(eager)
       if (eager) { persisted.unpersist(blocking = false); () }
+      else cp.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lazyPinCaches.put(lr.rdd, persisted)
+        case _ => ()
+      }
       cp
   }
 
@@ -90,6 +105,10 @@ object Checkpoints {
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
+        // lazy Reliable pins also hold a CacheManager entry on the
+        // original plan (see lazyPinCaches) — drop it with the pin
+        Option(lazyPinCaches.remove(lr.rdd))
+          .foreach(_.unpersist(blocking = false))
         lr.rdd.getCheckpointFile.foreach { f =>
           try {
             val p = new org.apache.hadoop.fs.Path(f)

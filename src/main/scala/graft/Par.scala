@@ -33,17 +33,27 @@ private[graft] object Par {
     * `<ckpt>/metadata` at query start (stable across restarts, and
     * across a checkpoint image restored to a different path — the
     * crash-recovery case the guard exists for); the path itself is the
-    * fallback for a not-yet-initialized checkpoint. */
-  def ckptIdentity(checkpointDir: String): Long = {
+    * fallback for a not-yet-initialized checkpoint. Returned VERBATIM,
+    * not hashed: the manifest is free-form JSON, and a compressed hash
+    * (a 32-bit value colliding between a fresh lineage and the recorded
+    * one) would silently skip legitimate new batches. */
+  def ckptIdentity(checkpointDir: String): String = {
     val meta = new java.io.File(checkpointDir, "metadata")
-    val id =
-      (if (meta.isFile)
-        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(
-          java.nio.file.Files.readString(meta.toPath)).map(_.group(1))
-      else None)
-        .getOrElse(new java.io.File(checkpointDir).getAbsolutePath)
-    scala.util.hashing.MurmurHash3.stringHash(id).toLong
+    (if (meta.isFile)
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(
+        java.nio.file.Files.readString(meta.toPath)).map(_.group(1))
+    else None)
+      .getOrElse(new java.io.File(checkpointDir).getAbsolutePath)
   }
+
+  /** Minimal JSON string escaping for manifest fields ([[ckptIdentity]]
+    * values are UUIDs or filesystem paths — backslash and quote are the
+    * only characters that can break the manifest's hand-rolled JSON). */
+  def jsonEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  def jsonUnescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer for the admission
     * paths; `tag` carries the side-specific prefix. */

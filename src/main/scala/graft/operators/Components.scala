@@ -136,6 +136,11 @@ object Components {
       val nextCount = next.count()
       // fixpoint: the (distinct, oriented) edge sets are identical
       converged = nextCount == eCount && next.except(e).limit(1).isEmpty
+      // the superseded round's pin is dead once the convergence probe has
+      // read it — free it NOW, or under CheckpointPolicy.Reliable (where
+      // Spark never auto-cleans checkpoint files) every clustering call
+      // leaks one directory per round on shared storage for the app's life
+      graft.Checkpoints.free(e)
       e = next
       eCount = nextCount
       round += 1
@@ -148,9 +153,16 @@ object Components {
     // Joining back to the node universe keeps nodes whose only edges
     // were self-loops (filtered from e) as their own singletons.
     val labeled = e.select(col("a").as("node"), col("b").as("component"))
-    universe.join(labeled, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("component"), col("node")).as("component"))
-      .distinct()
+    // pin the labels so the universe/final-edge pins can be released here
+    // rather than leaking for process life (callers see a flat relation
+    // and never re-run the fixpoint); label rows are node-count-sized.
+    val result = graft.Checkpoints.pin(
+      universe.join(labeled, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("component"), col("node")).as("component"))
+        .distinct())
+    graft.Checkpoints.free(universe)
+    graft.Checkpoints.free(e)
+    result
   }
 }

@@ -402,10 +402,16 @@ object Dedup {
           java.util.Arrays.asList(tk: _*), edgesLazy.schema)
       } else pinnedEdges
     val comp = Components.connectedComponents(edges, maxRounds = maxIter)
+    // comp arrives eagerly pinned (connectedComponents frees its own
+    // round pins against it) — the over-cap edge pin is dead now
+    if (tk.length > IncrementalDedup.KeyPushMax)
+      graft.Checkpoints.free(pinnedEdges)
     val labels = graft.Checkpoints.pin(universe
       .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("cluster_id")))
+    // the labels pin is eager — comp's pin is no longer referenced
+    graft.Checkpoints.free(comp)
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")

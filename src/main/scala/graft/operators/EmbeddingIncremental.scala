@@ -172,8 +172,10 @@ object EmbeddingIncremental {
         // driverThreshold = 0: this branch already PROVED the frontier
         // is over-cap, so connectedComponents' own bounded-take probe
         // would be a guaranteed-wasted job
-        val c = t("core.comp")(graft.Checkpoints.pin(
-          Components.connectedComponents(pc, driverThreshold = 0)))
+        // connectedComponents' labels arrive eagerly pinned (it frees
+        // its own round pins) — re-pinning would orphan the inner pin
+        val c = t("core.comp")(
+          Components.connectedComponents(pc, driverThreshold = 0))
         (c, () => Seq(c, pc).foreach(graft.Checkpoints.free))
       }
     }
@@ -324,7 +326,7 @@ object EmbeddingIncremental {
     * sizes segment files by target block size instead. */
   def saveState(state: EmbedDedupState, dir: String,
       streamBatchId: Option[Long] = None,
-      streamCkptHash: Option[Long] = None): Unit = {
+      streamCkptId: Option[String] = None): Unit = {
     // fresh-store bootstrap only: a resave would append the FULL bucket
     // relation as a duplicate segment next to the ones it already holds
     require(VersionedIndex.currentVersion(dir).isEmpty,
@@ -339,7 +341,7 @@ object EmbeddingIncremental {
     val rows = spark.read.parquet(s"$dir/labels/seg=0").count()
     VersionedIndex.commit(dir, 0, trainedRows = rows, totalRows = rows,
       segs = Vector(0L), logs = Seq("buckets", "labels"),
-      streamBatchId = streamBatchId, streamCkptHash = streamCkptHash)
+      streamBatchId = streamBatchId, streamCkptId = streamCkptId)
   }
 
   private def emptyRemap(spark: SparkSession): DataFrame =
@@ -390,7 +392,7 @@ object EmbeddingIncremental {
   def admitDrop(spark: SparkSession, dir: String, newVecs: DataFrame,
       threshold: Double = 0.45, maxLiveSegments: Int = 16,
       streamBatchId: Option[Long] = None,
-      streamCkptHash: Option[Long] = None): Unit = {
+      streamCkptId: Option[String] = None): Unit = {
     val st0 = t("load")(loadState(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"$dir holds no committed embedding-dedup state — saveState first")))
@@ -452,7 +454,7 @@ object EmbeddingIncremental {
     val total = if (fold) segRows else m.totalRows + segRows
     VersionedIndex.commit(dir, next, trainedRows = total,
       totalRows = total, segs = segs, logs = Seq("buckets", "labels"),
-      streamBatchId = streamBatchId, streamCkptHash = streamCkptHash)
+      streamBatchId = streamBatchId, streamCkptId = streamCkptId)
     f.release()
   }
 

@@ -127,10 +127,14 @@ object Events {
     // NULL ts/id rows: the v1 join's NULL-propagating predicate matched
     // nothing, emitting those events with n_prior = 0 and counting them
     // as candidates never — preserve exactly that (the typed kernel
-    // encoder would otherwise fail the whole query on the first NULL)
+    // encoder would otherwise fail the whole query on the first NULL).
+    // GROUP BY on the id, not one-row-per-input: v1's groupBy(event_id)
+    // (and the oracle's GROUP BY e1.event_id) collapses all NULL-id rows
+    // into a single output group, so the kernel must too.
     val nullRows = allRows
       .filter(col("tus").isNull || col("event_id").isNull)
-      .select(col("event_id"), lit(0L).as("n_prior"))
+      .groupBy(col("event_id"))
+      .agg(lit(0L).as("n_prior"))
     val rows = allRows.filter(col("tus").isNotNull && col("event_id").isNotNull)
     // integer `div`, not double division: tus is ~2^50 microseconds and
     // a double-rounded bucket boundary would misplace edge rows

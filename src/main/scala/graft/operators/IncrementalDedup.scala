@@ -570,8 +570,10 @@ object IncrementalDedup {
         // component labels match a full recompute. Pinned because the
         // fixpoint probes its input more than once.
         val (contractedPinned, _) = pinFrontierRows(contracted, spark)
-        val comp = graft.Checkpoints.pin(
-          Components.connectedComponents(contractedPinned))
+        // connectedComponents returns its labels ALREADY eagerly pinned
+        // (it frees its own round pins against that result) — a second
+        // pin here would orphan the inner one
+        val comp = Components.connectedComponents(contractedPinned)
         // comp is eager — release every upstream pin (no-ops when local)
         Seq(contractedPinned, reps, newEdges).foreach(freeLocalCheckpoint)
 

@@ -46,7 +46,7 @@ private[graft] object VersionedIndex {
     * double-admitting (manifests without the field read as None). */
   final case class Meta(version: Long, trainedRows: Long, totalRows: Long,
       segs: Vector[Long], streamBatchId: Option[Long] = None,
-      streamCkptHash: Option[Long] = None)
+      streamCkptId: Option[String] = None)
 
   def currentVersion(indexDir: String): Option[Long] = {
     val f = new java.io.File(indexDir, "CURRENT")
@@ -87,8 +87,8 @@ private[graft] object VersionedIndex {
             s"unreadable index manifest v$v: $txt"))
       val sb = """"streamBatchId":(\d+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toLong)
-      val sc = """"streamCkptHash":(-?\d+)""".r.findFirstMatchIn(txt)
-        .map(_.group(1).toLong)
+      val sc = """"streamCkptId":"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(txt).map(m => graft.Par.jsonUnescape(m.group(1)))
       Meta(v, num("trainedRows"), num("totalRows"), segs, sb, sc)
   }
 
@@ -135,7 +135,7 @@ private[graft] object VersionedIndex {
   def commit(indexDir: String, next: Long, trainedRows: Long,
       totalRows: Long, segs: Vector[Long], logs: Seq[String],
       streamBatchId: Option[Long] = None,
-      streamCkptHash: Option[Long] = None): Unit = {
+      streamCkptId: Option[String] = None): Unit = {
     val dir = java.nio.file.Paths.get(indexDir, s"v$next")
     java.nio.file.Files.createDirectories(dir)
     // single-writer guard: the protocol assumes one writer per index
@@ -166,7 +166,8 @@ private[graft] object VersionedIndex {
       s"""{"trainedRows":$trainedRows,"totalRows":$totalRows,""" +
         s""""buildId":"${java.util.UUID.randomUUID()}",""" +
         streamBatchId.map(id => s""""streamBatchId":$id,""").getOrElse("") +
-        streamCkptHash.map(h => s""""streamCkptHash":$h,""").getOrElse("") +
+        streamCkptId.map(h =>
+          s""""streamCkptId":"${graft.Par.jsonEscape(h)}",""").getOrElse("") +
         s""""segs":[${segs.mkString(",")}]}""",
       java.nio.file.StandardOpenOption.CREATE_NEW)
     // strict parse (metaAt): a CORRUPT previous manifest must abort the

@@ -102,7 +102,7 @@ object DedupStream {
   private final case class Manifest(compactions: Int, cFrom: Int,
       segFrom: Long, buckets: Int, owners: Option[Vector[Long]],
       streamBatchId: Option[Long] = None,
-      streamCkptHash: Option[Long] = None)
+      streamCkptId: Option[String] = None)
 
   /** Versions committed before the bucketed layout have no MANIFEST —
     * they read as (0, 0, 0, 0, None): all segments live, no base,
@@ -121,8 +121,9 @@ object DedupStream {
         case (Some(c), Some(fr), Some(b)) =>
           Some(Manifest(c.toInt, num("cFrom").getOrElse(0L).toInt, fr,
             b.toInt, owners, num("streamBatchId"),
-            """"streamCkptHash":(-?\d+)""".r.findFirstMatchIn(txt)
-              .map(_.group(1).toLong)))
+            """"streamCkptId":"((?:[^"\\]|\\.)*)"""".r
+              .findFirstMatchIn(txt)
+              .map(m => graft.Par.jsonUnescape(m.group(1)))))
         case _ => throw new IllegalStateException(
           s"unreadable state manifest v$v: $txt")
       }
@@ -131,13 +132,13 @@ object DedupStream {
 
   private def writeManifest(stateDir: String, v: Long, compactions: Int,
       cFrom: Int, segFrom: Long, buckets: Int, owners: Vector[Long],
-      stream: Option[(Long, Long)] = None): Unit = {
+      stream: Option[(String, Long)] = None): Unit = {
     val dir = java.nio.file.Paths.get(stateDir, s"v$v")
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(dir.resolve("MANIFEST"),
       s"""{"compactions":$compactions,"cFrom":$cFrom,"segFrom":$segFrom,""" +
         stream.map { case (ck, id) =>
-          s""""streamCkptHash":$ck,"streamBatchId":$id,"""
+          s""""streamCkptId":"${graft.Par.jsonEscape(ck)}","streamBatchId":$id,"""
         }.getOrElse("") +
         s""""buckets":$buckets,"owners":[${owners.mkString(",")}]}""")
   }
@@ -419,7 +420,7 @@ object DedupStream {
       newShingles: Option[DataFrame] = None,
       buckets: Int = StateBuckets,
       maxLiveSegments: Int = MaxLiveSegments,
-      stream: Option[(Long, Long)] = None): Long = {
+      stream: Option[(String, Long)] = None): Long = {
     val prevVersion = versionOf(stateDir)
     val next = prevVersion.getOrElse(-1L) + 1
     require(next == 0 || (newBands.isDefined && newShingles.isDefined),
@@ -472,7 +473,7 @@ object DedupStream {
     * the [[commitState]] upgrade path once. */
   def commitDelta(spark: SparkSession, stateDir: String, prev: DedupState,
       delta: AdmitDelta, maxLiveSegments: Int = MaxLiveSegments,
-      stream: Option[(Long, Long)] = None): Long = {
+      stream: Option[(String, Long)] = None): Long = {
     val prevV = versionOf(stateDir).getOrElse(throw new IllegalStateException(
       "commitDelta requires an existing committed state (bootstrap with commitState)"))
     manifestOf(stateDir, prevV).filter(_.owners.isDefined) match {
@@ -630,7 +631,7 @@ object DedupStream {
         val ckptId = graft.Par.ckptIdentity(checkpointDir)
         val already = versionOf(stateDir)
           .flatMap(v => manifestOf(stateDir, v))
-          .exists(m => m.streamCkptHash.contains(ckptId) &&
+          .exists(m => m.streamCkptId.contains(ckptId) &&
             m.streamBatchId.exists(_ >= batchId))
         // foreachBatch hands a streaming-backed DataFrame; the admission
         // builds an iterative multi-action plan over it, so pin the

@@ -54,7 +54,7 @@ object EmbedStream {
         // restart at 0) is not mistaken for a replay.
         val ckptId = graft.Par.ckptIdentity(checkpointDir)
         val already = graft.operators.VersionedIndex.meta(stateDir).exists(m =>
-          m.streamCkptHash.contains(ckptId) &&
+          m.streamCkptId.contains(ckptId) &&
             m.streamBatchId.exists(_ >= batchId))
         // foreachBatch hands a streaming-backed DataFrame; the
         // admission builds an iterative multi-action plan over it, so
@@ -66,12 +66,12 @@ object EmbedStream {
             chainTimer("bootstrap")(EmbeddingIncremental.saveState(
               EmbeddingIncremental.initialState(pinned, threshold),
               stateDir, streamBatchId = Some(batchId),
-              streamCkptHash = Some(ckptId)))
+              streamCkptId = Some(ckptId)))
           else
             chainTimer("admitDrop")(EmbeddingIncremental.admitDrop(
               spark, stateDir, pinned, threshold, maxLiveSegments,
               streamBatchId = Some(batchId),
-              streamCkptHash = Some(ckptId)))
+              streamCkptId = Some(ckptId)))
         }
         graft.Checkpoints.free(pinned)
       }

@@ -68,6 +68,33 @@ class CheckpointSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("distributed component fixpoint frees its round pins under Reliable") {
+    // Under Reliable, Spark never auto-cleans checkpoint files
+    // (cleanCheckpoints defaults to false) — the fixpoint loop must free
+    // each superseded round's pin itself, or every clustering call leaks
+    // one directory per round on shared storage for the app's lifetime.
+    import scala.jdk.CollectionConverters._
+    val spark0 = spark
+    import spark0.implicits._
+    // a 12-node chain forces several large/small-star rounds
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_cc").toString
+    val result = Checkpoints.withPolicy(CheckpointPolicy.Reliable(dir))(
+      graft.operators.Components.connectedComponents(edges, driverThreshold = 0))
+    assert(result.collect().forall(_.getLong(1) == 0L), "one chain component")
+    def ckptFiles(): Seq[java.io.File] = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(dir), null, true).asScala.toSeq
+    // only the returned (pinned) labels may still hold files...
+    val held = ckptFiles()
+    assert(held.map(_.getParentFile.getName).distinct.size <= 1,
+      s"fixpoint leaked round pins: ${held.map(_.getParent).distinct}")
+    // ...and freeing the result leaves the shared dir empty of data files
+    Checkpoints.free(result)
+    assert(ckptFiles().isEmpty,
+      s"free(result) must clear the last checkpoint: ${ckptFiles()}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("streaming dedup chain is policy-invariant (per-batch pin + release under Reliable)") {
     // the q54 chain pins EVERY micro-batch via Checkpoints.pin and
     // releases the admission delta after each durable commit — under

@@ -93,6 +93,20 @@ class PricingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(n(999999L) == 0L, "a NULL-ts event must emit n_prior = 0")
     assert(n.size == got.size + 1)
+    // NULL-ID rows collapse to ONE output group (v1's groupBy(event_id)
+    // and the oracle's GROUP BY semantics treat all NULL ids as equal),
+    // not one row per input
+    val withNullIds = events.select(col("event_id"), col("ts"))
+      .unionByName(Seq(
+        (None: Option[Long], Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+        (None: Option[Long], Some(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))))
+        .toDF("event_id", "ts"))
+    val nid = Events.rangeJoinPriorCount(withNullIds).collect()
+    val nullIdRows = nid.filter(_.isNullAt(0))
+    assert(nullIdRows.length == 1,
+      "two NULL-id events must collapse to a single NULL-id output group")
+    assert(nullIdRows.head.getLong(1) == 0L)
+    assert(nid.length == got.size + 1)
   }
 
   test("HLL column profile lands within 10% of the exact profile") {
