@@ -83,6 +83,8 @@ object SparkEntry {
     "q61_embed_clusters" -> (Dedup.qEmbedClusters _),
     "q62_incr_embed_dedup" -> (graft.operators.EmbeddingIncremental.qIncremental _),
     "q63_embed_chain"   -> (graft.streaming.EmbedStream.qEmbedChain _),
+    "q64_bpe_pack"      -> (graft.operators.Bpe.qBpePack _),
+    "q65_bpe_chunks"    -> (graft.operators.Bpe.qBpeChunk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -173,5 +175,11 @@ object SparkEntry {
     // day-2 commit folds) — q61's closure oracle, source-parameterized
     // to the capped subset
     "q63_embed_chain"   -> graft.streaming.EmbedStream.qEmbedChainSql,
+    // q64/q65 are q46/q47 budgeted in MODEL-TOKENIZER tokens: the oracle
+    // re-tokenizes every distinct word with a recursive CTE replaying the
+    // committed BPE merge table (one lowest-ranked leftmost merge per
+    // step), so the full token stream — not just counts — is hash-pinned
+    "q64_bpe_pack"      -> graft.operators.Bpe.qBpePackSql,
+    "q65_bpe_chunks"    -> graft.operators.Bpe.qBpeChunkSql,
   )
 }

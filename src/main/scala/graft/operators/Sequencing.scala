@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.TextFns._
@@ -61,10 +61,11 @@ object Sequencing {
     * property. Re-key such a corpus first (e.g. a one-off
     * `row_number`-style dense id assignment) before packing. */
   def packSequences(docs: DataFrame, budget: Int = PackBudget,
-      blockWidth: Long = PackBlockWidth): DataFrame = {
+      blockWidth: Long = PackBlockWidth,
+      nTokens: Column = size(wsTokens(col("text"))).cast("long")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"), col("lang"),
-      size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+      nTokens.as("n_tokens"))
       .withColumn("blk", expr(s"cast(doc_id div $blockWidth as long)"))
     // level 1: cumsum within (lang, block) — each sort task bounded by
     // blockWidth rows, independent of how skewed the lang mix is
@@ -108,6 +109,26 @@ object Sequencing {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         expr("cast(size(split(col, '\\\\s+')) as bigint)").as("chunk_len"),
         md5(col("col")).as("chunk_hash"))
+
+  /** [[chunkTokens]] over an ARBITRARY token-array column (q65 feeds the
+    * BPE token stream through it; q47's whitespace form keeps its
+    * original inline split). Same shape — one narrow explode, no
+    * shuffle — with chunk_len computed from the token SLICE itself, so
+    * zero-token documents chunk to (chunk_id 0, len 0) instead of
+    * re-splitting an empty string. */
+  def chunkTokensOf(docs: DataFrame, tokens: Column, size: Int = ChunkSize,
+      stride: Int = ChunkStride): DataFrame =
+    docs
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(size(toks) - 1, 0), $stride),
+           |  s -> named_struct(
+           |    'len', size(slice(toks, s + 1, $size)),
+           |    'hash', md5(concat_ws(' ', slice(toks, s + 1, $size)))))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col.len").cast("long").as("chunk_len"),
+        col("col.hash").as("chunk_hash"))
 
   // ---- SparkEntry wiring -------------------------------------------------
 

@@ -115,7 +115,9 @@ class PlanShapeSpec extends AnyFunSuite {
                        // re-analyzed by this test's measurement path
       "q59_ann_ivfpq_learned", // q56's reader + q17's ground truth
       "q60_ann_refined",        // q56's reader + broadcast re-rank
-      "q46_seq_packing")
+      "q46_seq_packing",
+      "q64_bpe_pack")           // q46's packer, BPE-budgeted — same
+                                // PackBlockWidth-bounded level-1 window
     SparkEntry.queries.keys.toSeq.sorted.filterNot(annExempt).foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
       plan.collect { case w: LWindow => w }.foreach { w =>

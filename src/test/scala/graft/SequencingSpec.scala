@@ -48,6 +48,45 @@ class SequencingSpec extends AnyFunSuite {
     }
   }
 
+  test("committed BPE merge table is exactly what the trainer produces") {
+    // FixtureMerges is inlined into the q64/q65 oracle SQL, so it must
+    // never drift from trainMerges — this re-trains on the same fixture
+    // and pins equality (which also pins the trainer's determinism:
+    // top-K vocab by (count DESC, word ASC), ties to the smallest pair)
+    val trained = graft.operators.Bpe.trainMerges(
+      graft.engine.Tables.documents(spark, sf),
+      graft.operators.Bpe.FixtureMergeCount)
+    assert(trained == graft.operators.Bpe.FixtureMerges)
+  }
+
+  test("BPE tokenization is lossless and provably differs from whitespace") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 'stream' -> [st, r, e, a, m] under the fixture table: 2 words but
+    // 10 BPE tokens — the budget the whitespace packer gets WRONG
+    val df = Seq((1L, "stream batch")).toDF("doc_id", "text")
+    val row = df.select(
+      graft.operators.Bpe.tokens(col("text")).as("toks"),
+      graft.operators.Bpe.tokenCount(col("text")).as("n"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("ws")).head()
+    assert(row.getSeq[String](0) == Seq("st", "r", "e", "a", "m", "b", "at", "c", "h"),
+      s"got ${row.getSeq[String](0)}")
+    assert(row.getLong(1) == 9L && row.getLong(2) == 2L,
+      "BPE and whitespace budgets must differ on multi-token words")
+    // lossless: tokens concatenate back to the whitespace-joined words
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val bad = docs.select(
+        concat_ws("", graft.operators.Bpe.tokens(col("text"))).as("joined"),
+        concat_ws("", split(trim(col("text")), "\\s+")).as("orig"))
+      .filter(col("joined") =!= col("orig")).count()
+    assert(bad == 0L, "BPE tokens must concatenate back to the input words")
+    // and on the real fixture the two budgets actually diverge
+    val diverging = docs.filter(
+      graft.operators.Bpe.tokenCount(col("text")) =!=
+        size(split(trim(col("text")), "\\s+")).cast("long")).count()
+    assert(diverging > 0L, "fixture must contain docs where BPE != whitespace")
+  }
+
   test("packing plan does not force a broadcast of the offsets relation") {
     // a broadcast() HINT would OOM on sparse/hashed doc_ids where the
     // per-block aggregate degrades to corpus size; AQE may still CHOOSE
