@@ -85,6 +85,7 @@ object SparkEntry {
     "q63_embed_chain"   -> (graft.streaming.EmbedStream.qEmbedChain _),
     "q64_bpe_pack"      -> (graft.operators.Bpe.qBpePack _),
     "q65_bpe_chunks"    -> (graft.operators.Bpe.qBpeChunk _),
+    "q66_media_decode"  -> (Multimodal.qMediaDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -181,5 +182,10 @@ object SparkEntry {
     // step), so the full token stream — not just counts — is hash-pinned
     "q64_bpe_pack"      -> graft.operators.Bpe.qBpePackSql,
     "q65_bpe_chunks"    -> graft.operators.Bpe.qBpeChunkSql,
+    // q66 decodes REAL PNG/JPEG headers (wav keeps the stub path): the
+    // generator writes dims derived from media_id into genuine
+    // signature/IHDR/SOF byte layouts, the engine parses them back, and
+    // the oracle re-derives dims from media_id independently
+    "q66_media_decode"  -> Multimodal.qMediaDecodeSql,
   )
 }

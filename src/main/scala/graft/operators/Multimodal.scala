@@ -89,6 +89,153 @@ object Multimodal {
         md5(col("col.chunk")).as("frame_hash"),
         length(col("col.chunk")).cast("long").as("frame_bytes"))
 
+  // ---- real header-level decode (q66) ------------------------------------
+
+  /** Pure-JVM header parsers for the two formats whose dimensions live
+    * in fixed, public byte layouts — PNG (IHDR) and JPEG (SOF) — turning
+    * the [[fakeDecode]] seam into a REAL decoder for image metadata
+    * without any codec library. wav keeps the declared stub path.
+    *
+    * Malformed input returns (-1, -1, 0) instead of throwing: at fleet
+    * scale one corrupt object must not kill a 100 TB scan — the sentinel
+    * row is filterable downstream (spec-pinned). */
+  object MediaCodec {
+
+    private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (4-byte length = 13,
+      * "IHDR", width u32be, height u32be, 5 spec bytes, CRC32) — width
+      * and height at fixed offsets 16 and 20; header ends at byte 33. */
+    def parsePng(b: Array[Byte]): (Long, Long, Int) = {
+      if (b.length < 33 || !PngSig.indices.forall(i => b(i) == PngSig(i)) ||
+          be32(b, 8) != 13L ||
+          !(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+        (-1L, -1L, 0)
+      else (be32(b, 16), be32(b, 20), 33)
+    }
+
+    /** JPEG: SOI (FFD8), then marker segments (FF xx, u16be length
+      * including itself); dimensions live in the first SOF frame header
+      * (FFC0–FFCF except the non-frame C4/C8/CC): precision u8, height
+      * u16be, width u16be. Returns the offset AFTER the SOF segment —
+      * where this generator's payload starts. */
+    def parseJpeg(b: Array[Byte]): (Long, Long, Int) = {
+      if (b.length < 4 || b(0) != 0xff.toByte || b(1) != 0xd8.toByte)
+        return (-1L, -1L, 0)
+      var o = 2
+      while (o + 4 <= b.length && b(o) == 0xff.toByte) {
+        val marker = b(o + 1) & 0xff
+        val segLen = be16(b, o + 2)
+        if (segLen < 2 || o + 2 + segLen > b.length) return (-1L, -1L, 0)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (segLen < 7) return (-1L, -1L, 0)
+          val h = be16(b, o + 5).toLong
+          val w = be16(b, o + 7).toLong
+          return (w, h, o + 2 + segLen)
+        }
+        o += 2 + segLen
+      }
+      (-1L, -1L, 0)
+    }
+
+    /** A real, CRC-valid PNG signature+IHDR for the given dimensions —
+      * the fixture generator's image "encoder". */
+    def pngHeader(width: Long, height: Long): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(33)
+      out.put(PngSig)
+      out.putInt(13)
+      val tagAndData = java.nio.ByteBuffer.allocate(17)
+      tagAndData.put("IHDR".getBytes("US-ASCII"))
+      tagAndData.putInt(width.toInt).putInt(height.toInt)
+      // bit depth 8, truecolor, deflate, adaptive filter, no interlace
+      tagAndData.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      out.put(tagAndData.array())
+      val crc = new java.util.zip.CRC32
+      crc.update(tagAndData.array())
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+
+    /** SOI + APP0/JFIF + SOF0 (baseline, 3 components) — 39 bytes. */
+    def jpegHeader(width: Long, height: Long): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(39)
+      out.put(Array[Byte](0xff.toByte, 0xd8.toByte))                  // SOI
+      out.put(Array[Byte](0xff.toByte, 0xe0.toByte, 0x00, 0x10))      // APP0, len 16
+      out.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      out.put(Array[Byte](0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00))
+      out.put(Array[Byte](0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08)) // SOF0, len 17, prec 8
+      out.putShort(height.toShort).putShort(width.toShort)
+      out.put(3.toByte)                                               // 3 components
+      out.put(Array[Byte](0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01))
+      out.array()
+    }
+  }
+
+  /** Deterministic decodable dimensions — the generator writes them into
+    * the headers; the ORACLE recomputes them from media_id alone, so the
+    * byte-level parse in [[decodeFeatures]] is verified against an
+    * independent derivation (construction and parse share no offsets). */
+  private def dimsOf(mediaId: Long): (Long, Long) =
+    (16L + mediaId % 624, 16L + mediaId % 464)
+
+  /** Media table with REAL format headers: png/jpeg rows carry a valid
+    * signature+dimension header in front of the payload (the document's
+    * UTF-8 bytes); wav rows stay raw (the declared stub path). A narrow
+    * typed map — the generator is the test fixture's "encoder". */
+  def decodableMediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val fmt = Seq("png", "jpeg", "wav")((id % 3).toInt)
+        val (w, h) = dimsOf(id)
+        val bytes = fmt match {
+          case "png"  => MediaCodec.pngHeader(w, h) ++ payload
+          case "jpeg" => MediaCodec.jpegHeader(w, h) ++ payload
+          case _      => payload
+        }
+        MediaRow(id, bytes, fmt)
+    }
+  }
+
+  /** The q23 shape with the stub seam REPLACED by the real header parse
+    * for png/jpeg (wav still routes through [[fakeDecode]]): width and
+    * height come from the bytes, brightness/hash from the payload after
+    * the parsed header offset. Same typed mapPartitions batch shape. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (w, h, off) = r.format match {
+          case "png"  => MediaCodec.parsePng(r.media)
+          case "jpeg" => MediaCodec.parseJpeg(r.media)
+          case _ =>
+            val (fw, fh, _) = fakeDecode(r.media)
+            (fw, fh, 0)
+        }
+        val payload = java.util.Arrays.copyOfRange(r.media, off, r.media.length)
+        var sum = 0L
+        var i = 0
+        while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+        val brightness =
+          if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+        md.reset()
+        val hash = md.digest(payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.media_id, r.media.length.toLong, r.format,
+          w, h, brightness, hash)
+      }
+    }
+  }
+
   // ---- SparkEntry wiring -------------------------------------------------
 
   def qMediaFeatures(s: SparkSession, d: String): DataFrame = {
@@ -107,6 +254,34 @@ object Multimodal {
       |       ['png', 'jpeg', 'wav'][(doc_id % 3 + 1)::INT] AS format,
       |       octet_length(encode(text)) % 640 AS width,
       |       octet_length(encode(text)) % 480 AS height,
+      |       list_sum(list_transform(range(0, octet_length(encode(text))),
+      |                               i -> ('0x' || substr(hex(encode(text)), (i*2+1)::INT, 2))::INT))::DOUBLE
+      |         / octet_length(encode(text)) AS brightness,
+      |       md5(text) AS content_hash
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  def qMediaDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(decodableMediaTable(Tables.documents(s, d)))
+      .toDF().orderBy("media_id")
+  }
+
+  /** The oracle never parses bytes: it re-derives width/height from
+    * media_id (the generator's independent formula) and payload
+    * brightness/hash from the text — so a parser reading the wrong
+    * offset, endianness, or segment fails the hash even though the
+    * generator and parser live in the same file. Header sizes (33-byte
+    * PNG, 39-byte JPEG) are the generator's fixed layouts. */
+  val qMediaDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |       CAST(octet_length(encode(text))
+      |            + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 0 END
+      |            AS BIGINT) AS n_bytes,
+      |       ['png', 'jpeg', 'wav'][(doc_id % 3 + 1)::INT] AS format,
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 640
+      |                 ELSE 16 + doc_id % 624 END AS BIGINT) AS width,
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 480
+      |                 ELSE 16 + doc_id % 464 END AS BIGINT) AS height,
       |       list_sum(list_transform(range(0, octet_length(encode(text))),
       |                               i -> ('0x' || substr(hex(encode(text)), (i*2+1)::INT, 2))::INT))::DOUBLE
       |         / octet_length(encode(text)) AS brightness,
