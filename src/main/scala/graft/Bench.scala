@@ -82,6 +82,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bounded take(K+1) probes (frontier takes, band probes, guarded
+      // limits) dominate the chain queries' job counts; the default
+      // 1-partition-then-scale-up limit execution turns each into 2-4
+      // sequential jobs over relations that are SMALL by construction.
+      // Scanning all partitions in the first wave makes every bounded
+      // take exactly one job (measured: -4 jobs/day on the text chain).
+      .config("spark.sql.limit.initialNumPartitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

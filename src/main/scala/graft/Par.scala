@@ -46,6 +46,22 @@ private[graft] object Par {
       .getOrElse(new java.io.File(checkpointDir).getAbsolutePath)
   }
 
+  /** Start `task` as a concurrent Spark-action thread NOW and return its
+    * join handle — for a commit write whose inputs are ready before the
+    * rest of the admission's work, so the write overlaps it instead of
+    * queueing behind it. The handle MUST be invoked on every path
+    * (including failure of the intervening work — join-then-rethrow, the
+    * same no-zombie-writers contract as [[inParallel]]): it awaits
+    * completion and rethrows the task's failure. */
+  def background(task: () => Unit): () => Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.Try
+    val fut = Future(Try(task()))
+    () => Await.result(fut, Duration.Inf).get
+  }
+
   /** Minimal JSON string escaping for manifest fields ([[ckptIdentity]]
     * values are UUIDs or filesystem paths — backslash and quote are the
     * only characters that can break the manifest's hand-rolled JSON). */
@@ -56,11 +72,41 @@ private[graft] object Par {
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer for the admission
-    * paths; `tag` carries the side-specific prefix. */
+    * paths; `tag` carries the side-specific prefix. Also reports the
+    * Spark JOB count the phase launched — the chains' floor is
+    * sequential small jobs, so the count is the thing to optimize. */
   def timed[A](tag: String)(f: => A): A =
     if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
+      val j0 = debugJobs
       val t0 = System.nanoTime(); val r = f
       System.err.println(
-        f"[chain] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        f"[chain] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+          (if (j0 >= 0) s" jobs=${debugJobs - j0}" else "")); r
     } else f
+
+  // debug-only job counter; registered once per JVM on first use
+  @volatile private var debugCounter: java.util.concurrent.atomic.AtomicLong = null
+  private def debugJobs: Long = {
+    if (debugCounter == null) synchronized {
+      if (debugCounter == null)
+        org.apache.spark.sql.SparkSession.getActiveSession match {
+          case Some(s) =>
+            val c = new java.util.concurrent.atomic.AtomicLong()
+            s.sparkContext.addSparkListener(
+              new org.apache.spark.scheduler.SparkListener {
+                override def onJobStart(
+                    j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+                  { c.incrementAndGet(); () }
+              })
+            debugCounter = c
+          case None => return -1L
+        }
+    }
+    // drain so a just-finished action's job-start event is counted
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+      try org.apache.spark.sql.graftbridge.Bridge
+        .drainListenerBus(s.sparkContext, 2000)
+      catch { case _: Exception => () })
+    debugCounter.get()
+  }
 }

@@ -387,6 +387,19 @@ object Dedup {
     * CheckpointPolicy.Reliable to put the pins on shared storage. */
   private def componentLabels(universe: DataFrame, idCol: String,
       edgesLazy: DataFrame, maxIter: Int): DataFrame = {
+    val labels = componentLabelsOnly(universe, idCol, edgesLazy, maxIter)
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** [[componentLabels]] without the per-cluster size join — for
+    * consumers that only persist (id, cluster_id), e.g. the embedding
+    * chain's bootstrap label log, where the size relation is derived at
+    * load and the inner join here would run a dead groupBy+join. */
+  private def componentLabelsOnly(universe: DataFrame, idCol: String,
+      edgesLazy: DataFrame, maxIter: Int): DataFrame = {
     // pin FIRST, then take: every edge relation here ends in a
     // distinct() (a full shuffle), so a bare take(cap) computes the
     // whole upstream anyway and the old take-then-pin order ran the
@@ -412,11 +425,20 @@ object Dedup {
         coalesce(col("component"), col(idCol)).as("cluster_id")))
     // the labels pin is eager — comp's pin is no longer referenced
     graft.Checkpoints.free(comp)
-    val sizes = labels.groupBy("cluster_id")
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
-      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+    labels
   }
+
+  /** Labels-only twin of [[embeddingDupClusters]]: (vec_id, cluster_id)
+    * with no size join — the embedding chain's bootstrap persists
+    * exactly this and derives sizes at load. Memoized separately (the
+    * two relations have different shapes). */
+  private[graft] def embeddingDupLabels(emb: DataFrame,
+      threshold: Double = 0.45, maxIter: Int = 20): DataFrame =
+    memoPersist(emb, s"embLabels:$threshold:$maxIter")(e =>
+      componentLabelsOnly(e.select(col("vec_id")), "vec_id",
+        embeddingNearDupsLsh(e, threshold)
+          .select(col("vec_a").as("a"), col("vec_b").as("b")),
+        maxIter))
 
   /** Semantic-dedup clustering: connected components over the
     * embedding near-dup graph — the vector-side analog of

@@ -63,9 +63,11 @@ object EmbedStream {
         val pinned = graft.Checkpoints.pin(batch)
         if (!already && !pinned.isEmpty) {
           if (graft.operators.VersionedIndex.currentVersion(stateDir).isEmpty)
-            chainTimer("bootstrap")(EmbeddingIncremental.saveState(
-              EmbeddingIncremental.initialState(pinned, threshold),
-              stateDir, streamBatchId = Some(batchId),
+            // bootstrapDrop ≡ saveState(initialState(...)) with the
+            // bucket-log write overlapping the cluster fixpoint
+            chainTimer("bootstrap")(EmbeddingIncremental.bootstrapDrop(
+              spark, stateDir, pinned, threshold,
+              streamBatchId = Some(batchId),
               streamCkptId = Some(ckptId)))
           else
             chainTimer("admitDrop")(EmbeddingIncremental.admitDrop(

@@ -14,6 +14,8 @@ object SparkTestSession {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // one-wave bounded takes — see the Bench.scala rationale
+      .config("spark.sql.limit.initialNumPartitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", s"$tmp/warehouse")
       .config("spark.ui.enabled", "false")
