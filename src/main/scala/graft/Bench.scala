@@ -73,6 +73,33 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Opt-in wait-for-idle gate (SPARK_GRAFT_LOAD_GATE=<1-min loadavg
+    // threshold>): official runs captured at host load 3+ have inflated
+    // small-query slots up to 2x on UNCHANGED code, and every such round
+    // re-litigates host noise in the per-query diff. The gate polls until
+    // the load drops under the threshold or the timeout (default 600 s,
+    // SPARK_GRAFT_LOAD_GATE_TIMEOUT_SEC) expires, then stamps what
+    // happened into both outputs so the artifact self-identifies either
+    // way. Off by default: unattended/driver runs must never block.
+    val loadGateJson: String = sys.env.get("SPARK_GRAFT_LOAD_GATE") match {
+      case None => ""
+      case Some(thr) =>
+        val threshold = thr.toDouble
+        val timeoutSec =
+          sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_TIMEOUT_SEC", "600").toLong
+        val t0 = System.nanoTime()
+        var waited = 0.0
+        while (hostLoad >= threshold &&
+            { waited = (System.nanoTime() - t0) / 1e9; waited < timeoutSec }) {
+          System.err.println(
+            f"[bench] load gate: load=${hostLoad}%.2f >= $threshold, waiting (${waited}%.0f s)")
+          Thread.sleep(15000)
+        }
+        val met = hostLoad < threshold
+        System.err.println(
+          f"[bench] load gate: ${if (met) "met" else "TIMED OUT"} at load=${hostLoad}%.2f after ${waited}%.0f s")
+        s""""load_gate":{"threshold":$threshold,"waited_sec":${"%.0f".format(waited)},"met":$met},"""
+    }
     // default to ALL host cores, not a fixed 4: the silent local[4]
     // fallback once produced a discarded 116 s sf1 artifact that read as
     // a 3x regression (SCALE.md, r13) — an unset env var must mean "use
@@ -356,6 +383,52 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] q51 split failed: ${e.getMessage}"); None
     }
+    // q62/q63 attribution (the q51 pattern on the embedding side): both
+    // headline slots are dominated by the one-shot day-0 BOOTSTRAP
+    // clustering — a per-deployment cost, not a per-admission one — so
+    // the detail file carries the phases apart. q62 = the in-memory
+    // admission; q63 = the persisted 2-drop chain via direct
+    // bootstrapDrop/admitDrop (the headline q63 slot additionally pays
+    // the streaming wrapper; this isolates the store commits).
+    val embedSplit: Option[String] = try {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val emb = graft.engine.Tables.embeddings(spark, sfDir)
+      def secs(f: => Unit): Double = {
+        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+      }
+      val st0Holder = new Array[graft.operators.EmbedDedupState](1)
+      val boot62 = secs {
+        st0Holder(0) = graft.operators.EmbeddingIncremental.initialState(
+          emb.filter(col("vec_id") % 5 =!= 0))
+        Seq(st0Holder(0).labels, st0Holder(0).sizes, st0Holder(0).buckets)
+          .foreach(_.write.format("noop").mode("overwrite").save())
+      }
+      val admit62 = secs {
+        val st1 = graft.operators.EmbeddingIncremental.admitBatch(
+          st0Holder(0), emb.filter(col("vec_id") % 5 === 0))
+        graft.operators.EmbeddingIncremental.labelsWithSizes(st1)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val root = java.nio.file.Files.createTempDirectory("graft-embsplit").toString
+      val subset = emb
+        .filter(col("vec_id") < graft.streaming.EmbedStream.ChainSubsetMax)
+        .withColumn("day", pmod(col("vec_id"), lit(2)))
+      val day0 = subset.filter(col("day") === 0).drop("day").localCheckpoint()
+      val day1 = subset.filter(col("day") === 1).drop("day").localCheckpoint()
+      val boot63 = secs(graft.operators.EmbeddingIncremental.bootstrapDrop(
+        spark, s"$root/state", day0))
+      val admit63 = secs(graft.operators.EmbeddingIncremental.admitDrop(
+        spark, s"$root/state", day1, maxLiveSegments = 1))
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
+      catch { case _: Exception => }
+      Some(s"""{"q62_bootstrap_sec":${fmt(boot62)},""" +
+        s""""q62_admit_sec":${fmt(admit62)},""" +
+        s""""q63_bootstrap_sec":${fmt(boot63)},""" +
+        s""""q63_admit_sec":${fmt(admit63)}}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] embed split failed: ${e.getMessage}"); None
+    }
     graft.operators.Dedup.clearShingleCaches()
     val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -392,6 +465,8 @@ object Bench {
       s""""ivfpq_build_sec":${fmt(ivfPqBuildSec)},""" +
       s""""ivfpq_learned_build_sec":${fmt(ivfPqLearnedBuildSec)},""" +
       q51Split.map { case (s, _) => s""""q51_split":$s,""" }.getOrElse("") +
+      embedSplit.map(s => s""""embed_split":$s,""").getOrElse("") +
+      loadGateJson +
       chainJson + loadJson + s""","errors":$errs,"sf":"$sfDir"}"""
     System.err.println(s"[bench-detail] $detail")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
@@ -415,6 +490,6 @@ object Bench {
       .collect { case (k, _, _, _, _, _, Some(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":$qs,$chainJson$loadJson,"errors":$errNames,"sf":"$sfDir"}""")
+      s""""queries":$qs,$chainJson$loadGateJson$loadJson,"errors":$errNames,"sf":"$sfDir"}""")
   }
 }
