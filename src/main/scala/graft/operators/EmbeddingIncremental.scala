@@ -340,7 +340,8 @@ object EmbeddingIncremental {
     * sizes segment files by target block size instead. */
   def saveState(state: EmbedDedupState, dir: String,
       streamBatchId: Option[Long] = None,
-      streamCkptId: Option[String] = None): Unit = {
+      streamCkptId: Option[String] = None,
+      retainVersions: Int = VersionedIndex.DefaultRetainVersions): Unit = {
     // fresh-store bootstrap only: a resave would append the FULL bucket
     // relation as a duplicate segment next to the ones it already holds
     require(VersionedIndex.currentVersion(dir).isEmpty,
@@ -375,7 +376,8 @@ object EmbeddingIncremental {
   def bootstrapDrop(spark: SparkSession, dir: String, emb: DataFrame,
       threshold: Double = 0.45,
       streamBatchId: Option[Long] = None,
-      streamCkptId: Option[String] = None): Unit = {
+      streamCkptId: Option[String] = None,
+      retainVersions: Int = VersionedIndex.DefaultRetainVersions): Unit = {
     require(VersionedIndex.currentVersion(dir).isEmpty,
       s"$dir already holds a committed state — grow it with admitDrop")
     val joinBuckets = graft.Par.background(() =>
@@ -405,7 +407,8 @@ object EmbeddingIncremental {
     joinBuckets()
     VersionedIndex.commit(dir, 0, trainedRows = rows, totalRows = rows,
       segs = Vector(0L), logs = Seq("buckets", "labels"),
-      streamBatchId = streamBatchId, streamCkptId = streamCkptId)
+      streamBatchId = streamBatchId, streamCkptId = streamCkptId,
+      retainVersions = retainVersions)
   }
 
   private def emptyRemap(spark: SparkSession): DataFrame =
@@ -456,7 +459,8 @@ object EmbeddingIncremental {
   def admitDrop(spark: SparkSession, dir: String, newVecs: DataFrame,
       threshold: Double = 0.45, maxLiveSegments: Int = 16,
       streamBatchId: Option[Long] = None,
-      streamCkptId: Option[String] = None): Unit = {
+      streamCkptId: Option[String] = None,
+      retainVersions: Int = VersionedIndex.DefaultRetainVersions): Unit = {
     val st0 = t("load")(loadState(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"$dir holds no committed embedding-dedup state — saveState first")))
@@ -544,7 +548,8 @@ object EmbeddingIncremental {
     val total = if (fold) segRows else m.totalRows + segRows
     VersionedIndex.commit(dir, next, trainedRows = total,
       totalRows = total, segs = segs, logs = Seq("buckets", "labels"),
-      streamBatchId = streamBatchId, streamCkptId = streamCkptId)
+      streamBatchId = streamBatchId, streamCkptId = streamCkptId,
+      retainVersions = retainVersions)
     f.release()
   }
 

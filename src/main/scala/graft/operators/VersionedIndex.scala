@@ -46,7 +46,8 @@ private[graft] object VersionedIndex {
     * double-admitting (manifests without the field read as None). */
   final case class Meta(version: Long, trainedRows: Long, totalRows: Long,
       segs: Vector[Long], streamBatchId: Option[Long] = None,
-      streamCkptId: Option[String] = None)
+      streamCkptId: Option[String] = None,
+      retainVersions: Option[Int] = None)
 
   def currentVersion(indexDir: String): Option[Long] = {
     val f = new java.io.File(indexDir, "CURRENT")
@@ -57,11 +58,12 @@ private[graft] object VersionedIndex {
   def meta(indexDir: String): Option[Meta] =
     currentVersion(indexDir).map(v => metaAt(indexDir, v))
 
-  /** Time-travel resolve: the committed state of a RETAINED version
-    * (retention keeps current + previous — an in-flight reader of the
-    * prior commit, or an explicit read-at-version, stays valid across
-    * one promote). Throws, naming the version, once retention has
-    * reclaimed it. */
+  /** Time-travel resolve: the committed state of a RETAINED version —
+    * retention keeps the latest `retainVersions` commits (default 2:
+    * current + previous), so an in-flight reader of a prior commit, or
+    * an explicit read-at-version, stays valid across `retainVersions-1`
+    * promotes. Throws, naming the version, once retention has reclaimed
+    * it. */
   def metaAt(indexDir: String, v: Long): Meta = {
       val f = new java.io.File(indexDir, s"v$v/MANIFEST")
       if (!f.isFile) throw new IllegalStateException(
@@ -89,7 +91,9 @@ private[graft] object VersionedIndex {
         .map(_.group(1).toLong)
       val sc = """"streamCkptId":"((?:[^"\\]|\\.)*)"""".r
         .findFirstMatchIn(txt).map(m => graft.Par.jsonUnescape(m.group(1)))
-      Meta(v, num("trainedRows"), num("totalRows"), segs, sb, sc)
+      val rv = """"retain":(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt)
+      Meta(v, num("trainedRows"), num("totalRows"), segs, sb, sc, rv)
   }
 
   def metaOrThrow(indexDir: String): Meta = meta(indexDir).getOrElse(
@@ -132,10 +136,21 @@ private[graft] object VersionedIndex {
   /** Publish version `next` (everything under `v$next/` and
     * `<log>/seg=$next` is already written): manifest, atomic pointer
     * move, then retention. `logs` names the data-log roots to prune. */
+  /** Versions every commit keeps readable (current inclusive). The
+    * default preserves the original current+previous contract; a
+    * deployment that needs deeper time travel ([[metaAt]] /
+    * `loadStateAt` audit reads) raises it per commit, and each
+    * manifest RECORDS the depth used (`"retain"`) so the reachability
+    * boundary is auditable from the store itself. */
+  val DefaultRetainVersions: Int = 2
+
   def commit(indexDir: String, next: Long, trainedRows: Long,
       totalRows: Long, segs: Vector[Long], logs: Seq[String],
       streamBatchId: Option[Long] = None,
-      streamCkptId: Option[String] = None): Unit = {
+      streamCkptId: Option[String] = None,
+      retainVersions: Int = DefaultRetainVersions): Unit = {
+    require(retainVersions >= 1,
+      s"retainVersions must be >= 1, got $retainVersions")
     val dir = java.nio.file.Paths.get(indexDir, s"v$next")
     java.nio.file.Files.createDirectories(dir)
     // single-writer guard: the protocol assumes one writer per index
@@ -168,28 +183,33 @@ private[graft] object VersionedIndex {
         streamBatchId.map(id => s""""streamBatchId":$id,""").getOrElse("") +
         streamCkptId.map(h =>
           s""""streamCkptId":"${graft.Par.jsonEscape(h)}",""").getOrElse("") +
+        s""""retain":$retainVersions,""" +
         s""""segs":[${segs.mkString(",")}]}""",
       java.nio.file.StandardOpenOption.CREATE_NEW)
-    // strict parse (metaAt): a CORRUPT previous manifest must abort the
+    // strict parse (metaAt): a CORRUPT retained manifest must abort the
     // commit, not silently read as segs=[] and let retention delete the
-    // segments that version still references
-    val prevSegs: Set[Long] = (if (next == 0) None
-      else Some(next - 1).filter(v =>
-        new java.io.File(indexDir, s"v$v/MANIFEST").isFile))
-      .map(v => metaAt(indexDir, v).segs.toSet).getOrElse(Set.empty)
+    // segments that version still references. Live segments = the union
+    // over every RETAINED version's manifest (not just next-1): with
+    // retention depth > 2, an old retained version's log segments must
+    // survive until IT is reclaimed.
+    val keepFrom = next - retainVersions + 1
+    val prevSegs: Set[Long] = (math.max(0L, keepFrom) until next)
+      .filter(v => new java.io.File(indexDir, s"v$v/MANIFEST").isFile)
+      .flatMap(v => metaAt(indexDir, v).segs)
+      .toSet
     val tmp = java.nio.file.Paths.get(indexDir, s".CURRENT.$next.tmp")
     java.nio.file.Files.writeString(tmp, next.toString)
     java.nio.file.Files.move(tmp,
       java.nio.file.Paths.get(indexDir, "CURRENT"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // retention: current + previous versions stay readable
+    // retention: the latest `retainVersions` versions stay readable
     def rmQuiet(d: java.io.File): Unit =
       try org.apache.commons.io.FileUtils.deleteDirectory(d)
       catch { case _: Exception => } // stale history is harmless
     val vDirs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && d.getName.matches("v\\d+")
-        && d.getName.drop(1).toLong < next - 1)
+        && d.getName.drop(1).toLong < keepFrom)
     vDirs.foreach(rmQuiet)
     val live = segs.toSet ++ prevSegs
     logs.foreach { log =>

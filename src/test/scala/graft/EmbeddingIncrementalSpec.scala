@@ -106,6 +106,49 @@ class EmbeddingIncrementalSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("retention depth knob: deeper time travel, recorded manifest, fold-safe GC boundary") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val dir = java.nio.file.Files.createTempDirectory("embretain").toString
+    def admit(d: Int): Unit = EmbeddingIncremental.admitDrop(spark, dir,
+      emb.filter(col("vec_id") % 5 === d), retainVersions = 3,
+      maxLiveSegments = 2)
+    EmbeddingIncremental.saveState(
+      EmbeddingIncremental.initialState(emb.filter(col("vec_id") % 5 === 0)),
+      dir, retainVersions = 3)
+    (1 to 3).foreach(admit)
+    // v0 [seg0]; v1 [0,1]; v2 FOLDS -> [2]; v3 [2,3] — retain 3 keeps
+    // v1..v3, and crucially v1's pre-fold segments 0,1 must SURVIVE the
+    // v2 fold and the v3 commit because v1 itself is still retained
+    assert(graft.operators.VersionedIndex.metaOrThrow(dir)
+      .retainVersions.contains(3), "depth must be recorded in the manifest")
+    assert(graft.operators.VersionedIndex.metaOrThrow(dir).segs == Vector(2L, 3L))
+    val v1Truth = rows(Dedup.embeddingDupClusters(
+      emb.filter(col("vec_id") % 5 < 2)))
+    assert(rows(EmbeddingIncremental.labelsWithSizes(
+      EmbeddingIncremental.loadStateAt(spark, dir, 1))) == v1Truth,
+      "retain=3 must keep current-2 readable across an intervening fold")
+    // v0 is past the boundary: reclaimed on disk, loud, named
+    val e = intercept[IllegalStateException] {
+      EmbeddingIncremental.loadStateAt(spark, dir, 0)
+    }
+    assert(e.getMessage.contains("v0"), s"error must name the version: $e")
+    assert(!new java.io.File(dir, "v0").isDirectory)
+    (1 to 3).foreach(v =>
+      assert(new java.io.File(dir, s"v$v").isDirectory, s"v$v must survive"))
+    // one more admission moves the boundary: v4 folds -> [4], v1 (and
+    // only then its segments 0,1) become unreferenced and are reclaimed
+    admit(4)
+    assert(!new java.io.File(dir, "v1").isDirectory, "v1 past new boundary")
+    Seq(0, 1).foreach(sg => assert(
+      !new java.io.File(dir, s"labels/seg=$sg").isDirectory,
+      s"seg $sg unreferenced once v1 fell out of retention"))
+    val v2Truth = rows(Dedup.embeddingDupClusters(
+      emb.filter(col("vec_id") % 5 < 3)))
+    assert(rows(EmbeddingIncremental.labelsWithSizes(
+      EmbeddingIncremental.loadStateAt(spark, dir, 2))) == v2Truth)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("log folds past maxLiveSegments and the folded chain equals one-shot") {
     val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val batchTruth = rows(Dedup.embeddingDupClusters(emb))
