@@ -637,7 +637,7 @@ object Dedup {
 
   private val nearDupWeightsCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, Int), Seq[Seq[Double]]]()
-  private def nearDupPlaneWeights(nTables: Int, planes: Int): Seq[Seq[Double]] =
+  private[graft] def nearDupPlaneWeights(nTables: Int, planes: Int): Seq[Seq[Double]] =
     nearDupWeightsCache.computeIfAbsent((nTables, planes), { case (t, p) =>
       (0 until t * p).map(plane =>
         (0 until 64).map(i => Similarity.planeWeight(NearDupLshPlaneBase + plane, i)))
@@ -797,12 +797,51 @@ object Dedup {
   def embeddingNearDupsAuto(emb: DataFrame, threshold: Double = 0.45,
       maxExactRows: Long = MaxExactNearDupRows): DataFrame = {
     val n = emb.count()
-    if (n <= maxExactRows) embeddingNearDups(emb, threshold, gridBlocks(n))
+    if (n <= maxExactRows)
+      embeddingNearDups(emb, threshold, gridBlocks(n))
+        .withColumn("route_recall", lit(1.0))
     else {
       System.err.println(s"[dedup] near-dup auto route: $n vectors > " +
         s"$maxExactRows, using LSH-prefiltered route (subset semantics)")
+      val recall = lshRouteRecallSample(emb, threshold, n)
+      System.err.println(
+        f"[dedup] near-dup LSH arm sampled recall: $recall%.3f " +
+          s"(stratum cap $RecallStratumCap of $n vectors)")
       embeddingNearDupsLsh(emb, threshold)
+        .withColumn("route_recall", lit(recall))
     }
+  }
+
+  /** Expected size of the sampled ground-truth stratum the LSH arm
+    * scores itself on — exact-kernel work bounded at cap²/2 ≈ 8M dot
+    * products regardless of corpus size. */
+  val RecallStratumCap: Long = 4096L
+
+  /** Sampled recall evidence for the LSH route — the router's answer to
+    * "how much did the approximate arm miss THIS run, on THIS corpus, at
+    * THIS threshold?". Above the exact bound the full ground truth is by
+    * definition unaffordable, but a deterministic hash-gated stratum of
+    * ~`cap` vectors is not: run the EXACT kernel and the LSH route on
+    * the stratum and report |lsh| / |exact|. Bucket membership is a
+    * per-vector function of the embedding alone, so a pair collides on
+    * the stratum iff it collides on the full corpus — the restricted
+    * ratio estimates full-corpus pair recall (uniform gate, pair
+    * membership independent of the hash). LSH pairs are exact-verified,
+    * hence a subset of the exact pairs: the ratio is a true recall in
+    * [0, 1]. Returns NaN when the stratum holds no true pairs (no
+    * evidence either way — raise the cap rather than report a vacuous
+    * 1.0). */
+  private[graft] def lshRouteRecallSample(emb: DataFrame, threshold: Double,
+      n: Long, cap: Long = RecallStratumCap): Double = {
+    val denom = 1L << 20
+    val keep = math.max(1L, math.min(denom, cap * denom / math.max(1L, n)))
+    val stratum = graft.Checkpoints.pin(emb.filter(
+      pmod(hash(col("vec_id")), lit(denom)) < keep))
+    try {
+      val exactPairs = embeddingNearDups(stratum, threshold, 8).count()
+      if (exactPairs == 0L) Double.NaN
+      else embeddingNearDupsLsh(stratum, threshold).count().toDouble / exactPairs
+    } finally graft.Checkpoints.free(stratum)
   }
 
   // ---- SparkEntry wiring -------------------------------------------------

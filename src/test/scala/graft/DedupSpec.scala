@@ -193,14 +193,31 @@ class DedupSpec extends AnyFunSuite {
     lsh.foreach { case (k, v) =>
       assert(exact.get(k).contains(v), s"pair $k: lsh=$v exact=${exact.get(k)}")
     }
-    // auto route: small corpus → the exact kernel, byte-identical
-    val auto = Dedup.embeddingNearDupsAuto(emb).collect()
+    // auto route: small corpus → the exact kernel, byte-identical, with
+    // the evidence column pinned at 1.0 (the exact arm misses nothing)
+    val autoRows = Dedup.embeddingNearDupsAuto(emb).collect()
+    val auto = autoRows
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(auto == exact, "auto must route small corpora to the exact kernel")
-    // forced LSH route (maxExactRows=0) ≡ the LSH operator
-    val autoLsh = Dedup.embeddingNearDupsAuto(emb, maxExactRows = 0L).collect()
+    assert(autoRows.forall(_.getDouble(3) == 1.0),
+      "exact arm must carry route_recall = 1.0")
+    // forced LSH route (maxExactRows=0) ≡ the LSH operator, and the arm
+    // CARRIES its sampled recall evidence: at this corpus size the
+    // deterministic stratum is the whole corpus, so the column must equal
+    // the directly-computed |lsh| / |exact| — partial at this weak
+    // threshold (the regime where the evidence matters), never vacuous
+    val autoLshRows = Dedup.embeddingNearDupsAuto(emb, maxExactRows = 0L).collect()
+    val autoLsh = autoLshRows
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(autoLsh == lsh, "auto past the bound must be the LSH route")
+    val expectedRecall = lsh.size.toDouble / exact.size
+    val carried = autoLshRows.map(_.getDouble(3)).distinct
+    assert(carried.length == 1 &&
+      math.abs(carried.head - expectedRecall) < 1e-12,
+      s"LSH arm must carry sampled recall $expectedRecall, got ${carried.toSeq}")
+    assert(carried.head > 0.0 && carried.head < 1.0,
+      "fixture recall must be partial at the weak threshold — " +
+        "a 1.0 here means the evidence became vacuous")
   }
 
   test("LSH near-dup route: recall 1.0 in the high-cosine near-dup regime") {
