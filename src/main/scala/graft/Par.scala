@@ -46,6 +46,24 @@ private[graft] object Par {
       .getOrElse(new java.io.File(checkpointDir).getAbsolutePath)
   }
 
+  /** Run `f` with adaptive query execution OFF — for the daily-admission
+    * paths, whose relations are frontier/batch-sized BY CONSTRUCTION
+    * (bounded takes, pinned batches, touched-bucket reads). AQE's
+    * runtime re-planning buys nothing at that size and materializes
+    * every exchange as its own Spark job: measured ~7 pure scheduling
+    * jobs per admission day on the text chain (23 → 16 jobs/day, equal
+    * or better wall). Corpus-sized work (bootstrap clustering feeds,
+    * analytic queries) keeps AQE — only the admission commit scope is
+    * static. Session-scoped set/restore: admissions are sequential by
+    * the single-writer store contract, and an admission's own
+    * backgrounded writes are joined inside the scope. */
+  def withStaticPlan[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(k, "true")
+    spark.conf.set(k, "false")
+    try f finally spark.conf.set(k, prev)
+  }
+
   /** Start `task` as a concurrent Spark-action thread NOW and return its
     * join handle — for a commit write whose inputs are ready before the
     * rest of the admission's work, so the write overlaps it instead of

@@ -460,7 +460,20 @@ object EmbeddingIncremental {
       threshold: Double = 0.45, maxLiveSegments: Int = 16,
       streamBatchId: Option[Long] = None,
       streamCkptId: Option[String] = None,
-      retainVersions: Int = VersionedIndex.DefaultRetainVersions): Unit = {
+      retainVersions: Int = VersionedIndex.DefaultRetainVersions): Unit =
+    // static plans: the admission's relations are batch/frontier-sized
+    // by construction (see graft.Par.withStaticPlan); the bootstrap
+    // paths (saveState/bootstrapDrop), whose clustering IS corpus-sized,
+    // deliberately keep AQE
+    graft.Par.withStaticPlan(spark) {
+      admitDropImpl(spark, dir, newVecs, threshold, maxLiveSegments,
+        streamBatchId, streamCkptId, retainVersions)
+    }
+
+  private def admitDropImpl(spark: SparkSession, dir: String,
+      newVecs: DataFrame, threshold: Double, maxLiveSegments: Int,
+      streamBatchId: Option[Long], streamCkptId: Option[String],
+      retainVersions: Int): Unit = {
     val st0 = t("load")(loadState(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"$dir holds no committed embedding-dedup state — saveState first")))

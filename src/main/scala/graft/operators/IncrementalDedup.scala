@@ -374,11 +374,7 @@ object IncrementalDedup {
   /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer, mirroring
     * [[graft.streaming.DedupStream]]'s chain timer. */
   private def phaseTimer[A](tag: String)(f: => A): A =
-    if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
-      val t0 = System.nanoTime(); val r = f
-      System.err.println(
-        f"[chain]   admit.$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    } else f
+    graft.Par.timed(s"  admit.$tag")(f)
 
   /** The admission computation itself, returning the frontier-sized
     * [[AdmitDelta]] instead of the reconstructed full state — the input
@@ -386,7 +382,17 @@ object IncrementalDedup {
     * ([[graft.streaming.DedupStream.commitDelta]]). */
   def admitBatchDelta(state0: DedupState, newDocs: DataFrame,
                       threshold: Double = 0.5,
-                      probeMode: ProbeMode = ProbeAuto): AdmitDelta = {
+                      probeMode: ProbeMode = ProbeAuto): AdmitDelta =
+    // static plans: every relation here is frontier/batch-sized by
+    // construction — AQE re-planning is pure per-exchange job overhead
+    // at this size (graft.Par.withStaticPlan's measurement)
+    graft.Par.withStaticPlan(newDocs.sparkSession) {
+      admitBatchDeltaImpl(state0, newDocs, threshold, probeMode)
+    }
+
+  private def admitBatchDeltaImpl(state0: DedupState, newDocs: DataFrame,
+                      threshold: Double,
+                      probeMode: ProbeMode): AdmitDelta = {
     val state = routeProbe(state0, probeMode)
     val spark = newDocs.sparkSession
     val newBands = Dedup.lshBands(newDocs)

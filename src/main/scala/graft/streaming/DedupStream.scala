@@ -473,7 +473,16 @@ object DedupStream {
     * the [[commitState]] upgrade path once. */
   def commitDelta(spark: SparkSession, stateDir: String, prev: DedupState,
       delta: AdmitDelta, maxLiveSegments: Int = MaxLiveSegments,
-      stream: Option[(String, Long)] = None): Long = {
+      stream: Option[(String, Long)] = None): Long =
+    // static plans for the O(batch + touched-bucket) commit writes —
+    // see graft.Par.withStaticPlan
+    graft.Par.withStaticPlan(spark) {
+      commitDeltaImpl(spark, stateDir, prev, delta, maxLiveSegments, stream)
+    }
+
+  private def commitDeltaImpl(spark: SparkSession, stateDir: String,
+      prev: DedupState, delta: AdmitDelta, maxLiveSegments: Int,
+      stream: Option[(String, Long)]): Long = {
     val prevV = versionOf(stateDir).getOrElse(throw new IllegalStateException(
       "commitDelta requires an existing committed state (bootstrap with commitState)"))
     manifestOf(stateDir, prevV).filter(_.owners.isDefined) match {
