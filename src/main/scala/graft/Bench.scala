@@ -88,13 +88,18 @@ object Bench {
         val timeoutSec =
           sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_TIMEOUT_SEC", "600").toLong
         val t0 = System.nanoTime()
-        var waited = 0.0
-        while (hostLoad >= threshold &&
-            { waited = (System.nanoTime() - t0) / 1e9; waited < timeoutSec }) {
+        def elapsed = (System.nanoTime() - t0) / 1e9
+        while (hostLoad >= threshold && elapsed < timeoutSec) {
           System.err.println(
-            f"[bench] load gate: load=${hostLoad}%.2f >= $threshold, waiting (${waited}%.0f s)")
-          Thread.sleep(15000)
+            f"[bench] load gate: load=${hostLoad}%.2f >= $threshold, waiting (${elapsed}%.0f s)")
+          // never sleep past the deadline: the stamped waited_sec must
+          // not exceed the configured timeout by a poll interval
+          Thread.sleep(math.max(1L,
+            math.min(15000L, ((timeoutSec - elapsed) * 1000).toLong)))
         }
+        // re-read AFTER the final sleep so the stamp reflects the
+        // actual wait, including the interval that ended it
+        val waited = elapsed
         val met = hostLoad < threshold
         System.err.println(
           f"[bench] load gate: ${if (met) "met" else "TIMED OUT"} at load=${hostLoad}%.2f after ${waited}%.0f s")

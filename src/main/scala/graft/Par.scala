@@ -46,6 +46,19 @@ private[graft] object Par {
       .getOrElse(new java.io.File(checkpointDir).getAbsolutePath)
   }
 
+  /** Identity forms the replay guard accepts for the CURRENT lineage:
+    * the raw query-id string (what this build records), plus the
+    * `murmur:`-tagged 32-bit hash form older manifests recorded — a
+    * store committed by a previous build keeps its (weaker, but
+    * existing) guard across the upgrade instead of silently admitting a
+    * redelivered batch twice. New commits always record the raw id;
+    * the legacy form ages out with the manifest that carries it. */
+  def ckptIdentityCandidates(checkpointDir: String): Seq[String] = {
+    val id = ckptIdentity(checkpointDir)
+    Seq(id,
+      "murmur:" + scala.util.hashing.MurmurHash3.stringHash(id).toLong)
+  }
+
   /** Run `f` with adaptive query execution OFF — for the daily-admission
     * paths, whose relations are frontier/batch-sized BY CONSTRUCTION
     * (bounded takes, pinned batches, touched-bucket reads). AQE's

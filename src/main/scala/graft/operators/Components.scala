@@ -126,43 +126,54 @@ object Components {
     }
     val universe = graft.Checkpoints.pin(uPlan)
     var e = graft.Checkpoints.pin(ePlan)
-    // carry each round's count forward: recounting the (checkpointed)
-    // previous edge set would be one avoidable Spark job per round
-    var eCount = e.count()
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val next = graft.Checkpoints.pin(smallStar(largeStar(e)))
-      val nextCount = next.count()
-      // fixpoint: the (distinct, oriented) edge sets are identical
-      converged = nextCount == eCount && next.except(e).limit(1).isEmpty
-      // the superseded round's pin is dead once the convergence probe has
-      // read it — free it NOW, or under CheckpointPolicy.Reliable (where
-      // Spark never auto-cleans checkpoint files) every clustering call
-      // leaks one directory per round on shared storage for the app's life
+    // failure paths (non-convergence, a Spark error mid-round) must not
+    // leak the live pins either — under CheckpointPolicy.Reliable a
+    // retrying caller would otherwise accumulate one universe + one
+    // edge-set checkpoint per attempt on shared storage
+    try {
+      // carry each round's count forward: recounting the (checkpointed)
+      // previous edge set would be one avoidable Spark job per round
+      var eCount = e.count()
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        val next = graft.Checkpoints.pin(smallStar(largeStar(e)))
+        val nextCount =
+          try next.count()
+          catch { case t: Throwable =>
+            graft.Checkpoints.free(next); throw t
+          }
+        // fixpoint: the (distinct, oriented) edge sets are identical
+        converged = nextCount == eCount && next.except(e).limit(1).isEmpty
+        // the superseded round's pin is dead once the convergence probe
+        // has read it — free it NOW, or under CheckpointPolicy.Reliable
+        // (where Spark never auto-cleans checkpoint files) every
+        // clustering call leaks one directory per round for the app's life
+        graft.Checkpoints.free(e)
+        e = next
+        eCount = nextCount
+        round += 1
+      }
+      // never return (or let a caller cache) intermediate labels: a
+      // non-fixpoint edge set maps nodes to non-minimum labels
+      require(converged,
+        s"large-star/small-star did not converge in $maxRounds rounds — raise maxRounds")
+      // at the fixpoint every edge is (node > component-min) -> (min).
+      // Joining back to the node universe keeps nodes whose only edges
+      // were self-loops (filtered from e) as their own singletons.
+      val labeled = e.select(col("a").as("node"), col("b").as("component"))
+      // pin the labels so the universe/final-edge pins can be released
+      // here rather than leaking for process life (callers see a flat
+      // relation and never re-run the fixpoint); label rows are
+      // node-count-sized.
+      graft.Checkpoints.pin(
+        universe.join(labeled, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("component"), col("node")).as("component"))
+          .distinct())
+    } finally {
+      graft.Checkpoints.free(universe)
       graft.Checkpoints.free(e)
-      e = next
-      eCount = nextCount
-      round += 1
     }
-    // never return (or let a caller cache) intermediate labels: a
-    // non-fixpoint edge set maps nodes to non-minimum labels
-    require(converged,
-      s"large-star/small-star did not converge in $maxRounds rounds — raise maxRounds")
-    // at the fixpoint every edge is (node > component-min) -> (min).
-    // Joining back to the node universe keeps nodes whose only edges
-    // were self-loops (filtered from e) as their own singletons.
-    val labeled = e.select(col("a").as("node"), col("b").as("component"))
-    // pin the labels so the universe/final-edge pins can be released here
-    // rather than leaking for process life (callers see a flat relation
-    // and never re-run the fixpoint); label rows are node-count-sized.
-    val result = graft.Checkpoints.pin(
-      universe.join(labeled, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("component"), col("node")).as("component"))
-        .distinct())
-    graft.Checkpoints.free(universe)
-    graft.Checkpoints.free(e)
-    result
   }
 }

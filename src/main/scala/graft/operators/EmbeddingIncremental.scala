@@ -362,7 +362,8 @@ object EmbeddingIncremental {
         .parquet(s"$dir/v0/remap"))
     VersionedIndex.commit(dir, 0, trainedRows = rows, totalRows = rows,
       segs = Vector(0L), logs = Seq("buckets", "labels"),
-      streamBatchId = streamBatchId, streamCkptId = streamCkptId)
+      streamBatchId = streamBatchId, streamCkptId = streamCkptId,
+      retainVersions = retainVersions)
   }
 
   /** Bootstrap a FRESH persisted store straight from the corpus — the
@@ -419,11 +420,13 @@ object EmbeddingIncremental {
     VersionedIndex.meta(dir).map(m => stateAt(spark, dir, m))
 
   /** Time-travel read of a RETAINED version — retention keeps the
-    * current + previous versions' manifests, remaps, and log segments,
-    * so an in-flight reader of the prior commit stays valid across one
-    * promote (and an explicit audit read can pin it). Throws, naming
-    * the version, once retention has reclaimed it — the
-    * [[VersionedIndex.metaAt]] contract. */
+    * latest `retainVersions` commits' manifests, remaps, and log
+    * segments (default 2 = current + previous; each commit records the
+    * depth it used in its manifest), so an in-flight reader of a prior
+    * commit stays valid across `retainVersions - 1` promotes (and an
+    * explicit audit read can pin it). Throws, naming the version, once
+    * retention has reclaimed it — the [[VersionedIndex.metaAt]]
+    * contract. */
   def loadStateAt(spark: SparkSession, dir: String,
       version: Long): EmbedDedupState =
     stateAt(spark, dir, VersionedIndex.metaAt(dir, version))
@@ -460,15 +463,25 @@ object EmbeddingIncremental {
       threshold: Double = 0.45, maxLiveSegments: Int = 16,
       streamBatchId: Option[Long] = None,
       streamCkptId: Option[String] = None,
-      retainVersions: Int = VersionedIndex.DefaultRetainVersions): Unit =
-    // static plans: the admission's relations are batch/frontier-sized
-    // by construction (see graft.Par.withStaticPlan); the bootstrap
-    // paths (saveState/bootstrapDrop), whose clustering IS corpus-sized,
-    // deliberately keep AQE
-    graft.Par.withStaticPlan(spark) {
+      retainVersions: Int = VersionedIndex.DefaultRetainVersions): Unit = {
+    // static plans on APPEND days only: the append admission's relations
+    // are batch/frontier-sized by construction (graft.Par.withStaticPlan)
+    // — but a FOLD day rewrites the full accumulated logs, which is
+    // corpus-sized work that keeps AQE (skew/coalesce mitigation),
+    // exactly like the bootstrap paths. The arm is known from the
+    // manifest before any Spark work, so the scope is decided up front
+    // (session conf is shared across this admission's threads — the
+    // backgrounded segment write must run under the same regime).
+    val willFold =
+      VersionedIndex.metaOrThrow(dir).segs.size + 1 > maxLiveSegments
+    if (willFold)
+      admitDropImpl(spark, dir, newVecs, threshold, maxLiveSegments,
+        streamBatchId, streamCkptId, retainVersions)
+    else graft.Par.withStaticPlan(spark) {
       admitDropImpl(spark, dir, newVecs, threshold, maxLiveSegments,
         streamBatchId, streamCkptId, retainVersions)
     }
+  }
 
   private def admitDropImpl(spark: SparkSession, dir: String,
       newVecs: DataFrame, threshold: Double, maxLiveSegments: Int,
@@ -511,7 +524,19 @@ object EmbeddingIncremental {
     @volatile var segRows = -1L
     def countSeg(): Unit =
       segRows = spark.read.parquet(s"$dir/labels/seg=$next").count()
-    val segs =
+    // the whole segment-write phase joins the background writer on
+    // failure too: plan construction here can throw BEFORE inParallel
+    // takes ownership of the join (remapOf on a damaged store, FS
+    // listing), and propagating past an in-flight writer would leave a
+    // zombie racing the retry's overwrite (the join handle is memoized —
+    // a second invocation inside inParallel is a no-op)
+    def joinOnFailure[A](body: => A): A =
+      try body
+      catch { case e: Throwable =>
+        try joinBuckets() catch { case w: Throwable => e.addSuppressed(w) }
+        throw e
+      }
+    val segs = joinOnFailure {
       if (fold) {
         // fold both logs: the grown relations become one segment each,
         // C folds into the rewritten label base and resets to empty
@@ -557,6 +582,7 @@ object EmbeddingIncremental {
             .parquet(s"$dir/v$next/remap")))
         m.segs :+ next
       }
+    }
     require(segRows >= 0, "label segment count must have run in its write task")
     val total = if (fold) segRows else m.totalRows + segRows
     VersionedIndex.commit(dir, next, trainedRows = total,

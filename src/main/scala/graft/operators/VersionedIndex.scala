@@ -91,6 +91,11 @@ private[graft] object VersionedIndex {
         .map(_.group(1).toLong)
       val sc = """"streamCkptId":"((?:[^"\\]|\\.)*)"""".r
         .findFirstMatchIn(txt).map(m => graft.Par.jsonUnescape(m.group(1)))
+        // legacy manifests recorded a 32-bit hash — surface it in the
+        // tagged form Par.ckptIdentityCandidates also produces, so an
+        // upgraded store keeps its replay guard
+        .orElse(""""streamCkptHash":(-?\d+)""".r.findFirstMatchIn(txt)
+          .map(m => "murmur:" + m.group(1)))
       val rv = """"retain":(\d+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toInt)
       Meta(v, num("trainedRows"), num("totalRows"), segs, sb, sc, rv)

@@ -123,7 +123,12 @@ object DedupStream {
             b.toInt, owners, num("streamBatchId"),
             """"streamCkptId":"((?:[^"\\]|\\.)*)"""".r
               .findFirstMatchIn(txt)
-              .map(m => graft.Par.jsonUnescape(m.group(1)))))
+              .map(m => graft.Par.jsonUnescape(m.group(1)))
+              // legacy numeric field -> the tagged form the guard's
+              // candidate list also produces (upgraded stores keep
+              // their replay guard)
+              .orElse(""""streamCkptHash":(-?\d+)""".r
+                .findFirstMatchIn(txt).map(m => "murmur:" + m.group(1)))))
         case _ => throw new IllegalStateException(
           s"unreadable state manifest v$v: $txt")
       }
@@ -638,9 +643,10 @@ object DedupStream {
         // would otherwise re-pair with their own stored copies), while
         // a FRESH checkpoint's restarted ids are not mistaken for one.
         val ckptId = graft.Par.ckptIdentity(checkpointDir)
+        val ckptIds = graft.Par.ckptIdentityCandidates(checkpointDir)
         val already = versionOf(stateDir)
           .flatMap(v => manifestOf(stateDir, v))
-          .exists(m => m.streamCkptId.contains(ckptId) &&
+          .exists(m => m.streamCkptId.exists(ckptIds.contains) &&
             m.streamBatchId.exists(_ >= batchId))
         // foreachBatch hands a streaming-backed DataFrame; the admission
         // builds an iterative multi-action plan over it, so pin the

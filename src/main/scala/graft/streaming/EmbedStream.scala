@@ -53,8 +53,9 @@ object EmbedStream {
         // the SAME checkpoint is skipped; a fresh checkpoint (ids
         // restart at 0) is not mistaken for a replay.
         val ckptId = graft.Par.ckptIdentity(checkpointDir)
+        val ckptIds = graft.Par.ckptIdentityCandidates(checkpointDir)
         val already = graft.operators.VersionedIndex.meta(stateDir).exists(m =>
-          m.streamCkptId.contains(ckptId) &&
+          m.streamCkptId.exists(ckptIds.contains) &&
             m.streamBatchId.exists(_ >= batchId))
         // foreachBatch hands a streaming-backed DataFrame; the
         // admission builds an iterative multi-action plan over it, so
