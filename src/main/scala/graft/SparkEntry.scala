@@ -86,6 +86,7 @@ object SparkEntry {
     "q64_bpe_pack"      -> (graft.operators.Bpe.qBpePack _),
     "q65_bpe_chunks"    -> (graft.operators.Bpe.qBpeChunk _),
     "q66_media_decode"  -> (Multimodal.qMediaDecode _),
+    "q67_bpe_vocab"     -> (graft.operators.Bpe.qBpeVocab _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -187,5 +188,8 @@ object SparkEntry {
     // signature/IHDR/SOF byte layouts, the engine parses them back, and
     // the oracle re-derives dims from media_id independently
     "q66_media_decode"  -> Multimodal.qMediaDecodeSql,
+    // q67 re-uses q64/q65's recursive-CTE tokenizer replay: per-token
+    // corpus occurrences + document frequency, top-K
+    "q67_bpe_vocab"     -> graft.operators.Bpe.qBpeVocabSql,
   )
 }

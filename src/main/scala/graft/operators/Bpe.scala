@@ -154,6 +154,34 @@ object Bpe {
     Sequencing.chunkTokensOf(Tables.documents(s, d), tokens(col("text")))
       .orderBy("doc_id", "chunk_id")
 
+  /** q67: subword-vocabulary statistics — per BPE token, corpus
+    * occurrences and document frequency, top-K by occurrences. The
+    * post-training sanity check every tokenizer pipeline runs (are
+    * merges covering the corpus? which subwords dominate?). Scale
+    * shape: the explode is narrow (~tokens-per-doc fan-out at
+    * scan-speed), the aggregate keys on TOKEN — cardinality bounded by
+    * the merge table's closure over the alphabet, so map-side partials
+    * absorb the volume — and the top-K is TakeOrderedAndProject, never
+    * a global sort. */
+  val VocabTopK = 200
+
+  def qBpeVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(VocabTopK)
+
+  val qBpeVocabSql: String =
+    s"""$oracleBpePrelude
+       |SELECT tok AS token, COUNT(*)::BIGINT AS n_occurrences,
+       |       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+       |FROM (SELECT d.doc_id, unnest(wt.toks) AS tok
+       |      FROM docw d JOIN wt USING (w))
+       |GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT $VocabTopK""".stripMargin
+
   /** `(rank, l, r)` VALUES rows for the oracle's merge relation —
     * generated from [[FixtureMerges]], the single source of truth. The
     * fixture tokens are ASCII letters; quoting is still escaped for

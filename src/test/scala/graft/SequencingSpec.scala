@@ -87,6 +87,24 @@ class SequencingSpec extends AnyFunSuite {
     assert(diverging > 0L, "fixture must contain docs where BPE != whitespace")
   }
 
+  test("BPE vocab stats count token instances and doc frequency exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 'stream' -> [st,r,e,a,m], 'batch' -> [b,at,c,h], 'scan' -> [scan]
+    val docs = Seq((1L, "stream batch", "en"), (2L, "batch scan scan", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = docs
+      .select(col("doc_id"), explode(graft.operators.Bpe.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("b") == ((2L, 2L)), s"'b' appears in both docs' 'batch': $got")
+    assert(got("scan") == ((2L, 1L)), "'scan' twice in one doc")
+    assert(got("st") == ((1L, 1L)))
+    assert(got.values.map(_._1).sum == 5L + 4L + 4L + 1L + 1L,
+      "instance counts must cover every emitted token")
+  }
+
   test("packing plan does not force a broadcast of the offsets relation") {
     // a broadcast() HINT would OOM on sparse/hashed doc_ids where the
     // per-block aggregate degrades to corpus size; AQE may still CHOOSE
