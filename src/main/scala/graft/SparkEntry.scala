@@ -87,6 +87,7 @@ object SparkEntry {
     "q65_bpe_chunks"    -> (graft.operators.Bpe.qBpeChunk _),
     "q66_media_decode"  -> (Multimodal.qMediaDecode _),
     "q67_bpe_vocab"     -> (graft.operators.Bpe.qBpeVocab _),
+    "q68_neardup_multiprobe" -> (Dedup.qEmbedNearDupsMultiProbe _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -191,5 +192,9 @@ object SparkEntry {
     // q67 re-uses q64/q65's recursive-CTE tokenizer replay: per-token
     // corpus occurrences + document frequency, top-K
     "q67_bpe_vocab"     -> graft.operators.Bpe.qBpeVocabSql,
+    // q68 = q58's route with 2-probe multi-probe expansion: the oracle
+    // replays the projections, the smallest-margin plane selection, and
+    // the XOR bucket flips, so the full recall lever is hash-pinned
+    "q68_neardup_multiprobe" -> Dedup.qEmbedNearDupsMultiProbeSql,
   )
 }

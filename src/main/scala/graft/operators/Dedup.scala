@@ -724,18 +724,34 @@ object Dedup {
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = 0.45,
       nTables: Int = NearDupLshTables,
       planes: Int = NearDupLshPlanes,
-      maxBucket: Int = HotBucketKernelRows): DataFrame = {
+      maxBucket: Int = HotBucketKernelRows,
+      probes: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // memoized: the occupancy agg, the cold kernel, and the hot branch
     // all consume this relation — unmemoized, each would re-run the
-    // bucketing pass over the corpus (measured 2x the route's wall)
-    val bucketed = memoPersist(emb, s"ndBuckets:$nTables:$planes")(e =>
-      e.select(col("vec_id").cast("long"), col("embedding"), posexplode(
-          graft.functions.LshFns.lshBuckets(col("embedding"),
-            nearDupPlaneWeights(nTables, planes), planes)))
-        .select(col("vec_id"), col("embedding"),
-          (col("pos").cast("long") * (1L << planes) + col("col")).as("grp")))
+    // bucketing pass over the corpus (measured 2x the route's wall).
+    // probes > 0 = MULTI-PROBE: each vector also lands in the `probes`
+    // neighbor buckets across its smallest-margin hyperplanes
+    // ([[graft.functions.LshBucketsMultiProbe]]) — candidate mass per
+    // table grows ~(1+probes)² in dense buckets but recall at weak
+    // thresholds rises without more tables (the q68 lever; the sweep
+    // artifact carries the measured frontier). probes = 0 keeps the
+    // original expression and plan byte-identical (q58's oracle).
+    val bucketed = memoPersist(emb, s"ndBuckets:$nTables:$planes:$probes")(e =>
+      if (probes == 0)
+        e.select(col("vec_id").cast("long"), col("embedding"), posexplode(
+            graft.functions.LshFns.lshBuckets(col("embedding"),
+              nearDupPlaneWeights(nTables, planes), planes)))
+          .select(col("vec_id"), col("embedding"),
+            (col("pos").cast("long") * (1L << planes) + col("col")).as("grp"))
+      else
+        e.select(col("vec_id").cast("long"), col("embedding"), posexplode(
+            graft.functions.LshFns.lshBucketsMultiProbe(col("embedding"),
+              nearDupPlaneWeights(nTables, planes), planes, probes)))
+          .select(col("vec_id"), col("embedding"),
+            (expr(s"pos div ${1 + probes}").cast("long") * (1L << planes)
+              + col("col")).as("grp")))
     // hot-bucket detection: a narrow-key count; the hot id set is
     // broadcast as a marker (usually empty)
     val hot = bucketed.groupBy("grp").agg(count(lit(1)).as("n"))
@@ -1075,6 +1091,59 @@ object Dedup {
 
   val qEmbedNearDupsLshSql: String =
     s"""WITH $embedLshCtesSql
+       |SELECT vec_a, vec_b, cos_sim FROM epairs ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Probes for the q68 multi-probe route: 2 neighbor buckets per table
+    * lift weak-threshold recall 0.73 → 0.99 at the default 16×8 grid
+    * (planted-regime sweep, `bench/NEARDUP_SWEEP_r15_sf001.txt`) for
+    * ~8.5× the verify mass — and at 16×10 the same 2 probes beat the
+    * 16×6 single-probe point on BOTH axes (0.93 recall at 0.67× its
+    * mass). The recall lever that does not multiply table count. */
+  val NearDupMultiProbes = 2
+
+  def qEmbedNearDupsMultiProbe(s: SparkSession, d: String): DataFrame =
+    embeddingNearDupsLsh(Tables.embeddings(s, d),
+      probes = NearDupMultiProbes).orderBy("vec_a", "vec_b")
+
+  /** The q58 oracle with the multi-probe expansion: per (vector, table),
+    * the own bucket plus the `probes` smallest-|projection| plane flips
+    * (ties to the lower plane index — DuckDB's struct sort on
+    * (abs, plane) replays the expression's selection exactly). */
+  private def embedLshMultiProbeCtesSql(probes: Int): String = {
+    def projExpr(t: Int, p: Int): String = {
+      val plane = NearDupLshPlaneBase + t * NearDupLshPlanes + p
+      s"""list_sum(list_transform(range(0, 64), i ->
+         |  embedding[i + 1] * (((('0x' || substr(md5('$plane:' || i::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)))""".stripMargin
+    }
+    val tableRows = (0 until NearDupLshTables).map { t =>
+      val projList = (0 until NearDupLshPlanes)
+        .map(p => projExpr(t, p)).mkString("[", ",\n ", "]")
+      s"""SELECT vec_id, $t AS t, unnest([own] || list_transform(
+         |    list_slice(list_sort(list_transform(range(0, $NearDupLshPlanes),
+         |      p -> {'a': abs(projs[(p+1)::INT]), 'p': p})), 1, $probes),
+         |    x -> xor(own, (1::BIGINT << (x.p)::INT)))) AS bucket
+         |FROM (SELECT vec_id,
+         |        list_sum(list_transform(range(0, $NearDupLshPlanes), p ->
+         |          CASE WHEN projs[(p+1)::INT] > 0 THEN (1::BIGINT << p::INT) ELSE 0 END))::BIGINT AS own,
+         |        projs
+         |      FROM (SELECT vec_id, $projList AS projs FROM esrc))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""esrc AS (SELECT * FROM embeddings),
+       |b AS (
+       |$tableRows),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+       |  FROM b l JOIN b r ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |epairs AS (
+       |  SELECT vec_a, vec_b,
+       |         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+       |  FROM cand JOIN esrc a ON cand.vec_a = a.vec_id
+       |            JOIN esrc b ON cand.vec_b = b.vec_id
+       |  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45)""".stripMargin
+  }
+
+  val qEmbedNearDupsMultiProbeSql: String =
+    s"""WITH ${embedLshMultiProbeCtesSql(NearDupMultiProbes)}
        |SELECT vec_a, vec_b, cos_sim FROM epairs ORDER BY vec_a, vec_b""".stripMargin
 
   /** q61 — semantic-dedup clustering over the LSH near-dup graph. */

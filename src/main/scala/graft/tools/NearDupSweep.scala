@@ -57,25 +57,31 @@ object NearDupSweep {
     println(s"# LSH near-dup recall-vs-cost sweep  corpus=$d n=$n " +
       s"(${hosts.length} planted twins at cos {0.5,0.65,0.85,0.95}) " +
       s"exact_mass=${n * (n - 1) / 2}")
-    println(f"${"thr"}%5s ${"tables"}%7s ${"planes"}%7s ${"recall"}%7s " +
-      f"${"pairs"}%7s ${"exact"}%7s ${"verify_mass"}%12s ${"wall_s"}%7s")
+    println(f"${"thr"}%5s ${"tables"}%7s ${"planes"}%7s ${"probes"}%7s " +
+      f"${"recall"}%7s ${"pairs"}%7s ${"exact"}%7s ${"verify_mass"}%12s ${"wall_s"}%7s")
     for (threshold <- Seq(0.45, 0.6, 0.8)) {
       val exactPairs = Dedup.embeddingNearDups(emb, threshold).count()
-      for ((tables, planes) <- Seq((8, 8), (16, 8), (32, 8), (16, 6),
-          (16, 10), (64, 10))) {
+      for ((tables, planes, probes) <- Seq((8, 8, 0), (16, 8, 0), (32, 8, 0),
+          (16, 6, 0), (16, 10, 0), (64, 10, 0),
+          (16, 8, 1), (16, 8, 2), (16, 8, 3), (8, 8, 2), (16, 10, 2))) {
         val t0 = System.nanoTime()
         val lshPairs = Dedup.embeddingNearDupsLsh(emb, threshold,
-          nTables = tables, planes = planes).count()
+          nTables = tables, planes = planes, probes = probes).count()
         val wall = (System.nanoTime() - t0) / 1e9
         // verify mass: pair products actually scored inside buckets
-        val mass = emb.select(col("vec_id"), posexplode(
-            graft.functions.LshFns.lshBuckets(col("embedding"),
-              Dedup.nearDupPlaneWeights(tables, planes), planes)))
-          .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("occ"))
+        val bucketsCol =
+          if (probes == 0) graft.functions.LshFns.lshBuckets(col("embedding"),
+            Dedup.nearDupPlaneWeights(tables, planes), planes)
+          else graft.functions.LshFns.lshBucketsMultiProbe(col("embedding"),
+            Dedup.nearDupPlaneWeights(tables, planes), planes, probes)
+        val mass = emb.select(col("vec_id"),
+            posexplode(bucketsCol).as(Seq("pos", "bucket")))
+          .select((col("pos") / (1 + probes)).cast("int").as("t"), col("bucket"))
+          .groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("occ"))
           .agg(sum(expr("occ * (occ - 1) / 2"))).head().getDouble(0)
         val recall =
           if (exactPairs == 0) Double.NaN else lshPairs.toDouble / exactPairs
-        println(f"$threshold%5.2f $tables%7d $planes%7d $recall%7.3f " +
+        println(f"$threshold%5.2f $tables%7d $planes%7d $probes%7d $recall%7.3f " +
           f"$lshPairs%7d $exactPairs%7d ${mass.toLong}%12d $wall%7.2f")
       }
     }

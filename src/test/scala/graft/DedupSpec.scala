@@ -220,6 +220,30 @@ class DedupSpec extends AnyFunSuite {
         "a 1.0 here means the evidence became vacuous")
   }
 
+  test("multi-probe LSH: superset of single-probe, subset of exact, identical scores") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Dedup.embeddingNearDups(emb))
+    val single = pairs(Dedup.embeddingNearDupsLsh(emb))
+    val multi = pairs(Dedup.embeddingNearDupsLsh(emb,
+      probes = Dedup.NearDupMultiProbes))
+    // the own buckets are bit-identical to the base expression's, so
+    // every single-probe pair survives; the probe buckets only ADD
+    // candidates, and the verify is exact — multi-probe is sandwiched
+    assert(single.keySet.subsetOf(multi.keySet),
+      s"multi-probe lost single-probe pairs: ${single.keySet -- multi.keySet}")
+    assert(multi.keySet.subsetOf(exact.keySet),
+      "multi-probe emitted a non-pair (verify must stay exact)")
+    multi.foreach { case (k, v) =>
+      assert(exact(k) == v, s"pair $k: multi=$v exact=${exact(k)}")
+    }
+    // and on this fixture the probes genuinely buy recall at the weak
+    // threshold — the lever's existence proof, not a tuned constant
+    assert(multi.size > single.size,
+      s"expected probes to add pairs: single=${single.size} multi=${multi.size}")
+  }
+
   test("LSH near-dup route: recall 1.0 in the high-cosine near-dup regime") {
     // planted-dup fixture: 400 seeded pseudo-random base vectors (near-
     // orthogonal in 64-dim, no accidental >=0.8 pairs) + 20 planted
