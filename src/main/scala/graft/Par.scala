@@ -46,6 +46,21 @@ private[graft] object Par {
       .getOrElse(new java.io.File(checkpointDir).getAbsolutePath)
   }
 
+  /** Run `body`; on failure, JOIN the given in-flight writer before
+    * rethrowing — the single place encoding the no-zombie-writers
+    * contract ([[background]]'s counterpart). The join handle is
+    * memoized, so when the WRITER ITSELF was the failure that `body`
+    * rethrew, the re-join yields the identical exception instance —
+    * guarded, because `addSuppressed(self)` throws IllegalArgument and
+    * would replace the real diagnostic. */
+  def joinOnFailure[A](join: () => Unit)(body: => A): A =
+    try body
+    catch { case e: Throwable =>
+      try join()
+      catch { case w: Throwable => if (w ne e) e.addSuppressed(w) }
+      throw e
+    }
+
   /** Identity forms the replay guard accepts for the CURRENT lineage:
     * the raw query-id string (what this build records), plus the
     * `murmur:`-tagged 32-bit hash form older manifests recorded — a

@@ -49,7 +49,9 @@ case class LshBuckets(child: Expression, weights: Seq[Seq[Double]],
     while (i < n) {
       // null element: the composable formulation null-propagates the
       // projection, making every CASE fall to the 0 branch — all-zero
-      // buckets. Reproduce that (the DuckDB oracle behaves identically).
+      // buckets. The DuckDB oracles pin the same contract explicitly
+      // (list_sum there SKIPS null terms, so they carry a hasnull
+      // guard rather than relying on propagation).
       if (emb.isNullAt(i)) return new GenericArrayData(new Array[Long](numTables))
       vec(i) = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
       i += 1
@@ -129,6 +131,10 @@ case class LshBucketsMultiProbe(child: Expression, weights: Seq[Seq[Double]],
     }
     val out = new Array[Long](numTables * (1 + probes))
     val projs = new Array[Double](planesPerTable)
+    // hoisted out of the per-row × per-table hot loop (the base
+    // expression exists to kill exactly this class of allocation);
+    // re-initialized per table below
+    val order = new Array[Int](planesPerTable)
     var t = 0
     while (t < numTables) {
       var bucket = 0L
@@ -146,7 +152,8 @@ case class LshBucketsMultiProbe(child: Expression, weights: Seq[Seq[Double]],
       out(t * (1 + probes)) = bucket
       // probe planes: the `probes` smallest |projection|s, ties to the
       // lower plane index — selection sort over ≤ planesPerTable entries
-      val order = Array.tabulate(planesPerTable)(identity)
+      var oi = 0
+      while (oi < planesPerTable) { order(oi) = oi; oi += 1 }
       var k = 0
       while (k < probes) {
         var best = k

@@ -138,13 +138,21 @@ object Components {
       var round = 0
       while (!converged && round < maxRounds) {
         val next = graft.Checkpoints.pin(smallStar(largeStar(e)))
-        val nextCount =
-          try next.count()
-          catch { case t: Throwable =>
+        // BOTH probe actions are guarded: a failure after the pin but
+        // before `e = next` would otherwise leak this round's checkpoint
+        // (the enclosing finally only knows universe and the OLD e)
+        val conv =
+          try {
+            val nextCount = next.count()
+            // fixpoint: the (distinct, oriented) edge sets are identical
+            Some(nextCount)
+              .filter(_ == eCount)
+              .exists(_ => next.except(e).limit(1).isEmpty) -> nextCount
+          } catch { case t: Throwable =>
             graft.Checkpoints.free(next); throw t
           }
-        // fixpoint: the (distinct, oriented) edge sets are identical
-        converged = nextCount == eCount && next.except(e).limit(1).isEmpty
+        converged = conv._1
+        val nextCount = conv._2
         // the superseded round's pin is dead once the convergence probe
         // has read it — free it NOW, or under CheckpointPolicy.Reliable
         // (where Spark never auto-cleans checkpoint files) every

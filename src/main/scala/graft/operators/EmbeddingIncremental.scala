@@ -385,7 +385,9 @@ object EmbeddingIncremental {
       t("boot.buckets")(writeBucketSeg(bucketRows(emb),
         s"$dir/buckets/seg=0")))
     @volatile var rows = -1L
-    try {
+    // no zombie writers: any failure here joins the in-flight bucket
+    // write before propagating, so a retry's overwrite races nothing
+    graft.Par.joinOnFailure(joinBuckets) {
       // the eager cluster fixpoint (edge kernel, component closure,
       // label pin) runs while the bucket segment writes; labels-only —
       // the store derives sizes at load, so the size join never runs
@@ -399,11 +401,6 @@ object EmbeddingIncremental {
         },
         () => emptyRemap(spark).write.mode("overwrite")
           .parquet(s"$dir/v0/remap"))
-    } catch { case e: Throwable =>
-      // no zombie writers: join the in-flight bucket write before
-      // propagating, so a retry's overwrite races nothing
-      try joinBuckets() catch { case w: Throwable => e.addSuppressed(w) }
-      throw e
     }
     joinBuckets()
     VersionedIndex.commit(dir, 0, trainedRows = rows, totalRows = rows,
@@ -472,8 +469,10 @@ object EmbeddingIncremental {
     // manifest before any Spark work, so the scope is decided up front
     // (session conf is shared across this admission's threads — the
     // backgrounded segment write must run under the same regime).
-    val willFold =
-      VersionedIndex.metaOrThrow(dir).segs.size + 1 > maxLiveSegments
+    val willFold = VersionedIndex.meta(dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir holds no committed embedding-dedup state — saveState first"))
+      .segs.size + 1 > maxLiveSegments
     if (willFold)
       admitDropImpl(spark, dir, newVecs, threshold, maxLiveSegments,
         streamBatchId, streamCkptId, retainVersions)
@@ -511,12 +510,8 @@ object EmbeddingIncremental {
     // a failing core must JOIN the in-flight writer before propagating —
     // returning early would leave a zombie write racing the retry's
     // overwrite of this very segment (the inParallel contract)
-    val f =
-      try t("core")(admitCore(st0, newVecs, threshold, Some(nbr)))
-      catch { case e: Throwable =>
-        try joinBuckets() catch { case w: Throwable => e.addSuppressed(w) }
-        throw e
-      }
+    val f = graft.Par.joinOnFailure(joinBuckets)(
+      t("core")(admitCore(st0, newVecs, threshold, Some(nbr))))
     // footer-only count of the label segment, taken INSIDE its write
     // task (no separate sequential job): the full labels count after
     // this commit is the fold's rewritten base, or the prior total plus
@@ -530,13 +525,7 @@ object EmbeddingIncremental {
     // listing), and propagating past an in-flight writer would leave a
     // zombie racing the retry's overwrite (the join handle is memoized —
     // a second invocation inside inParallel is a no-op)
-    def joinOnFailure[A](body: => A): A =
-      try body
-      catch { case e: Throwable =>
-        try joinBuckets() catch { case w: Throwable => e.addSuppressed(w) }
-        throw e
-      }
-    val segs = joinOnFailure {
+    val segs = graft.Par.joinOnFailure(joinBuckets) {
       if (fold) {
         // fold both logs: the grown relations become one segment each,
         // C folds into the rewritten label base and resets to empty
