@@ -88,6 +88,7 @@ object SparkEntry {
     "q66_media_decode"  -> (Multimodal.qMediaDecode _),
     "q67_bpe_vocab"     -> (graft.operators.Bpe.qBpeVocab _),
     "q68_neardup_multiprobe" -> (Dedup.qEmbedNearDupsMultiProbe _),
+    "q69_ann_lsh_multiprobe" -> (Similarity.qAnnLshMultiProbe _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -196,5 +197,8 @@ object SparkEntry {
     // replays the projections, the smallest-margin plane selection, and
     // the XOR bucket flips, so the full recall lever is hash-pinned
     "q68_neardup_multiprobe" -> Dedup.qEmbedNearDupsMultiProbeSql,
+    // q69 = query-time multi-probe over q18's UNCHANGED corpus buckets —
+    // the no-reindex recall lever for the stored/indexed ANN side
+    "q69_ann_lsh_multiprobe" -> Similarity.qAnnLshMultiProbeSql,
   )
 }

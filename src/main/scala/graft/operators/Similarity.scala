@@ -1413,23 +1413,28 @@ object Similarity {
     """SELECT CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
       |       TRUE AS recall_ok""".stripMargin
 
-  val qAnnLshSql: String = {
-    def bucketExpr(t: Int): String = (0 until PlanesPerTable).map { p =>
-      val plane = t * PlanesPerTable + p
-      s"""CASE WHEN list_sum(list_transform(range(0, 64), i ->
-         |  embedding[i + 1] * (((('0x' || substr(md5('$plane:' || i::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
-         |)) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
-    }.mkString(" +\n  ")
-    val tableRows = (0 until NumTables)
+  /** Shared corpus-bucket CTE rows of the q18/q69 oracles. The hasnull
+    * guard pins the engine's null-element contract (all-zero buckets):
+    * DuckDB's list_sum SKIPS null terms, so an unguarded partial sum
+    * could set sign bits the fused expression never does. */
+  private def annLshBucketRowsSql: String = {
+    def bucketExpr(t: Int): String =
+      "CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN 0 ELSE " +
+        (0 until PlanesPerTable).map { p =>
+          val plane = t * PlanesPerTable + p
+          s"""CASE WHEN list_sum(list_transform(range(0, 64), i ->
+             |  embedding[i + 1] * (((('0x' || substr(md5('$plane:' || i::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
+             |)) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
+        }.mkString(" +\n  ") + " END"
+    (0 until NumTables)
       .map(t => s"SELECT vec_id, $t AS t, ${bucketExpr(t)} AS bucket FROM embeddings")
       .mkString("\nUNION ALL\n")
-    s"""WITH b AS (
-       |$tableRows),
-       |cand AS (
-       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
-       |  FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
-       |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
-       |scored AS (
+  }
+
+  /** Shared scoring/ranking tail of the q18/q69 oracles over a `cand`
+    * CTE of (query_id, cand_id). */
+  private val annLshScoreTailSql: String =
+    s"""scored AS (
        |  SELECT query_id, cand_id,
        |         ROUND(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 4) AS cos_sim
        |  FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
@@ -1440,5 +1445,97 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, cand_id, cos_sim, rnk FROM ranked
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  val qAnnLshSql: String =
+    s"""WITH b AS (
+       |$annLshBucketRowsSql),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       |$annLshScoreTailSql""".stripMargin
+
+  /** Query-side probes for q69: at 4-plane tables, 2 extra buckets per
+    * table triple the query's candidate reach per table without
+    * touching the CORPUS bucketing (the stored/indexed side is shared
+    * with q18 — multi-probe at query time is free of reindexing, the
+    * production reason the technique exists). */
+  val AnnLshQueryProbes = 2
+
+  /** q69: [[annLsh]] with multi-probe QUERIES — each query vector also
+    * probes its [[AnnLshQueryProbes]] smallest-margin neighbor buckets
+    * per table ([[graft.functions.LshBucketsMultiProbe]]); candidates
+    * stay exact-cosine-scored and top-k ranked, so results differ from
+    * q18 only by the recall the extra probes buy. Corpus side is the
+    * UNCHANGED single-bucket relation — no reindexing. */
+  def annLshMultiProbe(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      probes: Int = AnnLshQueryProbes): DataFrame = {
+    val c = lshBucketed(emb)
+      .select(col("vec_id").as("cand_id"), col("t"), col("bucket"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), posexplode(
+        graft.functions.LshFns.lshBucketsMultiProbe(col("embedding"),
+          allPlaneWeights, PlanesPerTable, probes)))
+      .select(col("query_id"),
+        expr(s"pos div ${1 + probes}").cast("int").as("t"),
+        col("col").as("bucket"))
+    val cand = q.hint("broadcast").join(c, Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val ce = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val scored = cand
+      .join(qe.hint("broadcast"), Seq("query_id"))
+      .join(ce, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  def qAnnLshMultiProbe(s: SparkSession, d: String): DataFrame =
+    annLshMultiProbe(Tables.embeddings(s, d)).orderBy("query_id", "rnk")
+
+  /** q69's oracle: the q18 corpus buckets joined against multi-probe
+    * QUERY buckets — projections, smallest-margin plane selection, and
+    * XOR flips replayed like the q68 oracle (hasnull degrades own and
+    * probes to zero, the engine contract). */
+  val qAnnLshMultiProbeSql: String = {
+    val m = AnnLshQueryProbes
+    def projExpr(t: Int, p: Int): String = {
+      val plane = t * PlanesPerTable + p
+      s"""list_sum(list_transform(range(0, 64), i ->
+         |  embedding[i + 1] * (((('0x' || substr(md5('$plane:' || i::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)))""".stripMargin
+    }
+    val zeroProbes = List.fill(m)("0::BIGINT").mkString("[", ", ", "]")
+    val queryRows = (0 until NumTables).map { t =>
+      val projList = (0 until PlanesPerTable)
+        .map(p => projExpr(t, p)).mkString("[", ",\n ", "]")
+      s"""SELECT vec_id, $t AS t, unnest([own] ||
+         |  CASE WHEN hasnull THEN $zeroProbes ELSE list_transform(
+         |    list_slice(list_sort(list_transform(range(0, $PlanesPerTable),
+         |      p -> {'a': abs(projs[(p+1)::INT]), 'p': p})), 1, $m),
+         |    x -> xor(own, (1::BIGINT << (x.p)::INT))) END) AS bucket
+         |FROM (SELECT vec_id,
+         |        CASE WHEN hasnull THEN 0 ELSE
+         |          list_sum(list_transform(range(0, $PlanesPerTable), p ->
+         |            CASE WHEN projs[(p+1)::INT] > 0 THEN (1::BIGINT << p::INT) ELSE 0 END)) END::BIGINT AS own,
+         |        projs, hasnull
+         |      FROM (SELECT vec_id, $projList AS projs,
+         |              len(list_filter(embedding, x -> x IS NULL)) > 0 AS hasnull
+         |            FROM embeddings WHERE vec_id < 8))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |$annLshBucketRowsSql),
+       |qb AS (
+       |$queryRows),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, b.vec_id AS cand_id
+       |  FROM qb JOIN b ON qb.t = b.t AND qb.bucket = b.bucket
+       |  WHERE qb.vec_id <> b.vec_id),
+       |$annLshScoreTailSql""".stripMargin
   }
 }

@@ -36,6 +36,7 @@ object RecallProbe {
           s"per-query=${r.map(x => f"$x%.2f").mkString(",")}")
       }
       recalls("lsh", Similarity.annLsh(emb))
+      recalls("lsh-mp2", Similarity.annLshMultiProbe(emb))
       recalls("ivf-seed", Similarity.annIvf(emb))
       recalls("ivf-kmeans", Similarity.annIvfIndexed(emb,
         Similarity.ensureIvfIndex(spark, d)))

@@ -244,6 +244,27 @@ class DedupSpec extends AnyFunSuite {
       s"expected probes to add pairs: single=${single.size} multi=${multi.size}")
   }
 
+  test("query-time multi-probe ANN: per-query recall >= single-probe, gain exists") {
+    // candidate sets grow monotonically (own buckets are unchanged), and
+    // exact-cosine top-k over a SUPERSET of candidates can only keep or
+    // gain true-top-k members — so per-query recall is monotone in probes
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val truth = graft.operators.Similarity.bruteForceTopK(emb, 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(truth.contains).groupBy(_._1).view.mapValues(_.length).toMap
+        .withDefaultValue(0)
+    val single = recall(graft.operators.Similarity.annLsh(emb))
+    val multi = recall(graft.operators.Similarity.annLshMultiProbe(emb))
+    (0L until 8L).foreach { q =>
+      assert(multi(q) >= single(q),
+        s"query $q: multi-probe recall ${multi(q)} < single ${single(q)}")
+    }
+    assert((0L until 8L).map(multi).sum > (0L until 8L).map(single).sum,
+      "expected the probes to buy recall somewhere on the fixture")
+  }
+
   test("LSH near-dup route: recall 1.0 in the high-cosine near-dup regime") {
     // planted-dup fixture: 400 seeded pseudo-random base vectors (near-
     // orthogonal in 64-dim, no accidental >=0.8 pairs) + 20 planted
