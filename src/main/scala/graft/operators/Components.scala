@@ -141,18 +141,15 @@ object Components {
         // BOTH probe actions are guarded: a failure after the pin but
         // before `e = next` would otherwise leak this round's checkpoint
         // (the enclosing finally only knows universe and the OLD e)
-        val conv =
+        val (conv, nextCount) =
           try {
-            val nextCount = next.count()
+            val n = next.count()
             // fixpoint: the (distinct, oriented) edge sets are identical
-            Some(nextCount)
-              .filter(_ == eCount)
-              .exists(_ => next.except(e).limit(1).isEmpty) -> nextCount
+            (n == eCount && next.except(e).limit(1).isEmpty, n)
           } catch { case t: Throwable =>
             graft.Checkpoints.free(next); throw t
           }
-        converged = conv._1
-        val nextCount = conv._2
+        converged = conv
         // the superseded round's pin is dead once the convergence probe
         // has read it — free it NOW, or under CheckpointPolicy.Reliable
         // (where Spark never auto-cleans checkpoint files) every

@@ -1063,20 +1063,8 @@ object Dedup {
     * (the exact cosine verify ≥ 0.45). Shared by q58 and the q61/q63
     * closures. */
   private[graft] def embedLshCtesSqlFrom(src: String): String = {
-    // the hasnull guard pins the engine's null-element contract
-    // (all-zero buckets): DuckDB's list_sum SKIPS null terms, so an
-    // unguarded partial sum could set sign bits the engine never does
-    def bucketExpr(t: Int): String =
-      "CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN 0 ELSE " +
-        (0 until NearDupLshPlanes).map { p =>
-          val plane = NearDupLshPlaneBase + t * NearDupLshPlanes + p
-          s"""CASE WHEN list_sum(list_transform(range(0, 64), i ->
-             |  embedding[i + 1] * (((('0x' || substr(md5('$plane:' || i::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
-             |)) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
-        }.mkString(" +\n  ") + " END"
-    val tableRows = (0 until NearDupLshTables)
-      .map(t => s"SELECT vec_id, $t AS t, ${bucketExpr(t)} AS bucket FROM esrc")
-      .mkString("\nUNION ALL\n")
+    val tableRows = LshSql.bucketRowsSql("SELECT * FROM esrc",
+      NearDupLshPlaneBase, NearDupLshTables, NearDupLshPlanes)
     s"""esrc AS ($src),
        |b AS (
        |$tableRows),
@@ -1115,34 +1103,8 @@ object Dedup {
     * (ties to the lower plane index — DuckDB's struct sort on
     * (abs, plane) replays the expression's selection exactly). */
   private def embedLshMultiProbeCtesSql(probes: Int): String = {
-    def projExpr(t: Int, p: Int): String = {
-      val plane = NearDupLshPlaneBase + t * NearDupLshPlanes + p
-      s"""list_sum(list_transform(range(0, 64), i ->
-         |  embedding[i + 1] * (((('0x' || substr(md5('$plane:' || i::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)))""".stripMargin
-    }
-    // a NULL embedding element makes the engine expression emit ALL-ZERO
-    // own+probe buckets (the base expression's null contract); the
-    // NULL-propagated projections here would instead sort as NULL
-    // margins and flip plane bits into own = 0 — so the probe list
-    // degrades to zeros explicitly when any element is NULL
-    val zeroProbes = List.fill(probes)("0::BIGINT").mkString("[", ", ", "]")
-    val tableRows = (0 until NearDupLshTables).map { t =>
-      val projList = (0 until NearDupLshPlanes)
-        .map(p => projExpr(t, p)).mkString("[", ",\n ", "]")
-      s"""SELECT vec_id, $t AS t, unnest([own] ||
-         |  CASE WHEN hasnull THEN $zeroProbes ELSE list_transform(
-         |    list_slice(list_sort(list_transform(range(0, $NearDupLshPlanes),
-         |      p -> {'a': abs(projs[(p+1)::INT]), 'p': p})), 1, $probes),
-         |    x -> xor(own, (1::BIGINT << (x.p)::INT))) END) AS bucket
-         |FROM (SELECT vec_id,
-         |        CASE WHEN hasnull THEN 0 ELSE
-         |          list_sum(list_transform(range(0, $NearDupLshPlanes), p ->
-         |            CASE WHEN projs[(p+1)::INT] > 0 THEN (1::BIGINT << p::INT) ELSE 0 END)) END::BIGINT AS own,
-         |        projs, hasnull
-         |      FROM (SELECT vec_id, $projList AS projs,
-         |              len(list_filter(embedding, x -> x IS NULL)) > 0 AS hasnull
-         |            FROM esrc))""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    val tableRows = LshSql.multiProbeRowsSql("SELECT * FROM esrc",
+      NearDupLshPlaneBase, NearDupLshTables, NearDupLshPlanes, probes)
     s"""esrc AS (SELECT * FROM embeddings),
        |b AS (
        |$tableRows),

@@ -416,6 +416,12 @@ object EmbeddingIncremental {
   def loadState(spark: SparkSession, dir: String): Option[EmbedDedupState] =
     VersionedIndex.meta(dir).map(m => stateAt(spark, dir, m))
 
+  /** The admission paths' shared read-or-throw of the committed
+    * manifest, with the path-specific remedy in the message. */
+  private def metaOrSaveStateFirst(dir: String): VersionedIndex.Meta =
+    VersionedIndex.meta(dir).getOrElse(throw new IllegalStateException(
+      s"$dir holds no committed embedding-dedup state — saveState first"))
+
   /** Time-travel read of a RETAINED version — retention keeps the
     * latest `retainVersions` commits' manifests, remaps, and log
     * segments (default 2 = current + previous; each commit records the
@@ -469,10 +475,7 @@ object EmbeddingIncremental {
     // manifest before any Spark work, so the scope is decided up front
     // (session conf is shared across this admission's threads — the
     // backgrounded segment write must run under the same regime).
-    val willFold = VersionedIndex.meta(dir).getOrElse(
-      throw new IllegalStateException(
-        s"$dir holds no committed embedding-dedup state — saveState first"))
-      .segs.size + 1 > maxLiveSegments
+    val willFold = metaOrSaveStateFirst(dir).segs.size + 1 > maxLiveSegments
     if (willFold)
       admitDropImpl(spark, dir, newVecs, threshold, maxLiveSegments,
         streamBatchId, streamCkptId, retainVersions)
@@ -486,10 +489,8 @@ object EmbeddingIncremental {
       newVecs: DataFrame, threshold: Double, maxLiveSegments: Int,
       streamBatchId: Option[Long], streamCkptId: Option[String],
       retainVersions: Int): Unit = {
-    val st0 = t("load")(loadState(spark, dir).getOrElse(
-      throw new IllegalStateException(
-        s"$dir holds no committed embedding-dedup state — saveState first")))
-    val m = VersionedIndex.metaOrThrow(dir)
+    val m = metaOrSaveStateFirst(dir)
+    val st0 = t("load")(stateAt(spark, dir, m))
     val next = m.version + 1
     val fold = m.segs.size + 1 > maxLiveSegments
     // The bucket-log segment depends ONLY on the batch (append) or

@@ -1413,23 +1413,12 @@ object Similarity {
     """SELECT CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
       |       TRUE AS recall_ok""".stripMargin
 
-  /** Shared corpus-bucket CTE rows of the q18/q69 oracles. The hasnull
-    * guard pins the engine's null-element contract (all-zero buckets):
-    * DuckDB's list_sum SKIPS null terms, so an unguarded partial sum
-    * could set sign bits the fused expression never does. */
-  private def annLshBucketRowsSql: String = {
-    def bucketExpr(t: Int): String =
-      "CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN 0 ELSE " +
-        (0 until PlanesPerTable).map { p =>
-          val plane = t * PlanesPerTable + p
-          s"""CASE WHEN list_sum(list_transform(range(0, 64), i ->
-             |  embedding[i + 1] * (((('0x' || substr(md5('$plane:' || i::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)
-             |)) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
-        }.mkString(" +\n  ") + " END"
-    (0 until NumTables)
-      .map(t => s"SELECT vec_id, $t AS t, ${bucketExpr(t)} AS bucket FROM embeddings")
-      .mkString("\nUNION ALL\n")
-  }
+  /** Shared corpus-bucket CTE rows of the q18/q69 oracles — rendered
+    * by [[LshSql.bucketRowsSql]] (one definition of the replay
+    * semantics and the null contract for both oracle families). */
+  private def annLshBucketRowsSql: String =
+    LshSql.bucketRowsSql("SELECT * FROM embeddings", 0, NumTables,
+      PlanesPerTable)
 
   /** Shared scoring/ranking tail of the q18/q69 oracles over a `cand`
     * CTE of (query_id, cand_id). */
@@ -1501,33 +1490,12 @@ object Similarity {
 
   /** q69's oracle: the q18 corpus buckets joined against multi-probe
     * QUERY buckets — projections, smallest-margin plane selection, and
-    * XOR flips replayed like the q68 oracle (hasnull degrades own and
-    * probes to zero, the engine contract). */
+    * XOR flips rendered by [[LshSql.multiProbeRowsSql]] (shared with
+    * the q68 oracle, so the replay semantics cannot drift). */
   val qAnnLshMultiProbeSql: String = {
-    val m = AnnLshQueryProbes
-    def projExpr(t: Int, p: Int): String = {
-      val plane = t * PlanesPerTable + p
-      s"""list_sum(list_transform(range(0, 64), i ->
-         |  embedding[i + 1] * (((('0x' || substr(md5('$plane:' || i::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)))""".stripMargin
-    }
-    val zeroProbes = List.fill(m)("0::BIGINT").mkString("[", ", ", "]")
-    val queryRows = (0 until NumTables).map { t =>
-      val projList = (0 until PlanesPerTable)
-        .map(p => projExpr(t, p)).mkString("[", ",\n ", "]")
-      s"""SELECT vec_id, $t AS t, unnest([own] ||
-         |  CASE WHEN hasnull THEN $zeroProbes ELSE list_transform(
-         |    list_slice(list_sort(list_transform(range(0, $PlanesPerTable),
-         |      p -> {'a': abs(projs[(p+1)::INT]), 'p': p})), 1, $m),
-         |    x -> xor(own, (1::BIGINT << (x.p)::INT))) END) AS bucket
-         |FROM (SELECT vec_id,
-         |        CASE WHEN hasnull THEN 0 ELSE
-         |          list_sum(list_transform(range(0, $PlanesPerTable), p ->
-         |            CASE WHEN projs[(p+1)::INT] > 0 THEN (1::BIGINT << p::INT) ELSE 0 END)) END::BIGINT AS own,
-         |        projs, hasnull
-         |      FROM (SELECT vec_id, $projList AS projs,
-         |              len(list_filter(embedding, x -> x IS NULL)) > 0 AS hasnull
-         |            FROM embeddings WHERE vec_id < 8))""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    val queryRows = LshSql.multiProbeRowsSql(
+      "SELECT * FROM embeddings WHERE vec_id < 8", 0, NumTables,
+      PlanesPerTable, AnnLshQueryProbes)
     s"""WITH b AS (
        |$annLshBucketRowsSql),
        |qb AS (
