@@ -120,39 +120,54 @@ private[graft] object Par {
   /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer for the admission
     * paths; `tag` carries the side-specific prefix. Also reports the
     * Spark JOB count the phase launched — the chains' floor is
-    * sequential small jobs, so the count is the thing to optimize. */
+    * sequential small jobs, so the count is the thing to optimize —
+    * and the task-metric INPUT BYTES the phase read, the column that
+    * attributes any per-day cpu trend at a fixed job count (a probe
+    * whose read mass tracks state size shows up here, per phase). */
   def timed[A](tag: String)(f: => A): A =
     if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
-      val j0 = debugJobs
+      val (j0, b0) = debugJobsBytes
       val t0 = System.nanoTime(); val r = f
+      val (j1, b1) = debugJobsBytes
       System.err.println(
         f"[chain] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
-          (if (j0 >= 0) s" jobs=${debugJobs - j0}" else "")); r
+          (if (j0 >= 0) s" jobs=${j1 - j0}" +
+            f" read=${(b1 - b0) / 1048576.0}%.2f MB" else "")); r
     } else f
 
-  // debug-only job counter; registered once per JVM on first use
+  // debug-only (job, input-bytes) counters; registered once per JVM on
+  // first use
   @volatile private var debugCounter: java.util.concurrent.atomic.AtomicLong = null
-  private def debugJobs: Long = {
+  @volatile private var debugBytes: java.util.concurrent.atomic.AtomicLong = null
+  private def debugJobsBytes: (Long, Long) = {
     if (debugCounter == null) synchronized {
       if (debugCounter == null)
         org.apache.spark.sql.SparkSession.getActiveSession match {
           case Some(s) =>
             val c = new java.util.concurrent.atomic.AtomicLong()
+            val b = new java.util.concurrent.atomic.AtomicLong()
             s.sparkContext.addSparkListener(
               new org.apache.spark.scheduler.SparkListener {
                 override def onJobStart(
                     j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
                   { c.incrementAndGet(); () }
+                override def onTaskEnd(
+                    t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+                  val m = t.taskMetrics
+                  if (m != null) b.addAndGet(m.inputMetrics.bytesRead)
+                  ()
+                }
               })
             debugCounter = c
-          case None => return -1L
+            debugBytes = b
+          case None => return (-1L, 0L)
         }
     }
-    // drain so a just-finished action's job-start event is counted
+    // drain so a just-finished action's events are counted
     org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
       try org.apache.spark.sql.graftbridge.Bridge
         .drainListenerBus(s.sparkContext, 2000)
       catch { case _: Exception => () })
-    debugCounter.get()
+    (debugCounter.get(), debugBytes.get())
   }
 }

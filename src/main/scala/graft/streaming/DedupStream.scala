@@ -20,12 +20,17 @@ import graft.operators.{AdmitDelta, DedupState, IncrementalDedup}
   *
   * `bands`/`shingles` exploit being APPEND-ONLY: a two-tier log (LSM in
   * miniature) of RECENT day segments (`bands/seg$i`, batch-sized). Once
-  * [[MaxLiveSegments]] segments have accumulated, the next commit folds
-  * them — concurrently with its own writes, since the fold never touches
-  * the segment being committed — into a BUCKETED BASE
+  * [[MaxLiveSegments]] segments have accumulated — or an OVERSIZED
+  * segment (a backfill day, k× its cohort's median bytes) is live, see
+  * [[foldPlan]]'s mass trigger — the next commit folds them,
+  * concurrently with its own writes, since the fold never touches
+  * the segment being committed, into a BUCKETED BASE
   * (`bands/base/cpart=$j/bucket=$k/`, sorted by key within bucket) that
   * makes the daily probe a partition-pruned scan
   * ([[IncrementalDedup.prunedBands]]; plan-asserted in DedupStreamSpec).
+  * The BOOTSTRAP snapshot (the one corpus-sized "segment") is written
+  * pre-folded into `cpart=0` by the first commit, so no probe ever
+  * scans it unpruned.
   *
   * `labels`/`sizes` — the two relations admission MUTATES — are
   * copy-on-write per cluster-id bucket: bucket k's rows live at
@@ -302,11 +307,36 @@ object DedupStream {
     * behind the slower labels/sizes staged writes instead of paying it
     * serially; the current segment simply stays live one commit longer
     * (the probe's live-segment bound is unchanged: a reader of commit
-    * N sees at most maxLiveSegments live segments). */
+    * N sees at most maxLiveSegments live segments).
+    *
+    * MASS TRIGGER (in addition to the count rule): live segments are
+    * probed UNPRUNED (their bucket column is computed at read, so a
+    * probe scans every live row — fine when segments are batch-sized,
+    * the steady case the count rule bounds at k·batch). A segment k×
+    * its cohort's median — a backfill day's bulk drop — would make
+    * every probe until the count-rule fold pay its full mass, so it
+    * folds at the NEXT commit instead (one driver-side listing of the
+    * live segment sizes decides; an oversized segment is therefore
+    * live for at most 2 commits). Equal-sized cohorts never trigger
+    * early — the cadence stays exactly the count rule's, and the
+    * probe's read bound is O(k·batch + touched base buckets) in both
+    * regimes (measured: ChainProbe variants L and P,
+    * `bench/CHAINPROBE_r16_read.txt`). */
   private def foldPlan(spark: SparkSession, stateDir: String, next: Long,
       prevC: Int, prevF: Long, b: Int,
-      maxLiveSegments: Int): (Option[() => Unit], Int, Long) =
-    if (next - prevF >= maxLiveSegments) {
+      maxLiveSegments: Int): (Option[() => Unit], Int, Long) = {
+    def segBytes(i: Long): Long = Seq("bands", "shingles").map { t =>
+      val d = new java.io.File(stateDir, s"$t/seg$i")
+      if (d.isDirectory)
+        org.apache.commons.io.FileUtils.sizeOfDirectory(d) else 0L
+    }.sum
+    lazy val liveSizes = (prevF until next).map(segBytes).filter(_ > 0L)
+    lazy val oversized = liveSizes.size >= 2 && {
+      val sorted = liveSizes.sorted
+      sorted.last >= maxLiveSegments.toLong *
+        math.max(1L, sorted((liveSizes.size - 1) / 2))
+    }
+    if (next - prevF >= maxLiveSegments || oversized) {
       val task = () => inParallel(
         () => compactSegments(spark, stateDir, "bands", BandsDdl, prevF,
           next - 1, prevC,
@@ -317,6 +347,7 @@ object DedupStream {
           col("doc_id"), b))
       (Some(task), prevC + 1, next)
     } else (None, prevC, prevF)
+  }
 
   /** Write `df` (carrying cluster_id) into per-bucket version dirs
     * `$t/b$k/v$next` for exactly the buckets in `touched`: one
@@ -450,14 +481,35 @@ object DedupStream {
     val all = (0 until b).toSeq
     def wr(df: DataFrame, path: String): Unit =
       oneTaskIfLocal(df).write.mode("overwrite").parquet(s"$stateDir/$path")
+    // The FIRST commit's snapshot is corpus-sized — committed as a live
+    // segment it would be probed UNPRUNED (bucket computed at read) by
+    // every admission until the count-rule fold, i.e. k days of
+    // full-corpus reads (measured: ChainProbe variant P days 0-3 read
+    // the whole band tier at every bucket count). Write it PRE-FOLDED
+    // into the bucketed base instead: one extra shuffle on a day that
+    // is O(corpus) anyway (labels/sizes write every bucket), and every
+    // later probe prunes from day 1.
+    val bootstrapFold = next == 0
+    val logTasks: Seq[() => Unit] =
+      if (bootstrapFold) Seq(
+        () => compactInto(dropB(newBands.getOrElse(st.bands)),
+          s"$stateDir/bands/base/cpart=0",
+          IncrementalDedup.bandBucket(col("band"), col("band_hash"), b),
+          col("band_hash"), b),
+        () => compactInto(dropB(newShingles.getOrElse(st.shingles)),
+          s"$stateDir/shingles/base/cpart=0",
+          IncrementalDedup.docBucket(col("doc_id"), b), col("doc_id"), b))
+      else Seq(
+        () => wr(dropB(newBands.getOrElse(st.bands)), s"bands/seg$next"),
+        () => wr(dropB(newShingles.getOrElse(st.shingles)),
+          s"shingles/seg$next"))
     val (foldTask, newC, newF) =
-      foldPlan(spark, stateDir, next, prevC, prevF, b, maxLiveSegments)
+      if (bootstrapFold) (None, 1, 1L)
+      else foldPlan(spark, stateDir, next, prevC, prevF, b, maxLiveSegments)
     chainTimer("  bootstrap.writes")(inParallel(Seq(
       () => writeBuckets(dropB(st.labels), stateDir, "labels", next, b, all),
-      () => writeBuckets(dropB(st.sizes), stateDir, "sizes", next, b, all),
-      () => wr(dropB(newBands.getOrElse(st.bands)), s"bands/seg$next"),
-      () => wr(dropB(newShingles.getOrElse(st.shingles)),
-        s"shingles/seg$next")) ++ foldTask: _*))
+      () => writeBuckets(dropB(st.sizes), stateDir, "sizes", next, b, all))
+      ++ logTasks ++ foldTask: _*))
     val owners = Vector.fill(b)(next)
     writeManifest(stateDir, next, newC, prevCFrom, newF, b, owners, stream)
     promote(stateDir, next)
@@ -702,10 +754,11 @@ object DedupStream {
     * maxFilesPerBatch=1 — three separate micro-batch admissions, one
     * stream setup, so the query's cost is the admissions themselves
     * rather than 3× stream-start overhead. Every storage tier is
-    * exercised: live-segment probe (admit of day 1 reads seg0), base +
-    * live-segment probe (admit of day 2 reads cpart=0 and seg1), folds
-    * at commits 1 and 2, and the final read spans two compactions plus
-    * the live seg2. */
+    * exercised: bootstrap pre-fold (commit 0 writes the snapshot
+    * straight into cpart=0), pruned base probe (admit of day 1),
+    * base + live-segment probe (admit of day 2 reads cpart=0 and
+    * seg1), a count-rule fold at commit 2, and the final read spans
+    * two compactions plus the live seg2. */
   def qChainBucketed(s: SparkSession, d: String): DataFrame = {
     val docs = graft.engine.Tables.documents(s, d)
       .filter(col("doc_id") < 500)

@@ -30,6 +30,38 @@ import graft.streaming.DedupStream
   * Usage: ChainProbe [sfDir] [variants e.g. ABC, D or L]
   */
 object ChainProbe {
+  /** One day of the long-horizon chain (variant L). */
+  private final case class LDay(wall: Double, cpu: Double, jobs: Long,
+      writtenMb: Double, stateMb: Double,
+      readAdmitMb: Double, readCommitMb: Double)
+
+  /** Cumulative job-count + task-input-bytes meter (one listener per
+    * instance; both reads drain the bus first so a just-finished
+    * action's events are counted). */
+  private final class Meter(spark: SparkSession) {
+    private val jobCount = new java.util.concurrent.atomic.AtomicLong
+    private val readBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) readBytes.addAndGet(m.inputMetrics.bytesRead)
+          ()
+        }
+      })
+    private def drain(): Unit =
+      try org.apache.spark.sql.graftbridge.Bridge
+        .drainListenerBus(spark.sparkContext, 10000)
+      catch { case _: java.util.concurrent.TimeoutException => }
+    def jobs: Long = { drain(); jobCount.get }
+    def read: Long = { drain(); readBytes.get }
+  }
+
   private def cpuSec: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean =>
@@ -91,9 +123,70 @@ object ChainProbe {
       case 'D' => labelsLookupAb(spark, docs)
       case 'L' => longChain(spark, docs)
       case 'E' => embeddingChain(spark, sfDir)
+      case 'P' => probeScaling(spark, docs)
       case _ => ()
     }
     spark.stop()
+  }
+
+  /** Variant P: is the admission's probe READ bounded by the layout's
+    * bucket-count knob? Variant L's read_admit column grows with state
+    * at the default 32-bucket layout because a 50-doc batch carries
+    * ~200 band keys — it SATURATES the grid, so bucket pruning cannot
+    * reduce the read (the fixed-grid saturation story; the fold cadence
+    * is irrelevant — live segments are k·batch by construction and
+    * read_commit measures flat). The deployment answer is the bucket
+    * count, which [[DedupStream.migrateBuckets]] re-sizes as the corpus
+    * grows (its doc: one bucket ≈ a few block-sized files). This
+    * variant measures exactly that: bootstrap 90% of the corpus ONCE,
+    * then trickle `TrickleDays` small daily batches (~5 docs ≈ 20 band
+    * keys) against layouts of 32 / 128 / 512 buckets, forcing
+    * ProbePruned (auto would full-scan at toy state sizes — its
+    * measured-cheaper choice below [[IncrementalDedup.FullScanBytesMax]]).
+    * Claim: per-day read_admit falls roughly with touched/total buckets
+    * and is FLAT in the day index, i.e. the probe reads O(touched
+    * bucket mass + batch), not O(corpus). */
+  private def probeScaling(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame): Unit = {
+    val meter = new Meter(spark)
+    val trickleDays = sys.env.get("GRAFT_CHAIN_DAYS").map(_.toInt).getOrElse(12)
+    val bucketCounts = sys.env.get("GRAFT_CHAIN_BUCKETS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(32, 128, 512))
+    println(s"[P] trickleDays=$trickleDays buckets=${bucketCounts.mkString(",")}")
+    for (b <- bucketCounts) {
+      val root = java.nio.file.Files.createTempDirectory(s"chainP$b").toString
+      val boot = docs.filter(col("doc_id") % 10 =!= 0)
+      DedupStream.commitState(IncrementalDedup.initialState(boot),
+        s"$root/state", buckets = b)
+      Dedup.clearShingleCaches()
+      val days = (0 until trickleDays).map { d =>
+        val batch = graft.Checkpoints.pin(docs.filter(
+          col("doc_id") % 10 === 0 && (col("doc_id") / 10) % 100 === d))
+        val r0 = meter.read; val j0 = meter.jobs
+        val w0 = System.nanoTime()
+        val prev = DedupStream.loadState(spark, s"$root/state").get
+        val delta = IncrementalDedup.admitBatchDelta(prev, batch,
+          probeMode = IncrementalDedup.ProbePruned)
+        val rAdmit = meter.read - r0
+        DedupStream.commitDelta(spark, s"$root/state", prev, delta)
+        delta.release()
+        Dedup.clearShingleCaches()
+        graft.Checkpoints.free(batch)
+        (rAdmit / 1048576.0, (meter.read - r0 - rAdmit) / 1048576.0,
+          meter.jobs - j0, (System.nanoTime() - w0) / 1e9)
+      }
+      val stateMb = org.apache.commons.io.FileUtils
+        .sizeOfDirectory(new java.io.File(s"$root/state")) / 1048576.0
+      println(s"[P b=$b] read_admit  " + days.map(d => f"${d._1}%.3f").mkString(" "))
+      println(s"[P b=$b] read_commit " + days.map(d => f"${d._2}%.3f").mkString(" "))
+      println(s"[P b=$b] jobs        " + days.map(d => s"${d._3}").mkString(" "))
+      println(s"[P b=$b] wall        " + days.map(d => f"${d._4}%.2f").mkString(" "))
+      println(f"[P b=$b] state=$stateMb%.1f MB mean read_admit=" +
+        f"${days.map(_._1).sum / days.size}%.3f MB")
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
+      catch { case _: Exception => }
+    }
   }
 
   /** Variant E: 20 daily EMBEDDING admissions against the persisted
@@ -144,26 +237,34 @@ object ChainProbe {
 
   /** Variant L — see the header. Per (K, day): wall, cpu, Spark jobs,
     * MB newly written into the state dir, total state-dir MB after the
-    * commit. Flat jobs/written-MB across fold GENERATIONS (not just
-    * days) is the claim: a compaction design that re-reads or rewrites
-    * ever-growing state shows up as a trend in exactly these columns. */
+    * commit, and MB READ by tasks (task input metrics), split into the
+    * admit phase (probe + verify + fixpoint) and the commit phase
+    * (touched-bucket rewrite + segment append + fold). Flat
+    * jobs/written-MB across fold GENERATIONS (not just days) is the
+    * claim; the read columns attribute any cpu trend at fixed job
+    * counts — a probe whose read mass tracks STATE size rather than
+    * batch size shows up as a slope in read_admit against state_mb.
+    *
+    * GRAFT_CHAIN_PROBEMODE=pruned|full forces the admission's probe
+    * route (default auto) — the A/B behind the routing claim: auto
+    * full-scans below [[IncrementalDedup.FullScanBytesMax]] (read mass
+    * = state mass, the measured-cheaper choice at toy state sizes),
+    * pruned bounds the read at O(batch + touched buckets).
+    * GRAFT_CHAIN_DAYS / GRAFT_CHAIN_KS override the horizon/cadences. */
   private def longChain(spark: SparkSession,
-      docs: org.apache.spark.sql.DataFrame, nDays: Int = 100,
-      ks: Seq[Int] = Seq(4, 8, 16)): Unit = {
-    val jobCount = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobCount.incrementAndGet(); ()
-        }
-      })
-    def jobsNow: Long = {
-      try org.apache.spark.sql.graftbridge.Bridge
-        .drainListenerBus(spark.sparkContext, 10000)
-      catch { case _: java.util.concurrent.TimeoutException => }
-      jobCount.get
+      docs: org.apache.spark.sql.DataFrame): Unit = {
+    val nDays = sys.env.get("GRAFT_CHAIN_DAYS").map(_.toInt).getOrElse(100)
+    val ks = sys.env.get("GRAFT_CHAIN_KS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(4, 8, 16))
+    val probeMode = sys.env.get("GRAFT_CHAIN_PROBEMODE") match {
+      case Some("pruned") => IncrementalDedup.ProbePruned
+      case Some("full") => IncrementalDedup.ProbeFull
+      case _ => IncrementalDedup.ProbeAuto
     }
+    println(s"[L] days=$nDays ks=${ks.mkString(",")} probeMode=$probeMode")
+    val meter = new Meter(spark)
+    def jobsNow: Long = meter.jobs
+    def readNow: Long = meter.read
     def fileSizes(dir: java.io.File): Map[String, Long] =
       if (!dir.isDirectory) Map.empty
       else {
@@ -179,43 +280,61 @@ object ChainProbe {
           docs.filter(col("doc_id") % nDays === d))
         val before = fileSizes(stateDir)
         val w0 = System.nanoTime(); val c0 = cpuSec; val j0 = jobsNow
-        DedupStream.loadState(spark, s"$root/state") match {
+        val r0 = readNow
+        val rAdmit = DedupStream.loadState(spark, s"$root/state") match {
           case Some(prev) =>
-            val delta = IncrementalDedup.admitBatchDelta(prev, batch)
+            val delta = IncrementalDedup.admitBatchDelta(prev, batch,
+              probeMode = probeMode)
+            val mid = readNow
             DedupStream.commitDelta(spark, s"$root/state", prev, delta,
               maxLiveSegments = k)
             delta.release()
+            mid - r0
           case None =>
             DedupStream.commitState(IncrementalDedup.initialState(batch),
               s"$root/state", maxLiveSegments = k)
+            0L
         }
         Dedup.clearShingleCaches()
         val wall = (System.nanoTime() - w0) / 1e9
         val after = fileSizes(stateDir)
         val writtenMb = after
           .collect { case (p, n) if !before.contains(p) => n }.sum / 1048576.0
-        (wall, cpuSec - c0, jobsNow - j0, writtenMb,
-          after.values.sum / 1048576.0)
+        LDay(wall, cpuSec - c0, jobsNow - j0, writtenMb,
+          after.values.sum / 1048576.0,
+          rAdmit / 1048576.0, (readNow - r0 - rAdmit) / 1048576.0)
       }
-      def col1(f: ((Double, Double, Long, Double, Double)) => String) =
-        days.map(f).mkString(" ")
-      println(s"[L k=$k] wall       " + col1(d => f"${d._1}%.2f"))
-      println(s"[L k=$k] cpu        " + col1(d => f"${d._2}%.2f"))
-      println(s"[L k=$k] jobs       " + col1(d => s"${d._3}"))
-      println(s"[L k=$k] written_mb " + col1(d => f"${d._4}%.2f"))
-      println(s"[L k=$k] state_mb   " + col1(d => f"${d._5}%.2f"))
+      def col1(f: LDay => String) = days.map(f).mkString(" ")
+      println(s"[L k=$k] wall        " + col1(d => f"${d.wall}%.2f"))
+      println(s"[L k=$k] cpu         " + col1(d => f"${d.cpu}%.2f"))
+      println(s"[L k=$k] jobs        " + col1(d => s"${d.jobs}"))
+      println(s"[L k=$k] written_mb  " + col1(d => f"${d.writtenMb}%.2f"))
+      println(s"[L k=$k] state_mb    " + col1(d => f"${d.stateMb}%.2f"))
+      println(s"[L k=$k] read_admit  " + col1(d => f"${d.readAdmitMb}%.2f"))
+      println(s"[L k=$k] read_commit " + col1(d => f"${d.readCommitMb}%.2f"))
       // flatness summary: decile means, skipping day 0 (bootstrap)
       def decile(from: Int, until: Int) = {
         val s = days.slice(from, until)
-        (s.map(_._1).sum / s.size, s.map(_._3).sum.toDouble / s.size,
-          s.map(_._4).sum / s.size)
+        (s.map(_.wall).sum / s.size, s.map(_.jobs).sum.toDouble / s.size,
+          s.map(_.writtenMb).sum / s.size,
+          s.map(_.readAdmitMb).sum / s.size,
+          s.map(_.readCommitMb).sum / s.size)
       }
-      val (w1, j1, m1) = decile(1, 11)
-      val (w10, j10, m10) = decile(nDays - 10, nDays)
+      val (w1, j1, m1, ra1, rc1) = decile(1, 11)
+      val (w10, j10, m10, ra10, rc10) = decile(nDays - 10, nDays)
       println(f"[L k=$k] days 1-10 mean: wall=$w1%.2f s jobs=$j1%.1f " +
-        f"written=$m1%.2f MB | days ${nDays - 10}-${nDays - 1}: " +
-        f"wall=$w10%.2f s jobs=$j10%.1f written=$m10%.2f MB | " +
-        f"final state=${days.last._5}%.1f MB")
+        f"written=$m1%.2f MB read_admit=$ra1%.2f read_commit=$rc1%.2f | " +
+        f"days ${nDays - 10}-${nDays - 1}: " +
+        f"wall=$w10%.2f s jobs=$j10%.1f written=$m10%.2f MB " +
+        f"read_admit=$ra10%.2f read_commit=$rc10%.2f | " +
+        f"final state=${days.last.stateMb}%.1f MB")
+      // final tier composition, for attributing the read columns
+      val fin = fileSizes(stateDir)
+      def tier(t: String) = fin.collect {
+        case (p, n) if p.contains(s"/$t/") => n }.sum / 1048576.0
+      println(f"[L k=$k] final tiers: bands=${tier("bands")}%.2f " +
+        f"shingles=${tier("shingles")}%.2f labels=${tier("labels")}%.2f " +
+        f"sizes=${tier("sizes")}%.2f MB")
       try org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(root))
       catch { case _: Exception => }

@@ -128,18 +128,20 @@ class DedupStreamSpec extends AnyFunSuite {
     // the write-amplification hazard: bands/shingles are append-only, so
     // a NON-FOLD day must commit ONE batch-sized log segment — flat in
     // the day index — rather than rewriting the O(corpus) relation (the
-    // old scheme's day-9 write would be ~10x day-1's). Once K live
-    // segments have accumulated (K = MaxLiveSegments = 4 → commits 4
-    // and 8 here, which fold the PRIOR K segments concurrently with
-    // their own writes) the fold lands the K segments in the bucketed
-    // base: that day's write is O(K·batch) rows — amortized the log
-    // writes every row exactly twice. At toy scale the fold's bytes are
-    // dominated by per-file parquet overhead (one file per touched
-    // bucket), so the fold days are asserted structurally below, not
-    // byte-compared.
-    val foldDays = Set(4, 8)
+    // old scheme's day-9 write would be ~10x day-1's). The bootstrap
+    // (day 0) writes its snapshot PRE-FOLDED into cpart=0, so segments
+    // start at seg1; once K live segments have accumulated
+    // (K = MaxLiveSegments = 4 → commits 5 and 9 here, which fold the
+    // PRIOR K segments concurrently with their own writes) the fold
+    // lands the K segments in the bucketed base: that day's write is
+    // O(K·batch) rows — amortized the log writes every row exactly
+    // twice. At toy scale the fold's bytes are dominated by per-file
+    // parquet overhead (one file per touched bucket), so the fold days
+    // (and day 0, whose bucketed bootstrap write is all per-file
+    // overhead) are asserted structurally below, not byte-compared.
+    val foldDays = Set(0, 5, 9)
     val flatDays = dayWrites.indices.filterNot(foldDays).map(dayWrites)
-    assert(flatDays.forall(_ > 0), s"a day committed nothing: $dayWrites")
+    assert(dayWrites.forall(_ > 0), s"a day committed nothing: $dayWrites")
     assert(flatDays.max <= 3 * flatDays.min,
       s"non-fold per-day state write is not batch-sized: $dayWrites")
     // the labels/sizes copy-on-write term: after the bootstrap, a day's
@@ -153,17 +155,23 @@ class DedupStreamSpec extends AnyFunSuite {
       assert(buckets.nonEmpty && buckets.size <= 8,
         s"day ${d + 1} labels/sizes write hit ${buckets.size} buckets: $buckets")
     }
-    // two-tier layout after day 9: base holds compactions cpart=0
-    // (days 0-3) and cpart=1 (days 4-7), bucket-partitioned; only the
-    // unfolded segments 8 and 9 stay live — folded segments are deleted
-    // once no committed manifest references them, so the daily probe
-    // reads at most MaxLiveSegments segments plus touched base buckets.
+    // two-tier layout after day 9: base holds compactions cpart=0 (the
+    // pre-folded day-0 bootstrap), cpart=1 (days 1-4) and cpart=2
+    // (days 5-8), bucket-partitioned; only the unfolded segment 9 is
+    // LIVE to the current manifest (segFrom=9 — the commit-9 fold took
+    // segs 5-8), while segs 5-8 stay on disk exactly one more commit
+    // for in-flight readers of the PREVIOUS version (whose manifest
+    // still lists them live) — so the daily probe reads at most
+    // MaxLiveSegments segments plus touched base buckets, and NO
+    // corpus-sized segment is ever live (the bootstrap snapshot lands
+    // bucketed on day 0).
     Seq("bands", "shingles").foreach { t =>
       val segs = new java.io.File(s"$state/$t").listFiles
         .filter(f => f.isDirectory && f.getName.startsWith("seg"))
         .map(_.getName).toSet
-      assert(segs == Set("seg8", "seg9"), s"$t live segments: $segs")
-      (0 to 1).foreach { c =>
+      assert(segs == (5 to 9).map(i => s"seg$i").toSet,
+        s"$t on-disk segments: $segs")
+      (0 to 2).foreach { c =>
         val buckets = new java.io.File(s"$state/$t/base/cpart=$c").listFiles
         assert(buckets != null && buckets.exists(_.getName.startsWith("bucket=")),
           s"$t base compaction cpart=$c missing bucket partitions")
@@ -197,6 +205,59 @@ class DedupStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("an oversized live segment (backfill day) folds at the next commit") {
+    // The fold's MASS trigger: live segments are probed unpruned, so a
+    // backfill day's bulk segment must not stay live for the count
+    // rule's k days — it folds at the NEXT commit (max one interim
+    // probe pays its mass). Equal-sized cohorts must NOT trigger early
+    // (the cadence stays the count rule's — pinned by the 10-day chain
+    // test's fold days). Chain: bootstrap, one small day, one BACKFILL
+    // day (60 docs ≈ 30× the small day), one more small day whose
+    // commit must fold.
+    val root = Files.createTempDirectory("dedup_mass").toString
+    val state = s"$root/state"
+    def segsOnDisk(t: String): Set[String] =
+      new java.io.File(s"$state/$t").listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("seg"))
+        .map(_.getName).toSet
+    def admit(df: org.apache.spark.sql.DataFrame): Unit = {
+      val prev = DedupStream.loadState(spark, state).get
+      val delta = IncrementalDedup.admitBatchDelta(prev, df)
+      DedupStream.commitDelta(spark, state, prev, delta)
+      delta.release()
+      Dedup.clearShingleCaches()
+    }
+    DedupStream.commitState(IncrementalDedup.initialState(day1), state)
+    admit(day2) // seg1, small
+    // big enough that the segment's BYTES dominate the parquet footer
+    // floor (tiny files are footer-sized regardless of rows)
+    val backfill = (0 until 400).map(i =>
+      (1000L + i, s"backfill bulk doc number $i with plenty of filler " +
+        s"padding words alpha$i beta$i gamma$i delta$i " +
+        w(i % 4 until i % 4 + 8))).toDF("doc_id", "text")
+    admit(backfill) // seg2, >>4x seg1 — oversized, but folds only NEXT commit
+    assert(segsOnDisk("bands").contains("seg2"),
+      "backfill segment missing after its own commit")
+    val day4 = Seq((2000L, "post backfill small day fresh text"))
+      .toDF("doc_id", "text")
+    admit(day4) // commit 3: mass trigger folds segs 1-2 (count rule is 4)
+    val man = Files.readString(
+      java.nio.file.Paths.get(state, "v3", "MANIFEST"))
+    assert(man.contains(""""segFrom":3"""),
+      s"mass trigger did not fold the oversized segment: $man")
+    assert(new java.io.File(s"$state/bands/base/cpart=1").isDirectory,
+      "mass-triggered fold wrote no compaction")
+    // chain ≡ batch still holds through the early fold
+    val streamed = IncrementalDedup.labelsWithSizes(
+        DedupStream.loadState(spark, state).get).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Dedup.duplicateClusters(
+        day1.union(day2).union(backfill).union(day4)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch, "early fold diverged from batch recompute")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("a crashed fold is invisible and the retry overwrites it") {
     // Crash-safety of the compaction tier: a fold that dies mid-write
     // leaves a cpart directory the committed manifests never reference —
@@ -207,8 +268,11 @@ class DedupStreamSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("dedup_crash").toString
     val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
     day1.write.parquet(s"$docs/day1")
-    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt) // v0, c=0
-    val garbage = new java.io.File(s"$state/bands/base/cpart=0/bucket=3")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt) // v0, c=1
+    // the bootstrap pre-folds into cpart=0; the next fold writes
+    // cpart=1 — plant the crashed-fold garbage THERE (above the
+    // committed compaction count)
+    val garbage = new java.io.File(s"$state/bands/base/cpart=1/bucket=3")
     assert(garbage.mkdirs())
     java.nio.file.Files.write(
       java.nio.file.Paths.get(garbage.getPath, "part-corrupt.parquet"),
@@ -216,16 +280,19 @@ class DedupStreamSpec extends AnyFunSuite {
     // reader ignores the unreferenced cpart: state loads and is usable
     val st = DedupStream.loadState(spark, state).get
     assert(st.bands.count() == day1.count() * graft.operators.Dedup.NumBands)
-    // four more single-day admits force the fold at commit 4 (which
-    // folds the first four accumulated segments) into cpart=0 — the
-    // retry semantics: mode-overwrite wipes the garbage
+    // five more single-day admits accumulate segments 1-4 and force the
+    // fold at commit 5 (which folds them) into cpart=1 — the retry
+    // semantics: mode-overwrite wipes the garbage
     val day3 = Seq((50L, "third day content entirely fresh"))
       .toDF("doc_id", "text")
     val day4 = Seq((60L, "fourth day content also fresh"))
       .toDF("doc_id", "text")
     val day5 = Seq((70L, "fifth day content brand new"))
       .toDF("doc_id", "text")
-    Seq("day2" -> day2, "day3" -> day3, "day4" -> day4, "day5" -> day5)
+    val day6 = Seq((80L, "sixth day content again unseen"))
+      .toDF("doc_id", "text")
+    Seq("day2" -> day2, "day3" -> day3, "day4" -> day4, "day5" -> day5,
+        "day6" -> day6)
       .foreach { case (name, df) =>
         df.write.parquet(s"$docs/$name")
         DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
@@ -237,7 +304,8 @@ class DedupStreamSpec extends AnyFunSuite {
         DedupStream.loadState(spark, state).get).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val batch = Dedup.duplicateClusters(
-        day1.union(day2).union(day3).union(day4).union(day5)).collect()
+        day1.union(day2).union(day3).union(day4).union(day5).union(day6))
+      .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(streamed == batch)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
@@ -254,11 +322,16 @@ class DedupStreamSpec extends AnyFunSuite {
     DedupStream.commitState(st0, state) // v0 writes a manifest...
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(state, "v0", "MANIFEST")) // ...make it legacy:
-    // pre-copy-on-write states kept labels/sizes whole under v$N/ — stage
-    // that layout and drop the bucketed dirs the new writer produced
+    // pre-manifest states kept labels/sizes whole under v$N/ and their
+    // bands/shingles as flat live segments (no bucketed base at all) —
+    // stage that layout and drop the copy-on-write/base dirs the new
+    // writer produced (the modern bootstrap pre-folds into base/cpart=0,
+    // which a manifest-less reader rightly ignores)
     st0.labels.write.parquet(s"$state/v0/labels")
     st0.sizes.write.parquet(s"$state/v0/sizes")
-    Seq("labels", "sizes").foreach { t =>
+    st0.bands.write.parquet(s"$state/bands/seg0")
+    st0.shingles.write.parquet(s"$state/shingles/seg0")
+    Seq("labels", "sizes", "bands/base", "shingles/base").foreach { t =>
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(s"$state/$t"))
     }
@@ -288,8 +361,9 @@ class DedupStreamSpec extends AnyFunSuite {
     // read as an empty relation of the log's schema, not throw.
     val root = Files.createTempDirectory("dedup_manifest").toString
 
-    // (a): two commits at maxLiveSegments=1 (commit 1 folds the
-    // bootstrap segment) → fold into cpart=0 with data
+    // (a): the bootstrap commit itself pre-folds its snapshot into
+    // cpart=0 with data (maxLiveSegments=1 keeps the follow-up commit
+    // on the smallest cadence)
     val stateA = s"$root/a"
     DedupStream.commitState(IncrementalDedup.initialState(day1), stateA,
       maxLiveSegments = 1)
@@ -304,8 +378,8 @@ class DedupStreamSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("cpart=0"), ex.getMessage)
 
-    // (b): two EMPTY commits → the fold writes a _SUCCESS-only cpart
-    // (only the just-written empty segment stays live); both tiers
+    // (b): two EMPTY commits → the bootstrap pre-fold writes a
+    // _SUCCESS-only cpart=0 (no bucket dirs at all); both tiers
     // legitimately empty
     val stateB = s"$root/b"
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -564,19 +638,23 @@ class DedupStreamSpec extends AnyFunSuite {
     // and candidate verify must READ only the base buckets their keys
     // hash into — partition-pruned scans — not the whole accumulated
     // index/shingle store. Build a state whose bulk lives in the
-    // bucketed base (5 commits → commit 4 folds the first four segments
-    // into cpart=0, leaving one live segment), then pin the pruning on
-    // the physical plan: the base scan carries a partition filter on
-    // `bucket` and selects strictly fewer partition directories than
-    // exist.
+    // bucketed base (the day-0 bootstrap pre-folds its 8-doc snapshot
+    // into cpart=0; four more small admits leave live segments 1-4),
+    // then pin the pruning on the physical plan: the base scan carries
+    // a partition filter on `bucket` and selects strictly fewer
+    // partition directories than exist.
     import graft.operators.{Dedup, IncrementalDedup}
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.FileSourceScanExec
     val root = Files.createTempDirectory("dedup_prune").toString
     val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
-    (0 until 5).foreach { d =>
-      Seq((d * 10L, w(d until d + 8)),
-        (d * 10L + 1, s"filler text for day $d nothing shared here"))
+    (0 until 4).flatMap(d => Seq((d * 10L, w(d until d + 8)),
+        (d * 10L + 1, s"filler text for day $d nothing shared here")))
+      .toDF("doc_id", "text").write.parquet(s"$docs/day0")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
+    (1 until 5).foreach { d =>
+      Seq((40L + d * 10L, w((d + 4) until (d + 12))),
+        (40L + d * 10L + 1, s"filler text for later day $d nothing shared"))
         .toDF("doc_id", "text").write.parquet(s"$docs/day$d")
       DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt)
     }
