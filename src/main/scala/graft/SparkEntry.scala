@@ -89,6 +89,7 @@ object SparkEntry {
     "q67_bpe_vocab"     -> (graft.operators.Bpe.qBpeVocab _),
     "q68_neardup_multiprobe" -> (Dedup.qEmbedNearDupsMultiProbe _),
     "q69_ann_lsh_multiprobe" -> (Similarity.qAnnLshMultiProbe _),
+    "q71_neardup_autogrid" -> (Dedup.qEmbedNearDupsAutoGrid _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -200,5 +201,10 @@ object SparkEntry {
     // q69 = query-time multi-probe over q18's UNCHANGED corpus buckets —
     // the no-reindex recall lever for the stored/indexed ANN side
     "q69_ann_lsh_multiprobe" -> Similarity.qAnnLshMultiProbeSql,
+    // q71 = the near-dup ROUTER's default LSH arm (16 tables x 10
+    // planes + 2 probes, the measured Pareto grid) — the production
+    // route is itself hash-replayed, through the same LshSql renderer
+    // as q58/q68
+    "q71_neardup_autogrid" -> Dedup.qEmbedNearDupsAutoGridSql,
   )
 }

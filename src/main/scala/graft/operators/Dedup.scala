@@ -797,19 +797,36 @@ object Dedup {
   private def gridBlocks(n: Long): Int =
     math.max(8L, math.min(64L, (n + 4095L) / 4096L)).toInt
 
+  /** The router's LSH-arm grid: 16 tables × 10 planes with 2-probe
+    * multi-probe expansion — the measured Pareto point of the
+    * recall-vs-verify-mass sweep (`bench/NEARDUP_SWEEP_r16_sf001.txt`):
+    * at cos 0.45 it reads 0.93 recall at 0.67× the verify mass of the
+    * best single-probe grid (16×6 at 0.916), and ≥0.99 recall in the
+    * ≥0.6 regime; vs the 16×8 single-probe grid the first-class q58
+    * relation pins (recall 0.73 there), the extra 2 planes per table
+    * cut the own-bucket candidate mass 4× and the probes buy the recall
+    * back. Oracle-gated as q71 (the full relation hash-replays through
+    * [[LshSql.multiProbeRowsSql]] at exactly this grid). */
+  val AutoLshTables = 16
+  val AutoLshPlanes = 10
+  val AutoLshProbes = 2
+
   /** Size-routed near-dup front door: the exact blocked kernel below
     * [[MaxExactNearDupRows]] vectors, the LSH-prefiltered route above
-    * it. ONE columnless count decides the route AND sizes the exact
-    * kernel's grid (the kernel would otherwise immediately re-count).
+    * it — at the multi-probe Pareto grid ([[AutoLshTables]] ×
+    * [[AutoLshPlanes]] + [[AutoLshProbes]] probes), not q58's plainer
+    * 16×8 single-probe relation. ONE columnless count decides the route
+    * AND sizes the exact kernel's grid (the kernel would otherwise
+    * immediately re-count).
     *
     * The routing is SIZE-ONLY, deliberately ignoring the threshold:
     * above the bound the exact kernel's O(N²) is unaffordable at ANY
     * threshold, so auto returns the LSH subset there even in the
-    * weak-similarity regime where its recall is partial (~0.45 at
-    * θ=0.45 — see [[embeddingNearDupsLsh]]). A caller that needs the
-    * COMPLETE weak-threshold answer above the bound must call
-    * [[embeddingNearDups]] explicitly and knowingly pay the quadratic
-    * kernel. */
+    * weak-similarity regime where its recall is partial (~0.93 at
+    * θ=0.45 on the planted sweep — see [[embeddingNearDupsLsh]] and the
+    * grid doc above). A caller that needs the COMPLETE weak-threshold
+    * answer above the bound must call [[embeddingNearDups]] explicitly
+    * and knowingly pay the quadratic kernel. */
   def embeddingNearDupsAuto(emb: DataFrame, threshold: Double = 0.45,
       maxExactRows: Long = MaxExactNearDupRows): DataFrame = {
     val n = emb.count()
@@ -823,7 +840,9 @@ object Dedup {
       System.err.println(
         f"[dedup] near-dup LSH arm sampled recall: $recall%.3f " +
           s"(stratum cap $RecallStratumCap of $n vectors)")
-      embeddingNearDupsLsh(emb, threshold)
+      embeddingNearDupsLsh(emb, threshold,
+        nTables = AutoLshTables, planes = AutoLshPlanes,
+        probes = AutoLshProbes)
         .withColumn("route_recall", lit(recall))
     }
   }
@@ -846,7 +865,9 @@ object Dedup {
     * hence a subset of the exact pairs: the ratio is a true recall in
     * [0, 1]. Returns NaN when the stratum holds no true pairs (no
     * evidence either way — raise the cap rather than report a vacuous
-    * 1.0). */
+    * 1.0). Scores the SAME grid the router's LSH arm runs
+    * ([[AutoLshTables]] × [[AutoLshPlanes]] + [[AutoLshProbes]]) — the
+    * evidence must describe the route actually taken. */
   private[graft] def lshRouteRecallSample(emb: DataFrame, threshold: Double,
       n: Long, cap: Long = RecallStratumCap): Double = {
     val denom = 1L << 20
@@ -856,7 +877,9 @@ object Dedup {
     try {
       val exactPairs = embeddingNearDups(stratum, threshold, 8).count()
       if (exactPairs == 0L) Double.NaN
-      else embeddingNearDupsLsh(stratum, threshold).count().toDouble / exactPairs
+      else embeddingNearDupsLsh(stratum, threshold,
+        nTables = AutoLshTables, planes = AutoLshPlanes,
+        probes = AutoLshProbes).count().toDouble / exactPairs
     } finally graft.Checkpoints.free(stratum)
   }
 
@@ -1102,9 +1125,10 @@ object Dedup {
     * the own bucket plus the `probes` smallest-|projection| plane flips
     * (ties to the lower plane index — DuckDB's struct sort on
     * (abs, plane) replays the expression's selection exactly). */
-  private def embedLshMultiProbeCtesSql(probes: Int): String = {
+  private def embedLshMultiProbeCtesSql(probes: Int,
+      tables: Int = NearDupLshTables, planes: Int = NearDupLshPlanes): String = {
     val tableRows = LshSql.multiProbeRowsSql("SELECT * FROM esrc",
-      NearDupLshPlaneBase, NearDupLshTables, NearDupLshPlanes, probes)
+      NearDupLshPlaneBase, tables, planes, probes)
     s"""esrc AS (SELECT * FROM embeddings),
        |b AS (
        |$tableRows),
@@ -1121,6 +1145,24 @@ object Dedup {
 
   val qEmbedNearDupsMultiProbeSql: String =
     s"""WITH ${embedLshMultiProbeCtesSql(NearDupMultiProbes)}
+       |SELECT vec_a, vec_b, cos_sim FROM epairs ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q71 — the ROUTER's LSH arm as a first-class relation: exactly the
+    * grid [[embeddingNearDupsAuto]] runs past the exact bound
+    * ([[AutoLshTables]] × [[AutoLshPlanes]] + [[AutoLshProbes]] probes,
+    * the sweep's Pareto point), hash-replayed in DuckDB through the
+    * same shared renderer as q68 — the promoted default is itself
+    * oracle-gated, not just spec-measured. q58/q68 keep pinning the
+    * 16×8 reference grid (their single ⊆ multi ⊆ exact sandwich needs
+    * identical own buckets); this pins the grid production traffic
+    * actually takes. */
+  def qEmbedNearDupsAutoGrid(s: SparkSession, d: String): DataFrame =
+    embeddingNearDupsLsh(Tables.embeddings(s, d),
+      nTables = AutoLshTables, planes = AutoLshPlanes,
+      probes = AutoLshProbes).orderBy("vec_a", "vec_b")
+
+  val qEmbedNearDupsAutoGridSql: String =
+    s"""WITH ${embedLshMultiProbeCtesSql(AutoLshProbes, AutoLshTables, AutoLshPlanes)}
        |SELECT vec_a, vec_b, cos_sim FROM epairs ORDER BY vec_a, vec_b""".stripMargin
 
   /** q61 — semantic-dedup clustering over the LSH near-dup graph. */

@@ -201,23 +201,38 @@ class DedupSpec extends AnyFunSuite {
     assert(auto == exact, "auto must route small corpora to the exact kernel")
     assert(autoRows.forall(_.getDouble(3) == 1.0),
       "exact arm must carry route_recall = 1.0")
-    // forced LSH route (maxExactRows=0) ≡ the LSH operator, and the arm
-    // CARRIES its sampled recall evidence: at this corpus size the
-    // deterministic stratum is the whole corpus, so the column must equal
-    // the directly-computed |lsh| / |exact| — partial at this weak
-    // threshold (the regime where the evidence matters), never vacuous
+    // forced LSH route (maxExactRows=0) ≡ the LSH operator AT THE
+    // ROUTER'S GRID (16×10 + 2 probes, the promoted Pareto point — not
+    // q58's plainer 16×8 reference grid), and the arm CARRIES its
+    // sampled recall evidence: at this corpus size the deterministic
+    // stratum is the whole corpus, so the column must equal the
+    // directly-computed |lsh_auto| / |exact|
+    val lshAuto = Dedup.embeddingNearDupsLsh(emb,
+        nTables = Dedup.AutoLshTables, planes = Dedup.AutoLshPlanes,
+        probes = Dedup.AutoLshProbes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val autoLshRows = Dedup.embeddingNearDupsAuto(emb, maxExactRows = 0L).collect()
     val autoLsh = autoLshRows
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(autoLsh == lsh, "auto past the bound must be the LSH route")
-    val expectedRecall = lsh.size.toDouble / exact.size
+    assert(autoLsh == lshAuto,
+      "auto past the bound must be the LSH route at the router's grid")
+    // the promoted grid must BEAT the reference grid it replaced on
+    // this fixture (the reason it was promoted), while staying a true
+    // subset of exact (scores identical where present)
+    assert(lshAuto.size >= lsh.size,
+      s"router grid found ${lshAuto.size} pairs < reference grid's ${lsh.size}")
+    autoLsh.foreach { case (k, v) =>
+      assert(exact.get(k).contains(v), s"pair $k: auto=$v exact=${exact.get(k)}")
+    }
+    val expectedRecall = lshAuto.size.toDouble / exact.size
     val carried = autoLshRows.map(_.getDouble(3)).distinct
     assert(carried.length == 1 &&
       math.abs(carried.head - expectedRecall) < 1e-12,
       s"LSH arm must carry sampled recall $expectedRecall, got ${carried.toSeq}")
-    assert(carried.head > 0.0 && carried.head < 1.0,
-      "fixture recall must be partial at the weak threshold — " +
-        "a 1.0 here means the evidence became vacuous")
+    assert(carried.head > 0.0 && carried.head <= 1.0 &&
+      carried.head > lsh.size.toDouble / exact.size,
+      "router-grid recall must improve on the reference grid's — " +
+        "that measured gain is why the Pareto point was promoted")
   }
 
   test("multi-probe LSH: superset of single-probe, subset of exact, identical scores") {
