@@ -11,11 +11,14 @@ import graft.engine.Tables
   * partition, so a real decoder would amortize model/codec init across
   * the batch exactly like a Pandas UDF does).
   *
-  * The actual byte decode is STUBBED — no image/audio codecs exist in
-  * this environment — with a deterministic fake (`fakeDecode`) whose
-  * outputs are reproducible in SQL, so the Spark-side plumbing (schema,
-  * binary handling, partition batching, UDF signature) is real and
-  * oracle-checked end to end while the codec call is an explicit seam.
+  * Two decode tiers: [[MediaCodec]] parses the REAL header layouts of
+  * all three fixture formats (PNG IHDR, JPEG SOF marker scan, WAV
+  * RIFF/fmt chunks) in pure JVM byte reads — q66's oracle-gated path;
+  * full PIXEL/SAMPLE decode stays behind the [[fakeDecode]] seam (q23)
+  * with a deterministic SQL-reproducible fake, since no codec libraries
+  * exist in this environment — the Spark-side plumbing (schema, binary
+  * handling, partition batching, UDF signature) is real and
+  * oracle-checked end to end either way.
   *
   * Scale notes: media rows are wide (MBs per row at 100 TB); the
   * pipeline keeps them in one narrow pass (no shuffle), and metadata-only
@@ -91,10 +94,10 @@ object Multimodal {
 
   // ---- real header-level decode (q66) ------------------------------------
 
-  /** Pure-JVM header parsers for the two formats whose dimensions live
-    * in fixed, public byte layouts — PNG (IHDR) and JPEG (SOF) — turning
-    * the [[fakeDecode]] seam into a REAL decoder for image metadata
-    * without any codec library. wav keeps the declared stub path.
+  /** Pure-JVM header parsers for the three fixture formats, whose
+    * typed metadata lives in fixed, public byte layouts — PNG (IHDR),
+    * JPEG (SOF) and WAV (RIFF/fmt) — turning the [[fakeDecode]] seam
+    * into a REAL decoder for media metadata without any codec library.
     *
     * Malformed input returns (-1, -1, 0) instead of throwing: at fleet
     * scale one corrupt object must not kill a 100 TB scan — the sentinel
@@ -164,6 +167,67 @@ object Multimodal {
       out.array()
     }
 
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    private def tag(b: Array[Byte], o: Int, t: String): Boolean =
+      t.indices.forall(i => b(o + i) == t.charAt(i).toByte)
+
+    /** WAV: RIFF container ("RIFF", u32le riff size, "WAVE"), then
+      * chunks of (4-byte id, u32le size, data, padded to even). Audio
+      * parameters live in the "fmt " chunk (format u16le, channels
+      * u16le, sample rate u32le, byte rate u32le, block align u16le,
+      * bits per sample u16le); the payload starts after the "data"
+      * chunk header. Walks the chunk list (robust to extra chunks like
+      * LIST/JUNK before fmt), returns (sample_rate, channels,
+      * bits_per_sample, payload offset); malformed/truncated input
+      * returns the same filterable sentinel as the image parsers. */
+    def parseWav(b: Array[Byte]): (Long, Long, Long, Int) = {
+      val bad = (-1L, -1L, -1L, 0)
+      if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return bad
+      var o = 12
+      var rate = -1L; var ch = -1L; var bits = -1L
+      while (o + 8 <= b.length) {
+        val size = le32(b, o + 4)
+        if (size < 0 || o + 8 + size > b.length) return bad
+        if (tag(b, o, "fmt ")) {
+          if (size < 16) return bad
+          ch = le16(b, o + 10).toLong
+          rate = le32(b, o + 12)
+          bits = le16(b, o + 22).toLong
+        } else if (tag(b, o, "data")) {
+          // payload starts here; fmt must already have been seen
+          // (the canonical layout; a data-before-fmt file is malformed)
+          return if (rate < 0) bad else (rate, ch, bits, o + 8)
+        }
+        o += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+      bad
+    }
+
+    /** Canonical 44-byte PCM WAV header (RIFF + 16-byte fmt + data
+      * chunk header) for the given parameters — the fixture generator's
+      * audio "encoder". */
+    def wavHeader(sampleRate: Long, channels: Long, bitsPerSample: Long,
+        dataLen: Long): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val blockAlign = (channels * bitsPerSample / 8).toInt
+      out.put("RIFF".getBytes("US-ASCII")).putInt((36 + dataLen).toInt)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1.toShort).putShort(channels.toShort)
+      out.putInt(sampleRate.toInt)
+      out.putInt((sampleRate * blockAlign).toInt)
+      out.putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+      out.put("data".getBytes("US-ASCII")).putInt(dataLen.toInt)
+      out.array()
+    }
+
     /** SOI + APP0/JFIF + SOF0 (baseline, 3 components) — 39 bytes. */
     def jpegHeader(width: Long, height: Long): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(39)
@@ -179,6 +243,13 @@ object Multimodal {
     }
   }
 
+  /** One decoded media row across modalities: image rows carry parsed
+    * width/height and -1 audio fields, wav rows the reverse — a fleet
+    * media-metadata table keeps one schema and filters by format. */
+  case class DecodedMedia(media_id: Long, n_bytes: Long, format: String,
+      width: Long, height: Long, sample_rate: Long, channels: Long,
+      bits_per_sample: Long, brightness: Double, content_hash: String)
+
   /** Deterministic decodable dimensions — the generator writes them into
     * the headers; the ORACLE recomputes them from media_id alone, so the
     * byte-level parse in [[decodeFeatures]] is verified against an
@@ -186,9 +257,16 @@ object Multimodal {
   private def dimsOf(mediaId: Long): (Long, Long) =
     (16L + mediaId % 624, 16L + mediaId % 464)
 
+  /** Deterministic decodable audio parameters for wav rows — same
+    * independent-derivation contract as [[dimsOf]]. */
+  private def audioOf(mediaId: Long): (Long, Long, Long) =
+    (Seq(8000L, 16000L, 22050L, 44100L, 48000L)((mediaId % 5).toInt),
+      1L + mediaId % 2,
+      Seq(8L, 16L, 24L, 32L)((mediaId % 4).toInt))
+
   /** Media table with REAL format headers: png/jpeg rows carry a valid
-    * signature+dimension header in front of the payload (the document's
-    * UTF-8 bytes); wav rows stay raw (the declared stub path). A narrow
+    * signature+dimension header, wav rows a valid RIFF/fmt/data header,
+    * in front of the payload (the document's UTF-8 bytes). A narrow
     * typed map — the generator is the test fixture's "encoder". */
   def decodableMediaTable(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
@@ -200,27 +278,34 @@ object Multimodal {
         val bytes = fmt match {
           case "png"  => MediaCodec.pngHeader(w, h) ++ payload
           case "jpeg" => MediaCodec.jpegHeader(w, h) ++ payload
-          case _      => payload
+          case _ =>
+            val (rate, ch, bits) = audioOf(id)
+            MediaCodec.wavHeader(rate, ch, bits, payload.length.toLong) ++ payload
         }
         MediaRow(id, bytes, fmt)
     }
   }
 
-  /** The q23 shape with the stub seam REPLACED by the real header parse
-    * for png/jpeg (wav still routes through [[fakeDecode]]): width and
-    * height come from the bytes, brightness/hash from the payload after
-    * the parsed header offset. Same typed mapPartitions batch shape. */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** The q23 shape with the stub seam REPLACED by real header parses
+    * for ALL THREE formats (PNG IHDR, JPEG SOF, WAV RIFF/fmt): the
+    * typed fields come from the bytes, brightness/hash from the payload
+    * after the parsed header offset. Same typed mapPartitions batch
+    * shape. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val (w, h, off) = r.format match {
-          case "png"  => MediaCodec.parsePng(r.media)
-          case "jpeg" => MediaCodec.parseJpeg(r.media)
+        val (w, h, rate, ch, bits, off) = r.format match {
+          case "png" =>
+            val (pw, ph, o) = MediaCodec.parsePng(r.media)
+            (pw, ph, -1L, -1L, -1L, o)
+          case "jpeg" =>
+            val (jw, jh, o) = MediaCodec.parseJpeg(r.media)
+            (jw, jh, -1L, -1L, -1L, o)
           case _ =>
-            val (fw, fh, _) = fakeDecode(r.media)
-            (fw, fh, 0)
+            val (wr, wc, wb, o) = MediaCodec.parseWav(r.media)
+            (-1L, -1L, wr, wc, wb, o)
         }
         val payload = java.util.Arrays.copyOfRange(r.media, off, r.media.length)
         var sum = 0L
@@ -230,8 +315,8 @@ object Multimodal {
           if (payload.length == 0) 0.0 else sum.toDouble / payload.length
         md.reset()
         val hash = md.digest(payload).map("%02x".format(_)).mkString
-        MediaFeatures(r.media_id, r.media.length.toLong, r.format,
-          w, h, brightness, hash)
+        DecodedMedia(r.media_id, r.media.length.toLong, r.format,
+          w, h, rate, ch, bits, brightness, hash)
       }
     }
   }
@@ -266,22 +351,31 @@ object Multimodal {
       .toDF().orderBy("media_id")
   }
 
-  /** The oracle never parses bytes: it re-derives width/height from
-    * media_id (the generator's independent formula) and payload
-    * brightness/hash from the text — so a parser reading the wrong
-    * offset, endianness, or segment fails the hash even though the
-    * generator and parser live in the same file. Header sizes (33-byte
-    * PNG, 39-byte JPEG) are the generator's fixed layouts. */
+  /** The oracle never parses bytes: it re-derives width/height (images)
+    * and sample_rate/channels/bits (wav) from media_id — the generator's
+    * independent formulas — and payload brightness/hash from the text,
+    * so a parser reading the wrong offset, endianness, or chunk fails
+    * the hash even though the generator and parser live in the same
+    * file. Header sizes (33-byte PNG, 39-byte JPEG, 44-byte WAV) are
+    * the generator's fixed layouts. */
   val qMediaDecodeSql: String =
     """SELECT doc_id AS media_id,
       |       CAST(octet_length(encode(text))
-      |            + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 0 END
+      |            + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 44 END
       |            AS BIGINT) AS n_bytes,
       |       ['png', 'jpeg', 'wav'][(doc_id % 3 + 1)::INT] AS format,
-      |       CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 640
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN -1
       |                 ELSE 16 + doc_id % 624 END AS BIGINT) AS width,
-      |       CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 480
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN -1
       |                 ELSE 16 + doc_id % 464 END AS BIGINT) AS height,
+      |       CAST(CASE WHEN doc_id % 3 = 2
+      |                 THEN [8000, 16000, 22050, 44100, 48000][(doc_id % 5 + 1)::INT]
+      |                 ELSE -1 END AS BIGINT) AS sample_rate,
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
+      |                 ELSE -1 END AS BIGINT) AS channels,
+      |       CAST(CASE WHEN doc_id % 3 = 2
+      |                 THEN [8, 16, 24, 32][(doc_id % 4 + 1)::INT]
+      |                 ELSE -1 END AS BIGINT) AS bits_per_sample,
       |       list_sum(list_transform(range(0, octet_length(encode(text))),
       |                               i -> ('0x' || substr(hex(encode(text)), (i*2+1)::INT, 2))::INT))::DOUBLE
       |         / octet_length(encode(text)) AS brightness,

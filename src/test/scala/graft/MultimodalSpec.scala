@@ -54,6 +54,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.parseJpeg(badLen) == (-1L, -1L, 0))
   }
 
+  test("WAV RIFF/fmt parse: round-trip, extra chunks, odd padding, malformed sentinels") {
+    val bad = (-1L, -1L, -1L, 0)
+    // round-trip through the generator's canonical 44-byte header
+    assert(MediaCodec.parseWav(MediaCodec.wavHeader(44100, 2, 16, 10)
+      ++ Array.fill[Byte](10)(7)) == (44100L, 2L, 16L, 44))
+    // hand-built layout the generator never emits: RIFF + JUNK chunk of
+    // ODD size (chunks pad to even — a parser that forgets the pad byte
+    // derails here) + fmt + LIST + data
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    val fmt16 = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8).array()
+    val body = chunk("JUNK", Array.fill[Byte](5)(0x6a)) ++
+      chunk("fmt ", fmt16) ++
+      chunk("LIST", Array.fill[Byte](4)(0x10)) ++
+      chunk("data", Array[Byte](1, 2, 3))
+    val riff = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WAVE".getBytes("US-ASCII")).put(body).array()
+    // payload offset: 12 RIFF/WAVE + JUNK (8+5+1 pad) + fmt (8+16) +
+    // LIST (8+4) + 8 data header = 70 (the 3 data bytes then a pad byte)
+    assert(MediaCodec.parseWav(riff) == (8000L, 1L, 8L, 70))
+    // malformed: wrong magic, truncated mid-chunk, fmt too short,
+    // data before fmt, chunk size past the buffer — sentinel, no throw
+    val badMagic = riff.clone(); badMagic(8) = 'X'
+    assert(MediaCodec.parseWav(badMagic) == bad)
+    assert(MediaCodec.parseWav(riff.take(30)) == bad)
+    val shortFmt = java.nio.ByteBuffer.allocate(12 + 8 + 14 + 8 + 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(14)
+      .put(Array.fill[Byte](14)(0))
+      .put("data".getBytes("US-ASCII")).putInt(2).array()
+    assert(MediaCodec.parseWav(shortFmt ++ Array[Byte](1, 2)) == bad)
+    val dataFirst = java.nio.ByteBuffer.allocate(12 + 8 + 2 + 8 + 16 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(100)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("data".getBytes("US-ASCII")).putInt(2).put(Array[Byte](1, 2))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16).put(fmt16.take(8)).array()
+    assert(MediaCodec.parseWav(dataFirst) == bad)
+    val overrun = riff.clone()
+    overrun(16) = 0x7f // fmt chunk claims a size past the buffer
+    assert(MediaCodec.parseWav(overrun) == bad)
+    assert(MediaCodec.parseWav(Array.empty[Byte]) == bad)
+  }
+
   test("decodeFeatures parses generator headers back and isolates the payload") {
     import org.apache.spark.sql.functions._
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
@@ -64,16 +119,24 @@ class MultimodalSpec extends AnyFunSuite {
     docs.select(col("doc_id"), col("text")).collect().foreach { d =>
       val (id, text) = (d.getLong(0), d.getString(1))
       val r = byId(id)
-      val (w, h, fmt) = (r.getLong(3), r.getLong(4), r.getString(2))
+      val fmt = r.getString(2)
+      val (w, h) = (r.getLong(3), r.getLong(4))
+      val (rate, ch, bits) = (r.getLong(5), r.getLong(6), r.getLong(7))
       if (fmt == "wav") {
-        assert(w == text.getBytes("UTF-8").length % 640)
+        assert(w == -1L && h == -1L, s"wav row carries image dims for $id")
+        assert(rate == Seq(8000L, 16000L, 22050L, 44100L, 48000L)((id % 5).toInt)
+          && ch == 1L + id % 2
+          && bits == Seq(8L, 16L, 24L, 32L)((id % 4).toInt),
+          s"audio params wrong for $id: ($rate, $ch, $bits)")
       } else {
         assert(w == 16L + id % 624 && h == 16L + id % 464, s"dims wrong for $id/$fmt")
+        assert(rate == -1L && ch == -1L && bits == -1L,
+          s"image row carries audio params for $id/$fmt")
       }
       // payload hash excludes the header: equals md5 of the raw text bytes
       val md5 = java.security.MessageDigest.getInstance("MD5")
         .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      assert(r.getString(6) == md5, s"payload not isolated for $id/$fmt")
+      assert(r.getString(9) == md5, s"payload not isolated for $id/$fmt")
     }
   }
 }
