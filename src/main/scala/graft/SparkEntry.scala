@@ -90,6 +90,7 @@ object SparkEntry {
     "q68_neardup_multiprobe" -> (Dedup.qEmbedNearDupsMultiProbe _),
     "q69_ann_lsh_multiprobe" -> (Similarity.qAnnLshMultiProbe _),
     "q71_neardup_autogrid" -> (Dedup.qEmbedNearDupsAutoGrid _),
+    "q72_bpe_unicode"   -> (graft.operators.Bpe.qBpeUnicode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -206,5 +207,11 @@ object SparkEntry {
     // route is itself hash-replayed, through the same LshSql renderer
     // as q58/q68
     "q71_neardup_autogrid" -> Dedup.qEmbedNearDupsAutoGridSql,
+    // q72 = the tokenizer's OOV/non-ASCII contract, driver-gated: the
+    // recursive-CTE merge replay runs over corpus rows UNION a
+    // unicode fixture (CJK/Cyrillic/accents/non-BMP emoji) — DuckDB
+    // splits words into Unicode characters, the engine into code
+    // points, and the full (doc_id, pos, token) hash must agree
+    "q72_bpe_unicode"   -> graft.operators.Bpe.qBpeUnicodeSql,
   )
 }

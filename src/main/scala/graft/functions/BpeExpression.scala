@@ -50,13 +50,31 @@ object BpeCore {
     m
   }
 
+  /** The OOV/non-ASCII contract: a word's initial tokens are its
+    * Unicode CODE POINTS — not UTF-16 code units — so a non-BMP
+    * character (emoji, supplementary CJK) enters as ONE token, never a
+    * lone surrogate pair half. Characters outside the trained alphabet
+    * simply find no merge and fall through as single-code-point tokens.
+    * This matches the oracle side exactly (DuckDB's
+    * `regexp_split_to_array(w, '')` splits into Unicode characters) —
+    * pinned by the q72 unicode fixture and SequencingSpec's contract
+    * test. */
+  def charTokens(word: String): java.util.ArrayList[String] = {
+    val toks = new java.util.ArrayList[String](word.length)
+    var c = 0
+    while (c < word.length) {
+      val n = Character.charCount(word.codePointAt(c))
+      toks.add(word.substring(c, c + n))
+      c += n
+    }
+    toks
+  }
+
   /** BPE tokens of one whitespace-free word under `ranks`. Empty input
     * yields zero tokens. */
   def tokenizeWord(word: String,
       ranks: java.util.HashMap[String, Integer]): Array[String] = {
-    var toks = new java.util.ArrayList[String](word.length)
-    var c = 0
-    while (c < word.length) { toks.add(String.valueOf(word.charAt(c))); c += 1 }
+    var toks = charTokens(word)
     var done = toks.size() <= 1
     while (!done) {
       var best = Int.MaxValue

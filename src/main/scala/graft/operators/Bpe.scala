@@ -111,7 +111,12 @@ object Bpe {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val dict = scala.collection.mutable.LinkedHashMap(
-      vocab.map { case (w, _) => w -> w.map(_.toString).toVector }.toSeq: _*)
+      vocab.map { case (w, _) =>
+        // code-point split, same contract as BpeCore.charTokens —
+        // training and apply must agree on what a base token is
+        import scala.jdk.CollectionConverters._
+        w -> BpeCore.charTokens(w).asScala.toVector
+      }.toSeq: _*)
     val freq = vocab.toMap
     val merges = Vector.newBuilder[(String, String)]
     var m = 0
@@ -196,16 +201,22 @@ object Bpe {
     * DISTINCT corpus word with a recursive CTE — one lowest-ranked
     * leftmost merge per step, exactly [[graft.functions.BpeCore]]'s
     * rule — terminating each word at the state where no adjacent pair
-    * is in the table. `wt` = (word, terminal token list). */
-  private def oracleBpePrelude: String =
+    * is in the table. `wt` = (word, terminal token list). `src` is the
+    * (doc_id, lang, text) source relation — `documents` for q64/q65/
+    * q67, the documents∪unicode-fixture union for q72. DuckDB's
+    * `regexp_split_to_array(w, '')` splits into Unicode CHARACTERS,
+    * which is the engine's code-point contract
+    * ([[graft.functions.BpeCore.charTokens]]). */
+  private def oracleBpePreludeFrom(src: String): String =
     s"""WITH RECURSIVE
        |merges(rank, l, r) AS (VALUES $mergesValues),
        |mt AS (SELECT list(l || chr(1) || r ORDER BY rank) AS pairs FROM merges),
+       |bsrc AS ($src),
        |words AS (
        |  SELECT DISTINCT w FROM (
        |    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
        |                              t -> t <> '')) AS w
-       |    FROM documents)),
+       |    FROM bsrc)),
        |bpe AS (
        |  SELECT w, regexp_split_to_array(w, '') AS toks FROM words
        |  UNION ALL
@@ -230,7 +241,11 @@ object Bpe {
        |  FROM (SELECT doc_id, lang,
        |          list_filter(regexp_split_to_array(trim(text), '\\s+'),
        |                      t -> t <> '') AS ws
-       |        FROM documents))""".stripMargin
+       |        FROM bsrc))""".stripMargin
+
+  /** The corpus-table instantiation (q64/q65/q67). */
+  private def oracleBpePrelude: String =
+    oracleBpePreludeFrom("SELECT doc_id, lang, text FROM documents")
 
   /** q46's oracle with BPE token counts: per-doc count = Σ per-word
     * terminal token counts over word INSTANCES, then the identical
@@ -270,4 +285,59 @@ object Bpe {
        |       len(list_slice(toks, (s + 1)::INT, (s + ${Sequencing.ChunkSize})::INT))::BIGINT AS chunk_len,
        |       md5(array_to_string(list_slice(toks, (s + 1)::INT, (s + ${Sequencing.ChunkSize})::INT), ' ')) AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** The q72 unicode fixture: inputs outside the trained (ASCII)
+    * alphabet — accents, CJK, Cyrillic, non-BMP emoji (surrogate
+    * pairs), whitespace-only and empty docs — under ids disjoint from
+    * the corpus (≥ 10^6). The CONTRACT being pinned
+    * ([[graft.functions.BpeCore.charTokens]]): initial tokens are
+    * Unicode code points, untrained characters fall through as
+    * single-code-point tokens, trained merges still apply to the ASCII
+    * substrings around them. */
+  val UnicodeFixture: Seq[(Long, String)] = Seq(
+    (1000000L, "der Wärter sortiert Porter"),
+    (1000001L, "机器 学习 模型 训练 数据"),
+    (1000002L, "смысл порядок значение"),
+    (1000003L, "🙂 emoji 🚀🚀 rockets can scan"),
+    (1000004L, "naïve café order sort value"),
+    (1000005L, ""),
+    (1000006L, "   whitespace   only   pad   "))
+
+  /** q72: the tokenizer's positional token stream over real corpus rows
+    * UNION the unicode fixture — full-hash oracle over (doc_id, pos,
+    * token), so the code-point contract is driver-gated, not just
+    * spec-asserted. Corpus rows are capped (doc_id < 40) because the
+    * per-token relation is q65's granularity and the contract, not
+    * volume, is what this query pins. */
+  def qBpeUnicode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, d).filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+      .unionByName(UnicodeFixture.toDF("doc_id", "text"))
+    src.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** The fixture rows as SQL literals (single quotes escaped; the
+    * strings are UTF-8 in both the Scala source and the rendered SQL,
+    * so engine and oracle tokenize byte-identical text). `lang` is a
+    * placeholder — the prelude's docw carries it but q72 never selects
+    * it. */
+  private def unicodeFixtureValues: String = UnicodeFixture.map {
+    case (id, text) => s"($id, 'xx', '${text.replace("'", "''")}')"
+  }.mkString(", ")
+
+  val qBpeUnicodeSql: String =
+    s"""${oracleBpePreludeFrom(
+      s"""SELECT doc_id, lang, text FROM documents WHERE doc_id < 40
+         |  UNION ALL SELECT * FROM (VALUES $unicodeFixtureValues) fx(doc_id, lang, text)""".stripMargin)},
+       |dtoks AS (
+       |  SELECT doc_id, flatten(list(toks ORDER BY i)) AS toks
+       |  FROM (SELECT d.doc_id, d.i, wt.toks FROM docw d JOIN wt USING (w))
+       |  GROUP BY doc_id)
+       |SELECT doc_id, unnest(range(len(toks)))::BIGINT AS pos,
+       |       unnest(toks) AS token
+       |FROM dtoks ORDER BY doc_id, pos""".stripMargin
 }

@@ -105,6 +105,34 @@ class SequencingSpec extends AnyFunSuite {
       "instance counts must cover every emitted token")
   }
 
+  test("BPE OOV/non-ASCII contract: code-point base tokens, OOV falls through") {
+    // THE CONTRACT (BpeCore.charTokens): a word's initial tokens are
+    // Unicode CODE POINTS — a non-BMP character (emoji) enters as ONE
+    // token, never two lone surrogates — and characters outside the
+    // trained alphabet find no merge, so they fall through as
+    // single-code-point tokens while trained merges keep applying to
+    // the ASCII substrings around them. Driver-gated end to end by
+    // q72's oracle; named here on hand-picked words.
+    val spark0 = spark
+    import spark0.implicits._
+    def toksOf(text: String): Seq[String] =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(graft.operators.Bpe.tokens(col("text"))).head().getSeq[String](0)
+    // CJK: fully OOV -> one token per code point
+    assert(toksOf("数据") == Seq("数", "据"))
+    // non-BMP emoji: U+1F680 is a surrogate PAIR in UTF-16 — must stay
+    // one token (a code-unit iterator would emit two lone surrogates)
+    assert(toksOf("🚀🚀") == Seq("🚀", "🚀"))
+    assert(toksOf("🚀🚀").forall(t => t.codePointCount(0, t.length) == 1))
+    // mixed word: the trained merges (e,r)->er, (o,r)->or, (s,o...)
+    // still fire around the untrained 'ä' — 'Wärter' keeps ä single
+    val w = toksOf("Wärter")
+    assert(w.contains("ä") && w.contains("er") && w.mkString == "Wärter",
+      s"got $w")
+    // trained-alphabet behavior is unchanged by the contract
+    assert(toksOf("sort") == Seq("sort"))
+  }
+
   test("packing plan does not force a broadcast of the offsets relation") {
     // a broadcast() HINT would OOM on sparse/hashed doc_ids where the
     // per-block aggregate degrades to corpus size; AQE may still CHOOSE
