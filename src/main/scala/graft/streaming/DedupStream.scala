@@ -70,6 +70,18 @@ object DedupStream {
     * accumulated; also the bound on segments a daily probe reads. */
   val MaxLiveSegments = 4
 
+  /** Base compactions a fold may leave behind before it goes MAJOR —
+    * folding every live cpart along with the segments into one new
+    * compaction. Without this the base accumulates one cpart per
+    * [[MaxLiveSegments]] commits forever (the 100-day probe's read
+    * column: k=4 reads 3× k=16's bytes by day 99 purely from cpart
+    * count — at deployment, years × buckets of files per probe
+    * listing). A major fold is O(live base) I/O amortized over
+    * MaxLiveSegments × MaxBaseCompactions commits — the classic LSM
+    * major compaction — and bounds every probe's base at
+    * MaxBaseCompactions × buckets files. */
+  val MaxBaseCompactions = 8
+
   private val LabelsDdl = "doc_id BIGINT, cluster_id BIGINT"
   private val SizesDdl = "cluster_id BIGINT, cluster_size BIGINT"
   private val BandsDdl = "doc_id BIGINT, band BIGINT, band_hash STRING"
@@ -287,13 +299,33 @@ object DedupStream {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(path)
 
-  private def compactSegments(spark: SparkSession, stateDir: String, t: String,
-      ddl: String, from: Long, to: Long, cpart: Int, bucketCol: Column,
-      sortKey: Column, numBuckets: Int): Unit = {
-    val segs = (from to to).map(i => s"$stateDir/$t/seg$i").filter(isDir)
-    if (segs.nonEmpty)
-      compactInto(readPq(spark, ddl, segs),
-        s"$stateDir/$t/base/cpart=$cpart", bucketCol, sortKey, numBuckets)
+  /** One log's fold input → compaction `cpart=$c`: segments
+    * [segFrom, segTo] and — when `major` — every live base cpart
+    * [cFrom, c) too, so the new compaction SUPERSEDES them (the caller
+    * advances the manifest's cFrom past the folded-in cparts, exactly
+    * the [[migrateBuckets]] bookkeeping). Writes the cpart even when
+    * every input is empty (a _SUCCESS-only marker): the manifest will
+    * reference it, and a referenced-but-absent dir is the loud
+    * lost-state signal, not a legal state. */
+  private def compactLog(spark: SparkSession, stateDir: String, t: String,
+      ddl: String, major: Boolean, cFrom: Int, c: Int, segFrom: Long,
+      segTo: Long, bucketCol: Column, sortKey: Column,
+      numBuckets: Int): Unit = {
+    val segs = (segFrom to segTo).map(i => s"$stateDir/$t/seg$i").filter(isDir)
+    val segDf = if (segs.isEmpty) None else Some(readPq(spark, ddl, segs))
+    val baseDf =
+      if (!major) None
+      else {
+        val paths = (cFrom until c).map(j => s"$stateDir/$t/base/cpart=$j")
+          .filter(hasBucketDirs)
+        if (paths.isEmpty) None
+        else Some(readPq(spark, ddl + ", cpart INT, bucket INT", paths,
+          basePath = Some(s"$stateDir/$t/base")).drop("cpart").drop("bucket"))
+      }
+    compactInto(
+      (segDf.toSeq ++ baseDf.toSeq).reduceOption(_ unionByName _)
+        .getOrElse(emptyDf(spark, ddl)),
+      s"$stateDir/$t/base/cpart=$c", bucketCol, sortKey, numBuckets)
   }
 
   /** Fold plan for one commit: once [[MaxLiveSegments]] segments have
@@ -321,10 +353,16 @@ object DedupStream {
     * early — the cadence stays exactly the count rule's, and the
     * probe's read bound is O(k·batch + touched base buckets) in both
     * regimes (measured: ChainProbe variants L and P,
-    * `bench/CHAINPROBE_r16_read.txt`). */
+    * `bench/CHAINPROBE_r16_read.txt`).
+    *
+    * MAJOR FOLDS: once [[MaxBaseCompactions]] cparts are live, the
+    * fold also folds them all into its new compaction and returns an
+    * advanced cFrom — see [[MaxBaseCompactions]]'s amortization
+    * argument. Returns (fold task, compactions, cFrom, segFrom) for
+    * the next manifest. */
   private def foldPlan(spark: SparkSession, stateDir: String, next: Long,
-      prevC: Int, prevF: Long, b: Int,
-      maxLiveSegments: Int): (Option[() => Unit], Int, Long) = {
+      prevC: Int, prevCFrom: Int, prevF: Long, b: Int,
+      maxLiveSegments: Int): (Option[() => Unit], Int, Int, Long) = {
     def segBytes(i: Long): Long = Seq("bands", "shingles").map { t =>
       val d = new java.io.File(stateDir, s"$t/seg$i")
       if (d.isDirectory)
@@ -337,16 +375,18 @@ object DedupStream {
         math.max(1L, sorted((liveSizes.size - 1) / 2))
     }
     if (next - prevF >= maxLiveSegments || oversized) {
+      val major = prevC - prevCFrom >= MaxBaseCompactions
       val task = () => inParallel(
-        () => compactSegments(spark, stateDir, "bands", BandsDdl, prevF,
-          next - 1, prevC,
+        () => compactLog(spark, stateDir, "bands", BandsDdl, major,
+          prevCFrom, prevC, prevF, next - 1,
           IncrementalDedup.bandBucket(col("band"), col("band_hash"), b),
           col("band_hash"), b),
-        () => compactSegments(spark, stateDir, "shingles", ShinglesDdl, prevF,
-          next - 1, prevC, IncrementalDedup.docBucket(col("doc_id"), b),
+        () => compactLog(spark, stateDir, "shingles", ShinglesDdl, major,
+          prevCFrom, prevC, prevF, next - 1,
+          IncrementalDedup.docBucket(col("doc_id"), b),
           col("doc_id"), b))
-      (Some(task), prevC + 1, next)
-    } else (None, prevC, prevF)
+      (Some(task), prevC + 1, if (major) prevC else prevCFrom, next)
+    } else (None, prevC, prevCFrom, prevF)
   }
 
   /** Write `df` (carrying cluster_id) into per-bucket version dirs
@@ -503,17 +543,18 @@ object DedupStream {
         () => wr(dropB(newBands.getOrElse(st.bands)), s"bands/seg$next"),
         () => wr(dropB(newShingles.getOrElse(st.shingles)),
           s"shingles/seg$next"))
-    val (foldTask, newC, newF) =
-      if (bootstrapFold) (None, 1, 1L)
-      else foldPlan(spark, stateDir, next, prevC, prevF, b, maxLiveSegments)
+    val (foldTask, newC, newCFrom, newF) =
+      if (bootstrapFold) (None, 1, 0, 1L)
+      else foldPlan(spark, stateDir, next, prevC, prevCFrom, prevF, b,
+        maxLiveSegments)
     chainTimer("  bootstrap.writes")(inParallel(Seq(
       () => writeBuckets(dropB(st.labels), stateDir, "labels", next, b, all),
       () => writeBuckets(dropB(st.sizes), stateDir, "sizes", next, b, all))
       ++ logTasks ++ foldTask: _*))
     val owners = Vector.fill(b)(next)
-    writeManifest(stateDir, next, newC, prevCFrom, newF, b, owners, stream)
+    writeManifest(stateDir, next, newC, newCFrom, newF, b, owners, stream)
     promote(stateDir, next)
-    retire(stateDir, next, newF, prevF, prevCFrom, prevCFrom,
+    retire(stateDir, next, newF, prevF, newCFrom, prevCFrom,
       Some(owners), prevMan.flatMap(_.owners))
     next
   }
@@ -588,8 +629,8 @@ object DedupStream {
           .groupBy("cluster_id").agg(sum("cluster_size").as("cluster_size"))
         def wr(df: DataFrame, path: String): Unit =
           oneTaskIfLocal(df).write.mode("overwrite").parquet(s"$stateDir/$path")
-        val (foldTask, newC, newF) = foldPlan(spark, stateDir, next,
-          man.compactions, man.segFrom, b, maxLiveSegments)
+        val (foldTask, newC, newCFrom, newF) = foldPlan(spark, stateDir, next,
+          man.compactions, man.cFrom, man.segFrom, b, maxLiveSegments)
         t("writes+fold")(inParallel(Seq(
           () => t("writes.labels")(
             writeBuckets(newLab, stateDir, "labels", next, b, touched)),
@@ -600,10 +641,10 @@ object DedupStream {
             wr(delta.newShingles, s"shingles/seg$next")),
           () => foldTask.foreach(f => t("fold")(f()))): _*))
         val owners = touched.foldLeft(own)((v, k) => v.updated(k, next))
-        writeManifest(stateDir, next, newC, man.cFrom, newF, b, owners,
+        writeManifest(stateDir, next, newC, newCFrom, newF, b, owners,
           stream)
         promote(stateDir, next)
-        retire(stateDir, next, newF, man.segFrom, man.cFrom, man.cFrom,
+        retire(stateDir, next, newF, man.segFrom, newCFrom, man.cFrom,
           Some(owners), Some(own))
         next
     }

@@ -258,6 +258,58 @@ class DedupStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("major fold caps live base compactions; chain still equals batch") {
+    // The LSM major compaction: at maxLiveSegments=1 every commit
+    // folds, so without the major trigger the base would accumulate one
+    // cpart per commit forever (the 100-day probe measured the probe
+    // read tracking exactly that file count). Drive 2x MaxBaseCompactions
+    // commits and assert the live cpart count stays capped, superseded
+    // cparts are retired (current + previous manifests only), and the
+    // final labeling equals the batch recompute across the major.
+    val root = Files.createTempDirectory("dedup_major").toString
+    val state = s"$root/state"
+    def admit(df: org.apache.spark.sql.DataFrame): Unit = {
+      val prev = DedupStream.loadState(spark, state).get
+      val delta = IncrementalDedup.admitBatchDelta(prev, df)
+      DedupStream.commitDelta(spark, state, prev, delta, maxLiveSegments = 1)
+      delta.release()
+      Dedup.clearShingleCaches()
+    }
+    val n = 2 * DedupStream.MaxBaseCompactions
+    def dayDf(d: Int) = Seq(
+      (d * 10L, w(d until d + 8)), // w-window chains day d to d-1
+      (d * 10L + 1, s"major filler day $d with unshared tokens"))
+      .toDF("doc_id", "text")
+    DedupStream.commitState(IncrementalDedup.initialState(dayDf(0)), state,
+      maxLiveSegments = 1)
+    (1 to n).foreach(d => admit(dayDf(d)))
+    val cparts = new java.io.File(s"$state/bands/base").listFiles
+      .filter(_.getName.startsWith("cpart=")).map(_.getName).toSet
+    // live cparts (current manifest) <= MaxBaseCompactions + 1; on-disk
+    // may keep the previous manifest's too
+    assert(cparts.size <= 2 * (DedupStream.MaxBaseCompactions + 1),
+      s"base compactions unbounded: ${cparts.size} dirs ($cparts)")
+    val man = Files.readString(java.nio.file.Paths.get(state, s"v$n", "MANIFEST"))
+    val cFrom = """"cFrom":(\d+)""".r.findFirstMatchIn(man).get.group(1).toInt
+    val comps = """"compactions":(\d+)""".r.findFirstMatchIn(man).get.group(1).toInt
+    assert(comps - cFrom <= DedupStream.MaxBaseCompactions,
+      s"manifest lists ${comps - cFrom} live cparts: $man")
+    assert(cFrom > 0, "no major fold ever ran in 2x MaxBaseCompactions commits")
+    val streamed = IncrementalDedup.labelsWithSizes(
+        DedupStream.loadState(spark, state).get).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Dedup.duplicateClusters(
+        (0 to n).map(dayDf).reduce(_ union _)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch, "major fold diverged from batch recompute")
+    // and the chain is not vacuously all-singletons: merges did happen
+    // across fold generations (which days collide is banding luck on
+    // this synthetic seed — the equality above is the semantics claim)
+    assert(streamed.values.exists(_._2 > 1),
+      "fixture produced no merges — the major-fold equality is vacuous")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("a crashed fold is invisible and the retry overwrites it") {
     // Crash-safety of the compaction tier: a fold that dies mid-write
     // leaves a cpart directory the committed manifests never reference —
