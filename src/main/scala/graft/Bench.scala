@@ -434,6 +434,20 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] embed split failed: ${e.getMessage}"); None
     }
+    // The near-dup router's recall evidence at THIS corpus (supplemental,
+    // detail-only, untimed): the sampled exact-vs-LSH ratio the auto
+    // route's route_recall column would carry — stamped so the evidence
+    // is diffable round-over-round without re-running the query. NaN
+    // (stratum held no true pairs) is omitted rather than stamped as a
+    // vacuous number.
+    val routeRecall: Option[Double] = try {
+      val emb = graft.engine.Tables.embeddings(spark, sfDir)
+      val r = graft.operators.Dedup.lshRouteRecallSample(emb, 0.45, emb.count())
+      if (r.isNaN) None else Some(r)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] route_recall probe failed: ${e.getMessage}")
+      None
+    }
     graft.operators.Dedup.clearShingleCaches()
     val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -471,6 +485,7 @@ object Bench {
       s""""ivfpq_learned_build_sec":${fmt(ivfPqLearnedBuildSec)},""" +
       q51Split.map { case (s, _) => s""""q51_split":$s,""" }.getOrElse("") +
       embedSplit.map(s => s""""embed_split":$s,""").getOrElse("") +
+      routeRecall.map(r => s""""route_recall":${fmt(r)},""").getOrElse("") +
       loadGateJson +
       chainJson + loadJson + s""","errors":$errs,"sf":"$sfDir"}"""
     System.err.println(s"[bench-detail] $detail")

@@ -89,6 +89,7 @@ object SparkEntry {
     "q67_bpe_vocab"     -> (graft.operators.Bpe.qBpeVocab _),
     "q68_neardup_multiprobe" -> (Dedup.qEmbedNearDupsMultiProbe _),
     "q69_ann_lsh_multiprobe" -> (Similarity.qAnnLshMultiProbe _),
+    "q70_ann_refined_deep" -> (Similarity.qAnnRefinedDeep _),
     "q71_neardup_autogrid" -> (Dedup.qEmbedNearDupsAutoGrid _),
     "q72_bpe_unicode"   -> (graft.operators.Bpe.qBpeUnicode _),
   )
@@ -202,6 +203,11 @@ object SparkEntry {
     // q69 = query-time multi-probe over q18's UNCHANGED corpus buckets —
     // the no-reindex recall lever for the stored/indexed ANN side
     "q69_ann_lsh_multiprobe" -> Similarity.qAnnLshMultiProbeSql,
+    // q70 = q60's persisted IVF-PQ + refine at the DEEP shortlist (the
+    // measured fix: the probe term reads 0.97 at the same 4 cells, the
+    // 50-cut was what held recall at 0.70 — deepening to 200 costs zero
+    // extra ADC scan and reads 0.96/0.90-min recall@10)
+    "q70_ann_refined_deep" -> Similarity.qAnnRefinedDeepSql,
     // q71 = the near-dup ROUTER's default LSH arm (16 tables x 10
     // planes + 2 probes, the measured Pareto grid) — the production
     // route is itself hash-replayed, through the same LshSql renderer

@@ -942,6 +942,30 @@ object Similarity {
     * the shortlist, not ADC ordering noise, bounds recall. */
   val RefineShortlist = 50
 
+  /** The DEEP shortlist ([[annIvfPqRefinedDeep]] / q70): 20× k. The
+    * composed chain's recall decomposes as (true neighbors inside the
+    * probed cells) ∩ (survivors of the ADC shortlist cut); MEASURED at
+    * sf0.1 the probe term is NOT binding — the same 4 probed cells
+    * scored at full precision read recall 0.97 (RecallProbe ivf-seed) —
+    * while raw ADC ordering reads ~0.25, so the 50-candidate cut is
+    * what holds q60 at ~0.70. Deepening the cut to 200 is FREE at the
+    * ADC tier (every candidate in a probed cell is ADC-scored either
+    * way — the scan budget is cells × codes, unchanged) and costs only
+    * a 4× larger exact-re-rank gather (|queries|·200 rows, still a
+    * broadcast): measured recall 0.70 → 0.96 mean / 0.90 min at sf0.1.
+    * This is the FAISS `k_factor` refinement practice. Were the probe
+    * term ever the binding one (different cell geometry), the q69
+    * multi-probe lever composes the same way on the probe stage. */
+  val DeepShortlist = 200
+
+  /** [[annIvfPqRefined]] at the [[DeepShortlist]] depth — the
+    * production recall shape for the persisted IVF-PQ chain (q70). */
+  def annIvfPqRefinedDeep(emb: DataFrame, indexDir: String,
+      nQueries: Int = 8, k: Int = 10,
+      nprobe: Int = NumProbe): DataFrame =
+    annIvfPqRefined(emb, indexDir, nQueries, k, nprobe,
+      shortlist = DeepShortlist)
+
   /** Per-corpus-directory persisted indexes — q43's/q35's steady-state
     * shape: the first call for a corpus dir pays the one-time index
     * build into a process-lifetime temp dir; every later call queries
@@ -1196,8 +1220,21 @@ object Similarity {
     annIvfPqRefined(Tables.embeddings(s, d), ensureIvfPqIndex(s, d))
       .orderBy("query_id", "rnk")
 
+  /** q70 — the deep-shortlist refine over the SAME persisted index q60
+    * reads (no rebuild, no probe change; see [[DeepShortlist]]): the
+    * production recall configuration, full-hash oracle like q60's. */
+  def qAnnRefinedDeep(s: SparkSession, d: String): DataFrame =
+    annIvfPqRefinedDeep(Tables.embeddings(s, d), ensureIvfPqIndex(s, d))
+      .orderBy("query_id", "rnk")
+
+  def qAnnRefinedDeepSql: String = annRefinedSqlAt(DeepShortlist)
+
   // def (not val): composes fragments declared later in the object
-  def qAnnRefinedSql: String =
+  def qAnnRefinedSql: String = annRefinedSqlAt(RefineShortlist)
+
+  /** The refined-chain oracle at a given shortlist depth — q60 and q70
+    * differ ONLY here, which is the point the pair of oracles pins. */
+  private def annRefinedSqlAt(shortlist: Int): String =
     s"""WITH cent AS (
        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
        |  WHERE vec_id < $NumCentroids),
@@ -1232,7 +1269,7 @@ object Similarity {
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                                 ORDER BY approx_cos DESC, cand_id) AS rnk
        |    FROM adc)
-       |  WHERE rnk <= $RefineShortlist),
+       |  WHERE rnk <= $shortlist),
        |refined AS (
        |  SELECT s.query_id, s.cand_id,
        |         ROUND(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 4) AS cos_sim
@@ -1289,7 +1326,9 @@ object Similarity {
       recallOf("lsh", annLsh(emb, nQueries, k)),
       recallOf("pq", annPqIndexed(emb, ensurePqIndex(s, d), nQueries, k)),
       recallOf("refined",
-        annIvfPqRefined(emb, ensureIvfPqIndex(s, d), nQueries, k)))
+        annIvfPqRefined(emb, ensureIvfPqIndex(s, d), nQueries, k)),
+      recallOf("refined_deep",
+        annIvfPqRefinedDeep(emb, ensureIvfPqIndex(s, d), nQueries, k)))
       .reduce(_ unionByName _)
   }
 
@@ -1317,6 +1356,8 @@ object Similarity {
        |${arm("pq", qAnnPqSql)}
        |UNION ALL
        |${arm("refined", qAnnRefinedSql)}
+       |UNION ALL
+       |${arm("refined_deep", qAnnRefinedDeepSql)}
        |ORDER BY method, query_id""".stripMargin
   }
 

@@ -52,7 +52,15 @@ object RecallProbe {
         Similarity.ensureIvfPqLearnedIndex(spark, d), nprobe = 8))
       recalls("ivfpq-refined", Similarity.annIvfPqRefined(emb,
         Similarity.ensureIvfPqIndex(spark, d)))
+      recalls("ivfpq-ref-sl100", Similarity.annIvfPqRefined(emb,
+        Similarity.ensureIvfPqIndex(spark, d), shortlist = 100))
+      recalls("ivfpq-ref-sl200", Similarity.annIvfPqRefined(emb,
+        Similarity.ensureIvfPqIndex(spark, d), shortlist = 200))
+      recalls("ivfpq-ref-deep", Similarity.annIvfPqRefinedDeep(emb,
+        Similarity.ensureIvfPqIndex(spark, d)))
       recalls("ivfpq-lrn-refined", Similarity.annIvfPqRefined(emb,
+        Similarity.ensureIvfPqLearnedIndex(spark, d)))
+      recalls("ivfpq-lrn-ref-deep", Similarity.annIvfPqRefinedDeep(emb,
         Similarity.ensureIvfPqLearnedIndex(spark, d)))
     }
     spark.stop()

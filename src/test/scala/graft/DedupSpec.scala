@@ -481,6 +481,13 @@ class DedupSpec extends AnyFunSuite {
     val unrefined = recallOf(Similarity.annIvfPqIndexed(emb, dir))
     val refined = recallOf(Similarity.annIvfPqRefined(emb, dir))
     assert(refined >= unrefined, s"refined=$refined unrefined=$unrefined")
+    // shortlist monotonicity (the q70 lever — same theorem, one step
+    // further: shortlist cuts are NESTED, and if a true top-k neighbor
+    // is in ANY candidate set, at most k-1 candidates can exact-outrank
+    // it, so deepening the cut never loses it): deep >= refined at the
+    // SAME probe budget, i.e. zero extra ADC scan
+    val deep = recallOf(Similarity.annIvfPqRefinedDeep(emb, dir))
+    assert(deep >= refined, s"deep=$deep refined=$refined")
     // limiting case: all cells probed + corpus-sized shortlist makes the
     // refined result THE exact brute-force relation, row for row
     val full = Similarity.annIvfPqRefined(emb, dir,

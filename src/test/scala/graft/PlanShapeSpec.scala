@@ -76,7 +76,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val intendedBnlj = Set("q17_cosine_topk", "q31_ann_ivf",
       "q35_ann_ivf_kmeans", "q40_tfidf_topk", "q43_pq_topk",
       "q44_ann_recall", "q53_corpus_mix", "q56_ann_ivfpq",
-      "q59_ann_ivfpq_learned", "q60_ann_refined")
+      "q59_ann_ivfpq_learned", "q60_ann_refined",
+      "q70_ann_refined_deep") // q60's chain at the deep shortlist
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val plan = executedPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
@@ -115,6 +116,7 @@ class PlanShapeSpec extends AnyFunSuite {
                        // re-analyzed by this test's measurement path
       "q59_ann_ivfpq_learned", // q56's reader + q17's ground truth
       "q60_ann_refined",        // q56's reader + broadcast re-rank
+      "q70_ann_refined_deep",   // same chain, deeper shortlist
       "q46_seq_packing",
       "q64_bpe_pack")           // q46's packer, BPE-budgeted — same
                                 // PackBlockWidth-bounded level-1 window
