@@ -117,57 +117,78 @@ private[graft] object Par {
   def jsonUnescape(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
+  /** Cumulative (Spark job count, task-input bytes) meter — ONE
+    * listener per instance; both reads drain the listener bus first so
+    * a just-finished action's events are counted. Shared by the
+    * GRAFT_CHAIN_DEBUG phase timer below and the ChainProbe read
+    * columns, so the two can never measure different things. */
+  final class Meter(sc: org.apache.spark.SparkContext,
+      drainTimeoutMs: Long = 10000) {
+    private val jobCount = new java.util.concurrent.atomic.AtomicLong
+    private val readBytes = new java.util.concurrent.atomic.AtomicLong
+    sc.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) readBytes.addAndGet(m.inputMetrics.bytesRead)
+          ()
+        }
+      })
+    private def drain(): Unit =
+      try org.apache.spark.sql.graftbridge.Bridge
+        .drainListenerBus(sc, drainTimeoutMs)
+      catch { case _: Exception => () }
+    def jobs: Long = { drain(); jobCount.get }
+    def read: Long = { drain(); readBytes.get }
+    def jobsAndRead: (Long, Long) = { drain(); (jobCount.get, readBytes.get) }
+  }
+
   /** Env-gated (GRAFT_CHAIN_DEBUG) phase timer for the admission
     * paths; `tag` carries the side-specific prefix. Also reports the
     * Spark JOB count the phase launched — the chains' floor is
     * sequential small jobs, so the count is the thing to optimize —
     * and the task-metric INPUT BYTES the phase read, the column that
     * attributes any per-day cpu trend at a fixed job count (a probe
-    * whose read mass tracks state size shows up here, per phase). */
+    * whose read mass tracks state size shows up here, per phase).
+    *
+    * CAVEAT: both deltas are GLOBAL counters, so phases timed
+    * CONCURRENTLY (the commit's inParallel write tasks) inflate each
+    * other — trust the per-phase numbers only for sequential phases
+    * (the admit.* chain); for a parallel group only the enclosing
+    * phase's delta is attributable. */
   def timed[A](tag: String)(f: => A): A =
     if (sys.env.contains("GRAFT_CHAIN_DEBUG")) {
-      val (j0, b0) = debugJobsBytes
-      val t0 = System.nanoTime(); val r = f
-      val (j1, b1) = debugJobsBytes
-      System.err.println(
-        f"[chain] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
-          (if (j0 >= 0) s" jobs=${j1 - j0}" +
-            f" read=${(b1 - b0) / 1048576.0}%.2f MB" else "")); r
+      debugMeter match {
+        case null =>
+          val t0 = System.nanoTime(); val r = f
+          System.err.println(
+            f"[chain] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        case m =>
+          val (j0, b0) = m.jobsAndRead
+          val t0 = System.nanoTime(); val r = f
+          val (j1, b1) = m.jobsAndRead
+          System.err.println(
+            f"[chain] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+              s" jobs=${j1 - j0}" +
+              f" read=${(b1 - b0) / 1048576.0}%.2f MB"); r
+      }
     } else f
 
-  // debug-only (job, input-bytes) counters; registered once per JVM on
-  // first use
-  @volatile private var debugCounter: java.util.concurrent.atomic.AtomicLong = null
-  @volatile private var debugBytes: java.util.concurrent.atomic.AtomicLong = null
-  private def debugJobsBytes: (Long, Long) = {
-    if (debugCounter == null) synchronized {
-      if (debugCounter == null)
-        org.apache.spark.sql.SparkSession.getActiveSession match {
-          case Some(s) =>
-            val c = new java.util.concurrent.atomic.AtomicLong()
-            val b = new java.util.concurrent.atomic.AtomicLong()
-            s.sparkContext.addSparkListener(
-              new org.apache.spark.scheduler.SparkListener {
-                override def onJobStart(
-                    j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-                  { c.incrementAndGet(); () }
-                override def onTaskEnd(
-                    t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-                  val m = t.taskMetrics
-                  if (m != null) b.addAndGet(m.inputMetrics.bytesRead)
-                  ()
-                }
-              })
-            debugCounter = c
-            debugBytes = b
-          case None => return (-1L, 0L)
-        }
+  // debug-only meter; registered once per JVM on first use (volatile
+  // single-field publish — the Meter is fully constructed before the
+  // reference is visible, so no half-initialized read is possible)
+  @volatile private var debugMeterRef: Meter = null
+  private def debugMeter: Meter = {
+    if (debugMeterRef == null) synchronized {
+      if (debugMeterRef == null)
+        org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+          debugMeterRef = new Meter(s.sparkContext, drainTimeoutMs = 2000))
     }
-    // drain so a just-finished action's events are counted
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
-      try org.apache.spark.sql.graftbridge.Bridge
-        .drainListenerBus(s.sparkContext, 2000)
-      catch { case _: Exception => () })
-    (debugCounter.get(), debugBytes.get())
+    debugMeterRef
   }
 }

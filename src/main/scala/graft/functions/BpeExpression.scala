@@ -16,7 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * deterministic rule so the DuckDB oracle can replay it verbatim
   * (recursive CTE, one merge per step):
   *
-  *   seed  = the word's characters (UTF-16 units; the corpora are ASCII)
+  *   seed  = the word's Unicode CODE POINTS ([[BpeCore.charTokens]]: a
+  *           non-BMP emoji is ONE token, never two surrogate halves —
+  *           DuckDB's character split agrees; pinned by q72)
   *   step  = among all ADJACENT token pairs present in the merge table,
   *           take the LOWEST-RANKED one and merge its LEFTMOST
   *           occurrence

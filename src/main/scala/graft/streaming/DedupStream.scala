@@ -316,8 +316,18 @@ object DedupStream {
     val baseDf =
       if (!major) None
       else {
-        val paths = (cFrom until c).map(j => s"$stateDir/$t/base/cpart=$j")
-          .filter(hasBucketDirs)
+        val paths = (cFrom until c).map { j =>
+          val p = s"$stateDir/$t/base/cpart=$j"
+          // same loud lost-state contract as loadState: a REFERENCED
+          // cpart that no longer exists must abort the fold — folding
+          // past it would advance cFrom and make the loss permanent
+          // and silent (an existing-but-empty fold dir is legal and
+          // contributes nothing)
+          if (!isDir(p)) throw new IllegalStateException(
+            s"major fold references $t compaction cpart=$j but $p does " +
+              "not exist — lost or deleted committed state")
+          p
+        }.filter(hasBucketDirs)
         if (paths.isEmpty) None
         else Some(readPq(spark, ddl + ", cpart INT, bucket INT", paths,
           basePath = Some(s"$stateDir/$t/base")).drop("cpart").drop("bucket"))

@@ -35,32 +35,11 @@ object ChainProbe {
       writtenMb: Double, stateMb: Double,
       readAdmitMb: Double, readCommitMb: Double)
 
-  /** Cumulative job-count + task-input-bytes meter (one listener per
-    * instance; both reads drain the bus first so a just-finished
-    * action's events are counted). */
-  private final class Meter(spark: SparkSession) {
-    private val jobCount = new java.util.concurrent.atomic.AtomicLong
-    private val readBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobCount.incrementAndGet(); ()
-        }
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null) readBytes.addAndGet(m.inputMetrics.bytesRead)
-          ()
-        }
-      })
-    private def drain(): Unit =
-      try org.apache.spark.sql.graftbridge.Bridge
-        .drainListenerBus(spark.sparkContext, 10000)
-      catch { case _: java.util.concurrent.TimeoutException => }
-    def jobs: Long = { drain(); jobCount.get }
-    def read: Long = { drain(); readBytes.get }
-  }
+  /** The shared (job-count, task-input-bytes) meter — one definition in
+    * [[graft.Par.Meter]], so these columns and the GRAFT_CHAIN_DEBUG
+    * phase columns can never drift apart. */
+  private def newMeter(spark: SparkSession): graft.Par.Meter =
+    new graft.Par.Meter(spark.sparkContext)
 
   private def cpuSec: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -148,7 +127,7 @@ object ChainProbe {
     * bucket mass + batch), not O(corpus). */
   private def probeScaling(spark: SparkSession,
       docs: org.apache.spark.sql.DataFrame): Unit = {
-    val meter = new Meter(spark)
+    val meter = newMeter(spark)
     val trickleDays = sys.env.get("GRAFT_CHAIN_DAYS").map(_.toInt).getOrElse(12)
     val bucketCounts = sys.env.get("GRAFT_CHAIN_BUCKETS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(32, 128, 512))
@@ -262,7 +241,7 @@ object ChainProbe {
       case _ => IncrementalDedup.ProbeAuto
     }
     println(s"[L] days=$nDays ks=${ks.mkString(",")} probeMode=$probeMode")
-    val meter = new Meter(spark)
+    val meter = newMeter(spark)
     def jobsNow: Long = meter.jobs
     def readNow: Long = meter.read
     def fileSizes(dir: java.io.File): Map[String, Long] =
