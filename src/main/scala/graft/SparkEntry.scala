@@ -92,6 +92,7 @@ object SparkEntry {
     "q70_ann_refined_deep" -> (Similarity.qAnnRefinedDeep _),
     "q71_neardup_autogrid" -> (Dedup.qEmbedNearDupsAutoGrid _),
     "q72_bpe_unicode"   -> (graft.operators.Bpe.qBpeUnicode _),
+    "q73_pii_scrub"     -> (graft.operators.Pii.qPiiScrub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,5 +220,9 @@ object SparkEntry {
     // splits words into Unicode characters, the engine into code
     // points, and the full (doc_id, pos, token) hash must agree
     "q72_bpe_unicode"   -> graft.operators.Bpe.qBpeUnicodeSql,
+    // q73 = PII detect + redact over corpus rows UNION a planted
+    // fixture: ONE portable (Java regex ∩ RE2) pattern list drives both
+    // engines; the hash pins counts AND every replacement byte
+    "q73_pii_scrub"     -> graft.operators.Pii.qPiiScrubSql,
   )
 }

@@ -342,4 +342,47 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"export pipeline shuffles:\n${shaped.queryExecution.executedPlan}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
+
+  test("PII scrub: exact counts, full redaction, order hazards pinned") {
+    import graft.operators.Pii
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      // every class twice, interleaved
+      (1L, "a@b.co then 1.2.3.4 then 111-22-3333 then 555-123-4567 " +
+        "and again x@y.org 10.0.0.1 444-55-6666 555.987.6543"),
+      // ORDER HAZARD 1: an email embedding an SSN-shaped digit run —
+      // email redacts first, so the SSN class must see zero here
+      (2L, "user123-45-6789@files.example.com wrote in"),
+      // ORDER HAZARD 2: placeholders are digit-free — redacting the IP
+      // between two digit runs must not create a phone/SSN match
+      (3L, "ids 555 1.2.3.4 123-4567 stay un-merged"),
+      // boundary: the ipv4 tail is \d{1,3}\b — a longer digit run has
+      // no internal word boundary, so a dotted build number is NOT an
+      // address; pin that no class fires
+      (4L, "version 123.456.7890123 is just a long build number"),
+      (5L, "clean text"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = Pii.scrub(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    //                     email ssn phone ip
+    assert(out(1L)._1 == 2 && out(1L)._2 == 2 && out(1L)._3 == 2 &&
+      out(1L)._4 == 2, s"doc1 counts: ${out(1L)}")
+    assert(out(1L)._5 == "<EMAIL> then <IP> then <SSN> then <PHONE> " +
+      "and again <EMAIL> <IP> <SSN> <PHONE>", s"doc1: ${out(1L)._5}")
+    // hazard 1: the whole address redacts as ONE email; counts on the
+    // ORIGINAL text still see the embedded ssn shape (audit counts are
+    // per-class independent), but the REDACTION never splits it
+    assert(out(2L)._1 == 1 && out(2L)._5 == "<EMAIL> wrote in",
+      s"doc2: ${out(2L)}")
+    // hazard 2: nothing merges across the digit-free placeholder
+    assert(out(3L)._5 == "ids 555 <IP> 123-4567 stay un-merged",
+      s"doc3: ${out(3L)._5}")
+    assert(out(4L)._4 == 0 && out(4L)._5.contains("123.456.7890123"),
+      s"doc4: ${out(4L)}")
+    assert(out(5L) == ((0L, 0L, 0L, 0L, "clean text")))
+    assert(out(6L) == ((0L, 0L, 0L, 0L, "")))
+  }
 }
