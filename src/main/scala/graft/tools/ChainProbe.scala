@@ -176,6 +176,7 @@ object ChainProbe {
     * O(cumulative merges) read-repair relation). */
   private def embeddingChain(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.EmbeddingIncremental
+    val meter = newMeter(spark)
     val emb = graft.engine.Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("embchain").toString
     def dirMb(sub: String): Double = {
@@ -194,12 +195,13 @@ object ChainProbe {
     val days = (1 until nDays).map { d =>
       val batch = graft.Checkpoints.pin(emb.filter(col("vec_id") % nDays === d))
       val beforeB = dirMb("buckets"); val beforeL = dirMb("labels")
-      val w0 = System.nanoTime(); val c0 = cpuSec
+      val w0 = System.nanoTime(); val c0 = cpuSec; val r0 = meter.read
       EmbeddingIncremental.admitDrop(spark, dir, batch)
       val m = graft.operators.VersionedIndex.metaOrThrow(dir)
       val res = ((System.nanoTime() - w0) / 1e9, cpuSec - c0,
         dirMb("buckets") - beforeB, dirMb("labels") - beforeL,
-        dirMb(s"v${m.version}/remap") * 1024)
+        dirMb(s"v${m.version}/remap") * 1024,
+        (meter.read - r0) / 1048576.0)
       // the commit is durable — release the day's pinned batch so the
       // series measures steady-state cost, not accumulating blocks
       graft.Checkpoints.free(batch)
@@ -210,6 +212,7 @@ object ChainProbe {
     println("[E] bucketlog+mb " + days.map(d => f"${d._3}%.3f").mkString(" "))
     println("[E] labellog+mb " + days.map(d => f"${d._4}%.3f").mkString(" "))
     println("[E] remap_kb    " + days.map(d => f"${d._5}%.1f").mkString(" "))
+    println("[E] read_mb     " + days.map(d => f"${d._6}%.2f").mkString(" "))
     try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     catch { case _: Exception => }
   }
