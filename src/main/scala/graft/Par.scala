@@ -139,10 +139,14 @@ private[graft] object Par {
           ()
         }
       })
+    // only a drain TIMEOUT degrades to a possibly-stale read (the
+    // counters are still monotone); any other failure means the meter's
+    // numbers can't be trusted and must fail loudly — these columns are
+    // committed bench evidence
     private def drain(): Unit =
       try org.apache.spark.sql.graftbridge.Bridge
         .drainListenerBus(sc, drainTimeoutMs)
-      catch { case _: Exception => () }
+      catch { case _: java.util.concurrent.TimeoutException => () }
     def jobs: Long = { drain(); jobCount.get }
     def read: Long = { drain(); readBytes.get }
     def jobsAndRead: (Long, Long) = { drain(); (jobCount.get, readBytes.get) }

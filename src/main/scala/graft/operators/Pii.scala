@@ -74,7 +74,12 @@ object Pii {
     (2000001L, "server 192.168.0.1 and 10.0.0.255 responded to 8.8.8.8"),
     (2000002L, "call 555-867-5309 or 555.867.5309 before noon"),
     (2000003L, "leaked ssn 123-45-6789 beside phone 312-555-0188"),
-    (2000004L, "user123-45-6789@files.example.com mailed 172.16.254.3"),
+    // the redaction-ORDER hazard row: the local part starts with an
+    // SSN-shaped digit run AT a word boundary, so the SSN class matches
+    // it on the original text (n_ssn counts it — audit counts are
+    // per-class independent) but email-first redaction absorbs the
+    // whole address; ssn-first would emit "<SSN>@files.example.com"
+    (2000004L, "123-45-6789@files.example.com mailed 172.16.254.3"),
     (2000005L, "perfectly clean document with no identifiers at all"),
     (2000006L, "mixed bag: eve@ex.org, 127.0.0.1, 987-65-4321, 800-555-1212"))
 

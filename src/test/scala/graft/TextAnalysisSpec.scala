@@ -351,9 +351,11 @@ class TextAnalysisSpec extends AnyFunSuite {
       // every class twice, interleaved
       (1L, "a@b.co then 1.2.3.4 then 111-22-3333 then 555-123-4567 " +
         "and again x@y.org 10.0.0.1 444-55-6666 555.987.6543"),
-      // ORDER HAZARD 1: an email embedding an SSN-shaped digit run —
-      // email redacts first, so the SSN class must see zero here
-      (2L, "user123-45-6789@files.example.com wrote in"),
+      // ORDER HAZARD 1: the email's local part IS an SSN-shaped digit
+      // run at a word boundary — the SSN class matches it on the
+      // original text, but email-first redaction must absorb the whole
+      // address (ssn-first would emit "<SSN>@files.example.com")
+      (2L, "123-45-6789@files.example.com wrote in"),
       // ORDER HAZARD 2: placeholders are digit-free — redacting the IP
       // between two digit runs must not create a phone/SSN match
       (3L, "ids 555 1.2.3.4 123-4567 stay un-merged"),
@@ -372,11 +374,12 @@ class TextAnalysisSpec extends AnyFunSuite {
       out(1L)._4 == 2, s"doc1 counts: ${out(1L)}")
     assert(out(1L)._5 == "<EMAIL> then <IP> then <SSN> then <PHONE> " +
       "and again <EMAIL> <IP> <SSN> <PHONE>", s"doc1: ${out(1L)._5}")
-    // hazard 1: the whole address redacts as ONE email; counts on the
-    // ORIGINAL text still see the embedded ssn shape (audit counts are
-    // per-class independent), but the REDACTION never splits it
-    assert(out(2L)._1 == 1 && out(2L)._5 == "<EMAIL> wrote in",
-      s"doc2: ${out(2L)}")
+    // hazard 1: the whole address redacts as ONE email — a reordered
+    // pattern list would emit "<SSN>@files.example.com" and fail here.
+    // Counts on the ORIGINAL text DO see the embedded ssn shape (audit
+    // counts are per-class independent of redaction order).
+    assert(out(2L)._1 == 1 && out(2L)._2 == 1 &&
+      out(2L)._5 == "<EMAIL> wrote in", s"doc2: ${out(2L)}")
     // hazard 2: nothing merges across the digit-free placeholder
     assert(out(3L)._5 == "ids 555 <IP> 123-4567 stay un-merged",
       s"doc3: ${out(3L)._5}")
