@@ -93,6 +93,7 @@ object SparkEntry {
     "q71_neardup_autogrid" -> (Dedup.qEmbedNearDupsAutoGrid _),
     "q72_bpe_unicode"   -> (graft.operators.Bpe.qBpeUnicode _),
     "q73_pii_scrub"     -> (graft.operators.Pii.qPiiScrub _),
+    "q74_token_budget_mix" -> (Corpus.qTokenBudgetMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -224,5 +225,9 @@ object SparkEntry {
     // fixture: ONE portable (Java regex ∩ RE2) pattern list drives both
     // engines; the hash pins counts AND every replacement byte
     "q73_pii_scrub"     -> graft.operators.Pii.qPiiScrubSql,
+    // q74 = token-budgeted corpus mix: per-source budget filled in
+    // portable md5 hash order; the oracle's plain per-source window
+    // must equal the engine's hash-prefix-blocked prefix sum exactly
+    "q74_token_budget_mix" -> Corpus.qTokenBudgetMixSql,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.TextFns._
@@ -224,6 +224,86 @@ object Corpus {
         lit(1000000L)) < col("thresh"))
       .select(col("doc_id"), col("source"))
   }
+
+  /** Token-BUDGETED corpus mix (q74): fill each source's TOKEN budget
+    * by admitting documents in the portable md5 hash order (the corpus
+    * "shuffle" order — an unbiased sample, stable in the sense that a
+    * new doc only ever displaces docs hashing after it) until the
+    * budget is exhausted — how pretraining mixtures are actually
+    * specified (tokens per source; [[mixCorpus]] is the row-proportion
+    * sibling). A document is admitted iff the tokens BEFORE it (per
+    * source, hash order) are under the budget — the boundary document
+    * overflows rather than being skipped (the q46 bin-0 semantic: the
+    * budget bounds starts), so the admitted set is exactly a hash
+    * prefix and deterministic.
+    *
+    * Scale shape: the per-source running sum is the SAME two-level
+    * blocked prefix sum as [[Sequencing.packSequences]], except blocks
+    * are HASH-PREFIX ranges (the first two hex nibbles — 256 uniform
+    * blocks) instead of doc_id ranges, because the running order here
+    * IS the hash: (blk, hx) order equals hx order precisely because
+    * blk is a prefix of hx. No window task sorts more than
+    * ~corpus/256 rows of one source, and the level-2 window runs over
+    * the one-row-per-(source, block) aggregate. `nTokens` is
+    * pluggable exactly like the packer's — pass [[Bpe.tokenCount]]
+    * for model-tokenizer budgets. */
+  def tokenBudgetMix(docs: DataFrame, budgetTokens: Long,
+      nTokens: Column =
+        size(graft.functions.TextFns.wsTokens(col("text"))).cast("long")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val base = docs.select(col("doc_id"), col("source"),
+        nTokens.as("n_tokens"))
+      .withColumn("hx", md5(col("doc_id").cast("string")))
+      .withColumn("blk", substring(col("hx"), 1, 2))
+    val wLocal = Window.partitionBy(col("source"), col("blk"))
+      .orderBy(col("hx"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("local_cum",
+      sum(col("n_tokens")).over(wLocal))
+    val wPrefix = Window.partitionBy(col("source")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(col("source"), col("blk"))
+      .agg(sum(col("n_tokens")).as("blk_tokens"))
+      .withColumn("blk_offset",
+        sum(col("blk_tokens")).over(wPrefix) - col("blk_tokens"))
+      .select("source", "blk", "blk_offset")
+    // unhinted join for the same sparse-key escape-hatch reason as the
+    // packer's offsets join (AQE broadcasts the tiny aggregate)
+    local.join(offsets, Seq("source", "blk"))
+      .filter(col("local_cum") + col("blk_offset") - col("n_tokens")
+        < budgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  /** q74's per-source budget: sized so the fill is PARTIAL on the
+    * fixtures (a budget above every source's total would make the
+    * filter vacuous — at sf0.01 each source holds ~2.5k whitespace
+    * tokens, so 1000 keeps a real hash-prefix). */
+  val TokenMixBudget = 1000L
+
+  def qTokenBudgetMix(s: SparkSession, d: String): DataFrame =
+    tokenBudgetMix(Tables.documents(s, d), TokenMixBudget)
+      .orderBy("doc_id")
+
+  /** The oracle replays the budget fill as one plain per-source window
+    * over the identical md5 order — the blocked formulation must equal
+    * it exactly (the packSequences blockWidth-invariance argument,
+    * applied to hash-prefix blocks). */
+  val qTokenBudgetMixSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY hx, doc_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tokens AS cum_before
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens FROM c
+       |WHERE cum_before < $TokenMixBudget ORDER BY doc_id""".stripMargin
 
   /** `docs` plus the assignment columns (split, shard, hx) — the
     * building block [[shuffleShard]] projects and [[exportShards]]

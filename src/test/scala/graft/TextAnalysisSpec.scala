@@ -343,6 +343,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("tokenBudgetMix: hash-prefix fill, boundary overflow, blocked == plain window") {
+    import graft.operators.Corpus
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.01")
+    val budget = 400L
+    val got = Corpus.tokenBudgetMix(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // reference: the PLAIN per-source window over the same hash order —
+    // the blocked two-level formulation must equal it row for row (the
+    // packSequences invariance argument on hash-prefix blocks)
+    val plain = docs.select(col("doc_id"), col("source"),
+        size(graft.functions.TextFns.wsTokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("hx"))
+      .withColumn("cum_before",
+        sum(col("n_tokens")).over(Window.partitionBy(col("source"))
+          .orderBy(col("hx"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_tokens"))
+      .filter(col("cum_before") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == plain.toSet,
+      s"blocked fill diverged from the plain window: ${got.length} vs ${plain.length}")
+    // budget semantics per source: admitted tokens reach the budget
+    // (boundary doc overflows) OR the source is wholly admitted
+    val totals = docs.groupBy("source")
+      .agg(sum(size(graft.functions.TextFns.wsTokens(col("text")))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val admitted = rows.map(_._3).sum
+      assert(admitted >= math.min(budget, totals(src)),
+        s"$src under-filled: $admitted of budget $budget (total ${totals(src)})")
+      // removing the hash-LAST admitted doc must drop below budget —
+      // i.e. the fill is minimal, not just sufficient
+      if (rows.length > 1 && admitted > budget) {
+        val hx = rows.map { case (id, _, n) =>
+          (java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes).map("%02x".format(_)).mkString, n)
+        }.sortBy(_._1)
+        assert(admitted - hx.last._2 < budget,
+          s"$src admitted a doc past the filled budget")
+      }
+    }
+  }
+
   test("PII scrub: exact counts, full redaction, order hazards pinned") {
     import graft.operators.Pii
     val spark0 = spark
