@@ -22,7 +22,14 @@ object TextFns {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Whitespace tokens of the raw text. */
+  /** Whitespace tokens of the raw text. Engine/oracle portability
+    * caveat (shared by every consumer's DuckDB twin, q46/q64/q74 …):
+    * Java's `\s` includes vertical tab (\x0B), RE2's does not — a
+    * document with a vertical tab BETWEEN words would tokenize
+    * differently across the two engines. The corpora are \x0B-free;
+    * a deployment ingesting arbitrary bytes should normalize control
+    * whitespace at ingest (the scrub stage) before token-count
+    * semantics matter. */
   def wsTokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** Word n-gram shingles (default 3). Documents shorter than n words

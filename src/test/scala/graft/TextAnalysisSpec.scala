@@ -346,8 +346,6 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("tokenBudgetMix: hash-prefix fill, boundary overflow, blocked == plain window") {
     import graft.operators.Corpus
     import org.apache.spark.sql.expressions.Window
-    val spark0 = spark
-    import spark0.implicits._
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.01")
     val budget = 400L
     val got = Corpus.tokenBudgetMix(docs, budget).collect()
