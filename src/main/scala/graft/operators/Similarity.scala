@@ -1324,6 +1324,7 @@ object Similarity {
       recallOf("ivfpq",
         annIvfPqIndexed(emb, ensureIvfPqIndex(s, d), nQueries, k)),
       recallOf("lsh", annLsh(emb, nQueries, k)),
+      recallOf("lsh_mp", annLshMultiProbe(emb, nQueries, k)),
       recallOf("pq", annPqIndexed(emb, ensurePqIndex(s, d), nQueries, k)),
       recallOf("refined",
         annIvfPqRefined(emb, ensureIvfPqIndex(s, d), nQueries, k)),
@@ -1352,6 +1353,8 @@ object Similarity {
        |${arm("ivfpq", qAnnIvfPqSql)}
        |UNION ALL
        |${arm("lsh", qAnnLshSql)}
+       |UNION ALL
+       |${arm("lsh_mp", qAnnLshMultiProbeSql)}
        |UNION ALL
        |${arm("pq", qAnnPqSql)}
        |UNION ALL
