@@ -126,7 +126,7 @@ private[graft] object Par {
       drainTimeoutMs: Long = 10000) {
     private val jobCount = new java.util.concurrent.atomic.AtomicLong
     private val readBytes = new java.util.concurrent.atomic.AtomicLong
-    sc.addSparkListener(
+    private val listener =
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -138,7 +138,15 @@ private[graft] object Par {
           if (m != null) readBytes.addAndGet(m.inputMetrics.bytesRead)
           ()
         }
-      })
+      }
+    sc.addSparkListener(listener)
+
+    /** Unregister from the listener bus. A Meter is registered for the
+      * JVM's lifetime otherwise — a probe run creating one meter per
+      * variant would accumulate listeners that keep counting (and
+      * paying bus dispatch) long after their columns were printed.
+      * Reads after close() return the final counts. */
+    def close(): Unit = sc.removeSparkListener(listener)
     // only a drain TIMEOUT degrades to a possibly-stale read (the
     // counters are still monotone); any other failure means the meter's
     // numbers can't be trusted and must fail loudly — these columns are

@@ -6,10 +6,11 @@ import graft.engine.Tables
 
 /** PII detection and redaction over the document corpus — the scrub
   * stage every training-data pipeline runs before text leaves curation
-  * (emails, SSNs, phone numbers, IPv4 addresses → typed placeholders),
-  * plus the per-class audit counts a compliance review wants
-  * (builder-prompt scale extension; the reference has no text-curation
-  * surface — its incremental-ingest semantics are covered elsewhere).
+  * (emails, credit-card PANs, SSNs, phone numbers, IPv4/IPv6 addresses
+  * → typed placeholders), plus the per-class audit counts a compliance
+  * review wants (builder-prompt scale extension; the reference has no
+  * text-curation surface — its incremental-ingest semantics are covered
+  * elsewhere).
   *
   * Execution shape: ONE narrow per-row pass of built-in
   * `regexp_extract_all` / `regexp_replace` expressions (codegen'd — no
@@ -26,24 +27,84 @@ import graft.engine.Tables
   * listed order and every placeholder is digit-free, so an earlier
   * replacement can never manufacture a later pattern's match across its
   * boundary (spec-pinned on a mixed-class fixture).
+  *
+  * Count semantics: the per-class counts are SHAPE detections, i.e.
+  * upper bounds on true incidence, not verified identifiers — any
+  * 3-2-4 digit run counts as `n_ssn`, any separated 3-3-4 run as
+  * `n_phone`. Over-matching is the safe redaction direction, but where
+  * a cheap validity check exists the verified count rides alongside:
+  * IPv4 octets are range-checked in the pattern itself (999.999.999.999
+  * neither counts nor redacts), and `n_cc_luhn` counts only the PAN
+  * matches whose digits pass the Luhn checksum ([[luhnValid]] — a
+  * composable expression over the extracted match, still zero UDFs).
+  * IPv6 coverage: the full 8-group form and `::`-compressed forms; a
+  * bare `::` never matches (the C++ scope operator in code-heavy
+  * corpora — fixture-pinned), so a compressed form must carry at least
+  * one hex group on one side of the `::`.
   */
 object Pii {
 
   /** (class, portable regex, placeholder) — the single source of truth
     * for engine AND oracle. Order = redaction order: email first (an
     * address may embed digit runs the numeric classes would otherwise
-    * bite into), then the most-specific numeric shapes. */
+    * bite into), then the most-specific numeric shapes; ipv4 before
+    * ipv6 so an IPv4-mapped address (`::ffff:192.168.0.1`) redacts as
+    * `<IPV6>:<IP>` instead of leaving the dotted tail behind. */
   val patterns: Seq[(String, String, String)] = Seq(
     ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
       "<EMAIL>"),
+    // 16-digit PANs, separator-tolerant (dash/space, or none); \b fences
+    // reject longer digit runs. Shape-only here; n_cc_luhn verifies.
+    ("cc", """\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b""", "<CC>"),
     ("ssn", """\b\d{3}-\d{2}-\d{4}\b""", "<SSN>"),
     ("phone", """\b\d{3}[-.]\d{3}[-.]\d{4}\b""", "<PHONE>"),
-    ("ipv4", """\b(?:\d{1,3}\.){3}\d{1,3}\b""", "<IP>"))
+    // range-checked octets (0-255, no leading zeros): 999.999.999.999
+    // and 256.x.y.z are not addresses and must not inflate the audit
+    ("ipv4", """\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}""" +
+      """(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b""", "<IP>"),
+    // full form | compressed with leading groups (tail optional: a::,
+    // a::b) | leading-:: form with a REQUIRED tail group (::1) — never
+    // a bare ::
+    ("ipv6", """(?:\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b)""" +
+      """|(?:\b(?:[0-9A-Fa-f]{1,4}:){1,7}:""" +
+      """(?:(?:[0-9A-Fa-f]{1,4}:){0,5}[0-9A-Fa-f]{1,4}\b)?)""" +
+      """|(?:::(?:[0-9A-Fa-f]{1,4}:){0,6}[0-9A-Fa-f]{1,4}\b)""", "<IPV6>"))
+
+  private val CcRegex: String = patterns.find(_._1 == "cc").get._2
 
   /** Per-class match count of one text column — independent
     * `regexp_extract_all` per class over the ORIGINAL text. */
   def countOf(text: Column, regex: String): Column =
     size(regexp_extract_all(text, lit(regex), lit(0))).cast("long")
+
+  /** Luhn checksum validity of the digits inside `pan` — the verified
+    * arm behind the shape-matched `n_cc` count, composed entirely from
+    * built-in array expressions (split → positional double-every-second
+    * -from-the-right → fold), so it stays inside codegen'd evaluation
+    * and nests under higher-order functions (used inside a `filter`
+    * lambda over the extracted matches). Empty/non-digit input reads
+    * false, not null. */
+  def luhnValid(pan: Column): Column = {
+    val digits = filter(split(regexp_replace(pan, "[^0-9]", ""), ""),
+      d => length(d) > 0)
+    val n = size(digits)
+    val terms = zip_with(digits, sequence(lit(1), greatest(n, lit(1))),
+      (d, i) => {
+        val v = d.cast("int")
+        val dbl = v * 2
+        // position from the right = n - i + 1; double the even ones
+        when(((n - i) % 2) === 1,
+          when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(v)
+      })
+    when(n > 0,
+      aggregate(terms, lit(0), (acc, x) => acc + x) % 10 === 0)
+      .otherwise(lit(false))
+  }
+
+  /** Count of PAN-shaped matches that pass [[luhnValid]]. */
+  def ccLuhnCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(CcRegex), lit(0)),
+      m => luhnValid(m))).cast("long")
 
   /** The redacted text: classes applied in [[patterns]] order, each
     * replacing ALL occurrences with its typed placeholder. */
@@ -52,23 +113,26 @@ object Pii {
       regexp_replace(c, re, ph)
     }
 
-  /** Audit + scrub in one pass: per-doc class counts and the redacted
-    * text. Downstream keeps `text_redacted`; the counts feed the
-    * compliance aggregate. */
+  /** Audit + scrub in one pass: per-doc class counts (plus the
+    * Luhn-verified PAN count) and the redacted text. Downstream keeps
+    * `text_redacted`; the counts feed the compliance aggregate. */
   def scrub(docs: DataFrame): DataFrame =
     docs.select(
       (Seq(col("doc_id")) ++
         patterns.map { case (name, re, _) =>
           countOf(col("text"), re).as(s"n_$name") } ++
-        Seq(redacted(col("text")).as("text_redacted"))): _*)
+        Seq(ccLuhnCount(col("text")).as("n_cc_luhn"),
+          redacted(col("text")).as("text_redacted"))): _*)
 
   // ---- SparkEntry wiring -------------------------------------------------
 
   /** Planted fixture under ids disjoint from the corpus: every class,
     * multi-occurrence lines, adjacent classes (the redaction-order
     * hazard: an email embedding an SSN-shaped digit run, an IP next to
-    * a phone), and clean rows. The corpus rows themselves are expected
-    * PII-free — the fixture is what makes the counts non-vacuous. */
+    * a phone), invalid shapes that must NOT count (out-of-range IPv4
+    * octets, a Luhn-failing PAN, the C++ `::` scope operator), and
+    * clean rows. The corpus rows themselves are expected PII-free —
+    * the fixture is what makes the counts non-vacuous. */
   val PiiFixture: Seq[(Long, String)] = Seq(
     (2000000L, "contact alice.smith+spam@example.co.uk or bob@corp.io today"),
     (2000001L, "server 192.168.0.1 and 10.0.0.255 responded to 8.8.8.8"),
@@ -81,7 +145,21 @@ object Pii {
     // whole address; ssn-first would emit "<SSN>@files.example.com"
     (2000004L, "123-45-6789@files.example.com mailed 172.16.254.3"),
     (2000005L, "perfectly clean document with no identifiers at all"),
-    (2000006L, "mixed bag: eve@ex.org, 127.0.0.1, 987-65-4321, 800-555-1212"))
+    (2000006L, "mixed bag: eve@ex.org, 127.0.0.1, 987-65-4321, 800-555-1212"),
+    // range-checked IPv4: neither bogus address counts or redacts
+    (2000007L, "bogus addresses 999.999.999.999 and 256.300.1.2 stay put"),
+    // PANs: two real test numbers (Luhn-valid, dashed and spaced), one
+    // shape-only 16-digit run that fails the checksum — n_cc = 3,
+    // n_cc_luhn = 2 on this row
+    (2000008L, "card 4111-1111-1111-1111 or 4012 8888 8888 1881 " +
+      "but never 1234-5678-9012-3456"),
+    // IPv6 forms: full 8-group, ::-compressed, loopback, trailing ::
+    (2000009L, "node fe80::1 peers with " +
+      "2001:0db8:85a3:0000:0000:8a2e:0370:7334 and ::1; " +
+      "prefix 2001:db8:: announced"),
+    // the scope-operator hazard: a bare :: (and ::<non-hex>) in code
+    // must not read as an address — zero counts on this row
+    (2000010L, "code sample std::string s; std::vector::iterator it"))
 
   /** q73: the scrub over real corpus rows UNION the planted fixture —
     * per-doc class counts plus the md5 of the redacted text, so the
@@ -102,8 +180,24 @@ object Pii {
     case (id, text) => s"($id, '${text.replace("'", "''")}')"
   }.mkString(", ")
 
+  /** The DuckDB replay of [[luhnValid]] over a lambda variable `v`:
+    * strip non-digits, double every second digit from the right (cast
+    * each 1-based substr), fold, mod 10. Same checksum, same
+    * empty-reads-false guard. */
+  private def luhnSql(v: String): String = {
+    val d = s"regexp_replace($v, '[^0-9]', '', 'g')"
+    val term = s"CASE WHEN (len($d) - i) % 2 = 1 " +
+      s"THEN CASE WHEN CAST(substr($d, i, 1) AS INT) * 2 > 9 " +
+      s"THEN CAST(substr($d, i, 1) AS INT) * 2 - 9 " +
+      s"ELSE CAST(substr($d, i, 1) AS INT) * 2 END " +
+      s"ELSE CAST(substr($d, i, 1) AS INT) END"
+    s"(len($d) > 0 AND " +
+      s"list_sum(list_transform(range(1, len($d) + 1), i -> $term)) % 10 = 0)"
+  }
+
   /** DuckDB twin: identical patterns (RE2 ∩ Java subset — see the
-    * object doc), `regexp_extract_all` for counts, chained
+    * object doc), `regexp_extract_all` for counts, a list_filter +
+    * [[luhnSql]] lambda for the verified PAN count, and chained
     * `regexp_replace(…, 'g')` in the same class order ('g' because
     * DuckDB replaces only the first match by default, where Spark
     * replaces all). */
@@ -112,6 +206,9 @@ object Pii {
     val counts = patterns.map { case (name, re, _) =>
       s"len(regexp_extract_all(text, '${esc(re)}')) AS n_$name"
     }.mkString(",\n       ")
+    val ccLuhn = s"len(list_filter(" +
+      s"regexp_extract_all(text, '${esc(CcRegex)}'), " +
+      s"v -> ${luhnSql("v")})) AS n_cc_luhn"
     val redact = patterns.foldLeft("text") { case (expr, (_, re, ph)) =>
       s"regexp_replace($expr, '${esc(re)}', '$ph', 'g')"
     }
@@ -120,6 +217,7 @@ object Pii {
        |  UNION ALL SELECT * FROM (VALUES $fixtureValues) fx(doc_id, text))
        |SELECT doc_id,
        |       $counts,
+       |       $ccLuhn,
        |       md5($redact) AS redacted_hash
        |FROM psrc ORDER BY doc_id""".stripMargin
   }

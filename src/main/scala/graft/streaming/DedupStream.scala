@@ -167,6 +167,24 @@ object DedupStream {
 
   private def isDir(p: String): Boolean = new java.io.File(p).isDirectory
 
+  /** The store's driver-side protocol — CURRENT pointer, manifests,
+    * atomic renames, [[foldPlan]]'s mass-trigger segment sizing,
+    * [[retire]] — runs on `java.io.File`, i.e. the state dir MUST be a
+    * driver-local filesystem path. On a remote URI those calls would
+    * not fail loudly: `isDirectory` reads false, sizing reads 0, and
+    * the store would silently behave as if empty (the mass trigger
+    * never firing is the subtlest such degrade). Reject schemes at
+    * every entry point instead; a port to object storage replaces this
+    * guard and the File calls with one filesystem abstraction
+    * (Hadoop's), not scattered fixes. `file:` URIs are NOT accepted:
+    * the raw-path File calls here never strip the scheme, so even the
+    * local scheme would resolve to a `./file:...` relative dir. */
+  private def requireLocalFs(stateDir: String): Unit =
+    require(!"^[A-Za-z][A-Za-z0-9+.-]*:".r.findFirstIn(stateDir).isDefined,
+      s"stateDir must be a driver-local filesystem path, got '$stateDir' — " +
+        "the state protocol (pointer swap, manifest, segment sizing) is " +
+        "java.io.File-based and would silently read a remote URI as empty")
+
   /** A DataFrame whose every leaf is an in-memory LocalRelation (the
     * admission's pinned frontier) would otherwise be WRITTEN through
     * `leafNodeDefaultParallelism` tasks — 32 near-empty part files for a
@@ -233,7 +251,8 @@ object DedupStream {
     * listed. A state whose tiers are ALL legitimately empty
     * (empty-corpus commits) reads as an empty relation of the right
     * schema, not an error. */
-  def loadState(spark: SparkSession, stateDir: String): Option[DedupState] =
+  def loadState(spark: SparkSession, stateDir: String): Option[DedupState] = {
+    requireLocalFs(stateDir)
     versionOf(stateDir).map { v =>
       val man = manifestOf(stateDir, v)
       val (c, cFrom, segFrom, b) = man
@@ -281,6 +300,7 @@ object DedupStream {
           ShinglesDdl),
         buckets = if (b > 0) Some(b) else None)
     }
+  }
 
   /** Fold segments [from, to] of one log into compaction `cpart`,
     * partitioned by the probe key's bucket and sorted by the key within
@@ -507,6 +527,7 @@ object DedupStream {
       buckets: Int = StateBuckets,
       maxLiveSegments: Int = MaxLiveSegments,
       stream: Option[(String, Long)] = None): Long = {
+    requireLocalFs(stateDir)
     val prevVersion = versionOf(stateDir)
     val next = prevVersion.getOrElse(-1L) + 1
     require(next == 0 || (newBands.isDefined && newShingles.isDefined),
@@ -591,6 +612,7 @@ object DedupStream {
   private def commitDeltaImpl(spark: SparkSession, stateDir: String,
       prev: DedupState, delta: AdmitDelta, maxLiveSegments: Int,
       stream: Option[(String, Long)]): Long = {
+    requireLocalFs(stateDir)
     val prevV = versionOf(stateDir).getOrElse(throw new IllegalStateException(
       "commitDelta requires an existing committed state (bootstrap with commitState)"))
     manifestOf(stateDir, prevV).filter(_.owners.isDefined) match {
@@ -674,6 +696,7 @@ object DedupStream {
     * not a daily cost. */
   def migrateBuckets(spark: SparkSession, stateDir: String,
       newBuckets: Int): Long = {
+    requireLocalFs(stateDir)
     require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
     val prevV = versionOf(stateDir).getOrElse(throw new IllegalStateException(
       "migrateBuckets requires an existing committed state"))

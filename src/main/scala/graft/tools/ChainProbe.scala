@@ -166,6 +166,7 @@ object ChainProbe {
         .deleteDirectory(new java.io.File(root))
       catch { case _: Exception => }
     }
+    meter.close() // one meter per variant; unregister when its columns are done
   }
 
   /** Variant E: 20 daily EMBEDDING admissions against the persisted
@@ -213,6 +214,7 @@ object ChainProbe {
     println("[E] labellog+mb " + days.map(d => f"${d._4}%.3f").mkString(" "))
     println("[E] remap_kb    " + days.map(d => f"${d._5}%.1f").mkString(" "))
     println("[E] read_mb     " + days.map(d => f"${d._6}%.2f").mkString(" "))
+    meter.close()
     try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     catch { case _: Exception => }
   }
@@ -321,6 +323,7 @@ object ChainProbe {
         .deleteDirectory(new java.io.File(root))
       catch { case _: Exception => }
     }
+    meter.close()
   }
 
   /** Variant D: A/B the admission's labels READ. Side A is the shipped

@@ -394,7 +394,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     val spark0 = spark
     import spark0.implicits._
     val docs = Seq(
-      // every class twice, interleaved
+      // every original class twice, interleaved
       (1L, "a@b.co then 1.2.3.4 then 111-22-3333 then 555-123-4567 " +
         "and again x@y.org 10.0.0.1 444-55-6666 555.987.6543"),
       // ORDER HAZARD 1: the email's local part IS an SSN-shaped digit
@@ -405,33 +405,95 @@ class TextAnalysisSpec extends AnyFunSuite {
       // ORDER HAZARD 2: placeholders are digit-free — redacting the IP
       // between two digit runs must not create a phone/SSN match
       (3L, "ids 555 1.2.3.4 123-4567 stay un-merged"),
-      // boundary: the ipv4 tail is \d{1,3}\b — a longer digit run has
-      // no internal word boundary, so a dotted build number is NOT an
-      // address; pin that no class fires
+      // boundary: no internal word boundary inside a digit run, so a
+      // dotted build number is NOT an address; pin that no class fires
       (4L, "version 123.456.7890123 is just a long build number"),
       (5L, "clean text"),
-      (6L, "")).toDF("doc_id", "text")
-    val out = Pii.scrub(docs).collect()
-      .map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getString(5))).toMap
-    //                     email ssn phone ip
-    assert(out(1L)._1 == 2 && out(1L)._2 == 2 && out(1L)._3 == 2 &&
-      out(1L)._4 == 2, s"doc1 counts: ${out(1L)}")
-    assert(out(1L)._5 == "<EMAIL> then <IP> then <SSN> then <PHONE> " +
-      "and again <EMAIL> <IP> <SSN> <PHONE>", s"doc1: ${out(1L)._5}")
+      (6L, ""),
+      // range-checked octets: out-of-range values neither count nor
+      // redact (the audit-fidelity fix)
+      (7L, "999.999.999.999 and 256.1.2.3 and 1.2.3.256 pass through"),
+      // PANs: dashed + spaced Luhn-valid test numbers, one bare-digit
+      // valid PAN, one shape-only run failing the checksum
+      (8L, "4111-1111-1111-1111 4012 8888 8888 1881 4532015112830366 " +
+        "and bad 1234-5678-9012-3456"),
+      // a 17-digit run has no internal boundary: not a PAN
+      (9L, "serial 12345678901234567 stays"),
+      // IPv6 forms: full, compressed, loopback, trailing ::
+      (10L, "fe80::1 and 2001:0db8:85a3:0000:0000:8a2e:0370:7334 " +
+        "and ::1 and 2001:db8:: done"),
+      // scope-operator hazard: bare :: (and ::<non-hex>) never matches
+      (11L, "std::string s; std::vector::iterator it"),
+      // IPv4-mapped IPv6: the ipv4-first order redacts the dotted tail,
+      // then the hex head reads as a (now tail-less) compressed form
+      (12L, "mapped ::ffff:192.168.0.1 routes")).toDF("doc_id", "text")
+    val cols = Pii.scrub(docs).columns
+    val out = Pii.scrub(docs).collect().map { r =>
+      r.getLong(0) -> ((c: String) => r.get(cols.indexOf(c)))
+    }.toMap
+    def n(id: Long, c: String): Long = out(id)(s"n_$c").asInstanceOf[Long]
+    def red(id: Long): String = out(id)("text_redacted").asInstanceOf[String]
+    assert(Seq("email", "ssn", "phone", "ipv4").forall(n(1L, _) == 2),
+      s"doc1 counts")
+    assert(red(1L) == "<EMAIL> then <IP> then <SSN> then <PHONE> " +
+      "and again <EMAIL> <IP> <SSN> <PHONE>", s"doc1: ${red(1L)}")
     // hazard 1: the whole address redacts as ONE email — a reordered
     // pattern list would emit "<SSN>@files.example.com" and fail here.
     // Counts on the ORIGINAL text DO see the embedded ssn shape (audit
     // counts are per-class independent of redaction order).
-    assert(out(2L)._1 == 1 && out(2L)._2 == 1 &&
-      out(2L)._5 == "<EMAIL> wrote in", s"doc2: ${out(2L)}")
+    assert(n(2L, "email") == 1 && n(2L, "ssn") == 1 &&
+      red(2L) == "<EMAIL> wrote in", s"doc2")
     // hazard 2: nothing merges across the digit-free placeholder
-    assert(out(3L)._5 == "ids 555 <IP> 123-4567 stay un-merged",
-      s"doc3: ${out(3L)._5}")
-    assert(out(4L)._4 == 0 && out(4L)._5.contains("123.456.7890123"),
-      s"doc4: ${out(4L)}")
-    assert(out(5L) == ((0L, 0L, 0L, 0L, "clean text")))
-    assert(out(6L) == ((0L, 0L, 0L, 0L, "")))
+    assert(red(3L) == "ids 555 <IP> 123-4567 stay un-merged",
+      s"doc3: ${red(3L)}")
+    assert(n(4L, "ipv4") == 0 && red(4L).contains("123.456.7890123"),
+      s"doc4")
+    Seq(5L, 6L).foreach { id =>
+      assert(Pii.patterns.forall { case (c, _, _) => n(id, c) == 0 } &&
+        n(id, "cc_luhn") == 0, s"doc$id not clean")
+    }
+    assert(red(5L) == "clean text" && red(6L) == "")
+    // tightened ipv4: invalid octets are invisible to count AND redact
+    assert(n(7L, "ipv4") == 0 &&
+      red(7L).contains("999.999.999.999") && red(7L).contains("256.1.2.3"),
+      s"doc7: ${red(7L)}")
+    // PAN shape vs Luhn: 4 shapes, 3 checksum-valid
+    assert(n(8L, "cc") == 4 && n(8L, "cc_luhn") == 3, s"doc8: cc=${n(8L, "cc")}" +
+      s" luhn=${n(8L, "cc_luhn")}")
+    assert(red(8L) == "<CC> <CC> <CC> and bad <CC>", s"doc8: ${red(8L)}")
+    assert(n(9L, "cc") == 0 && red(9L).contains("12345678901234567"), "doc9")
+    // IPv6: all four forms counted and redacted
+    assert(n(10L, "ipv6") == 4, s"doc10: ${n(10L, "ipv6")}")
+    assert(red(10L) == "<IPV6> and <IPV6> and <IPV6> and <IPV6> done",
+      s"doc10: ${red(10L)}")
+    assert(n(11L, "ipv6") == 0 && red(11L) == "std::string s; " +
+      "std::vector::iterator it", s"doc11: ${red(11L)}")
+    assert(n(12L, "ipv4") == 1 && n(12L, "ipv6") == 1 &&
+      red(12L) == "mapped <IPV6>:<IP> routes", s"doc12: ${red(12L)}")
+  }
+
+  test("Luhn expression: checksum ground truth, separators, degenerate input") {
+    import graft.operators.Pii
+    val spark0 = spark
+    import spark0.implicits._
+    // JVM-side reference implementation of the checksum
+    def luhnRef(s: String): Boolean = {
+      val ds = s.filter(_.isDigit).map(_ - '0')
+      ds.nonEmpty && ds.reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    }
+    val cases = Seq("4111111111111111", "4111-1111-1111-1111",
+      "4012 8888 8888 1881", "4532015112830366", "1234567890123456",
+      "79927398713", "79927398710", "0000000000000000", "", "no digits")
+    val got = cases.toDF("pan")
+      .select(col("pan"), Pii.luhnValid(col("pan")).as("ok")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { c =>
+      assert(got(c) == luhnRef(c), s"luhn('$c'): got ${got(c)}")
+    }
+    // sanity against known ground truth, not just the reference impl
+    assert(got("4111111111111111") && got("79927398713") &&
+      !got("79927398710") && !got("1234567890123456") && !got(""))
   }
 }
