@@ -437,17 +437,26 @@ object Bench {
     // The near-dup router's recall evidence at THIS corpus (supplemental,
     // detail-only, untimed): the sampled exact-vs-LSH ratio the auto
     // route's route_recall column would carry — stamped so the evidence
-    // is diffable round-over-round without re-running the query. NaN
+    // is diffable round-over-round without re-running the query. Since
+    // r17 the stamp carries the threshold-conditioned decomposition too
+    // (recall is a property of the corpus's pair-similarity mix as much
+    // as of the grid — bench/ROUTE_RECALL_r17_attrib.txt): recall@θ≥0.6
+    // and the per-cos-bucket curve [[lo, exact, found], ...]. NaN
     // (stratum held no true pairs) is omitted rather than stamped as a
     // vacuous number.
-    val routeRecall: Option[Double] = try {
-      val emb = graft.engine.Tables.embeddings(spark, sfDir)
-      val r = graft.operators.Dedup.lshRouteRecallSample(emb, 0.45, emb.count())
-      if (r.isNaN) None else Some(r)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] route_recall probe failed: ${e.getMessage}")
-      None
-    }
+    val routeRecall: Option[(Double, Double, Seq[(Double, Long, Long)])] =
+      try {
+        val emb = graft.engine.Tables.embeddings(spark, sfDir)
+        val buckets = graft.operators.Dedup
+          .lshRouteRecallDecomposed(emb, 0.45, emb.count())
+        val overall = graft.operators.Dedup.recallFromBuckets(buckets)
+        if (overall.isNaN) None
+        else Some((overall,
+          graft.operators.Dedup.recallFromBuckets(buckets, 0.60), buckets))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] route_recall probe failed: ${e.getMessage}")
+        None
+      }
     graft.operators.Dedup.clearShingleCaches()
     val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -485,7 +494,13 @@ object Bench {
       s""""ivfpq_learned_build_sec":${fmt(ivfPqLearnedBuildSec)},""" +
       q51Split.map { case (s, _) => s""""q51_split":$s,""" }.getOrElse("") +
       embedSplit.map(s => s""""embed_split":$s,""").getOrElse("") +
-      routeRecall.map(r => s""""route_recall":${fmt(r)},""").getOrElse("") +
+      routeRecall.map { case (overall, t060, curve) =>
+        s""""route_recall":${fmt(overall)},""" +
+          (if (t060.isNaN) ""
+           else s""""route_recall_t060":${fmt(t060)},""") +
+          curve.map { case (lo, ex, hit) => s"[${fmt(lo)},$ex,$hit]" }
+            .mkString(""""route_recall_curve":[""", ",", "],")
+      }.getOrElse("") +
       loadGateJson +
       chainJson + loadJson + s""","errors":$errs,"sf":"$sfDir"}"""
     System.err.println(s"[bench-detail] $detail")

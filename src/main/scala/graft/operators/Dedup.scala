@@ -806,7 +806,23 @@ object Dedup {
     * relation pins (recall 0.73 there), the extra 2 planes per table
     * cut the own-bucket candidate mass 4× and the probes buy the recall
     * back. Oracle-gated as q71 (the full relation hash-replays through
-    * [[LshSql.multiProbeRowsSql]] at exactly this grid). */
+    * [[LshSql.multiProbeRowsSql]] at exactly this grid).
+    *
+    * RECALL IS THRESHOLD-CONDITIONED, not one number
+    * (`bench/ROUTE_RECALL_r17_attrib.txt`): any single recall average
+    * is a property of the corpus's pair-similarity MIX as much as of
+    * the grid. On sf0.1's organic pairs — 90% of which sit in
+    * [0.45, 0.50) — this grid reads 0.76 in that weakest bucket and
+    * 1.0 at cos ≥ 0.55, which per-band AGREES with the sweep (0.81
+    * sub-0.6, 1.0 above); the sweep's planted twins just carried most
+    * mass where the grid is near-complete. Near cos 0.45 no practical
+    * hyperplane grid is both selective and complete (collision
+    * probability per plane → 1 − θ/π); a caller needing completeness
+    * in that tail needs the exact kernel — which the router runs below
+    * [[MaxExactNearDupRows]] and [[embeddingNearDups]] offers above
+    * it. The stamped evidence therefore carries the per-bucket curve
+    * and recall@θ≥0.6 next to the overall ratio (BENCH_DETAIL's
+    * `route_recall_curve` / `route_recall_t060`). */
   val AutoLshTables = 16
   val AutoLshPlanes = 10
   val AutoLshProbes = 2
@@ -869,18 +885,56 @@ object Dedup {
     * ([[AutoLshTables]] × [[AutoLshPlanes]] + [[AutoLshProbes]]) — the
     * evidence must describe the route actually taken. */
   private[graft] def lshRouteRecallSample(emb: DataFrame, threshold: Double,
-      n: Long, cap: Long = RecallStratumCap): Double = {
+      n: Long, cap: Long = RecallStratumCap): Double =
+    recallFromBuckets(lshRouteRecallDecomposed(emb, threshold, n, cap))
+
+  /** The sampled recall evidence DECOMPOSED by true cosine similarity —
+    * the attribution behind the single stamped number: per 0.05-wide
+    * cos_sim bucket, (bucket lower edge, exact pairs in the stratum,
+    * of those found by the LSH arm). LSH pairs are exact-verified (a
+    * subset with identical scores), so per-bucket hit counting is a
+    * left join on the pair key, and the overall ratio equals
+    * |lsh| / |exact| exactly. `gateOffset` rotates the deterministic
+    * hash gate to a DIFFERENT stratum of the same expected size —
+    * resampling for a variance estimate without touching the stamped
+    * default (offset 0 IS the stamped stratum).
+    *
+    * Why this exists (r17): the stamped route_recall at sf0.1 read
+    * 0.757 against the planted-twin sweep's 0.930, and the gap needed
+    * attribution before trusting either number — see
+    * `bench/ROUTE_RECALL_r17_attrib.txt` and the router-grid doc. */
+  private[graft] def lshRouteRecallDecomposed(emb: DataFrame,
+      threshold: Double, n: Long, cap: Long = RecallStratumCap,
+      gateOffset: Long = 0L): Seq[(Double, Long, Long)] = {
     val denom = 1L << 20
     val keep = math.max(1L, math.min(denom, cap * denom / math.max(1L, n)))
     val stratum = graft.Checkpoints.pin(emb.filter(
-      pmod(hash(col("vec_id")), lit(denom)) < keep))
+      pmod(hash(col("vec_id")) + lit(gateOffset), lit(denom)) < keep))
     try {
-      val exactPairs = embeddingNearDups(stratum, threshold, 8).count()
-      if (exactPairs == 0L) Double.NaN
-      else embeddingNearDupsLsh(stratum, threshold,
+      val exactP = embeddingNearDups(stratum, threshold, 8)
+      val lshP = embeddingNearDupsLsh(stratum, threshold,
         nTables = AutoLshTables, planes = AutoLshPlanes,
-        probes = AutoLshProbes).count().toDouble / exactPairs
+        probes = AutoLshProbes)
+        .select(col("vec_a"), col("vec_b"), lit(1).as("hit"))
+      // stratum pair sets are cap-bounded by construction (≈cap²/2 dot
+      // products upstream); the collect is the K-bounded evidence row set
+      exactP.join(lshP, Seq("vec_a", "vec_b"), "left")
+        .groupBy(floor(col("cos_sim") / 0.05d).cast("int").as("bk"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .collect()
+        .map(r => (r.getInt(0) * 0.05, r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
     } finally graft.Checkpoints.free(stratum)
+  }
+
+  /** Recall over the buckets at or above `minCos` (bucket edges align
+    * with 0.05 multiples); NaN when no exact pairs qualify — no
+    * evidence is not perfect evidence. */
+  private[graft] def recallFromBuckets(buckets: Seq[(Double, Long, Long)],
+      minCos: Double = 0.0): Double = {
+    val sel = buckets.filter(_._1 >= minCos - 1e-9)
+    val ex = sel.map(_._2).sum
+    if (ex == 0L) Double.NaN else sel.map(_._3).sum.toDouble / ex
   }
 
   // ---- SparkEntry wiring -------------------------------------------------
