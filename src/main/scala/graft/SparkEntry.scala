@@ -94,6 +94,7 @@ object SparkEntry {
     "q72_bpe_unicode"   -> (graft.operators.Bpe.qBpeUnicode _),
     "q73_pii_scrub"     -> (graft.operators.Pii.qPiiScrub _),
     "q74_token_budget_mix" -> (Corpus.qTokenBudgetMix _),
+    "q75_pcm_stats"     -> (Multimodal.qPcmStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -190,10 +191,10 @@ object SparkEntry {
     // step), so the full token stream — not just counts — is hash-pinned
     "q64_bpe_pack"      -> graft.operators.Bpe.qBpePackSql,
     "q65_bpe_chunks"    -> graft.operators.Bpe.qBpeChunkSql,
-    // q66 decodes REAL PNG/JPEG headers (wav keeps the stub path): the
-    // generator writes dims derived from media_id into genuine
-    // signature/IHDR/SOF byte layouts, the engine parses them back, and
-    // the oracle re-derives dims from media_id independently
+    // q66 decodes REAL PNG/JPEG/WAV headers: the generator writes
+    // dims/audio params derived from media_id into genuine
+    // signature/IHDR/SOF/RIFF byte layouts, the engine parses them
+    // back, and the oracle re-derives them from media_id independently
     "q66_media_decode"  -> Multimodal.qMediaDecodeSql,
     // q67 re-uses q64/q65's recursive-CTE tokenizer replay: per-token
     // corpus occurrences + document frequency, top-K
@@ -229,5 +230,10 @@ object SparkEntry {
     // portable md5 hash order; the oracle's plain per-source window
     // must equal the engine's hash-prefix-blocked prefix sum exactly
     "q74_token_budget_mix" -> Corpus.qTokenBudgetMixSql,
+    // q75 = real PCM sample decode of the wav payloads: the oracle
+    // reassembles every little-endian sample from the payload's hex
+    // pairs at the declared depth (8-bit unsigned-offset, else two's
+    // complement) and recomputes mean/peak/RMS on exact integer sums
+    "q75_pcm_stats"     -> Multimodal.qPcmStatsSql,
   )
 }

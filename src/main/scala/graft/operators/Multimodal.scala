@@ -11,14 +11,17 @@ import graft.engine.Tables
   * partition, so a real decoder would amortize model/codec init across
   * the batch exactly like a Pandas UDF does).
   *
-  * Two decode tiers: [[MediaCodec]] parses the REAL header layouts of
-  * all three fixture formats (PNG IHDR, JPEG SOF marker scan, WAV
-  * RIFF/fmt chunks) in pure JVM byte reads — q66's oracle-gated path;
-  * full PIXEL/SAMPLE decode stays behind the [[fakeDecode]] seam (q23)
-  * with a deterministic SQL-reproducible fake, since no codec libraries
-  * exist in this environment — the Spark-side plumbing (schema, binary
-  * handling, partition batching, UDF signature) is real and
-  * oracle-checked end to end either way.
+  * Decode is REAL at both levels (no stub seam since r17):
+  * [[MediaCodec]] parses the actual header layouts of all three fixture
+  * formats (PNG IHDR, JPEG SOF marker scan, WAV RIFF/fmt chunks) in
+  * pure JVM byte reads — q66's oracle-gated path, with q23 the
+  * narrower feature projection of the same decode — and [[pcmStats]]
+  * decodes the WAV `data` payload's actual PCM samples at the declared
+  * bit depth (8-bit unsigned-offset, 16/24/32-bit signed little-endian
+  * per the format spec) into the audio statistics a curation pipeline
+  * filters on (DC offset, peak, RMS) — q75. What a codec LIBRARY would
+  * add here is only compressed formats (e.g. MP3/FLAC frames); every
+  * byte layout in the fixture is decoded for real.
   *
   * Scale notes: media rows are wide (MBs per row at 100 TB); the
   * pipeline keeps them in one narrow pass (no shuffle), and metadata-only
@@ -28,8 +31,6 @@ import graft.engine.Tables
 object Multimodal {
 
   case class MediaRow(media_id: Long, media: Array[Byte], format: String)
-  case class MediaFeatures(media_id: Long, n_bytes: Long, format: String,
-      width: Long, height: Long, brightness: Double, content_hash: String)
 
   /** Make an opaque-binary media table from the documents fixture (UTF-8
     * bytes stand in for encoded media; format cycles deterministically). */
@@ -39,42 +40,6 @@ object Multimodal {
       col("text").cast("binary").as("media"),
       element_at(array(lit("png"), lit("jpeg"), lit("wav")),
         (col("doc_id") % 3 + 1).cast("int")).as("format"))
-
-  /** STUB decoder — deterministic fake standing in for a real codec
-    * (`javax.imageio` / ffmpeg / soundfile are not in this container).
-    * Derives pseudo-dimensions and a brightness proxy from the bytes;
-    * replace the body with a real decode to productionize. The formulas
-    * are intentionally SQL-expressible so the oracle can verify the
-    * surrounding plumbing. */
-  def fakeDecode(bytes: Array[Byte]): (Long, Long, Double) = {
-    val n = bytes.length.toLong
-    val width = n % 640
-    val height = n % 480
-    // mean byte value (unsigned) in [0, 255] — "brightness". Exact integer
-    // sum / integer length: bit-identical across engines, no rounding.
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-    val brightness = if (n == 0) 0.0 else sum.toDouble / n
-    (width, height, brightness)
-  }
-
-  /** Batch feature extraction over binary media: typed mapPartitions —
-    * the per-partition iterator is where a real implementation opens the
-    * codec once and streams the batch through it. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      // real impl: open decoder/model ONCE here, reuse across the batch
-      rows.map { r =>
-        val (w, h, bright) = fakeDecode(r.media)
-        val hash = java.security.MessageDigest.getInstance("MD5")
-          .digest(r.media).map("%02x".format(_)).mkString
-        MediaFeatures(r.media_id, r.media.length.toLong, r.format,
-          w, h, bright, hash)
-      }
-    }
-  }
 
   /** "Frame sampling" plumbing for video-like payloads: split the byte
     * stream into fixed-size chunks and emit every `stride`-th chunk with
@@ -321,24 +286,107 @@ object Multimodal {
     }
   }
 
-  // ---- SparkEntry wiring -------------------------------------------------
+  /** Real PCM sample statistics over a WAV payload — the audio-side
+    * "pixel decode": [[MediaCodec.parseWav]] locates the `data` chunk
+    * and declares the bit depth; the samples are then decoded per the
+    * PCM spec (8-bit = unsigned with a 128 midpoint, 16/24/32-bit =
+    * signed little-endian two's complement; a trailing partial sample
+    * is ignored) and reduced to the statistics an audio-curation gate
+    * filters on: sample count, mean amplitude (DC offset), peak
+    * |amplitude|, and RMS at the declared depth. Stats pool all
+    * channels (a stereo frame contributes each channel's sample).
+    *
+    * Cross-engine exactness: the mean rides on an exact int64 sum; the
+    * RMS on an exact int128 sum of squares (primitive hi/lo carry
+    * accumulation per sample — a 32-bit square is up to 2^62, so the
+    * SUM overflows int64 on real payloads; one BigInteger conversion
+    * per ROW, correctly-rounded to double exactly like the oracle's
+    * HUGEINT cast) — every float op after the exact integer sums is a
+    * single correctly-rounded IEEE op, so Spark and DuckDB agree to the
+    * last bit. A malformed wav yields the usual filterable sentinel
+    * (n_samples = -1, zero stats). */
+  case class PcmStats(media_id: Long, sample_rate: Long, channels: Long,
+      bits_per_sample: Long, n_samples: Long, mean_amp: Double,
+      peak_abs: Long, rms: Double)
 
-  def qMediaFeatures(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = mediaTable(Tables.documents(s, d)).as[MediaRow]
-    extractFeatures(media).toDF().orderBy("media_id")
+  def pcmStats(media: Dataset[MediaRow]): Dataset[PcmStats] = {
+    import media.sparkSession.implicits._
+    media.filter(col("format") === "wav").mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ch, bits, off) = MediaCodec.parseWav(r.media)
+        if (rate < 0)
+          PcmStats(r.media_id, -1L, -1L, -1L, -1L, 0.0, 0L, 0.0)
+        else {
+          val w = (bits / 8).toInt
+          val n = (r.media.length - off) / w
+          var sum = 0L; var peak = 0L
+          var sqHi = 0L; var sqLo = 0L // int128 accumulator for Σ s²
+          var k = 0
+          while (k < n) {
+            val base = off + k * w
+            var raw = 0L
+            var j = 0
+            while (j < w) {
+              raw |= (r.media(base + j) & 0xffL) << (8 * j); j += 1
+            }
+            val s =
+              if (w == 1) raw - 128L
+              else {
+                val half = 1L << (8 * w - 1)
+                if (raw >= half) raw - (half << 1) else raw
+              }
+            sum += s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            val sq = s * s // ≤ 2^62: each square fits, only the sum can't
+            val nlo = sqLo + sq
+            if (java.lang.Long.compareUnsigned(nlo, sqLo) < 0) sqHi += 1
+            sqLo = nlo
+            k += 1
+          }
+          val (mean, rms) =
+            if (n == 0L) (0.0, 0.0)
+            else {
+              val sumSq = java.math.BigInteger.valueOf(sqHi).shiftLeft(64)
+                .add(new java.math.BigInteger(
+                  java.lang.Long.toUnsignedString(sqLo)))
+              (sum.toDouble / n, math.sqrt(sumSq.doubleValue / n))
+            }
+          PcmStats(r.media_id, rate, ch, bits, n, mean, peak, rms)
+        }
+      }
+    }
   }
 
-  /** Brightness sums the UTF-8 BYTES (hex(encode(text)) two chars per
-    * byte), exactly like the Spark side's `bytes(i) & 0xff` loop — a
-    * per-character `unicode(text[i])` formulation would only agree on
-    * ASCII input. */
+  // ---- SparkEntry wiring -------------------------------------------------
+
+  /** q23: the media-feature projection every modality shares (id, size,
+    * format, image dims, payload brightness, payload hash) — since r17
+    * a straight projection of the REAL decode ([[decodeFeatures]]; wav
+    * rows read the image sentinel -1×-1), not a stub path. */
+  def qMediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(decodableMediaTable(Tables.documents(s, d)))
+      .toDF()
+      .select(col("media_id"), col("n_bytes"), col("format"),
+        col("width"), col("height"), col("brightness"), col("content_hash"))
+      .orderBy("media_id")
+  }
+
+  /** Projection of [[qMediaDecodeSql]]'s independent re-derivation
+    * (dims from media_id, brightness over the UTF-8 payload BYTES —
+    * `bytes(i) & 0xff` ≡ hex-pair parse; a per-character
+    * `unicode(text[i])` formulation would only agree on ASCII). */
   val qMediaFeaturesSql: String =
     """SELECT doc_id AS media_id,
-      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       CAST(octet_length(encode(text))
+      |            + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 44 END
+      |            AS BIGINT) AS n_bytes,
       |       ['png', 'jpeg', 'wav'][(doc_id % 3 + 1)::INT] AS format,
-      |       octet_length(encode(text)) % 640 AS width,
-      |       octet_length(encode(text)) % 480 AS height,
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+      |                 ELSE 16 + doc_id % 624 END AS BIGINT) AS width,
+      |       CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+      |                 ELSE 16 + doc_id % 464 END AS BIGINT) AS height,
       |       list_sum(list_transform(range(0, octet_length(encode(text))),
       |                               i -> ('0x' || substr(hex(encode(text)), (i*2+1)::INT, 2))::INT))::DOUBLE
       |         / octet_length(encode(text)) AS brightness,
@@ -384,6 +432,67 @@ object Multimodal {
 
   def qFrameSample(s: SparkSession, d: String): DataFrame =
     sampleFrames(mediaTable(Tables.documents(s, d))).orderBy("media_id", "frame_idx")
+
+  /** q75: real PCM sample statistics over every wav row's payload. */
+  def qPcmStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pcmStats(decodableMediaTable(Tables.documents(s, d)))
+      .toDF().orderBy("media_id")
+  }
+
+  /** The oracle re-derives the STATISTICS FROM THE PAYLOAD BYTES
+    * independently of the engine's chunk walk: wav rows are
+    * doc_id % 3 = 2, the declared depth replays the generator's
+    * media_id formula, the payload is the document's UTF-8 bytes
+    * (44-byte canonical header skipped by construction, not by
+    * parsing), and each sample is reassembled from its little-endian
+    * hex pairs with the same 8-bit-unsigned / two's-complement rule.
+    * DuckDB's SUM over BIGINT promotes to HUGEINT, so the sum of
+    * squares is exact like the engine's int128 accumulator; both sides
+    * then perform the identical correctly-rounded double ops. */
+  val qPcmStatsSql: String = {
+    // byte j of the payload as a BIGINT (hex pairs, 1-based substr),
+    // TOTAL: out-of-range reads 0 so the unused high-byte terms of
+    // narrow widths never parse '0x' + empty (eager CASE evaluation in
+    // a vectorized engine must not be able to error on them)
+    def b(j: String) =
+      s"(CASE WHEN ($j) < nb THEN ('0x' || substr(hx, (($j)*2+1)::INT, 2))::BIGINT ELSE 0 END)"
+    // little-endian raw value of sample k at width w (exact BIGINT)
+    val raw = s"${b("k*w")} + CASE WHEN w >= 2 THEN 256 * ${b("k*w+1")} ELSE 0 END" +
+      s" + CASE WHEN w >= 3 THEN 65536 * ${b("k*w+2")} ELSE 0 END" +
+      s" + CASE WHEN w >= 4 THEN 16777216 * ${b("k*w+3")} ELSE 0 END"
+    val half = "CASE w WHEN 2 THEN 32768 WHEN 3 THEN 8388608 ELSE 2147483648 END"
+    val full = "CASE w WHEN 2 THEN 65536 WHEN 3 THEN 16777216 ELSE 4294967296 END"
+    s"""WITH wavs AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS nb,
+       |         [1, 2, 3, 4][(doc_id % 4 + 1)::INT] AS w,
+       |         [8000, 16000, 22050, 44100, 48000][(doc_id % 5 + 1)::INT] AS rate,
+       |         1 + doc_id % 2 AS ch,
+       |         [8, 16, 24, 32][(doc_id % 4 + 1)::INT] AS bits
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |smp AS (
+       |  SELECT media_id, rate, ch, bits, nb // w AS n_samples,
+       |         list_transform(range(0, nb // w), k ->
+       |           CASE WHEN w = 1 THEN ${b("k*w")} - 128
+       |                WHEN ($raw) >= $half THEN ($raw) - $full
+       |                ELSE ($raw) END) AS samples
+       |  FROM wavs)
+       |SELECT media_id,
+       |       CAST(rate AS BIGINT) AS sample_rate,
+       |       CAST(ch AS BIGINT) AS channels,
+       |       CAST(bits AS BIGINT) AS bits_per_sample,
+       |       CAST(n_samples AS BIGINT) AS n_samples,
+       |       CASE WHEN n_samples = 0 THEN 0.0
+       |            ELSE list_sum(samples)::DOUBLE / n_samples END AS mean_amp,
+       |       CAST(CASE WHEN n_samples = 0 THEN 0
+       |                 ELSE list_max(list_transform(samples, s -> abs(s)))
+       |            END AS BIGINT) AS peak_abs,
+       |       CASE WHEN n_samples = 0 THEN 0.0
+       |            ELSE sqrt(list_sum(list_transform(samples, s -> s * s))::DOUBLE
+       |                      / n_samples) END AS rms
+       |FROM smp ORDER BY media_id""".stripMargin
+  }
 
   /** Chunking here is CHAR-indexed (`substr`/`len`) while Spark chunks
     * the binary BYTE-wise; DuckDB cannot md5 a blob slice, so the oracle

@@ -109,6 +109,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.parseWav(Array.empty[Byte]) == bad)
   }
 
+  test("pcmStats: hand-built PCM at every depth, sign rules, tails, overflow, sentinel") {
+    import Multimodal.{MediaRow, PcmStats}
+    val s = spark
+    import s.implicits._
+    def wav(id: Long, bits: Long, payload: Array[Byte], ch: Long = 1) =
+      MediaRow(id, MediaCodec.wavHeader(8000, ch, bits, payload.length.toLong)
+        ++ payload, "wav")
+    val rows = Seq(
+      // 16-bit: full signed range incl. both extremes, little-endian
+      // samples [1000, -1000, 32767, -32768, 0]
+      wav(1, 16, Array[Byte](0xe8.toByte, 0x03, 0x18, 0xfc.toByte,
+        0xff.toByte, 0x7f, 0x00, 0x80.toByte, 0x00, 0x00)),
+      // 8-bit is UNSIGNED with a 128 midpoint: bytes [0,128,255] ->
+      // samples [-128, 0, 127]
+      wav(2, 8, Array[Byte](0x00, 0x80.toByte, 0xff.toByte)),
+      // 24-bit signed extremes: 0x800000 -> -8388608, 0x7fffff -> 8388607
+      wav(3, 24, Array[Byte](0x00, 0x00, 0x80.toByte,
+        0xff.toByte, 0xff.toByte, 0x7f)),
+      // odd tail: 5 bytes at 16-bit = 2 samples, last byte ignored
+      wav(4, 16, Array[Byte](0x01, 0x00, 0x02, 0x00, 0x7f)),
+      // 32-bit x5 at INT_MIN: each square is 2^62, the SUM is 5*2^62 —
+      // past int64 — so this pins the int128 accumulator; rms = 2^31
+      // exactly, mean = -2^31
+      wav(5, 32, Array.fill(5)(Array[Byte](0, 0, 0, 0x80.toByte)).flatten),
+      // empty payload: zero samples, defined zero stats
+      wav(6, 16, Array.empty[Byte]),
+      // malformed wav -> filterable sentinel, not a throw
+      MediaRow(7, Array[Byte]('R', 'I', 'F', 'F', 1, 2, 3), "wav"),
+      // non-wav rows are not this operator's domain
+      MediaRow(8, MediaCodec.pngHeader(4, 4), "png"))
+    val out = Multimodal.pcmStats(rows.toDS()).collect()
+      .map(p => p.media_id -> p).toMap
+    assert(!out.contains(8L), "png row leaked into pcmStats")
+    def ref(samples: Seq[Long]): (Double, Long, Double) = {
+      val n = samples.size
+      val sumSq = samples.map(x => BigInt(x) * BigInt(x)).sum
+      (samples.sum.toDouble / n, samples.map(math.abs).max,
+        math.sqrt(sumSq.toDouble / n))
+    }
+    def check(id: Long, bits: Long, samples: Seq[Long]): Unit = {
+      val (mean, peak, rms) = ref(samples)
+      val p = out(id)
+      assert(p == PcmStats(id, 8000, 1, bits, samples.size, mean, peak, rms),
+        s"media $id: $p")
+    }
+    check(1, 16, Seq(1000, -1000, 32767, -32768, 0))
+    check(2, 8, Seq(-128, 0, 127))
+    check(3, 24, Seq(-8388608, 8388607))
+    check(4, 16, Seq(1, 2))
+    check(5, 32, Seq.fill(5)(-2147483648L))
+    // the 32-bit case's exact closed forms (belt and braces past ref)
+    assert(out(5L).rms == 2147483648.0 && out(5L).mean_amp == -2147483648.0)
+    assert(out(6L) == PcmStats(6, 8000, 1, 16, 0, 0.0, 0, 0.0))
+    assert(out(7L) == PcmStats(7, -1, -1, -1, -1, 0.0, 0, 0.0))
+  }
+
   test("decodeFeatures parses generator headers back and isolates the payload") {
     import org.apache.spark.sql.functions._
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
