@@ -1304,21 +1304,58 @@ object Similarity {
     * under each of the four branches.
     * `nQueries`/`k` thread through every arm AND the divisor (q44's SQL
     * twin hard-codes the default 8/10 shape). */
+  /** Per-family floors on q44's FAMILY-MEAN recall — the r16 lesson
+    * made gate-grade: q60 was "correct" at 0.70 recall because the
+    * oracle replays the same algorithm at the same tuning, so a tuning
+    * regression degrades both sides in lockstep and the hash stays
+    * green. The floor breaks that symmetry: the engine emits
+    * `pass = family_recall >= floor` honestly while the oracle pins
+    * `pass = TRUE`, so a family dropping below its floor flips the row
+    * hash red in CORRECTNESS itself. Floors sit ~0.6–0.8× of the worst
+    * family mean measured across sf0.001/0.01/0.1 (r17: ivf ≥ 0.90,
+    * ivfpq 0.26–0.44, lsh 0.59–0.71, lsh_mp ≥ 0.925, pq 0.24–0.33,
+    * refined ≥ 0.70, refined_deep ≥ 0.90) — stable under corpus noise,
+    * tight enough that a q60-style collapse (deep shortlist regressing
+    * to the shallow one: 0.95 → 0.70) fails. The mean rides on an
+    * exact integer hit sum (one window sum / nQueries·k), never on
+    * averaged rounded doubles, so both engines derive it bit-equal. */
+  val AnnRecallFloors: Map[String, Double] = Map(
+    "ivf" -> 0.6, "ivfpq" -> 0.15, "lsh" -> 0.35, "lsh_mp" -> 0.75,
+    "pq" -> 0.15, "refined" -> 0.45, "refined_deep" -> 0.75)
+
+  /** One q44 family arm: per-query recall plus the floor-gated family
+    * mean ([[AnnRecallFloors]]); private[graft] so the spec can feed a
+    * deliberately mis-probed approx relation and watch `pass` flip. */
+  private[graft] def recallWithFloor(method: String, exact: DataFrame,
+      approx: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val floor = AnnRecallFloors(method)
+    val famRecall = col("family_hits").cast("double") / (nQueries * k)
+    exact.join(
+        approx.select(col("query_id"), col("cand_id"), lit(1L).as("hit")),
+        Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("k"))
+      // nQueries-row relation by construction — the single-partition
+      // window is over the eval summary, not corpus data
+      .withColumn("family_hits", sum(col("hits")).over(
+        Window.partitionBy(lit(1))))
+      .select(lit(method).as("method"), col("query_id"),
+        round(col("hits").cast("double") / k, 4).as("recall_at_k"),
+        col("k"),
+        famRecall.as("family_recall"),
+        lit(floor).as("floor"),
+        (famRecall >= floor).as("pass"))
+  }
+
   def annRecallAll(s: SparkSession, d: String, nQueries: Int = 8,
       k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val exact = graft.Checkpoints.pin(bruteForceTopK(emb, nQueries, k)
       .select(col("query_id"), col("cand_id")))
     def recallOf(method: String, approx: DataFrame): DataFrame =
-      exact.join(
-          approx.select(col("query_id"), col("cand_id"), lit(1L).as("hit")),
-          Seq("query_id", "cand_id"), "left")
-        .groupBy("query_id")
-        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / k, 4)
-          .as("recall_at_k"),
-          count(lit(1)).as("k"))
-        .select(lit(method).as("method"), col("query_id"),
-          col("recall_at_k"), col("k"))
+      recallWithFloor(method, exact, approx, nQueries, k)
     Seq(
       recallOf("ivf", annIvf(emb, nQueries, k)),
       recallOf("ivfpq",
@@ -1339,14 +1376,21 @@ object Similarity {
   // def, not val: the per-family SQL strings are declared later in this
   // object and a strict val here would capture null during object init
   def qAnnRecallSql: String = {
+    // the oracle pins pass = TRUE (the q35 recipe): the engine's honest
+    // family_recall >= floor must agree, so a floor breach hash-fails
     def arm(method: String, sql: String) =
-      s"""SELECT '$method' AS method, e.query_id,
-         |       ROUND(SUM(COALESCE(a.hit, 0))::DOUBLE / 10, 4) AS recall_at_k,
-         |       COUNT(*) AS k
-         |FROM exact e LEFT JOIN
-         |  (SELECT query_id, cand_id, 1 AS hit FROM ($sql)) a
-         |  USING (query_id, cand_id)
-         |GROUP BY 1, 2""".stripMargin
+      s"""SELECT method, query_id,
+         |       ROUND(hits::DOUBLE / 10, 4) AS recall_at_k, k,
+         |       SUM(hits) OVER ()::DOUBLE / 80 AS family_recall,
+         |       CAST(${AnnRecallFloors(method)} AS DOUBLE) AS floor,
+         |       TRUE AS pass
+         |FROM (
+         |  SELECT '$method' AS method, e.query_id,
+         |         SUM(COALESCE(a.hit, 0)) AS hits, COUNT(*) AS k
+         |  FROM exact e LEFT JOIN
+         |    (SELECT query_id, cand_id, 1 AS hit FROM ($sql)) a
+         |    USING (query_id, cand_id)
+         |  GROUP BY 1, 2) arm_$method""".stripMargin
     s"""WITH exact AS (SELECT query_id, cand_id FROM ($qCosineTopKSql))
        |${arm("ivf", qAnnIvfSql)}
        |UNION ALL

@@ -904,4 +904,32 @@ class DedupSpec extends AnyFunSuite {
       assert(sims == sims.sorted.reverse, "descending by similarity")
     }
   }
+
+  test("q44 recall floors: honest pass column, and a mis-probed family flips red") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, 8, 10)
+      .select(col("query_id"), col("cand_id"))
+    // the shipped surface passes every floor (the oracle pins TRUE, so
+    // a false here would be a CORRECTNESS failure, not just a red spec)
+    val all = Similarity.annRecallAll(spark, sf).collect()
+    assert(all.nonEmpty && all.forall(_.getAs[Boolean]("pass")),
+      s"floor breach on the shipped surface: " +
+        all.filter(!_.getAs[Boolean]("pass")).map(_.getString(0)).toSet)
+    // the q60 regression shape, replayed deliberately: the deep-refined
+    // family's results replaced by the plain LSH arm's (a mis-probed /
+    // under-shortlisted index would look exactly like this). Its family
+    // mean sits under refined_deep's 0.75 floor, so pass flips false —
+    // which against the oracle's pinned TRUE is a hash mismatch: the
+    // gate catches what q60's green hash hid.
+    val masquerade = Similarity.recallWithFloor("refined_deep", exact,
+      Similarity.annLsh(emb, 8, 10), 8, 10).collect()
+    assert(masquerade.forall(!_.getAs[Boolean]("pass")),
+      s"mis-probed family must breach the floor: " +
+        masquerade.map(_.getAs[Double]("family_recall")).toSeq.distinct)
+    // floor semantics sanity: family_recall is constant per family and
+    // equals mean per-query recall on exact integer sums
+    val fr = masquerade.map(_.getAs[Double]("family_recall")).distinct
+    val meanOfRows = masquerade.map(_.getAs[Double]("recall_at_k")).sum / 8
+    assert(fr.length == 1 && math.abs(fr.head - meanOfRows) < 1e-9)
+  }
 }
