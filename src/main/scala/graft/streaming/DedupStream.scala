@@ -82,6 +82,39 @@ object DedupStream {
     * MaxBaseCompactions × buckets files. */
   val MaxBaseCompactions = 8
 
+  /** Auto bucket-migration policy — bucket sizing as a POLICY, not a
+    * manual knob (r16's probe proved probe reads scale with
+    * touched/total buckets and flatten when batch keys ≪ bucket count,
+    * but [[migrateBuckets]] had no trigger). A commit migrates the
+    * layout to [[AutoMigrateGrowth]]× the current bucket count when
+    * EITHER
+    *
+    *  1. SATURATION: the batch's band-key upper bound (batch docs ×
+    *     [[graft.operators.Dedup.NumBands]] — analytic, zero extra
+    *     jobs in the driver-local frontier case) is ≥
+    *     [[AutoMigrateKeysPerBucket]] × buckets for
+    *     [[AutoMigrateStreak]] CONSECUTIVE commits (the manifest
+    *     carries the streak; one-off backfill bulges don't migrate —
+    *     the foldPlan mass rule already absorbs those), or
+    *  2. MASS: the live base's average bytes per bucket exceeds
+    *     `bucketBytesTarget` (the layout's own sizing rule — "one
+    *     bucket ≈ a few block-sized files"; default 256 MiB). Mass is
+    *     monotone, so no streak: as the corpus grows 4×, one O(corpus)
+    *     migration re-establishes bounded per-bucket probe reads —
+    *     amortized exactly like a major fold.
+    *
+    * The migration itself runs AFTER the commit promotes (outside the
+    * admission's static-plan scope — it is corpus-sized work and wants
+    * AQE), is atomic like any commit, and records `migratedFrom` in
+    * its manifest. Growth is geometric (×4), capped at
+    * [[AutoMigrateMaxBuckets]] so a corrupt size reading cannot
+    * explode the layout. */
+  val AutoMigrateKeysPerBucket = 1.0
+  val AutoMigrateStreak = 3
+  val AutoMigrateGrowth = 4
+  val AutoMigrateMaxBuckets = 65536
+  val AutoMigrateBucketBytes: Long = 256L * 1024 * 1024
+
   private val LabelsDdl = "doc_id BIGINT, cluster_id BIGINT"
   private val SizesDdl = "cluster_id BIGINT, cluster_size BIGINT"
   private val BandsDdl = "doc_id BIGINT, band BIGINT, band_hash STRING"
@@ -119,7 +152,9 @@ object DedupStream {
   private final case class Manifest(compactions: Int, cFrom: Int,
       segFrom: Long, buckets: Int, owners: Option[Vector[Long]],
       streamBatchId: Option[Long] = None,
-      streamCkptId: Option[String] = None)
+      streamCkptId: Option[String] = None,
+      satStreak: Int = 0,
+      migratedFrom: Option[Int] = None)
 
   /** Versions committed before the bucketed layout have no MANIFEST —
     * they read as (0, 0, 0, 0, None): all segments live, no base,
@@ -145,7 +180,9 @@ object DedupStream {
               // candidate list also produces (upgraded stores keep
               // their replay guard)
               .orElse(""""streamCkptHash":(-?\d+)""".r
-                .findFirstMatchIn(txt).map(m => "murmur:" + m.group(1)))))
+                .findFirstMatchIn(txt).map(m => "murmur:" + m.group(1))),
+            num("satStreak").getOrElse(0L).toInt,
+            num("migratedFrom").map(_.toInt)))
         case _ => throw new IllegalStateException(
           s"unreadable state manifest v$v: $txt")
       }
@@ -154,7 +191,9 @@ object DedupStream {
 
   private def writeManifest(stateDir: String, v: Long, compactions: Int,
       cFrom: Int, segFrom: Long, buckets: Int, owners: Vector[Long],
-      stream: Option[(String, Long)] = None): Unit = {
+      stream: Option[(String, Long)] = None,
+      satStreak: Int = 0,
+      migratedFrom: Option[Int] = None): Unit = {
     val dir = java.nio.file.Paths.get(stateDir, s"v$v")
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(dir.resolve("MANIFEST"),
@@ -162,6 +201,8 @@ object DedupStream {
         stream.map { case (ck, id) =>
           s""""streamCkptId":"${graft.Par.jsonEscape(ck)}","streamBatchId":$id,"""
         }.getOrElse("") +
+        (if (satStreak != 0) s""""satStreak":$satStreak,""" else "") +
+        migratedFrom.map(b => s""""migratedFrom":$b,""").getOrElse("") +
         s""""buckets":$buckets,"owners":[${owners.mkString(",")}]}""")
   }
 
@@ -602,11 +643,53 @@ object DedupStream {
     * the [[commitState]] upgrade path once. */
   def commitDelta(spark: SparkSession, stateDir: String, prev: DedupState,
       delta: AdmitDelta, maxLiveSegments: Int = MaxLiveSegments,
-      stream: Option[(String, Long)] = None): Long =
+      stream: Option[(String, Long)] = None,
+      autoMigrate: Boolean = true,
+      bucketBytesTarget: Long = AutoMigrateBucketBytes): Long = {
     // static plans for the O(batch + touched-bucket) commit writes —
     // see graft.Par.withStaticPlan
-    graft.Par.withStaticPlan(spark) {
+    val v = graft.Par.withStaticPlan(spark) {
       commitDeltaImpl(spark, stateDir, prev, delta, maxLiveSegments, stream)
+    }
+    // the auto-migration check runs AFTER the commit is durable and
+    // OUTSIDE the static-plan scope (a migration is corpus-sized work
+    // and wants AQE); layout-invariant callers (probe A/Bs, fixed-layout
+    // specs) opt out explicitly
+    if (autoMigrate) maybeAutoMigrate(spark, stateDir, bucketBytesTarget)
+      .getOrElse(v)
+    else v
+  }
+
+  /** Apply the [[AutoMigrateKeysPerBucket]] policy to the CURRENT
+    * committed state: migrate to the next bucket tier when the
+    * manifest's saturation streak has reached [[AutoMigrateStreak]] or
+    * the live base's per-bucket mass exceeds `bucketBytesTarget`.
+    * Returns the migration's version, or None when the layout is
+    * already right-sized (the common case — one manifest read, two
+    * directory sizings, zero jobs). */
+  private def maybeAutoMigrate(spark: SparkSession, stateDir: String,
+      bucketBytesTarget: Long): Option[Long] =
+    versionOf(stateDir).flatMap(v => manifestOf(stateDir, v)).flatMap { man =>
+      val b = man.buckets
+      if (man.owners.isEmpty || b <= 0) None
+      else {
+        val newB = math.min(b * AutoMigrateGrowth, AutoMigrateMaxBuckets)
+        lazy val baseBytes = Seq("bands", "shingles").map { t =>
+          (man.cFrom until man.compactions).map { j =>
+            val d = new java.io.File(stateDir, s"$t/base/cpart=$j")
+            if (d.isDirectory)
+              org.apache.commons.io.FileUtils.sizeOfDirectory(d) else 0L
+          }.sum
+        }.sum
+        val streakHit = man.satStreak >= AutoMigrateStreak
+        lazy val massHit = baseBytes / b > bucketBytesTarget
+        if (newB > b && (streakHit || massHit)) {
+          System.err.println(s"[chain] auto-migrating $b -> $newB buckets " +
+            s"(streak=${man.satStreak}" +
+            (if (streakHit) "" else f", base/bucket=${baseBytes / b}%d B") + ")")
+          Some(migrateBuckets(spark, stateDir, newB))
+        } else None
+      }
     }
 
   private def commitDeltaImpl(spark: SparkSession, stateDir: String,
@@ -673,8 +756,18 @@ object DedupStream {
             wr(delta.newShingles, s"shingles/seg$next")),
           () => foldTask.foreach(f => t("fold")(f()))): _*))
         val owners = touched.foldLeft(own)((v, k) => v.updated(k, next))
+        // saturation signal for the auto-migration policy: the batch's
+        // band-key upper bound vs the grid — driver-local when the
+        // frontier is (the steady trickle case); the big-batch fallback
+        // pays one count job on the already-pinned batch
+        val batchDocs = delta.localAssign.map(_.size.toLong)
+          .getOrElse(delta.newAssign.count())
+        val streak =
+          if (batchDocs * graft.operators.Dedup.NumBands >=
+              AutoMigrateKeysPerBucket * b) man.satStreak + 1
+          else 0
         writeManifest(stateDir, next, newC, newCFrom, newF, b, owners,
-          stream)
+          stream, satStreak = streak)
         promote(stateDir, next)
         retire(stateDir, next, newF, man.segFrom, newCFrom, man.cFrom,
           Some(owners), Some(own))
@@ -726,7 +819,7 @@ object DedupStream {
     // superseded (segFrom moves past this version's — empty — segment
     // slot, which never exists: migration admits no batch)
     writeManifest(stateDir, next, man.compactions + 1, man.compactions,
-      next + 1, newBuckets, owners)
+      next + 1, newBuckets, owners, migratedFrom = Some(man.buckets))
     promote(stateDir, next)
     retire(stateDir, next, next + 1, man.segFrom, man.compactions, man.cFrom,
       Some(owners), man.owners)

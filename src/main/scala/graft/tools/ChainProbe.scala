@@ -245,7 +245,14 @@ object ChainProbe {
       case Some("full") => IncrementalDedup.ProbeFull
       case _ => IncrementalDedup.ProbeAuto
     }
-    println(s"[L] days=$nDays ks=${ks.mkString(",")} probeMode=$probeMode")
+    // the r17 policy A/B: GRAFT_CHAIN_AUTOMIGRATE=off pins the layout at
+    // its bootstrap bucket count; GRAFT_CHAIN_BUCKET_BYTES scales the
+    // mass trigger down to toy state sizes
+    val autoMigrate = !sys.env.get("GRAFT_CHAIN_AUTOMIGRATE").contains("off")
+    val bucketBytes = sys.env.get("GRAFT_CHAIN_BUCKET_BYTES").map(_.toLong)
+      .getOrElse(DedupStream.AutoMigrateBucketBytes)
+    println(s"[L] days=$nDays ks=${ks.mkString(",")} probeMode=$probeMode " +
+      s"autoMigrate=$autoMigrate bucketBytes=$bucketBytes")
     val meter = newMeter(spark)
     def jobsNow: Long = meter.jobs
     def readNow: Long = meter.read
@@ -271,7 +278,8 @@ object ChainProbe {
               probeMode = probeMode)
             val mid = readNow
             DedupStream.commitDelta(spark, s"$root/state", prev, delta,
-              maxLiveSegments = k)
+              maxLiveSegments = k, autoMigrate = autoMigrate,
+              bucketBytesTarget = bucketBytes)
             delta.release()
             mid - r0
           case None =>
@@ -312,6 +320,9 @@ object ChainProbe {
         f"wall=$w10%.2f s jobs=$j10%.1f written=$m10%.2f MB " +
         f"read_admit=$ra10%.2f read_commit=$rc10%.2f | " +
         f"final state=${days.last.stateMb}%.1f MB")
+      // final layout (the policy's landing point when auto-migration ran)
+      DedupStream.loadState(spark, s"$root/state").foreach(st =>
+        println(s"[L k=$k] final buckets=${st.buckets.getOrElse(-1)}"))
       // final tier composition, for attributing the read columns
       val fin = fileSizes(stateDir)
       def tier(t: String) = fin.collect {

@@ -769,4 +769,65 @@ class DedupStreamSpec extends AnyFunSuite {
     Dedup.clearShingleCaches()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("auto bucket migration: saturation streak triggers, layout grows, chain == batch") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("automig").toString
+    // 10-doc days at a 4-bucket layout: 40 band keys >= 1.0 x 4 buckets
+    // saturates every commit, so the streak hits AutoMigrateStreak (3)
+    // at the third DELTA commit and the policy migrates 4 -> 16
+    def day(d: Int) = (0 until 10).map(i =>
+      (d * 100L + i, s"day $d document $i with its own unshared words " +
+        s"${d}x$i alpha beta gamma")).toDF("doc_id", "text")
+    DedupStream.commitState(IncrementalDedup.initialState(day(0)),
+      s"$root/a", buckets = 4)
+    val migratedAt = (1 to 4).flatMap { d =>
+      val prev = DedupStream.loadState(spark, s"$root/a").get
+      val delta = IncrementalDedup.admitBatchDelta(prev, day(d))
+      DedupStream.commitDelta(spark, s"$root/a", prev, delta)
+      delta.release()
+      val b = DedupStream.loadState(spark, s"$root/a").get.buckets.get
+      if (b != 4) Some(d -> b) else None
+    }
+    assert(migratedAt.headOption.exists(_._1 == 3),
+      s"expected the 4->16 migration right after the third saturated " +
+        s"delta commit, got $migratedAt")
+    val st = DedupStream.loadState(spark, s"$root/a").get
+    assert(st.buckets.contains(16), s"layout should land at 16: ${st.buckets}")
+    // migration recorded in the promoted manifest chain: some manifest
+    // carries migratedFrom (retention keeps current+previous, so check
+    // whichever survive)
+    val manifests = new java.io.File(s"$root/a").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(f => new java.io.File(f, "MANIFEST")).filter(_.isFile)
+      .map(f => Files.readString(f.toPath))
+    assert(manifests.exists(_.contains("\"migratedFrom\":4")),
+      s"migration not recorded: ${manifests.toSeq}")
+    // the migrated layout's stored bucket values obey the probe contract
+    import graft.operators.IncrementalDedup.{bandBucket, docBucket}
+    val base = new java.io.File(s"$root/a/bands/base").listFiles
+      .filter(_.getName.startsWith("cpart=")).map(_.getPath)
+    assert(spark.read.parquet(base: _*)
+      .filter(bandBucket(col("band"), col("band_hash"), 16) =!= col("bucket"))
+      .isEmpty, "migrated bands bucket disagrees with bandBucket() at b=16")
+    // chain == batch across the migration
+    val streamed = IncrementalDedup.labelsWithSizes(st).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Dedup.duplicateClusters((0 to 4).map(day).reduce(_ union _))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch, "auto-migration broke chain == batch")
+    // opt-out pins the layout (the fixed-layout A/B the probes rely on)
+    DedupStream.commitState(IncrementalDedup.initialState(day(0)),
+      s"$root/b", buckets = 4)
+    (1 to 4).foreach { d =>
+      val prev = DedupStream.loadState(spark, s"$root/b").get
+      val delta = IncrementalDedup.admitBatchDelta(prev, day(d))
+      DedupStream.commitDelta(spark, s"$root/b", prev, delta,
+        autoMigrate = false)
+      delta.release()
+    }
+    assert(DedupStream.loadState(spark, s"$root/b").get.buckets.contains(4))
+    Dedup.clearShingleCaches()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
