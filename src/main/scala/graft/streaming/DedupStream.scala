@@ -108,12 +108,27 @@ object DedupStream {
     * AQE), is atomic like any commit, and records `migratedFrom` in
     * its manifest. Growth is geometric (×4), capped at
     * [[AutoMigrateMaxBuckets]] so a corrupt size reading cannot
-    * explode the layout. */
+    * explode the layout.
+    *
+    * FLOOR: a migration is BLOCKED when it would land the base below
+    * [[AutoMigrateMinBucketBytes]] per bucket — the other half of the
+    * sizing rule. Without it, a bulk-ingest day whose key count
+    * saturates any affordable grid walks the layout geometrically into
+    * the tiny-file regime where parquet per-file floors dominate every
+    * read and write (measured: the r17 probe's warm chain hit 2048
+    * buckets on a ~5 MB corpus, 44 s/day — the floor stops that same
+    * chain at 512). Saturation says 'more buckets would prune better';
+    * the floor answers 'only while buckets still hold real data'. */
   val AutoMigrateKeysPerBucket = 1.0
   val AutoMigrateStreak = 3
   val AutoMigrateGrowth = 4
   val AutoMigrateMaxBuckets = 65536
   val AutoMigrateBucketBytes: Long = 256L * 1024 * 1024
+
+  /** Minimum post-migration base bytes per bucket (4 KiB keeps toy
+    * corpora honest; a production deployment raises this toward its
+    * block size — the knob is a [[commitDelta]] parameter). */
+  val AutoMigrateMinBucketBytes: Long = 4096L
 
   private val LabelsDdl = "doc_id BIGINT, cluster_id BIGINT"
   private val SizesDdl = "cluster_id BIGINT, cluster_size BIGINT"
@@ -645,7 +660,8 @@ object DedupStream {
       delta: AdmitDelta, maxLiveSegments: Int = MaxLiveSegments,
       stream: Option[(String, Long)] = None,
       autoMigrate: Boolean = true,
-      bucketBytesTarget: Long = AutoMigrateBucketBytes): Long = {
+      bucketBytesTarget: Long = AutoMigrateBucketBytes,
+      bucketBytesFloor: Long = AutoMigrateMinBucketBytes): Long = {
     // static plans for the O(batch + touched-bucket) commit writes —
     // see graft.Par.withStaticPlan
     val v = graft.Par.withStaticPlan(spark) {
@@ -655,8 +671,9 @@ object DedupStream {
     // OUTSIDE the static-plan scope (a migration is corpus-sized work
     // and wants AQE); layout-invariant callers (probe A/Bs, fixed-layout
     // specs) opt out explicitly
-    if (autoMigrate) maybeAutoMigrate(spark, stateDir, bucketBytesTarget)
-      .getOrElse(v)
+    if (autoMigrate)
+      maybeAutoMigrate(spark, stateDir, bucketBytesTarget, bucketBytesFloor)
+        .getOrElse(v)
     else v
   }
 
@@ -668,7 +685,7 @@ object DedupStream {
     * already right-sized (the common case — one manifest read, two
     * directory sizings, zero jobs). */
   private def maybeAutoMigrate(spark: SparkSession, stateDir: String,
-      bucketBytesTarget: Long): Option[Long] =
+      bucketBytesTarget: Long, bucketBytesFloor: Long): Option[Long] =
     versionOf(stateDir).flatMap(v => manifestOf(stateDir, v)).flatMap { man =>
       val b = man.buckets
       if (man.owners.isEmpty || b <= 0) None
@@ -683,7 +700,9 @@ object DedupStream {
         }.sum
         val streakHit = man.satStreak >= AutoMigrateStreak
         lazy val massHit = baseBytes / b > bucketBytesTarget
-        if (newB > b && (streakHit || massHit)) {
+        // the floor: never migrate INTO the tiny-file regime
+        lazy val floorOk = baseBytes / newB >= bucketBytesFloor
+        if (newB > b && (streakHit || massHit) && floorOk) {
           System.err.println(s"[chain] auto-migrating $b -> $newB buckets " +
             s"(streak=${man.satStreak}" +
             (if (streakHit) "" else f", base/bucket=${baseBytes / b}%d B") + ")")

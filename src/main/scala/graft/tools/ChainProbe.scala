@@ -69,8 +69,11 @@ object ChainProbe {
         DedupStream.loadState(spark, s"$root/state") match {
           case Some(prev) if !strip =>
             val delta = IncrementalDedup.admitBatchDelta(prev, batch)
+            // fixed layout: these variants A/B the FOLD CADENCE, so the
+            // bucket count must stay a controlled constant (L carries
+            // the auto-migration knobs)
             DedupStream.commitDelta(spark, s"$root/state", prev, delta,
-              maxLiveSegments = maxSegs)
+              maxLiveSegments = maxSegs, autoMigrate = false)
             delta.release()
           case Some(prev) => // stripped variant: full-state write path
             DedupStream.commitState(
@@ -279,7 +282,10 @@ object ChainProbe {
             val mid = readNow
             DedupStream.commitDelta(spark, s"$root/state", prev, delta,
               maxLiveSegments = k, autoMigrate = autoMigrate,
-              bucketBytesTarget = bucketBytes)
+              bucketBytesTarget = bucketBytes,
+              bucketBytesFloor = sys.env.get("GRAFT_CHAIN_BUCKET_FLOOR")
+                .map(_.toLong)
+                .getOrElse(DedupStream.AutoMigrateMinBucketBytes))
             delta.release()
             mid - r0
           case None =>

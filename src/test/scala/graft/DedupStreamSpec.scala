@@ -781,10 +781,14 @@ class DedupStreamSpec extends AnyFunSuite {
         s"${d}x$i alpha beta gamma")).toDF("doc_id", "text")
     DedupStream.commitState(IncrementalDedup.initialState(day(0)),
       s"$root/a", buckets = 4)
+    // floor=0: a toy corpus's base is all parquet overhead, and the
+    // tiny-file floor (tested on chain /c below) would rightly block
+    // the migration this part wants to observe
     val migratedAt = (1 to 4).flatMap { d =>
       val prev = DedupStream.loadState(spark, s"$root/a").get
       val delta = IncrementalDedup.admitBatchDelta(prev, day(d))
-      DedupStream.commitDelta(spark, s"$root/a", prev, delta)
+      DedupStream.commitDelta(spark, s"$root/a", prev, delta,
+        bucketBytesFloor = 0L)
       delta.release()
       val b = DedupStream.loadState(spark, s"$root/a").get.buckets.get
       if (b != 4) Some(d -> b) else None
@@ -827,6 +831,20 @@ class DedupStreamSpec extends AnyFunSuite {
       delta.release()
     }
     assert(DedupStream.loadState(spark, s"$root/b").get.buckets.contains(4))
+    // the tiny-file floor: the DEFAULT policy on the same saturated
+    // chain refuses to migrate, because 16 buckets of this toy base
+    // would hold < AutoMigrateMinBucketBytes each — saturation says
+    // 'prune more', the floor answers 'buckets must hold real data'
+    DedupStream.commitState(IncrementalDedup.initialState(day(0)),
+      s"$root/c", buckets = 4)
+    (1 to 4).foreach { d =>
+      val prev = DedupStream.loadState(spark, s"$root/c").get
+      val delta = IncrementalDedup.admitBatchDelta(prev, day(d))
+      DedupStream.commitDelta(spark, s"$root/c", prev, delta)
+      delta.release()
+    }
+    assert(DedupStream.loadState(spark, s"$root/c").get.buckets.contains(4),
+      "the tiny-file floor should have blocked this toy-corpus migration")
     Dedup.clearShingleCaches()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
