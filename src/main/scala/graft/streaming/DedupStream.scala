@@ -125,10 +125,16 @@ object DedupStream {
   val AutoMigrateMaxBuckets = 65536
   val AutoMigrateBucketBytes: Long = 256L * 1024 * 1024
 
-  /** Minimum post-migration base bytes per bucket (4 KiB keeps toy
-    * corpora honest; a production deployment raises this toward its
-    * block size — the knob is a [[commitDelta]] parameter). */
-  val AutoMigrateMinBucketBytes: Long = 4096L
+  /** Minimum post-migration base bytes per bucket. MEASURED, not
+    * guessed (bench/CHAINPROBE_r17_automig.txt): a 100-day bulk chain
+    * migrated to 512 buckets at ~5 KiB/bucket read 2.2× MORE bytes and
+    * 7× MORE wall per day than the unmigrated 32-bucket control —
+    * below the parquet footer-floor crossover every touched bucket
+    * costs a fixed file overhead, so MORE buckets means MORE read until
+    * buckets hold real mass. 1 MiB sits safely above that crossover at
+    * this row width; a production deployment raises it toward its
+    * block size — the knob is a [[commitDelta]] parameter. */
+  val AutoMigrateMinBucketBytes: Long = 1024L * 1024
 
   private val LabelsDdl = "doc_id BIGINT, cluster_id BIGINT"
   private val SizesDdl = "cluster_id BIGINT, cluster_size BIGINT"

@@ -106,9 +106,69 @@ object ChainProbe {
       case 'L' => longChain(spark, docs)
       case 'E' => embeddingChain(spark, sfDir)
       case 'P' => probeScaling(spark, docs)
+      case 'M' => migrationTrickle(spark, docs)
       case _ => ()
     }
     spark.stop()
+  }
+
+  /** Variant M: the auto-migration policy's DEPLOYMENT story, at toy
+    * scale via scaled-down knobs — bootstrap most of the corpus at 32
+    * buckets (deliberately undersized: per-bucket mass starts above the
+    * toy mass target), then trickle small daily batches with
+    * auto-migration ON, mass target/floor scaled to the corpus
+    * (GRAFT_CHAIN_MASS_TARGET / GRAFT_CHAIN_BUCKET_FLOOR, defaults
+    * 32 KiB / 4 KiB here). Claim: the MASS trigger fires without any
+    * manual call, the layout self-migrates to the tier where per-bucket
+    * mass is back under target, and per-day read_admit DROPS at the
+    * migration and stays flat after — bounded by
+    * touched-buckets × per-bucket target, the invariant a real
+    * deployment holds by raising the same two knobs to block-size
+    * numbers. (The companion L A/B measured the OTHER regime: a bulk
+    * chain below the footer-floor crossover, where the floor must
+    * BLOCK migration — see AutoMigrateMinBucketBytes.) */
+  private def migrationTrickle(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame): Unit = {
+    val meter = newMeter(spark)
+    val days = sys.env.get("GRAFT_CHAIN_DAYS").map(_.toInt).getOrElse(100)
+    val target = sys.env.get("GRAFT_CHAIN_MASS_TARGET").map(_.toLong)
+      .getOrElse(32L * 1024)
+    val floor = sys.env.get("GRAFT_CHAIN_BUCKET_FLOOR").map(_.toLong)
+      .getOrElse(4096L)
+    println(s"[M] days=$days massTarget=$target floor=$floor start=32 buckets")
+    val root = java.nio.file.Files.createTempDirectory("chainM").toString
+    val boot = docs.filter(col("doc_id") % 10 =!= 0)
+    DedupStream.commitState(IncrementalDedup.initialState(boot),
+      s"$root/state", buckets = 32)
+    Dedup.clearShingleCaches()
+    val series = (0 until days).map { d =>
+      val batch = graft.Checkpoints.pin(docs.filter(
+        col("doc_id") % 10 === 0 && (col("doc_id") / 10) % 100 === d))
+      val r0 = meter.read
+      val w0 = System.nanoTime()
+      val prev = DedupStream.loadState(spark, s"$root/state").get
+      val delta = IncrementalDedup.admitBatchDelta(prev, batch,
+        probeMode = IncrementalDedup.ProbePruned)
+      val rAdmit = meter.read - r0
+      DedupStream.commitDelta(spark, s"$root/state", prev, delta,
+        bucketBytesTarget = target, bucketBytesFloor = floor)
+      delta.release()
+      Dedup.clearShingleCaches()
+      graft.Checkpoints.free(batch)
+      val b = DedupStream.loadState(spark, s"$root/state").get
+        .buckets.getOrElse(-1)
+      (rAdmit / 1048576.0, b, (System.nanoTime() - w0) / 1e9)
+    }
+    println("[M] read_admit " + series.map(s => f"${s._1}%.3f").mkString(" "))
+    println("[M] buckets    " + series.map(_._2).mkString(" "))
+    println("[M] wall       " + series.map(s => f"${s._3}%.2f").mkString(" "))
+    val migDays = series.zipWithIndex.collect {
+      case ((_, b, _), i) if i == 0 || b != series(i - 1)._2 => i -> b }
+    println(s"[M] layout trajectory: ${migDays.mkString(" ")}")
+    meter.close()
+    try org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+    catch { case _: Exception => }
   }
 
   /** Variant P: is the admission's probe READ bounded by the layout's
