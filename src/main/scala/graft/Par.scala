@@ -145,8 +145,14 @@ private[graft] object Par {
       * JVM's lifetime otherwise — a probe run creating one meter per
       * variant would accumulate listeners that keep counting (and
       * paying bus dispatch) long after their columns were printed.
-      * Reads after close() return the final counts. */
-    def close(): Unit = sc.removeSparkListener(listener)
+      * Drains the bus FIRST so events already emitted but not yet
+      * dispatched land in the counters — reads after close() then
+      * return the final counts (a remove-without-drain would silently
+      * drop the last action's queued events). */
+    def close(): Unit = {
+      drain()
+      sc.removeSparkListener(listener)
+    }
     // only a drain TIMEOUT degrades to a possibly-stale read (the
     // counters are still monotone); any other failure means the meter's
     // numbers can't be trusted and must fail loudly — these columns are

@@ -917,12 +917,17 @@ object Dedup {
         probes = AutoLshProbes)
         .select(col("vec_a"), col("vec_b"), lit(1).as("hit"))
       // stratum pair sets are cap-bounded by construction (≈cap²/2 dot
-      // products upstream); the collect is the K-bounded evidence row set
+      // products upstream); the collect is the K-bounded evidence row set.
+      // Bucket in INTEGER space: cos_sim is HALF_UP-rounded to 4dp
+      // upstream, so a true 0.6000 arrives as 0.5999999999999999778 and
+      // a double floor(x/0.05) would drop it one bucket — misclassifying
+      // exactly the threshold-edge pairs this decomposition attributes
       exactP.join(lshP, Seq("vec_a", "vec_b"), "left")
-        .groupBy(floor(col("cos_sim") / 0.05d).cast("int").as("bk"))
+        .groupBy(expr("CAST(ROUND(cos_sim * 10000) AS BIGINT) div 500")
+          .as("bk"))
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
         .collect()
-        .map(r => (r.getInt(0) * 0.05, r.getLong(1), r.getLong(2)))
+        .map(r => (r.getLong(0) * 0.05, r.getLong(1), r.getLong(2)))
         .sortBy(_._1).toSeq
     } finally graft.Checkpoints.free(stratum)
   }

@@ -61,8 +61,9 @@ object Multimodal {
 
   /** Pure-JVM header parsers for the three fixture formats, whose
     * typed metadata lives in fixed, public byte layouts — PNG (IHDR),
-    * JPEG (SOF) and WAV (RIFF/fmt) — turning the [[fakeDecode]] seam
-    * into a REAL decoder for media metadata without any codec library.
+    * JPEG (SOF) and WAV (RIFF/fmt) — a REAL decoder for media
+    * metadata without any codec library (it replaced the early rounds'
+    * stub seam, deleted in r17).
     *
     * Malformed input returns (-1, -1, 0) instead of throwing: at fleet
     * scale one corrupt object must not kill a 100 TB scan — the sentinel
@@ -314,7 +315,12 @@ object Multimodal {
     media.filter(col("format") === "wav").mapPartitions { rows =>
       rows.map { r =>
         val (rate, ch, bits, off) = MediaCodec.parseWav(r.media)
-        if (rate < 0)
+        // a structurally valid RIFF whose fmt declares a width we can't
+        // decode (bits not a whole small byte count) is malformed FOR
+        // THIS DECODER: same filterable sentinel, never a thrown task
+        // (bits=0 would divide by zero below; bits>64 would wrap the
+        // little-endian shift into garbage)
+        if (rate < 0 || !Set(8L, 16L, 24L, 32L).contains(bits))
           PcmStats(r.media_id, -1L, -1L, -1L, -1L, 0.0, 0L, 0.0)
         else {
           val w = (bits / 8).toInt

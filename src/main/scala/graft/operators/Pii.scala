@@ -40,7 +40,13 @@ import graft.engine.Tables
   * IPv6 coverage: the full 8-group form and `::`-compressed forms; a
   * bare `::` never matches (the C++ scope operator in code-heavy
   * corpora — fixture-pinned), so a compressed form must carry at least
-  * one hex group on one side of the `::`.
+  * one hex group on one side of the `::`. KNOWN OVER-MATCH, pinned and
+  * deliberate: `::` followed by a hex-SPELLED identifier (`std::dec`,
+  * `Color::face`) reads as a compressed address — RE2 has no
+  * lookbehind, so the leading-`::` form cannot demand a non-word left
+  * context without also missing real `::1`/`::ffff:…` occurrences.
+  * Over-redaction is the safe direction; n_ipv6 is an upper bound like
+  * the other shape counts.
   */
 object Pii {
 
@@ -159,7 +165,11 @@ object Pii {
       "prefix 2001:db8:: announced"),
     // the scope-operator hazard: a bare :: (and ::<non-hex>) in code
     // must not read as an address — zero counts on this row
-    (2000010L, "code sample std::string s; std::vector::iterator it"))
+    (2000010L, "code sample std::string s; std::vector::iterator it"),
+    // the DOCUMENTED over-match: a hex-spelled identifier after ::
+    // counts as ipv6 (n_ipv6 = 1 here — '::dec'); pinned so the upper-
+    // bound semantics of the audit counts stay explicit, not silent
+    (2000011L, "stream << std::dec << x; std::hex is fine though"))
 
   /** q73: the scrub over real corpus rows UNION the planted fixture —
     * per-doc class counts plus the md5 of the redacted text, so the

@@ -843,8 +843,17 @@ object DedupStream {
     // prior compaction and every live segment is folded in and
     // superseded (segFrom moves past this version's — empty — segment
     // slot, which never exists: migration admits no batch)
+    // carry the streaming replay guard FORWARD: migration admits no
+    // batch, so the last admitted (checkpoint identity, batch id) must
+    // survive into this manifest — dropping it would open the exact
+    // at-least-once window the guard exists for (a crash between the
+    // migrated commit and the streaming checkpoint would re-admit the
+    // last micro-batch against its own stored copies)
     writeManifest(stateDir, next, man.compactions + 1, man.compactions,
-      next + 1, newBuckets, owners, migratedFrom = Some(man.buckets))
+      next + 1, newBuckets, owners,
+      stream = for { c <- man.streamCkptId; b <- man.streamBatchId }
+        yield (c, b),
+      migratedFrom = Some(man.buckets))
     promote(stateDir, next)
     retire(stateDir, next, next + 1, man.segFrom, man.compactions, man.cFrom,
       Some(owners), man.owners)

@@ -210,7 +210,9 @@ object ChainProbe {
         val delta = IncrementalDedup.admitBatchDelta(prev, batch,
           probeMode = IncrementalDedup.ProbePruned)
         val rAdmit = meter.read - r0
-        DedupStream.commitDelta(spark, s"$root/state", prev, delta)
+        // fixed layout: this variant MEASURES specific bucket counts
+        DedupStream.commitDelta(spark, s"$root/state", prev, delta,
+          autoMigrate = false)
         delta.release()
         Dedup.clearShingleCaches()
         graft.Checkpoints.free(batch)
@@ -420,7 +422,10 @@ object ChainProbe {
       DedupStream.loadState(spark, s"$root/state") match {
         case Some(prev) =>
           val delta = IncrementalDedup.admitBatchDelta(prev, batch)
-          DedupStream.commitDelta(spark, s"$root/state", prev, delta)
+          // fixed layout: the A/B below measures the 32-bucket labels
+          // read; a mid-run migration would change the measured layout
+          DedupStream.commitDelta(spark, s"$root/state", prev, delta,
+            autoMigrate = false)
           delta.release()
         case None =>
           DedupStream.commitState(IncrementalDedup.initialState(batch),

@@ -59,10 +59,22 @@ object RouteRecallProbe {
     // the gate) — the number every stratum estimate below is estimating
     show("FULL  ", Dedup.lshRouteRecallDecomposed(emb, threshold, n, cap = n))
 
-    for (cap <- caps; off <- 0 until nOffsets)
-      show(f"cap=$cap%-5d off=$off",
-        Dedup.lshRouteRecallDecomposed(emb, threshold, n, cap,
-          gateOffset = off * 7919L))
+    // resamples rotate the gate by WHOLE WINDOWS (off * keep): strata
+    // are disjoint partitions of the hash space, not sliding windows
+    // that share most of their vectors. When the gate is inactive
+    // (cap >= n, keep == denom) every resample would be the identical
+    // full corpus — say so once instead of printing fake replicates.
+    val denom = 1L << 20
+    for (cap <- caps) {
+      val keep = math.max(1L, math.min(denom, cap * denom / math.max(1L, n)))
+      if (keep >= denom)
+        println(s"[route] cap=$cap gate inactive (cap >= n): the FULL row " +
+          "above IS the stamped stratum; no independent resamples exist")
+      else for (off <- 0 until math.min(nOffsets.toLong, denom / keep).toInt)
+        show(f"cap=$cap%-5d off=$off",
+          Dedup.lshRouteRecallDecomposed(emb, threshold, n, cap,
+            gateOffset = off * keep))
+    }
     spark.stop()
   }
 }

@@ -137,6 +137,13 @@ class MultimodalSpec extends AnyFunSuite {
       wav(6, 16, Array.empty[Byte]),
       // malformed wav -> filterable sentinel, not a throw
       MediaRow(7, Array[Byte]('R', 'I', 'F', 'F', 1, 2, 3), "wav"),
+      // structurally valid RIFF whose fmt declares an undecodable width:
+      // bits=0 would divide by zero, bits=12 would decode garbage —
+      // sentinel, not a thrown task (review finding r17)
+      MediaRow(9007, MediaCodec.wavHeader(8000, 1, 0, 4)
+        ++ Array[Byte](1, 2, 3, 4), "wav"),
+      MediaRow(9012, MediaCodec.wavHeader(8000, 1, 12, 4)
+        ++ Array[Byte](1, 2, 3, 4), "wav"),
       // non-wav rows are not this operator's domain
       MediaRow(8, MediaCodec.pngHeader(4, 4), "png"))
     val out = Multimodal.pcmStats(rows.toDS()).collect()
@@ -163,6 +170,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(5L).rms == 2147483648.0 && out(5L).mean_amp == -2147483648.0)
     assert(out(6L) == PcmStats(6, 8000, 1, 16, 0, 0.0, 0, 0.0))
     assert(out(7L) == PcmStats(7, -1, -1, -1, -1, 0.0, 0, 0.0))
+    Seq(9007L, 9012L).foreach { id =>
+      assert(out(id) == PcmStats(id, -1, -1, -1, -1, 0.0, 0, 0.0),
+        s"undecodable declared width must sentinel: ${out(id)}")
+    }
   }
 
   test("decodeFeatures parses generator headers back and isolates the payload") {

@@ -424,6 +424,10 @@ class TextAnalysisSpec extends AnyFunSuite {
         "and ::1 and 2001:db8:: done"),
       // scope-operator hazard: bare :: (and ::<non-hex>) never matches
       (11L, "std::string s; std::vector::iterator it"),
+      // the DOCUMENTED over-match (RE2 has no lookbehind): a hex-SPELLED
+      // identifier after :: reads as a compressed address; 'hex' itself
+      // ('x' is not a hex digit) does not
+      (13L, "stream << std::dec << x; std::hex is fine though"),
       // IPv4-mapped IPv6: the ipv4-first order redacts the dotted tail,
       // then the hex head reads as a (now tail-less) compressed form
       (12L, "mapped ::ffff:192.168.0.1 routes")).toDF("doc_id", "text")
@@ -470,6 +474,9 @@ class TextAnalysisSpec extends AnyFunSuite {
       "std::vector::iterator it", s"doc11: ${red(11L)}")
     assert(n(12L, "ipv4") == 1 && n(12L, "ipv6") == 1 &&
       red(12L) == "mapped <IPV6>:<IP> routes", s"doc12: ${red(12L)}")
+    assert(n(13L, "ipv6") == 1 &&
+      red(13L) == "stream << std<IPV6> << x; std::hex is fine though",
+      s"doc13 (documented ::dec over-match): ${red(13L)}")
   }
 
   test("Luhn expression: checksum ground truth, separators, degenerate input") {
