@@ -455,7 +455,13 @@ object Multimodal {
     * hex pairs with the same 8-bit-unsigned / two's-complement rule.
     * DuckDB's SUM over BIGINT promotes to HUGEINT, so the sum of
     * squares is exact like the engine's int128 accumulator; both sides
-    * then perform the identical correctly-rounded double ops. */
+    * then perform the identical correctly-rounded double ops. The ONE
+    * subtlety (found by a 1-ulp hash mismatch at sf0.1): DuckDB's
+    * direct HUGEINT→DOUBLE cast rounds twice (hi·2⁶⁴ + lo as floats),
+    * while the engine's BigInteger conversion rounds once — so the
+    * oracle routes the conversion through the exact decimal string
+    * (`::VARCHAR::DOUBLE`, correctly-rounded strtod), restoring
+    * single-rounding on both sides. */
   val qPcmStatsSql: String = {
     // byte j of the payload as a BIGINT (hex pairs, 1-based substr),
     // TOTAL: out-of-range reads 0 so the unused high-byte terms of
@@ -495,7 +501,8 @@ object Multimodal {
        |                 ELSE list_max(list_transform(samples, s -> abs(s)))
        |            END AS BIGINT) AS peak_abs,
        |       CASE WHEN n_samples = 0 THEN 0.0
-       |            ELSE sqrt(list_sum(list_transform(samples, s -> s * s))::DOUBLE
+       |            ELSE sqrt((list_sum(list_transform(samples, s -> s * s))
+       |                       ::VARCHAR)::DOUBLE
        |                      / n_samples) END AS rms
        |FROM smp ORDER BY media_id""".stripMargin
   }
