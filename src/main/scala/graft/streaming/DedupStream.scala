@@ -87,40 +87,41 @@ object DedupStream {
     * touched/total buckets and flatten when batch keys ≪ bucket count,
     * but [[migrateBuckets]] had no trigger). A commit migrates the
     * layout to [[AutoMigrateGrowth]]× the current bucket count when
-    * EITHER
+    * the live base's average bytes per bucket exceed
+    * `bucketBytesTarget` — the layout's own sizing rule ("one bucket ≈
+    * a few block-sized files"; default 256 MiB) made enforceable. Mass
+    * is monotone, so no streak logic: as the corpus grows 4×, one
+    * amortized O(corpus) migration re-establishes bounded per-bucket
+    * probe reads, exactly like a major fold. The check is one manifest
+    * read + two driver-side directory sizings — zero Spark jobs.
     *
-    *  1. SATURATION: the batch's band-key upper bound (batch docs ×
-    *     [[graft.operators.Dedup.NumBands]] — analytic, zero extra
-    *     jobs in the driver-local frontier case) is ≥
-    *     [[AutoMigrateKeysPerBucket]] × buckets for
-    *     [[AutoMigrateStreak]] CONSECUTIVE commits (the manifest
-    *     carries the streak; one-off backfill bulges don't migrate —
-    *     the foldPlan mass rule already absorbs those), or
-    *  2. MASS: the live base's average bytes per bucket exceeds
-    *     `bucketBytesTarget` (the layout's own sizing rule — "one
-    *     bucket ≈ a few block-sized files"; default 256 MiB). Mass is
-    *     monotone, so no streak: as the corpus grows 4×, one O(corpus)
-    *     migration re-establishes bounded per-bucket probe reads —
-    *     amortized exactly like a major fold.
+    * A BATCH-SATURATION trigger (migrate when batch keys ≥ buckets for
+    * M consecutive commits) was implemented first and MEASURED OUT
+    * (`bench/CHAINPROBE_r17_automig.txt`, and the sf10 chain stamps in
+    * `bench/BENCH_DETAIL_r17_sf10.json`): a batch that saturates the
+    * grid saturates it at 4× the buckets too — touched/total stays ~1,
+    * so the probe prunes nothing either way — while the commit pays ×4
+    * the files, tasks, and renames every day after (sf10 chain: the
+    * migration day wrote 306 MB vs 138, then 38 jobs/day vs 29 and
+    * ~+30% wall FOREVER). Saturation is precisely the regime where
+    * migration cannot pay; per-bucket MASS is the one that can (the
+    * trickle-regime probes P and M, where touched ≪ total, measure the
+    * win directly).
     *
     * The migration itself runs AFTER the commit promotes (outside the
     * admission's static-plan scope — it is corpus-sized work and wants
-    * AQE), is atomic like any commit, and records `migratedFrom` in
-    * its manifest. Growth is geometric (×4), capped at
-    * [[AutoMigrateMaxBuckets]] so a corrupt size reading cannot
-    * explode the layout.
+    * AQE), is atomic like any commit, records `migratedFrom` in its
+    * manifest, and carries the streaming replay guard forward. Growth
+    * is geometric (×4), capped at [[AutoMigrateMaxBuckets]] so a
+    * corrupt size reading cannot explode the layout.
     *
     * FLOOR: a migration is BLOCKED when it would land the base below
     * [[AutoMigrateMinBucketBytes]] per bucket — the other half of the
-    * sizing rule. Without it, a bulk-ingest day whose key count
-    * saturates any affordable grid walks the layout geometrically into
-    * the tiny-file regime where parquet per-file floors dominate every
-    * read and write (measured: the r17 probe's warm chain hit 2048
-    * buckets on a ~5 MB corpus, 44 s/day — the floor stops that same
-    * chain at 512). Saturation says 'more buckets would prune better';
-    * the floor answers 'only while buckets still hold real data'. */
-  val AutoMigrateKeysPerBucket = 1.0
-  val AutoMigrateStreak = 3
+    * sizing rule. Below the parquet footer-floor crossover every
+    * touched bucket costs a fixed per-file overhead, so more buckets
+    * mean MORE read until buckets hold real mass (measured: a probe
+    * chain migrated to ~5 KiB buckets read 2.2× the bytes and 7× the
+    * wall of its unmigrated control). */
   val AutoMigrateGrowth = 4
   val AutoMigrateMaxBuckets = 65536
   val AutoMigrateBucketBytes: Long = 256L * 1024 * 1024
@@ -174,7 +175,6 @@ object DedupStream {
       segFrom: Long, buckets: Int, owners: Option[Vector[Long]],
       streamBatchId: Option[Long] = None,
       streamCkptId: Option[String] = None,
-      satStreak: Int = 0,
       migratedFrom: Option[Int] = None)
 
   /** Versions committed before the bucketed layout have no MANIFEST —
@@ -202,7 +202,6 @@ object DedupStream {
               // their replay guard)
               .orElse(""""streamCkptHash":(-?\d+)""".r
                 .findFirstMatchIn(txt).map(m => "murmur:" + m.group(1))),
-            num("satStreak").getOrElse(0L).toInt,
             num("migratedFrom").map(_.toInt)))
         case _ => throw new IllegalStateException(
           s"unreadable state manifest v$v: $txt")
@@ -213,7 +212,6 @@ object DedupStream {
   private def writeManifest(stateDir: String, v: Long, compactions: Int,
       cFrom: Int, segFrom: Long, buckets: Int, owners: Vector[Long],
       stream: Option[(String, Long)] = None,
-      satStreak: Int = 0,
       migratedFrom: Option[Int] = None): Unit = {
     val dir = java.nio.file.Paths.get(stateDir, s"v$v")
     java.nio.file.Files.createDirectories(dir)
@@ -222,7 +220,6 @@ object DedupStream {
         stream.map { case (ck, id) =>
           s""""streamCkptId":"${graft.Par.jsonEscape(ck)}","streamBatchId":$id,"""
         }.getOrElse("") +
-        (if (satStreak != 0) s""""satStreak":$satStreak,""" else "") +
         migratedFrom.map(b => s""""migratedFrom":$b,""").getOrElse("") +
         s""""buckets":$buckets,"owners":[${owners.mkString(",")}]}""")
   }
@@ -683,13 +680,12 @@ object DedupStream {
     else v
   }
 
-  /** Apply the [[AutoMigrateKeysPerBucket]] policy to the CURRENT
-    * committed state: migrate to the next bucket tier when the
-    * manifest's saturation streak has reached [[AutoMigrateStreak]] or
-    * the live base's per-bucket mass exceeds `bucketBytesTarget`.
-    * Returns the migration's version, or None when the layout is
-    * already right-sized (the common case — one manifest read, two
-    * directory sizings, zero jobs). */
+  /** Apply the mass policy to the CURRENT committed state: migrate to
+    * the next bucket tier when the live base's per-bucket mass exceeds
+    * `bucketBytesTarget` (and would stay above `bucketBytesFloor` at
+    * the new count). Returns the migration's version, or None when the
+    * layout is already right-sized (the common case — one manifest
+    * read, two directory sizings, zero jobs). */
   private def maybeAutoMigrate(spark: SparkSession, stateDir: String,
       bucketBytesTarget: Long, bucketBytesFloor: Long): Option[Long] =
     versionOf(stateDir).flatMap(v => manifestOf(stateDir, v)).flatMap { man =>
@@ -704,14 +700,12 @@ object DedupStream {
               org.apache.commons.io.FileUtils.sizeOfDirectory(d) else 0L
           }.sum
         }.sum
-        val streakHit = man.satStreak >= AutoMigrateStreak
-        lazy val massHit = baseBytes / b > bucketBytesTarget
+        val massHit = baseBytes / b > bucketBytesTarget
         // the floor: never migrate INTO the tiny-file regime
         lazy val floorOk = baseBytes / newB >= bucketBytesFloor
-        if (newB > b && (streakHit || massHit) && floorOk) {
+        if (newB > b && massHit && floorOk) {
           System.err.println(s"[chain] auto-migrating $b -> $newB buckets " +
-            s"(streak=${man.satStreak}" +
-            (if (streakHit) "" else f", base/bucket=${baseBytes / b}%d B") + ")")
+            s"(base/bucket=${baseBytes / b} B > target $bucketBytesTarget)")
           Some(migrateBuckets(spark, stateDir, newB))
         } else None
       }
@@ -781,18 +775,8 @@ object DedupStream {
             wr(delta.newShingles, s"shingles/seg$next")),
           () => foldTask.foreach(f => t("fold")(f()))): _*))
         val owners = touched.foldLeft(own)((v, k) => v.updated(k, next))
-        // saturation signal for the auto-migration policy: the batch's
-        // band-key upper bound vs the grid — driver-local when the
-        // frontier is (the steady trickle case); the big-batch fallback
-        // pays one count job on the already-pinned batch
-        val batchDocs = delta.localAssign.map(_.size.toLong)
-          .getOrElse(delta.newAssign.count())
-        val streak =
-          if (batchDocs * graft.operators.Dedup.NumBands >=
-              AutoMigrateKeysPerBucket * b) man.satStreak + 1
-          else 0
         writeManifest(stateDir, next, newC, newCFrom, newF, b, owners,
-          stream, satStreak = streak)
+          stream)
         promote(stateDir, next)
         retire(stateDir, next, newF, man.segFrom, newCFrom, man.cFrom,
           Some(owners), Some(own))

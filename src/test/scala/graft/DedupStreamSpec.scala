@@ -770,51 +770,57 @@ class DedupStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
-  test("auto bucket migration: saturation streak triggers, layout grows, chain == batch") {
+  test("auto bucket migration: mass trigger fires, floor blocks, opt-out pins, chain == batch") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("automig").toString
-    // 10-doc days at a 4-bucket layout: 40 band keys >= 1.0 x 4 buckets
-    // saturates every commit, so the streak hits AutoMigrateStreak (3)
-    // at the third DELTA commit and the policy migrates 4 -> 16
     def day(d: Int) = (0 until 10).map(i =>
       (d * 100L + i, s"day $d document $i with its own unshared words " +
         s"${d}x$i alpha beta gamma")).toDF("doc_id", "text")
+    // chain /a: a 1-byte mass target makes ANY folded base oversized, and
+    // floor=0 disarms the tiny-file guard — the MASS trigger must migrate
+    // 4 -> 16 at the FIRST delta commit with no manual call. (The
+    // batch-saturation trigger that an earlier build used here was
+    // measured out — a saturated grid is saturated at 4x the buckets too;
+    // see the policy scaladoc and bench/CHAINPROBE_r17_automig.txt.)
     DedupStream.commitState(IncrementalDedup.initialState(day(0)),
       s"$root/a", buckets = 4)
-    // floor=0: a toy corpus's base is all parquet overhead, and the
-    // tiny-file floor (tested on chain /c below) would rightly block
-    // the migration this part wants to observe
     val migratedAt = (1 to 4).flatMap { d =>
       val prev = DedupStream.loadState(spark, s"$root/a").get
       val delta = IncrementalDedup.admitBatchDelta(prev, day(d))
       DedupStream.commitDelta(spark, s"$root/a", prev, delta,
-        bucketBytesFloor = 0L)
+        bucketBytesTarget = 1L, bucketBytesFloor = 0L)
       delta.release()
       val b = DedupStream.loadState(spark, s"$root/a").get.buckets.get
       if (b != 4) Some(d -> b) else None
     }
-    assert(migratedAt.headOption.exists(_._1 == 3),
-      s"expected the 4->16 migration right after the third saturated " +
-        s"delta commit, got $migratedAt")
+    assert(migratedAt.headOption.exists(_._1 == 1),
+      s"expected the 4->16 mass migration at the first delta commit, " +
+        s"got $migratedAt")
     val st = DedupStream.loadState(spark, s"$root/a").get
-    assert(st.buckets.contains(16), s"layout should land at 16: ${st.buckets}")
-    // migration recorded in the promoted manifest chain: some manifest
-    // carries migratedFrom (retention keeps current+previous, so check
-    // whichever survive)
+    // geometric growth continues while mass stays over target (and the
+    // floor is off) — the cap test is AutoMigrateMaxBuckets, not 16
+    assert(st.buckets.exists(_ > 4), s"layout never grew: ${st.buckets}")
+    val bFinal = st.buckets.get
+    // migration recorded in the promoted manifest chain
     val manifests = new java.io.File(s"$root/a").listFiles
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
       .map(f => new java.io.File(f, "MANIFEST")).filter(_.isFile)
       .map(f => Files.readString(f.toPath))
-    assert(manifests.exists(_.contains("\"migratedFrom\":4")),
+    assert(manifests.exists(_.contains("\"migratedFrom\":")),
       s"migration not recorded: ${manifests.toSeq}")
-    // the migrated layout's stored bucket values obey the probe contract
+    // the migrated layout's stored bucket values obey the probe contract —
+    // checked on the CURRENT compaction only (retention keeps the
+    // superseded pre-migration cpart one more commit, at the OLD count)
     import graft.operators.IncrementalDedup.{bandBucket, docBucket}
-    val base = new java.io.File(s"$root/a/bands/base").listFiles
-      .filter(_.getName.startsWith("cpart=")).map(_.getPath)
-    assert(spark.read.parquet(base: _*)
-      .filter(bandBucket(col("band"), col("band_hash"), 16) =!= col("bucket"))
-      .isEmpty, "migrated bands bucket disagrees with bandBucket() at b=16")
-    // chain == batch across the migration
+    val newestCpart = new java.io.File(s"$root/a/bands/base").listFiles
+      .filter(_.getName.startsWith("cpart="))
+      .maxBy(_.getName.drop("cpart=".length).toInt)
+    assert(spark.read
+      .option("basePath", s"$root/a/bands/base")
+      .parquet(newestCpart.getPath)
+      .filter(bandBucket(col("band"), col("band_hash"), bFinal) =!= col("bucket"))
+      .isEmpty, s"migrated bands bucket disagrees with bandBucket() at b=$bFinal")
+    // chain == batch across the migration(s)
     val streamed = IncrementalDedup.labelsWithSizes(st).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val batch = Dedup.duplicateClusters((0 to 4).map(day).reduce(_ union _))
@@ -827,20 +833,20 @@ class DedupStreamSpec extends AnyFunSuite {
       val prev = DedupStream.loadState(spark, s"$root/b").get
       val delta = IncrementalDedup.admitBatchDelta(prev, day(d))
       DedupStream.commitDelta(spark, s"$root/b", prev, delta,
-        autoMigrate = false)
+        autoMigrate = false, bucketBytesTarget = 1L, bucketBytesFloor = 0L)
       delta.release()
     }
     assert(DedupStream.loadState(spark, s"$root/b").get.buckets.contains(4))
-    // the tiny-file floor: the DEFAULT policy on the same saturated
-    // chain refuses to migrate, because 16 buckets of this toy base
-    // would hold < AutoMigrateMinBucketBytes each — saturation says
-    // 'prune more', the floor answers 'buckets must hold real data'
+    // the tiny-file floor: same oversized-vs-target base, DEFAULT floor —
+    // 16 buckets of this toy base would hold < AutoMigrateMinBucketBytes
+    // each, so the policy refuses ("buckets must hold real data")
     DedupStream.commitState(IncrementalDedup.initialState(day(0)),
       s"$root/c", buckets = 4)
     (1 to 4).foreach { d =>
       val prev = DedupStream.loadState(spark, s"$root/c").get
       val delta = IncrementalDedup.admitBatchDelta(prev, day(d))
-      DedupStream.commitDelta(spark, s"$root/c", prev, delta)
+      DedupStream.commitDelta(spark, s"$root/c", prev, delta,
+        bucketBytesTarget = 1L)
       delta.release()
     }
     assert(DedupStream.loadState(spark, s"$root/c").get.buckets.contains(4),
