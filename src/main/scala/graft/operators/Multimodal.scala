@@ -300,12 +300,16 @@ object Multimodal {
     * Cross-engine exactness: the mean rides on an exact int64 sum; the
     * RMS on an exact int128 sum of squares (primitive hi/lo carry
     * accumulation per sample — a 32-bit square is up to 2^62, so the
-    * SUM overflows int64 on real payloads; one BigInteger conversion
-    * per ROW, correctly-rounded to double exactly like the oracle's
-    * HUGEINT cast) — every float op after the exact integer sums is a
-    * single correctly-rounded IEEE op, so Spark and DuckDB agree to the
-    * last bit. A malformed wav yields the usual filterable sentinel
-    * (n_samples = -1, zero stats). */
+    * SUM overflows int64 on real payloads; one correctly-rounded
+    * BigInteger→double conversion per ROW). NOTE the oracle must NOT
+    * use DuckDB's direct HUGEINT→DOUBLE cast for these sums — it
+    * rounds twice (hi·2⁶⁴ + lo as floats; measured as a 1-ulp rms hash
+    * mismatch at sf0.1) — so [[qPcmStatsSql]] routes both sums through
+    * the exact decimal string (`::VARCHAR::DOUBLE`, correctly-rounded
+    * strtod); with that, every float op after the exact integer sums
+    * is a single correctly-rounded IEEE op on both sides. A malformed
+    * wav yields the usual filterable sentinel (n_samples = -1, zero
+    * stats). */
   case class PcmStats(media_id: Long, sample_rate: Long, channels: Long,
       bits_per_sample: Long, n_samples: Long, mean_amp: Double,
       peak_abs: Long, rms: Double)
@@ -496,7 +500,8 @@ object Multimodal {
        |       CAST(bits AS BIGINT) AS bits_per_sample,
        |       CAST(n_samples AS BIGINT) AS n_samples,
        |       CASE WHEN n_samples = 0 THEN 0.0
-       |            ELSE list_sum(samples)::DOUBLE / n_samples END AS mean_amp,
+       |            ELSE (list_sum(samples)::VARCHAR)::DOUBLE / n_samples
+       |            END AS mean_amp,
        |       CAST(CASE WHEN n_samples = 0 THEN 0
        |                 ELSE list_max(list_transform(samples, s -> abs(s)))
        |            END AS BIGINT) AS peak_abs,

@@ -700,7 +700,10 @@ object DedupStream {
               org.apache.commons.io.FileUtils.sizeOfDirectory(d) else 0L
           }.sum
         }.sum
-        val massHit = baseBytes / b > bucketBytesTarget
+        // newB > b FIRST: at the bucket cap the sizing walk (a full
+        // recursive listing of the base) would otherwise run on every
+        // commit for a result migration could never use
+        lazy val massHit = baseBytes / b > bucketBytesTarget
         // the floor: never migrate INTO the tiny-file regime
         lazy val floorOk = baseBytes / newB >= bucketBytesFloor
         if (newB > b && massHit && floorOk) {
