@@ -73,17 +73,24 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Opt-in wait-for-idle gate (SPARK_GRAFT_LOAD_GATE=<1-min loadavg
-    // threshold>): official runs captured at host load 3+ have inflated
-    // small-query slots up to 2x on UNCHANGED code, and every such round
-    // re-litigates host noise in the per-query diff. The gate polls until
-    // the load drops under the threshold or the timeout (default 600 s,
-    // SPARK_GRAFT_LOAD_GATE_TIMEOUT_SEC) expires, then stamps what
-    // happened into both outputs so the artifact self-identifies either
-    // way. Off by default: unattended/driver runs must never block.
-    val loadGateJson: String = sys.env.get("SPARK_GRAFT_LOAD_GATE") match {
-      case None => ""
-      case Some(thr) =>
+    // Wait-for-idle gate (SPARK_GRAFT_LOAD_GATE=<1-min loadavg
+    // threshold>), ON BY DEFAULT at 2.0 since r18: official runs captured
+    // at host load 3+ have inflated small-query slots up to 2x on
+    // UNCHANGED code (r17's raw driver artifact read 104.8 s summed at
+    // load 2.9→11 vs the same build's 57.3 s gated an hour apart), and
+    // every such round re-litigated host noise in the per-query diff.
+    // The gate polls until the load drops under the threshold or the
+    // timeout (default 600 s, SPARK_GRAFT_LOAD_GATE_TIMEOUT_SEC)
+    // expires — it never blocks unboundedly, so unattended/driver runs
+    // proceed either way — then stamps what happened into both outputs:
+    // `met:false` is the machine-readable "this artifact may be
+    // contaminated" flag a cold reader needs. SPARK_GRAFT_LOAD_GATE=off
+    // (or any non-positive value) disables.
+    val loadGateJson: String =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0") match {
+      case s if s.equalsIgnoreCase("off") ||
+          scala.util.Try(s.toDouble).toOption.forall(_ <= 0) => ""
+      case thr =>
         val threshold = thr.toDouble
         val timeoutSec =
           sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_TIMEOUT_SEC", "600").toLong
@@ -219,6 +226,34 @@ object Bench {
         (sw1 - sw0) / 1048576.0)
       (name, if (err.isEmpty) wall else -1.0, cpu, gc, jit, mb, err)
     }
+    // Quiet-window steady-state stamps for the heaviest queries: half of
+    // every round's cross-round attribution work has been re-separating
+    // host-load windows from plan cost (r16 MinHash family, r17 q51), so
+    // the artifact now pre-answers it. Re-run the top-10 queries (by
+    // first-pass wall) twice more under identical cache state (shingle
+    // caches cleared, exactly like the timed pass) and stamp the MIN
+    // wall across the three observations — the least-contended
+    // measurement of the same plan. A timed slot reading far above its
+    // steady_state_sec with a high per-run load stamp is a host window,
+    // not a regression. Detail-file only.
+    val steadyState: Seq[(String, Double, Seq[(Double, Double)])] =
+      results.filter(_._2 > 0).sortBy(-_._2).take(10).map {
+        case (name, wall, _, _, _, _, _) =>
+          val fn = SparkEntry.queries(name)
+          val extra = (0 until 2).map { _ =>
+            graft.operators.Dedup.clearShingleCaches()
+            val ld = hostLoad
+            val t0 = System.nanoTime()
+            val ok =
+              try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] steady-state $name failed: ${e.getMessage}")
+                false
+              }
+            (ld, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          }
+          (name, (wall +: extra.map(_._2).filter(_ > 0)).min, extra)
+      }
     graft.operators.Dedup.clearShingleCaches()
     // Locale.ROOT: the default-locale f-interpolator renders 1.234 as
     // "1,234" under comma-decimal locales — invalid JSON
@@ -495,7 +530,19 @@ object Bench {
       .map { case (_, m) =>
         s""""chain_per_day_sec":${m.map(fmt).mkString("[", ",", "]")},""" }
       .getOrElse("")
+    val steadyJson =
+      if (steadyState.isEmpty) ""
+      else {
+        val mins = steadyState.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
+          .mkString("{", ",", "}")
+        val runs = steadyState.map { case (k, _, rs) =>
+          s"\"$k\":" + rs.map { case (ld, sec) =>
+            s"[${fmt(ld)},${fmt(sec)}]" }.mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+        s""""steady_state_sec":$mins,"steady_state_runs":$runs,"""
+      }
     val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_routed":${fmt(totalRouted)},"queries":$qs,""" +
+      steadyJson +
       s""""cpu_sec":$cpus_,"gc_sec":$gcs,"jit_sec":$jits,"io_mb":$shuffles,""" +
       s""""pq_build_sec":${fmt(pqBuildSec)},"ivf_build_sec":${fmt(ivfBuildSec)},""" +
       s""""ivfpq_build_sec":${fmt(ivfPqBuildSec)},""" +

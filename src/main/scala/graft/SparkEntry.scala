@@ -95,6 +95,8 @@ object SparkEntry {
     "q73_pii_scrub"     -> (graft.operators.Pii.qPiiScrub _),
     "q74_token_budget_mix" -> (Corpus.qTokenBudgetMix _),
     "q75_pcm_stats"     -> (Multimodal.qPcmStats _),
+    "q76_substring_dedup" -> (graft.operators.SubstringDedup.qSubstringDedup _),
+    "q78_ngram_contamination" -> (graft.operators.SubstringDedup.qNgramContamination _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -235,5 +237,15 @@ object SparkEntry {
     // pairs at the declared depth (8-bit unsigned-offset, else two's
     // complement) and recomputes mean/peak/RMS on exact integer sums
     "q75_pcm_stats"     -> Multimodal.qPcmStatsSql,
+    // q76 = exact-substring dedup (the Lee-et-al family): k-token
+    // windows → md5 window-hash equi-join → island-merged maximal
+    // spans; the oracle replays windows, matches, and merges, so the
+    // hash pins every span's pair, offsets, and length
+    "q76_substring_dedup" -> graft.operators.SubstringDedup.qSubstringDedupSql,
+    // q78 = n-gram-overlap decontamination at substring granularity
+    // (q48's probe/train split, but naming WHERE contamination sits
+    // and HOW LONG it runs) — same window kernel, probe side broadcast
+    "q78_ngram_contamination" ->
+      graft.operators.SubstringDedup.qNgramContaminationSql,
   )
 }

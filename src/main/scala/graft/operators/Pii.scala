@@ -59,9 +59,17 @@ object Pii {
   val patterns: Seq[(String, String, String)] = Seq(
     ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
       "<EMAIL>"),
-    // 16-digit PANs, separator-tolerant (dash/space, or none); \b fences
-    // reject longer digit runs. Shape-only here; n_cc_luhn verifies.
-    ("cc", """\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b""", "<CC>"),
+    // 16-digit PANs with a CONSISTENT separator (none, all-dash, or
+    // all-space — a backreference-free alternation, RE2-portable);
+    // \b fences reject longer digit runs. Mixed-separator runs
+    // (`4111-1111 1111-1111`) are NOT PAN-shaped and no longer match
+    // (fixture-pinned). KNOWN OVER-MATCH, pinned and deliberate: four
+    // space-separated 4-digit numbers in prose (`1914 1918 1939 1945`)
+    // still read as one spaced PAN — shape counts are upper bounds and
+    // over-redaction is the safe direction; n_cc_luhn is the verified
+    // arm. Shape-only here; n_cc_luhn verifies.
+    ("cc", """\b(?:\d{16}|\d{4}-\d{4}-\d{4}-\d{4}|\d{4} \d{4} \d{4} \d{4})\b""",
+      "<CC>"),
     ("ssn", """\b\d{3}-\d{2}-\d{4}\b""", "<SSN>"),
     ("phone", """\b\d{3}[-.]\d{3}[-.]\d{4}\b""", "<PHONE>"),
     // range-checked octets (0-255, no leading zeros): 999.999.999.999
@@ -169,7 +177,16 @@ object Pii {
     // the DOCUMENTED over-match: a hex-spelled identifier after ::
     // counts as ipv6 (n_ipv6 = 1 here — '::dec'); pinned so the upper-
     // bound semantics of the audit counts stay explicit, not silent
-    (2000011L, "stream << std::dec << x; std::hex is fine though"))
+    (2000011L, "stream << std::dec << x; std::hex is fine though"),
+    // the DOCUMENTED cc over-match: consistently SPACE-separated 4-digit
+    // prose still reads as one spaced PAN (n_cc = 1 here, and the Luhn
+    // arm rejects it — n_cc_luhn = 0); pinned like the ::dec case so the
+    // upper-bound semantics stay explicit
+    (2000012L, "the wars of 1914 1918 1939 1945 shaped the century"),
+    // MIXED separators are not PAN-shaped: the consistent-separator
+    // alternation rejects this run outright (n_cc = 0) where the old
+    // [- ]? form redacted it as one <CC>
+    (2000013L, "ref code 4111-1111 1111-1111 is an invoice, not a card"))
 
   /** q73: the scrub over real corpus rows UNION the planted fixture —
     * per-doc class counts plus the md5 of the redacted text, so the

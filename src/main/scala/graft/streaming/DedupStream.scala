@@ -87,9 +87,11 @@ object DedupStream {
     * touched/total buckets and flatten when batch keys ≪ bucket count,
     * but [[migrateBuckets]] had no trigger). A commit migrates the
     * layout to [[AutoMigrateGrowth]]× the current bucket count when
-    * the live base's average bytes per bucket exceed
-    * `bucketBytesTarget` — the layout's own sizing rule ("one bucket ≈
-    * a few block-sized files"; default 256 MiB) made enforceable. Mass
+    * the live base's average bytes per bucket — measured PER TABLE,
+    * on the heavier of bands/shingles — exceed `bucketBytesTarget`:
+    * the layout's own sizing rule ("one bucket ≈ a few block-sized
+    * files", a statement about each probed table's files; default
+    * 256 MiB) made enforceable. Mass
     * is monotone, so no streak logic: as the corpus grows 4×, one
     * amortized O(corpus) migration re-establishes bounded per-bucket
     * probe reads, exactly like a major fold. The check is one manifest
@@ -658,7 +660,17 @@ object DedupStream {
     * which are never opened, never rewritten. Per-day labels/sizes I/O is
     * O(batch + touched-bucket rows); everything else is the amortized
     * segment fold. A legacy previous state (pre-owners manifest) takes
-    * the [[commitState]] upgrade path once. */
+    * the [[commitState]] upgrade path once.
+    *
+    * RETURNS the latest PROMOTED version — normally the version that
+    * admitted this delta, but when the mass policy fires a follow-on
+    * migration (`autoMigrate`, the default) it is the migration
+    * manifest's version, one past the delta commit. Both contain the
+    * delta's rows; a caller that needs the admission version itself
+    * (e.g. to pin a pre-migration layout) should read it as the
+    * migration manifest's `migratedFrom`, or pass
+    * `autoMigrate = false` and run [[migrateBuckets]] on its own
+    * schedule. */
   def commitDelta(spark: SparkSession, stateDir: String, prev: DedupState,
       delta: AdmitDelta, maxLiveSegments: Int = MaxLiveSegments,
       stream: Option[(String, Long)] = None,
@@ -693,22 +705,30 @@ object DedupStream {
       if (man.owners.isEmpty || b <= 0) None
       else {
         val newB = math.min(b * AutoMigrateGrowth, AutoMigrateMaxBuckets)
-        lazy val baseBytes = Seq("bands", "shingles").map { t =>
+        // PER-TABLE masses: the sizing rule ("one bucket ≈ a few
+        // block-sized files") is a statement about each probed table's
+        // files, so the trigger compares the HEAVIEST table's per-bucket
+        // mass to the target (summing bands+shingles would fire at ~half
+        // the documented per-table target) and the floor protects the
+        // LIGHTEST (an admission probes both tables, so shattering
+        // either into sub-footer files pays the tiny-file penalty).
+        lazy val perTableBytes = Seq("bands", "shingles").map { t =>
           (man.cFrom until man.compactions).map { j =>
             val d = new java.io.File(stateDir, s"$t/base/cpart=$j")
             if (d.isDirectory)
               org.apache.commons.io.FileUtils.sizeOfDirectory(d) else 0L
           }.sum
-        }.sum
+        }
         // newB > b FIRST: at the bucket cap the sizing walk (a full
         // recursive listing of the base) would otherwise run on every
         // commit for a result migration could never use
-        lazy val massHit = baseBytes / b > bucketBytesTarget
-        // the floor: never migrate INTO the tiny-file regime
-        lazy val floorOk = baseBytes / newB >= bucketBytesFloor
+        lazy val massHit = perTableBytes.max / b > bucketBytesTarget
+        // the floor: never migrate EITHER table into the tiny-file regime
+        lazy val floorOk = perTableBytes.min / newB >= bucketBytesFloor
         if (newB > b && massHit && floorOk) {
           System.err.println(s"[chain] auto-migrating $b -> $newB buckets " +
-            s"(base/bucket=${baseBytes / b} B > target $bucketBytesTarget)")
+            s"(max table base/bucket=${perTableBytes.max / b} B > target " +
+            s"$bucketBytesTarget)")
           Some(migrateBuckets(spark, stateDir, newB))
         } else None
       }

@@ -118,8 +118,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "q60_ann_refined",        // q56's reader + broadcast re-rank
       "q70_ann_refined_deep",   // same chain, deeper shortlist
       "q46_seq_packing",
-      "q64_bpe_pack")           // q46's packer, BPE-budgeted — same
+      "q64_bpe_pack",           // q46's packer, BPE-budgeted — same
                                 // PackBlockWidth-bounded level-1 window
+      // q76/q78 island windows partition on (doc pair, diff): rows per
+      // key = matched windows at one alignment ≤ min(doc length) BY
+      // CONSTRUCTION — entity-bounded like sessions-per-user,
+      // independent of corpus size. At sf0.001 the corpus is so small
+      // that ONE full-copy pair (~80 windows) exceeds the 10%-of-input
+      // arm, which measures corpus fraction, not entity bound;
+      // SubstringDedupSpec pins the kernel's semantics instead.
+      "q76_substring_dedup",
+      "q78_ngram_contamination")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(annExempt).foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
       plan.collect { case w: LWindow => w }.foreach { w =>
