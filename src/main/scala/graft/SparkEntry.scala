@@ -96,7 +96,9 @@ object SparkEntry {
     "q74_token_budget_mix" -> (Corpus.qTokenBudgetMix _),
     "q75_pcm_stats"     -> (Multimodal.qPcmStats _),
     "q76_substring_dedup" -> (graft.operators.SubstringDedup.qSubstringDedup _),
+    "q77_schema_drift_audit" -> (graft.sources.Ingest.qSchemaDriftAudit _),
     "q78_ngram_contamination" -> (graft.operators.SubstringDedup.qNgramContamination _),
+    "q79_media_quarantine" -> (Multimodal.qMediaQuarantine _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -242,10 +244,19 @@ object SparkEntry {
     // spans; the oracle replays windows, matches, and merges, so the
     // hash pins every span's pair, offsets, and length
     "q76_substring_dedup" -> graft.operators.SubstringDedup.qSubstringDedupSql,
+    // q77 = the crawler DEPRECATE policy as a relation: engine infers
+    // per-file schemas from really-landed CSV samples and audits them;
+    // the oracle replays the drift map + distributed per-day recounts
+    "q77_schema_drift_audit" -> graft.sources.Ingest.qSchemaDriftAuditSql,
     // q78 = n-gram-overlap decontamination at substring granularity
     // (q48's probe/train split, but naming WHERE contamination sits
     // and HOW LONG it runs) — same window kernel, probe side broadcast
     "q78_ngram_contamination" ->
       graft.operators.SubstringDedup.qNgramContaminationSql,
+    // q79 = the decode dead-letter audit: per (format, failure class)
+    // counts + bytes over corpus media ∪ a malformed-bytes fixture
+    // covering every quarantine class; engine classifies from bytes,
+    // oracle replays each blob's declared class
+    "q79_media_quarantine" -> Multimodal.qMediaQuarantineSql,
   )
 }

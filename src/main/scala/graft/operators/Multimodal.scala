@@ -81,38 +81,50 @@ object Multimodal {
 
     /** PNG: 8-byte signature, then the IHDR chunk (4-byte length = 13,
       * "IHDR", width u32be, height u32be, 5 spec bytes, CRC32) — width
-      * and height at fixed offsets 16 and 20; header ends at byte 33. */
-    def parsePng(b: Array[Byte]): (Long, Long, Int) = {
-      if (b.length < 33 || !PngSig.indices.forall(i => b(i) == PngSig(i)) ||
-          be32(b, 8) != 13L ||
+      * and height at fixed offsets 16 and 20; header ends at byte 33.
+      * [[pngIssue]] is the reason-bearing core (None = parseable); the
+      * tuple wrapper keeps the original sentinel contract. */
+    def pngIssue(b: Array[Byte]): Option[String] =
+      if (b.length < 33) Some("truncated_header")
+      else if (!PngSig.indices.forall(i => b(i) == PngSig(i)))
+        Some("bad_signature")
+      else if (be32(b, 8) != 13L ||
           !(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
-        (-1L, -1L, 0)
-      else (be32(b, 16), be32(b, 20), 33)
-    }
+        Some("bad_ihdr")
+      else None
+
+    def parsePng(b: Array[Byte]): (Long, Long, Int) =
+      if (pngIssue(b).isEmpty) (be32(b, 16), be32(b, 20), 33)
+      else (-1L, -1L, 0)
 
     /** JPEG: SOI (FFD8), then marker segments (FF xx, u16be length
       * including itself); dimensions live in the first SOF frame header
       * (FFC0–FFCF except the non-frame C4/C8/CC): precision u8, height
       * u16be, width u16be. Returns the offset AFTER the SOF segment —
       * where this generator's payload starts. */
-    def parseJpeg(b: Array[Byte]): (Long, Long, Int) = {
+    def parseJpeg(b: Array[Byte]): (Long, Long, Int) =
+      jpegCore(b).getOrElse((-1L, -1L, 0))
+
+    def jpegIssue(b: Array[Byte]): Option[String] = jpegCore(b).left.toOption
+
+    private def jpegCore(b: Array[Byte]): Either[String, (Long, Long, Int)] = {
       if (b.length < 4 || b(0) != 0xff.toByte || b(1) != 0xd8.toByte)
-        return (-1L, -1L, 0)
+        return Left("bad_signature")
       var o = 2
       while (o + 4 <= b.length && b(o) == 0xff.toByte) {
         val marker = b(o + 1) & 0xff
         val segLen = be16(b, o + 2)
-        if (segLen < 2 || o + 2 + segLen > b.length) return (-1L, -1L, 0)
+        if (segLen < 2 || o + 2 + segLen > b.length) return Left("bad_segment")
         if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          if (segLen < 7) return (-1L, -1L, 0)
+          if (segLen < 7) return Left("bad_sof")
           val h = be16(b, o + 5).toLong
           val w = be16(b, o + 7).toLong
-          return (w, h, o + 2 + segLen)
+          return Right((w, h, o + 2 + segLen))
         }
         o += 2 + segLen
       }
-      (-1L, -1L, 0)
+      Left("no_sof")
     }
 
     /** A real, CRC-valid PNG signature+IHDR for the given dimensions —
@@ -152,27 +164,34 @@ object Multimodal {
       * LIST/JUNK before fmt), returns (sample_rate, channels,
       * bits_per_sample, payload offset); malformed/truncated input
       * returns the same filterable sentinel as the image parsers. */
-    def parseWav(b: Array[Byte]): (Long, Long, Long, Int) = {
-      val bad = (-1L, -1L, -1L, 0)
-      if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return bad
+    def parseWav(b: Array[Byte]): (Long, Long, Long, Int) =
+      wavCore(b).getOrElse((-1L, -1L, -1L, 0))
+
+    def wavIssue(b: Array[Byte]): Option[String] = wavCore(b).left.toOption
+
+    private def wavCore(
+        b: Array[Byte]): Either[String, (Long, Long, Long, Int)] = {
+      if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+        return Left("bad_container")
       var o = 12
       var rate = -1L; var ch = -1L; var bits = -1L
       while (o + 8 <= b.length) {
         val size = le32(b, o + 4)
-        if (size < 0 || o + 8 + size > b.length) return bad
+        if (size < 0 || o + 8 + size > b.length) return Left("bad_chunk")
         if (tag(b, o, "fmt ")) {
-          if (size < 16) return bad
+          if (size < 16) return Left("bad_fmt")
           ch = le16(b, o + 10).toLong
           rate = le32(b, o + 12)
           bits = le16(b, o + 22).toLong
         } else if (tag(b, o, "data")) {
           // payload starts here; fmt must already have been seen
           // (the canonical layout; a data-before-fmt file is malformed)
-          return if (rate < 0) bad else (rate, ch, bits, o + 8)
+          return if (rate < 0) Left("missing_fmt")
+          else Right((rate, ch, bits, o + 8))
         }
         o += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
       }
-      bad
+      Left("no_data")
     }
 
     /** Canonical 44-byte PCM WAV header (RIFF + 16-byte fmt + data
@@ -324,7 +343,7 @@ object Multimodal {
         // THIS DECODER: same filterable sentinel, never a thrown task
         // (bits=0 would divide by zero below; bits>64 would wrap the
         // little-endian shift into garbage)
-        if (rate < 0 || !Set(8L, 16L, 24L, 32L).contains(bits))
+        if (rate < 0 || !DecodableDepths.contains(bits))
           PcmStats(r.media_id, -1L, -1L, -1L, -1L, 0.0, 0L, 0.0)
         else {
           val w = (bits / 8).toInt
@@ -368,7 +387,144 @@ object Multimodal {
     }
   }
 
+  /** PCM widths [[pcmStats]] can decode; a parseable wav declaring any
+    * other depth is quarantine class `undecodable_depth`. */
+  val DecodableDepths: Set[Long] = Set(8L, 16L, 24L, 32L)
+
+  /** Failure class of one media row — "ok" when the row's declared
+    * format parses (and, for wav, declares a decodable PCM depth).
+    * One cheap header walk; payload bytes are never touched. */
+  def mediaIssue(format: String, b: Array[Byte]): String = format match {
+    case "png"  => MediaCodec.pngIssue(b).getOrElse("ok")
+    case "jpeg" => MediaCodec.jpegIssue(b).getOrElse("ok")
+    case _ => MediaCodec.wavIssue(b).getOrElse {
+      val (_, _, bits, _) = MediaCodec.parseWav(b)
+      if (DecodableDepths.contains(bits)) "ok" else "undecodable_depth"
+    }
+  }
+
+  case class QuarantinedMedia(media_id: Long, format: String,
+      reason: String, n_bytes: Long)
+
+  /** The dead-letter variant of [[decodeFeatures]]: route every row to
+    * (good, quarantined) instead of mixing sentinel rows into the good
+    * relation. At 100-TB curation scale the quarantine relation is what
+    * an operator actually wants from decode failures — a typed
+    * parse-failure REASON per object, routed to its own sink, not a
+    * -1 sentinel every downstream filter must know about. The split is
+    * two narrow passes over the same scan (the classifier walks only
+    * header bytes, so the repeated walk costs ~nothing next to the
+    * payload decode); rows are PARTITIONED exactly (spec-pinned:
+    * good ∪ quarantine = input, good ∩ quarantine = ∅). */
+  def decodeRouted(media: Dataset[MediaRow])
+      : (Dataset[DecodedMedia], Dataset[QuarantinedMedia]) = {
+    import media.sparkSession.implicits._
+    val good = decodeFeatures(
+      media.filter(r => mediaIssue(r.format, r.media) == "ok"))
+    val quarantined = media
+      .map(r => QuarantinedMedia(r.media_id, r.format,
+        mediaIssue(r.format, r.media), r.media.length.toLong))
+      .filter(_.reason != "ok")
+    (good, quarantined)
+  }
+
   // ---- SparkEntry wiring -------------------------------------------------
+
+  /** Malformed-media fixture for q79 (ids disjoint from the corpus):
+    * every quarantine class of every format, each blob a real header
+    * surgically corrupted ONE way, plus one good row per format. The
+    * third element is the DECLARED failure class — the engine derives
+    * its own from the bytes, the oracle replays the declaration, so a
+    * classifier drift hash-fails. */
+  val QuarantineFixture: Seq[(Long, String, String, Array[Byte])] = {
+    val payload = "quarantine fixture payload bytes 0123456789abc"
+      .getBytes("US-ASCII") // 46 bytes, even: the no_data walk's chunk
+                            // padding then lands exactly at end-of-file
+    def png = MediaCodec.pngHeader(20, 10) ++ payload
+    def jpg = MediaCodec.jpegHeader(20, 10) ++ payload
+    def wav(bits: Long) =
+      MediaCodec.wavHeader(16000, 1, bits, payload.length.toLong) ++ payload
+    def mut(b: Array[Byte])(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = b.clone(); f(c); c
+    }
+    Seq(
+      (5000000L, "png", "ok", png),
+      (5000001L, "png", "truncated_header", png.take(20)),
+      (5000002L, "png", "bad_signature", mut(png)(_(0) = 'X'.toByte)),
+      (5000003L, "png", "bad_ihdr", mut(png)(_(12) = 'J'.toByte)),
+      (5000010L, "jpeg", "ok", jpg),
+      (5000011L, "jpeg", "bad_signature", jpg.drop(1)),
+      // APP0 length bytes (offset 4-5) -> 0xffff: segment overruns
+      (5000012L, "jpeg", "bad_segment",
+        mut(jpg) { c => c(4) = 0xff.toByte; c(5) = 0xff.toByte }),
+      // SOI + APP0 then a non-marker payload byte: the walk stops with
+      // no SOF frame header seen
+      (5000013L, "jpeg", "no_sof", jpg.take(20) ++ payload),
+      (5000020L, "wav", "ok", wav(16)),
+      (5000021L, "wav", "bad_container",
+        mut(wav(16))(_(11) = 'X'.toByte)), // WAVE -> WAVX
+      // data chunk size (offset 40-43 le32) claims more than the file
+      (5000022L, "wav", "bad_chunk", mut(wav(16))(_(40) = 0xff.toByte)),
+      // fmt chunk size (offset 16-19 le32) -> 8: shorter than a fmt
+      (5000023L, "wav", "bad_fmt", mut(wav(16))(_(16) = 8.toByte)),
+      // RIFF/WAVE then data with no fmt chunk before it
+      (5000024L, "wav", "missing_fmt",
+        "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+          "WAVE".getBytes("US-ASCII") ++ {
+            val hdr = java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            hdr.put("data".getBytes("US-ASCII")).putInt(payload.length)
+            hdr.array()
+          } ++ payload),
+      // the data tag renamed: the walk runs off the end of the file
+      (5000025L, "wav", "no_data",
+        mut(wav(16)) { c => c(36) = 'l'.toByte; c(37) = 'a'.toByte
+          c(38) = 't'.toByte; c(39) = 'e'.toByte }),
+      // structurally valid, but fmt declares 12-bit PCM
+      (5000026L, "wav", "undecodable_depth", wav(12)))
+  }
+
+  /** q79: the quarantine audit over corpus media ∪ the malformed
+    * fixture — per (format, failure class) row and byte totals, the
+    * relation a curation run's dead-letter dashboard reads. Organic
+    * generator media all decode ("ok" rows, data-dependent counts);
+    * the fixture populates every failure class. */
+  def qMediaQuarantine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = decodableMediaTable(Tables.documents(s, d))
+      .union(QuarantineFixture
+        .map { case (id, fmt, _, bytes) => MediaRow(id, bytes, fmt) }
+        .toDS())
+    media
+      .map(r => (r.format, mediaIssue(r.format, r.media),
+        r.media.length.toLong))
+      .toDF("format", "reason", "n_bytes")
+      .groupBy("format", "reason")
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("sum_bytes"))
+      .orderBy("format", "reason")
+  }
+
+  /** The oracle: organic rows are 'ok' by construction (generator
+    * header size + payload bytes), fixture rows replay their DECLARED
+    * class and real blob length — agreement pins the classifier's
+    * decision AND the byte accounting for every failure class. */
+  val qMediaQuarantineSql: String = {
+    val fxRows = QuarantineFixture.map { case (_, fmt, reason, bytes) =>
+      s"('$fmt', '$reason', ${bytes.length})"
+    }.mkString(", ")
+    s"""WITH organic AS (
+       |  SELECT ['png', 'jpeg', 'wav'][(doc_id % 3 + 1)::INT] AS format,
+       |         'ok' AS reason,
+       |         octet_length(encode(text))
+       |           + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 44 END
+       |           AS n_bytes
+       |  FROM documents),
+       |fx(format, reason, n_bytes) AS (VALUES $fxRows),
+       |allrows AS (SELECT * FROM organic UNION ALL SELECT * FROM fx)
+       |SELECT format, reason, COUNT(*)::BIGINT AS n_media,
+       |       SUM(n_bytes)::BIGINT AS sum_bytes
+       |FROM allrows GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** q23: the media-feature projection every modality shares (id, size,
     * format, image dims, payload brightness, payload hash) — since r17

@@ -293,4 +293,94 @@ object Ingest {
       }: _*)
     }.reduce(_.unionByName(_))
   }
+
+  // ---- SparkEntry wiring -------------------------------------------------
+
+  /** The q77 drift fixture: which orders columns each daily extract
+    * carries. Single source of truth for the engine's landed files AND
+    * the oracle's replay — o_orderpriority vanishes after day 0 and
+    * o_totalprice after day 2 (both → DEPRECATE at lastK = 2),
+    * o_orderstatus arrives on day 2 and stays live. */
+  val DriftDays: Seq[Seq[String]] = Seq(
+    Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+    Seq("o_orderkey", "o_custkey", "o_totalprice"),
+    Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+    Seq("o_orderkey", "o_custkey", "o_orderstatus"),
+    Seq("o_orderkey", "o_custkey", "o_orderstatus"),
+    Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+
+  val DriftLastK = 2
+
+  /** q77: the schema-drift audit relation as a first-class query — the
+    * DEPRECATE_IN_DATABASE policy surface ([[columnAudits]], SURVEY §2.11
+    * D2 / CDK/cdk/cdk_stack.py:106-108) hash-gated like every operator
+    * instead of suite-only. Six daily extracts of orders (day =
+    * o_orderkey mod 6) drift per [[DriftDays]]; each lands as a real CSV
+    * (a bounded 100-row sample — crawlers INFER from samples, they don't
+    * read the lake) and is crawled independently ([[landingSchemaAudit]]'s
+    * per-file inference). The audit's schema facts (merged type,
+    * first/last file, deprecation at lastK = 2) come from INFERENCE over
+    * the landed bytes; the per-column row coverage (`n_rows` — rows whose
+    * files carry the column) is computed DISTRIBUTED over the full table
+    * (the scan never collects), so the oracle cross-checks inference
+    * against an independent recount. */
+  def qSchemaDriftAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val orders = graft.engine.Tables.orders(s, d)
+    val nDays = DriftDays.length
+    val root = Files.createTempDirectory("graft-drift-audit")
+    try {
+      DriftDays.zipWithIndex.foreach { case (cols, i) =>
+        val sample = orders
+          .filter(pmod(col("o_orderkey"), lit(nDays)) === i)
+          .select(cols.map(col): _*)
+          .orderBy("o_orderkey").limit(100).collect()
+        val body = (cols.mkString(",") +:
+          sample.toSeq.map(r => csvLine(r.toSeq))).mkString("\n")
+        Files.writeString(root.resolve(f"day$i.csv"), body,
+          StandardOpenOption.CREATE_NEW)
+      }
+      // eager: inference + columnAudits run driver-side at call time,
+      // so the landed files may be deleted once this returns
+      val audit = landingSchemaAudit(s, root.toString, lastK = DriftLastK)
+      val presence = DriftDays.zipWithIndex
+        .flatMap { case (cols, i) => cols.map(c => (c, i)) }
+        .toDF("column", "day")
+      val dayCounts = orders
+        .groupBy(pmod(col("o_orderkey"), lit(nDays)).cast("int").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val coverage = dayCounts.join(broadcast(presence), Seq("day"))
+        .groupBy("column").agg(sum(col("n")).as("n_rows"))
+      audit.join(coverage, Seq("column")).orderBy("column")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(root.toFile)
+  }
+
+  /** The oracle replays the drift map as VALUES, recomputes per-day
+    * counts from orders, and derives first/last/deprecated from the map —
+    * agreement pins that per-file inference saw exactly the declared
+    * columns with the declared merged types in the declared day order. */
+  val qSchemaDriftAuditSql: String = {
+    val mapRows = DriftDays.zipWithIndex
+      .flatMap { case (cols, i) => cols.map(c => s"('$c', $i)") }
+      .mkString(", ")
+    val typeRows = Seq(
+      "o_orderkey" -> "int", "o_custkey" -> "int",
+      "o_totalprice" -> "double", "o_orderpriority" -> "string",
+      "o_orderstatus" -> "string")
+      .map { case (c, t) => s"('$c', '$t')" }.mkString(", ")
+    val nDays = DriftDays.length
+    s"""WITH dm(col_name, day) AS (VALUES $mapRows),
+       |ty(col_name, data_type) AS (VALUES $typeRows),
+       |dc AS (SELECT CAST(o_orderkey % $nDays AS INT) AS day, COUNT(*) AS n
+       |       FROM orders GROUP BY 1)
+       |SELECT dm.col_name AS "column", ty.data_type,
+       |       'day' || CAST(MIN(dm.day) AS VARCHAR) || '.csv' AS first_seen,
+       |       'day' || CAST(MAX(dm.day) AS VARCHAR) || '.csv' AS last_seen,
+       |       MAX(dm.day) < ${nDays - DriftLastK} AS deprecated,
+       |       SUM(dc.n)::BIGINT AS n_rows
+       |FROM dm JOIN ty USING (col_name) JOIN dc USING (day)
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
 }

@@ -206,4 +206,43 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getString(9) == md5, s"payload not isolated for $id/$fmt")
     }
   }
+
+  test("decodeRouted partitions exactly; every quarantine class classified as declared") {
+    import spark.implicits._
+    // the classifier agrees with the fixture's declared class per row
+    Multimodal.QuarantineFixture.foreach { case (id, fmt, declared, bytes) =>
+      val got = Multimodal.mediaIssue(fmt, bytes)
+      assert(got == declared, s"fixture $id/$fmt: classified $got, declared $declared")
+    }
+    // routing is an exact partition of the input: good ∪ quarantined =
+    // input ids, disjoint; good rows decode non-sentinel, quarantined
+    // rows never reach the good relation
+    val media = Multimodal.decodableMediaTable(
+      graft.engine.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .union(Multimodal.QuarantineFixture
+        .map { case (id, fmt, _, bytes) => Multimodal.MediaRow(id, bytes, fmt) }
+        .toDS())
+    val inputIds = media.collect().map(_.media_id).toSet
+    val (good, quarantined) = Multimodal.decodeRouted(media)
+    val goodRows = good.collect()
+    val qRows = quarantined.collect()
+    val goodIds = goodRows.map(_.media_id).toSet
+    val qIds = qRows.map(_.media_id).toSet
+    assert(goodIds.intersect(qIds).isEmpty, "a row routed to BOTH relations")
+    assert(goodIds ++ qIds == inputIds,
+      s"routing dropped rows: ${inputIds -- goodIds -- qIds}")
+    assert(qIds == Multimodal.QuarantineFixture
+      .collect { case (id, _, r, _) if r != "ok" => id }.toSet,
+      "quarantine set != the planted malformed rows")
+    // the good relation is sentinel-free by construction now
+    goodRows.foreach { r =>
+      val parsed = if (r.format == "wav") r.sample_rate else r.width
+      assert(parsed >= 0, s"sentinel row ${r.media_id} leaked into good")
+    }
+    // per-class reasons survive into the quarantine relation
+    val reasonsById = qRows.map(q => q.media_id -> q.reason).toMap
+    Multimodal.QuarantineFixture.foreach { case (id, _, declared, _) =>
+      if (declared != "ok") assert(reasonsById(id) == declared)
+    }
+  }
 }
