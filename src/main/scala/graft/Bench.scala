@@ -235,12 +235,18 @@ object Bench {
     // wall across the three observations — the least-contended
     // measurement of the same plan. A timed slot reading far above its
     // steady_state_sec with a high per-run load stamp is a host window,
-    // not a regression. Detail-file only.
+    // not a regression. Detail-file only. SPARK_GRAFT_STEADY_N sets the
+    // extra-run count (0 disables — the scale sweep's big-sf points,
+    // where re-running the deliberate O(N²) complement twice would
+    // dominate the sweep's wall; the official sf0.1 artifact keeps the
+    // default 2).
+    val steadyExtraN = sys.env.getOrElse("SPARK_GRAFT_STEADY_N", "2").toInt
     val steadyState: Seq[(String, Double, Seq[(Double, Double)])] =
-      results.filter(_._2 > 0).sortBy(-_._2).take(10).map {
+      if (steadyExtraN <= 0) Nil
+      else results.filter(_._2 > 0).sortBy(-_._2).take(10).map {
         case (name, wall, _, _, _, _, _) =>
           val fn = SparkEntry.queries(name)
-          val extra = (0 until 2).map { _ =>
+          val extra = (0 until steadyExtraN).map { _ =>
             graft.operators.Dedup.clearShingleCaches()
             val ld = hostLoad
             val t0 = System.nanoTime()

@@ -905,7 +905,9 @@ object Dedup {
     * `bench/ROUTE_RECALL_r17_attrib.txt` and the router-grid doc. */
   private[graft] def lshRouteRecallDecomposed(emb: DataFrame,
       threshold: Double, n: Long, cap: Long = RecallStratumCap,
-      gateOffset: Long = 0L): Seq[(Double, Long, Long)] = {
+      gateOffset: Long = 0L, nTables: Int = AutoLshTables,
+      planes: Int = AutoLshPlanes,
+      probes: Int = AutoLshProbes): Seq[(Double, Long, Long)] = {
     val denom = 1L << 20
     val keep = math.max(1L, math.min(denom, cap * denom / math.max(1L, n)))
     val stratum = graft.Checkpoints.pin(emb.filter(
@@ -913,8 +915,7 @@ object Dedup {
     try {
       val exactP = embeddingNearDups(stratum, threshold, 8)
       val lshP = embeddingNearDupsLsh(stratum, threshold,
-        nTables = AutoLshTables, planes = AutoLshPlanes,
-        probes = AutoLshProbes)
+        nTables = nTables, planes = planes, probes = probes)
         .select(col("vec_a"), col("vec_b"), lit(1).as("hit"))
       // stratum pair sets are cap-bounded by construction (≈cap²/2 dot
       // products upstream); the collect is the K-bounded evidence row set.

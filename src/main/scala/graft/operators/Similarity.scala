@@ -1311,17 +1311,35 @@ object Similarity {
     * green. The floor breaks that symmetry: the engine emits
     * `pass = family_recall >= floor` honestly while the oracle pins
     * `pass = TRUE`, so a family dropping below its floor flips the row
-    * hash red in CORRECTNESS itself. Floors sit ~0.6–0.8× of the worst
-    * family mean measured across sf0.001/0.01/0.1 (r17: ivf ≥ 0.90,
-    * ivfpq 0.26–0.44, lsh 0.59–0.71, lsh_mp ≥ 0.925, pq 0.24–0.33,
-    * refined ≥ 0.70, refined_deep ≥ 0.90) — stable under corpus noise,
-    * tight enough that a q60-style collapse (deep shortlist regressing
-    * to the shallow one: 0.95 → 0.70) fails. The mean rides on an
-    * exact integer hit sum (one window sum / nQueries·k), never on
-    * averaged rounded doubles, so both engines derive it bit-equal. */
+    * hash red in CORRECTNESS itself.
+    *
+    * Floors are CONTRACTS, not tripwires (tightened in r18 from the
+    * r17 "deliberately below the observed minimum" values, under which
+    * a refined_deep 0.96 → 0.80 drift stayed green): each floor =
+    * min family mean across the oracle-gated scales − 0.05 margin.
+    * Measured r18 (sf0.001 / 0.01 / 0.1): ivf 0.90/0.90/0.9875,
+    * ivfpq 0.4375/0.3375/0.2625, lsh 0.6125/0.5875/0.7125,
+    * lsh_mp 0.975/0.925/0.975, pq 0.325/0.30/0.2375,
+    * refined 0.825/0.875/0.70, refined_deep 0.90/0.90/0.95. The runs
+    * are deterministic per corpus (seeded grids, exact integer hit
+    * sums), so the margin absorbs corpus regeneration, not run noise.
+    * SPEC-PINNED failure modes: a mis-probed relation, the q60-style
+    * deep→shallow shortlist collapse, AND a multi-probe budget halving
+    * (lsh_mp fed the 1-probe relation) all flip `pass` red now.
+    *
+    * At LARGER corpora with this fixed tuning the harness honestly
+    * reports breaches — measured at sf1 (10× rows): ivfpq 0.1625,
+    * pq 0.15, refined 0.425, refined_deep 0.75 all read below floor.
+    * That is the eval doing its job: recall at fixed probe budgets
+    * degrades with corpus size, and the red flag is the re-tune signal
+    * (deepen the shortlist / raise probes, the q70 lever). The
+    * hash-gated CORRECTNESS scales are sf0.001–0.1, where the floors
+    * hold with the stated margin. The mean rides on an exact integer
+    * hit sum (one window sum / nQueries·k), never on averaged rounded
+    * doubles, so both engines derive it bit-equal. */
   val AnnRecallFloors: Map[String, Double] = Map(
-    "ivf" -> 0.6, "ivfpq" -> 0.15, "lsh" -> 0.35, "lsh_mp" -> 0.75,
-    "pq" -> 0.15, "refined" -> 0.45, "refined_deep" -> 0.75)
+    "ivf" -> 0.85, "ivfpq" -> 0.21, "lsh" -> 0.53, "lsh_mp" -> 0.87,
+    "pq" -> 0.18, "refined" -> 0.65, "refined_deep" -> 0.85)
 
   /** One q44 family arm: per-query recall plus the floor-gated family
     * mean ([[AnnRecallFloors]]); private[graft] so the spec can feed a

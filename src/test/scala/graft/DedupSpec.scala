@@ -918,7 +918,7 @@ class DedupSpec extends AnyFunSuite {
     // the q60 regression shape, replayed deliberately: the deep-refined
     // family's results replaced by the plain LSH arm's (a mis-probed /
     // under-shortlisted index would look exactly like this). Its family
-    // mean sits under refined_deep's 0.75 floor, so pass flips false —
+    // mean sits under refined_deep's 0.85 floor, so pass flips false —
     // which against the oracle's pinned TRUE is a hash mismatch: the
     // gate catches what q60's green hash hid.
     val masquerade = Similarity.recallWithFloor("refined_deep", exact,
@@ -931,5 +931,23 @@ class DedupSpec extends AnyFunSuite {
     val fr = masquerade.map(_.getAs[Double]("family_recall")).distinct
     val meanOfRows = masquerade.map(_.getAs[Double]("recall_at_k")).sum / 8
     assert(fr.length == 1 && math.abs(fr.head - meanOfRows) < 1e-9)
+    // r18 contract tightening, case 1: the deep shortlist silently
+    // regressing to the SHALLOW one (the literal q60 drift — same
+    // family, smaller re-rank budget: 0.825 here vs the 0.85 floor)
+    // now also flips red; under the old tripwire floor (0.75) it
+    // stayed green.
+    val shallow = Similarity.recallWithFloor("refined_deep", exact,
+      Similarity.annIvfPqRefined(emb,
+        Similarity.ensureIvfPqIndex(spark, sf), 8, 10), 8, 10).collect()
+    assert(shallow.forall(!_.getAs[Boolean]("pass")),
+      s"deep->shallow shortlist collapse must breach the tightened floor: " +
+        shallow.map(_.getAs[Double]("family_recall")).toSeq.distinct)
+    // case 2: a multi-probe budget halving (2 probes -> none; a config
+    // regression, not an algorithm swap) breaches lsh_mp's floor
+    val halved = Similarity.recallWithFloor("lsh_mp", exact,
+      Similarity.annLsh(emb, 8, 10), 8, 10).collect()
+    assert(halved.forall(!_.getAs[Boolean]("pass")),
+      s"probe-budget halving must breach the lsh_mp floor: " +
+        halved.map(_.getAs[Double]("family_recall")).toSeq.distinct)
   }
 }
