@@ -488,8 +488,13 @@ object Bench {
     val routeRecall: Option[(Double, Double, Seq[(Double, Long, Long)])] =
       try {
         val emb = graft.engine.Tables.embeddings(spark, sfDir)
+        // score the grid the router ACTUALLY takes at its default θ —
+        // since r18 the weak-theta tier (Dedup.routerLshGrid)
+        val (rTables, rPlanes, rProbes) =
+          graft.operators.Dedup.routerLshGrid(0.45)
         val buckets = graft.operators.Dedup
-          .lshRouteRecallDecomposed(emb, 0.45, emb.count())
+          .lshRouteRecallDecomposed(emb, 0.45, emb.count(),
+            nTables = rTables, planes = rPlanes, probes = rProbes)
         val overall = graft.operators.Dedup.recallFromBuckets(buckets)
         if (overall.isNaN) None
         else Some((overall,

@@ -827,6 +827,40 @@ object Dedup {
   val AutoLshPlanes = 10
   val AutoLshProbes = 2
 
+  /** WEAK-THRESHOLD TIER (r18): below [[WeakThetaCutoff]] the router's
+    * LSH arm doubles its table count. The r17 attribution showed the
+    * default grid reading 0.757 on sf0.1's organic pairs — 90% of which
+    * sit in cos [0.45, 0.50), exactly where hyperplane collision
+    * probability is weakest — and attribution is not remedy: θ=0.45 IS
+    * the router's default, so the production path carried a silent
+    * ~24% miss rate at its default setting. The organic-corpus re-sweep
+    * (`bench/WEAKTHETA_r18_sf01.txt`) measured the candidate tiers:
+    *
+    *   16×10+2 (default): 0.757 overall, verify mass 358k
+    *   16×10+3: 0.896 @ 1.75× mass      16×10+4: 0.931 @ 2.68× mass
+    *   32×10+2: 0.944 @ 2.00× mass      24×10+3: 0.965 @ 2.60× mass
+    *   16×8+2:  0.972 @ 3.58× mass
+    *
+    * 32 tables × same planes/probes DOMINATES the probe-raising options
+    * (more recall than 16×10+4 at less mass — more tables add
+    * independent chances without densifying buckets, so mass grows
+    * exactly linearly while probe mass grows ~quadratically in dense
+    * buckets), and plane weights are indexed by GLOBAL plane number, so
+    * the 32-table grid's first 16 tables ARE the default grid — the
+    * weak tier's pair set is a strict superset (spec-pinned). Recall
+    * ≥ 0.9 at bounded verify mass (0.36× of exact at this corpus; the
+    * asymptotic cut still scales as T/2^P), θ≥0.6 recall stays 1.0. */
+  val WeakThetaCutoff = 0.55
+  val WeakLshTables = 32
+
+  /** The LSH grid [[embeddingNearDupsAuto]] runs at `threshold`:
+    * (tables, planes, probes). One tier knob — tables — because the
+    * sweep showed it dominating; planes/probes stay at the Pareto
+    * point. */
+  def routerLshGrid(threshold: Double): (Int, Int, Int) =
+    (if (threshold < WeakThetaCutoff) WeakLshTables else AutoLshTables,
+      AutoLshPlanes, AutoLshProbes)
+
   /** Size-routed near-dup front door: the exact blocked kernel below
     * [[MaxExactNearDupRows]] vectors, the LSH-prefiltered route above
     * it — at the multi-probe Pareto grid ([[AutoLshTables]] ×
@@ -850,15 +884,18 @@ object Dedup {
       embeddingNearDups(emb, threshold, gridBlocks(n))
         .withColumn("route_recall", lit(1.0))
     else {
+      val (tables, planes, probes) = routerLshGrid(threshold)
       System.err.println(s"[dedup] near-dup auto route: $n vectors > " +
-        s"$maxExactRows, using LSH-prefiltered route (subset semantics)")
-      val recall = lshRouteRecallSample(emb, threshold, n)
+        s"$maxExactRows, using LSH-prefiltered route (subset semantics) " +
+        s"at grid ${tables}x$planes+$probes" +
+        (if (threshold < WeakThetaCutoff) " (weak-theta tier)" else ""))
+      val recall = lshRouteRecallSample(emb, threshold, n,
+        nTables = tables, planes = planes, probes = probes)
       System.err.println(
         f"[dedup] near-dup LSH arm sampled recall: $recall%.3f " +
           s"(stratum cap $RecallStratumCap of $n vectors)")
       embeddingNearDupsLsh(emb, threshold,
-        nTables = AutoLshTables, planes = AutoLshPlanes,
-        probes = AutoLshProbes)
+        nTables = tables, planes = planes, probes = probes)
         .withColumn("route_recall", lit(recall))
     }
   }
@@ -885,8 +922,10 @@ object Dedup {
     * ([[AutoLshTables]] × [[AutoLshPlanes]] + [[AutoLshProbes]]) — the
     * evidence must describe the route actually taken. */
   private[graft] def lshRouteRecallSample(emb: DataFrame, threshold: Double,
-      n: Long, cap: Long = RecallStratumCap): Double =
-    recallFromBuckets(lshRouteRecallDecomposed(emb, threshold, n, cap))
+      n: Long, cap: Long = RecallStratumCap, nTables: Int = AutoLshTables,
+      planes: Int = AutoLshPlanes, probes: Int = AutoLshProbes): Double =
+    recallFromBuckets(lshRouteRecallDecomposed(emb, threshold, n, cap,
+      nTables = nTables, planes = planes, probes = probes))
 
   /** The sampled recall evidence DECOMPOSED by true cosine similarity —
     * the attribution behind the single stamped number: per 0.05-wide
@@ -1208,22 +1247,28 @@ object Dedup {
        |SELECT vec_a, vec_b, cos_sim FROM epairs ORDER BY vec_a, vec_b""".stripMargin
 
   /** q71 — the ROUTER's LSH arm as a first-class relation: exactly the
-    * grid [[embeddingNearDupsAuto]] runs past the exact bound
-    * ([[AutoLshTables]] × [[AutoLshPlanes]] + [[AutoLshProbes]] probes,
-    * the sweep's Pareto point), hash-replayed in DuckDB through the
-    * same shared renderer as q68 — the promoted default is itself
+    * grid [[embeddingNearDupsAuto]] runs past the exact bound AT ITS
+    * DEFAULT θ = 0.45 — since r18 that is the WEAK-THETA tier
+    * ([[WeakLshTables]] × [[AutoLshPlanes]] + [[AutoLshProbes]] probes,
+    * see [[routerLshGrid]]; the organic re-sweep that promoted it lives
+    * in the tier scaladoc) — hash-replayed in DuckDB through the same
+    * shared renderer as q68, so the promoted default is itself
     * oracle-gated, not just spec-measured. q58/q68 keep pinning the
     * 16×8 reference grid (their single ⊆ multi ⊆ exact sandwich needs
     * identical own buckets); this pins the grid production traffic
     * actually takes. */
-  def qEmbedNearDupsAutoGrid(s: SparkSession, d: String): DataFrame =
+  def qEmbedNearDupsAutoGrid(s: SparkSession, d: String): DataFrame = {
+    val (tables, planes, probes) = routerLshGrid(0.45)
     embeddingNearDupsLsh(Tables.embeddings(s, d),
-      nTables = AutoLshTables, planes = AutoLshPlanes,
-      probes = AutoLshProbes).orderBy("vec_a", "vec_b")
+      nTables = tables, planes = planes,
+      probes = probes).orderBy("vec_a", "vec_b")
+  }
 
-  val qEmbedNearDupsAutoGridSql: String =
-    s"""WITH ${embedLshMultiProbeCtesSql(AutoLshProbes, AutoLshTables, AutoLshPlanes)}
+  val qEmbedNearDupsAutoGridSql: String = {
+    val (tables, planes, probes) = routerLshGrid(0.45)
+    s"""WITH ${embedLshMultiProbeCtesSql(probes, tables, planes)}
        |SELECT vec_a, vec_b, cos_sim FROM epairs ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   /** q61 — semantic-dedup clustering over the LSH near-dup graph. */
   def qEmbedClusters(s: SparkSession, d: String): DataFrame =

@@ -202,15 +202,33 @@ class DedupSpec extends AnyFunSuite {
     assert(autoRows.forall(_.getDouble(3) == 1.0),
       "exact arm must carry route_recall = 1.0")
     // forced LSH route (maxExactRows=0) ≡ the LSH operator AT THE
-    // ROUTER'S GRID (16×10 + 2 probes, the promoted Pareto point — not
-    // q58's plainer 16×8 reference grid), and the arm CARRIES its
-    // sampled recall evidence: at this corpus size the deterministic
-    // stratum is the whole corpus, so the column must equal the
-    // directly-computed |lsh_auto| / |exact|
+    // ROUTER'S GRID for the default θ=0.45 — since r18 the WEAK-THETA
+    // tier (32×10 + 2 probes, Dedup.routerLshGrid), not q58's plainer
+    // 16×8 reference grid — and the arm CARRIES its sampled recall
+    // evidence: at this corpus size the deterministic stratum is the
+    // whole corpus, so the column must equal the directly-computed
+    // |lsh_auto| / |exact|
+    val (rTables, rPlanes, rProbes) = Dedup.routerLshGrid(0.45)
+    assert((rTables, rPlanes, rProbes) ==
+      (Dedup.WeakLshTables, Dedup.AutoLshPlanes, Dedup.AutoLshProbes),
+      "default θ=0.45 must select the weak-theta tier")
+    assert(Dedup.routerLshGrid(0.6) ==
+      (Dedup.AutoLshTables, Dedup.AutoLshPlanes, Dedup.AutoLshProbes),
+      "strong θ must keep the Pareto grid")
     val lshAuto = Dedup.embeddingNearDupsLsh(emb,
+        nTables = rTables, planes = rPlanes,
+        probes = rProbes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // plane weights are indexed by GLOBAL plane number, so the weak
+    // tier's first 16 tables ARE the default grid: its pair set must
+    // be a superset of the default tier's
+    val defaultTier = Dedup.embeddingNearDupsLsh(emb,
         nTables = Dedup.AutoLshTables, planes = Dedup.AutoLshPlanes,
         probes = Dedup.AutoLshProbes).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaultTier.subsetOf(lshAuto.keySet),
+      s"weak tier lost pairs the default tier found: " +
+        s"${defaultTier -- lshAuto.keySet}")
     val autoLshRows = Dedup.embeddingNearDupsAuto(emb, maxExactRows = 0L).collect()
     val autoLsh = autoLshRows
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
