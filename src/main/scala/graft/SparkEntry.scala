@@ -99,6 +99,7 @@ object SparkEntry {
     "q77_schema_drift_audit" -> (graft.sources.Ingest.qSchemaDriftAudit _),
     "q78_ngram_contamination" -> (graft.operators.SubstringDedup.qNgramContamination _),
     "q79_media_quarantine" -> (Multimodal.qMediaQuarantine _),
+    "q80_compressed_audio" -> (Multimodal.qCompressedAudio _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -258,5 +259,12 @@ object SparkEntry {
     // covering every quarantine class; engine classifies from bytes,
     // oracle replays each blob's declared class
     "q79_media_quarantine" -> Multimodal.qMediaQuarantineSql,
+    // q80 = compressed-audio container audit: the engine walks real
+    // MPEG-1 Layer III frame chains (every hop header-validated, walk
+    // must land exactly on EOF) and bit-unpacks real FLAC STREAMINFO
+    // blocks; the oracle replays the generator's doc_id arithmetic for
+    // organic rows (parameters AND byte totals) and the fixture's
+    // declared classes for every malformed shape
+    "q80_compressed_audio" -> Multimodal.qCompressedAudioSql,
   )
 }

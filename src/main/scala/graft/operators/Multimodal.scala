@@ -226,6 +226,131 @@ object Multimodal {
       out.put(Array[Byte](0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01))
       out.array()
     }
+
+    // ---- compressed-audio containers (metadata/frame level) --------------
+    //
+    // The sandbox has no codec libraries, so SAMPLE decode of compressed
+    // audio stays an honest gap — but the container structure a curation
+    // run filters on (duration, rate, channels, bitrate, frame integrity)
+    // is plain public byte layout, parseable with zero dependencies:
+    // MPEG-1 Layer III frame headers (ISO/IEC 11172-3: 4-byte header per
+    // frame, frame length derivable from the header alone, so a WALK over
+    // the frame chain verifies stream integrity end-to-end) and the FLAC
+    // STREAMINFO metadata block (the format's mandatory first block:
+    // bit-packed 20-bit rate / 3-bit channels / 5-bit depth / 36-bit
+    // total-sample fields).
+
+    /** MPEG-1 Layer III bitrate table, kbps by header index (index 0 =
+      * "free format" and 15 are not decodable parameters — both classify
+      * as bad_bitrate here). */
+    val Mp3Bitrates: Array[Int] =
+      Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+
+    /** MPEG-1 sample-rate table by header index (index 3 is reserved). */
+    val Mp3Rates: Array[Int] = Array(44100, 48000, 32000, -1)
+
+    /** Samples per MPEG-1 Layer III frame — fixed by the spec. */
+    val Mp3SamplesPerFrame = 1152L
+
+    /** One MPEG-1 Layer III frame: the 4-byte header for the given
+      * parameter indices, padded with a deterministic fill byte to the
+      * header-implied frame length (144·bitrate/rate + padding) — the
+      * fixture generator's frame "encoder". `channels` 1 = mono (mode
+      * 0b11), 2 = stereo (mode 0b00). */
+    def mp3Frame(bitrateIdx: Int, rateIdx: Int, padding: Boolean,
+        channels: Int, fill: Byte): Array[Byte] = {
+      val len = 144 * Mp3Bitrates(bitrateIdx) * 1000 / Mp3Rates(rateIdx) +
+        (if (padding) 1 else 0)
+      val b = Array.fill[Byte](len)(fill)
+      b(0) = 0xff.toByte
+      b(1) = 0xfb.toByte // sync(3)=111, MPEG-1(11), Layer III(01), no CRC(1)
+      b(2) = ((bitrateIdx << 4) | (rateIdx << 2) |
+        (if (padding) 2 else 0)).toByte
+      b(3) = (if (channels == 1) 0xc0 else 0x00).toByte // mode: mono/stereo
+      b
+    }
+
+    /** Walks the MPEG-1 Layer III frame chain from byte 0 to EOF: every
+      * hop reads one 4-byte header, validates the sync/version/layer
+      * bits and the bitrate/rate indices, derives the frame length, and
+      * jumps. Stream parameters (rate, channels) are the FIRST frame's;
+      * bitrate may vary per frame (VBR), so the reported kbps is the
+      * frame-length-weighted mean rounded down. The walk must land
+      * EXACTLY on EOF — a short final frame is truncated_frame, residue
+      * after the last frame is trailing_garbage — so "ok" certifies the
+      * whole stream's frame integrity, not just the first header. */
+    def mp3Core(b: Array[Byte])
+        : Either[String, (Long, Long, Long, Long)] = {
+      var o = 0
+      var rate = -1L; var ch = -1L; var frames = 0L; var brBits = 0L
+      while (o < b.length) {
+        if (o + 4 > b.length)
+          return Left(if (frames == 0) "truncated_frame" else "trailing_garbage")
+        if ((b(o) & 0xff) != 0xff || (b(o + 1) & 0xfe) != 0xfa)
+          return Left(if (frames == 0) "bad_sync" else "trailing_garbage")
+        val brIdx = (b(o + 2) & 0xf0) >>> 4
+        val rIdx = (b(o + 2) & 0x0c) >>> 2
+        if (Mp3Bitrates(brIdx) < 0) return Left("bad_bitrate")
+        if (Mp3Rates(rIdx) < 0) return Left("bad_samplerate")
+        val pad = (b(o + 2) & 0x02) >>> 1
+        val len = 144 * Mp3Bitrates(brIdx) * 1000 / Mp3Rates(rIdx) + pad
+        if (o + len > b.length) return Left("truncated_frame")
+        if (frames == 0) {
+          rate = Mp3Rates(rIdx).toLong
+          ch = if (((b(o + 3) & 0xc0) >>> 6) == 3) 1L else 2L
+        }
+        brBits += Mp3Bitrates(brIdx).toLong * len
+        frames += 1
+        o += len
+      }
+      if (frames == 0) Left("truncated_frame")
+      else Right((rate, ch, frames, brBits / b.length.toLong))
+    }
+
+    def mp3Issue(b: Array[Byte]): Option[String] = mp3Core(b).left.toOption
+
+    /** FLAC header: "fLaC" magic + one STREAMINFO metadata block marked
+      * last (header byte 0x80, 3-byte length 34) — 42 bytes. The four
+      * audio parameters are bit-packed into one 64-bit big-endian field
+      * per the spec: rate(20) | channels-1(3) | depth-1(5) |
+      * total_samples(36). */
+    def flacHeader(sampleRate: Long, channels: Long, bitsPerSample: Long,
+        totalSamples: Long): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(42)
+      out.put("fLaC".getBytes("US-ASCII"))
+      out.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+      out.putShort(4096.toShort).putShort(4096.toShort) // min/max blocksize
+      out.put(0.toByte).put(0.toByte).put(0.toByte)     // min framesize (unknown)
+      out.put(0.toByte).put(0.toByte).put(0.toByte)     // max framesize (unknown)
+      out.putLong((sampleRate << 44) | ((channels - 1) << 41) |
+        ((bitsPerSample - 1) << 36) | totalSamples)
+      out.put(new Array[Byte](16))                      // unset MD5 (all zero)
+      out.array()
+    }
+
+    /** Parses the mandatory STREAMINFO block: magic, first-block type
+      * check, length check, then the bit-unpack of the packed 64-bit
+      * parameter field (the inverse of [[flacHeader]]'s shifts — but
+      * reading REAL spec offsets, not this generator's: any FLAC file's
+      * first 42+ bytes parse here). Audio frames after the metadata are
+      * out of scope (sample decode needs a real codec) and ignored. */
+    def flacCore(b: Array[Byte])
+        : Either[String, (Long, Long, Long, Long)] = {
+      if (b.length < 8) return Left("bad_magic")
+      if (!tag(b, 0, "fLaC")) return Left("bad_magic")
+      if ((b(4) & 0x7f) != 0) return Left("bad_block_type")
+      val blockLen = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+      if (blockLen < 34 || b.length < 8 + 34) return Left("truncated_streaminfo")
+      val packed = java.nio.ByteBuffer.wrap(b, 18, 8).getLong
+      val rate = packed >>> 44
+      val ch = ((packed >>> 41) & 0x7) + 1
+      val bits = ((packed >>> 36) & 0x1f) + 1
+      val total = packed & 0xfffffffffL
+      if (rate == 0) Left("bad_sample_rate")
+      else Right((rate, ch, bits, total))
+    }
+
+    def flacIssue(b: Array[Byte]): Option[String] = flacCore(b).left.toOption
   }
 
   /** One decoded media row across modalities: image rows carry parsed
@@ -426,6 +551,181 @@ object Multimodal {
         mediaIssue(r.format, r.media), r.media.length.toLong))
       .filter(_.reason != "ok")
     (good, quarantined)
+  }
+
+  /** Compressed-audio media table: even doc_ids become MPEG-1 Layer III
+    * streams (3–8 real frames, alternating padding bits so the frame
+    * walk hops non-uniform lengths; parameters cycle the public bitrate/
+    * rate tables), odd doc_ids become FLAC files (real bit-packed
+    * STREAMINFO + the document's bytes standing in for the audio
+    * frames, which metadata-level parse ignores). All parameters derive
+    * from doc_id alone so the ORACLE recomputes them independently of
+    * the byte-level parse — the [[decodableMediaTable]] contract. */
+  def compressedMediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val k = id / 2
+        if (id % 2 == 0) {
+          val brIdx = 1 + (k % 14).toInt
+          val rIdx = (k % 3).toInt
+          val ch = 1 + (k % 2).toInt
+          val n = 3 + (k % 6).toInt
+          val bytes = (0 until n).flatMap(f => MediaCodec.mp3Frame(
+            brIdx, rIdx, f % 2 == 1, ch, ((k + f) % 251).toByte)).toArray
+          MediaRow(id, bytes, "mp3")
+        } else {
+          val rate = Seq(8000L, 16000L, 22050L, 44100L, 48000L)((k % 5).toInt)
+          val bits = Seq(8L, 16L, 24L)((k % 3).toInt)
+          val total = 4096L * (1 + k % 10000)
+          MediaRow(id, MediaCodec.flacHeader(rate, 1 + k % 2, bits, total)
+            ++ text.getBytes("UTF-8"), "flac")
+        }
+    }
+  }
+
+  /** One parsed compressed-audio row with its DECLARED expectation —
+    * the fixture analog of [[QuarantineFixture]]'s third element, wide
+    * enough to also declare the ok rows' parsed parameters. */
+  case class CompressedDecl(media_id: Long, format: String, issue: String,
+      sample_rate: Long, channels: Long, bits_per_sample: Long,
+      bitrate_kbps: Long, n_frames: Long, total_samples: Long,
+      bytes: Array[Byte])
+
+  /** Malformed/edge fixture for q80 (ids disjoint from the corpus):
+    * every parse-failure class of both formats plus the VBR case the
+    * organic constant-bitrate corpus can't exercise (two frames at
+    * 64/128 kbps: the declared 106 kbps is the frame-length-weighted
+    * floor ⌊(64·208 + 128·417)/625⌋ — a parser that reads only the
+    * first header or averages unweighted lands elsewhere). */
+  val CompressedFixture: Seq[CompressedDecl] = {
+    import MediaCodec._
+    def cat(fs: Array[Byte]*): Array[Byte] = fs.flatten.toArray
+    val okMp3 = cat(mp3Frame(9, 0, false, 2, 7), mp3Frame(9, 0, true, 2, 8))
+    val okFlac = flacHeader(96000, 2, 24, 123456789L) ++
+      "flac fixture audio bytes".getBytes("US-ASCII")
+    def mut(b: Array[Byte])(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = b.clone(); f(c); c
+    }
+    val s = -1L
+    Seq(
+      CompressedDecl(6000000L, "mp3", "ok", 44100, 2, s, 128, 2, 2304,
+        okMp3),
+      CompressedDecl(6000001L, "mp3", "vbr_ok", s, s, s, s, s, s, cat(
+        mp3Frame(5, 0, false, 1, 1), mp3Frame(9, 0, false, 1, 2))),
+      CompressedDecl(6000002L, "mp3", "bad_sync", s, s, s, s, s, s,
+        mut(okMp3)(_(0) = 0x00)),
+      // frame 2's bitrate index -> 15 (frame 1 is 417 B, so frame 2's
+      // parameter byte sits at 417+2): the walk must validate EVERY hop
+      CompressedDecl(6000003L, "mp3", "bad_bitrate", s, s, s, s, s, s,
+        mut(okMp3)(_(419) = 0xf0.toByte)),
+      CompressedDecl(6000004L, "mp3", "bad_samplerate", s, s, s, s, s, s,
+        mut(okMp3)(_(2) = (9 << 4 | 3 << 2).toByte)),
+      CompressedDecl(6000005L, "mp3", "truncated_frame", s, s, s, s, s, s,
+        okMp3.dropRight(10)),
+      CompressedDecl(6000006L, "mp3", "truncated_frame", s, s, s, s, s, s,
+        okMp3.take(3)),
+      CompressedDecl(6000007L, "mp3", "trailing_garbage", s, s, s, s, s, s,
+        okMp3 ++ Array[Byte](1, 2, 3)),
+      CompressedDecl(6000010L, "flac", "ok", 96000, 2, 24, s, s, 123456789L,
+        okFlac),
+      CompressedDecl(6000011L, "flac", "bad_magic", s, s, s, s, s, s,
+        mut(okFlac)(_(0) = 'X'.toByte)),
+      CompressedDecl(6000012L, "flac", "bad_block_type", s, s, s, s, s, s,
+        mut(okFlac)(_(4) = 0x81.toByte)), // first block type 1, not STREAMINFO
+      CompressedDecl(6000013L, "flac", "truncated_streaminfo", s, s, s, s, s, s,
+        okFlac.take(30)),
+      CompressedDecl(6000014L, "flac", "bad_sample_rate", s, s, s, s, s, s,
+        flacHeader(0, 1, 16, 1000L)))
+  }
+
+  /** The VBR fixture row's declared parse (computed once here, used by
+    * both the oracle VALUES and the spec): 64 kbps × 208 B + 128 kbps ×
+    * 417 B → ⌊66688/625⌋ = 106 kbps weighted, 2 frames, mono 44100. */
+  val VbrDecl: (Long, Long, Long, Long, Long) = (44100L, 1L, 106L, 2L, 2304L)
+
+  /** q80: compressed-audio container audit over corpus media ∪ the
+    * malformed fixture — per-stream parsed parameters (rate, channels,
+    * depth, weighted bitrate, frame count, total samples) with a typed
+    * issue class; 'ok' on an mp3 row certifies the full frame-chain
+    * walk landed exactly on EOF. The metadata/frame level is the
+    * honest scope without codec libraries: SAMPLE decode of compressed
+    * audio would need a real decoder, and the scaladoc says so. */
+  def qCompressedAudio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = compressedMediaTable(Tables.documents(s, d))
+      .union(CompressedFixture
+        .map(f => MediaRow(f.media_id, f.bytes, f.format)).toDS())
+    media.map { r =>
+      val n = r.media.length.toLong
+      r.format match {
+        case "mp3" => MediaCodec.mp3Core(r.media) match {
+          case Right((rate, ch, frames, kbps)) =>
+            (r.media_id, r.format, "ok", rate, ch, -1L, kbps, frames,
+              frames * MediaCodec.Mp3SamplesPerFrame, n)
+          case Left(issue) =>
+            (r.media_id, r.format, issue, -1L, -1L, -1L, -1L, -1L, -1L, n)
+        }
+        case _ => MediaCodec.flacCore(r.media) match {
+          case Right((rate, ch, bits, total)) =>
+            (r.media_id, r.format, "ok", rate, ch, bits, -1L, -1L, total, n)
+          case Left(issue) =>
+            (r.media_id, r.format, issue, -1L, -1L, -1L, -1L, -1L, -1L, n)
+        }
+      }
+    }.toDF("media_id", "format", "issue", "sample_rate", "channels",
+      "bits_per_sample", "bitrate_kbps", "n_frames", "total_samples",
+      "n_bytes")
+      .orderBy("media_id")
+  }
+
+  /** The oracle: organic rows replay the generator's doc_id arithmetic
+    * (parameters AND the byte total — n frames × ⌊144000·br/rate⌋ plus
+    * ⌊n/2⌋ padding bytes for mp3, 42 + payload for flac) with zero
+    * shared offsets with the parser; fixture rows replay their
+    * declarations, the VBR row its hand-derived weighted bitrate. */
+  val qCompressedAudioSql: String = {
+    val fxRows = CompressedFixture.map { f =>
+      val (issue, vals) =
+        if (f.issue == "vbr_ok") ("ok",
+          s"${VbrDecl._1}, ${VbrDecl._2}, -1, ${VbrDecl._3}, ${VbrDecl._4}, ${VbrDecl._5}")
+        else (f.issue,
+          s"${f.sample_rate}, ${f.channels}, ${f.bits_per_sample}, " +
+            s"${f.bitrate_kbps}, ${f.n_frames}, ${f.total_samples}")
+      s"(${f.media_id}, '${f.format}', '$issue', $vals, ${f.bytes.length})"
+    }.mkString(",\n       |    ")
+    s"""WITH mp3 AS (
+       |  SELECT doc_id AS media_id, 'mp3' AS format, 'ok' AS issue,
+       |         [44100, 48000, 32000][((doc_id // 2) % 3 + 1)::INT]::BIGINT AS sample_rate,
+       |         (1 + (doc_id // 2) % 2)::BIGINT AS channels,
+       |         (-1)::BIGINT AS bits_per_sample,
+       |         [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+       |           [((doc_id // 2) % 14 + 1)::INT]::BIGINT AS bitrate_kbps,
+       |         (3 + (doc_id // 2) % 6)::BIGINT AS n_frames,
+       |         ((3 + (doc_id // 2) % 6) * 1152)::BIGINT AS total_samples
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |mp3b AS (
+       |  SELECT *, (n_frames * (144000 * bitrate_kbps // sample_rate)
+       |             + n_frames // 2)::BIGINT AS n_bytes FROM mp3),
+       |flac AS (
+       |  SELECT doc_id AS media_id, 'flac' AS format, 'ok' AS issue,
+       |         [8000, 16000, 22050, 44100, 48000][((doc_id // 2) % 5 + 1)::INT]::BIGINT AS sample_rate,
+       |         (1 + (doc_id // 2) % 2)::BIGINT AS channels,
+       |         [8, 16, 24][((doc_id // 2) % 3 + 1)::INT]::BIGINT AS bits_per_sample,
+       |         (-1)::BIGINT AS bitrate_kbps, (-1)::BIGINT AS n_frames,
+       |         (4096 * (1 + (doc_id // 2) % 10000))::BIGINT AS total_samples,
+       |         (42 + octet_length(encode(text)))::BIGINT AS n_bytes
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |fx(media_id, format, issue, sample_rate, channels, bits_per_sample,
+       |   bitrate_kbps, n_frames, total_samples, n_bytes) AS (VALUES
+       |    $fxRows),
+       |allrows AS (
+       |  SELECT * FROM mp3b UNION ALL SELECT * FROM flac
+       |  UNION ALL
+       |  SELECT media_id, format, issue, sample_rate::BIGINT, channels::BIGINT,
+       |         bits_per_sample::BIGINT, bitrate_kbps::BIGINT, n_frames::BIGINT,
+       |         total_samples::BIGINT, n_bytes::BIGINT FROM fx)
+       |SELECT * FROM allrows ORDER BY media_id""".stripMargin
   }
 
   // ---- SparkEntry wiring -------------------------------------------------

@@ -245,4 +245,75 @@ class MultimodalSpec extends AnyFunSuite {
       if (declared != "ok") assert(reasonsById(id) == declared)
     }
   }
+
+  test("MP3 frame walk: hand-built chains, VBR weighted bitrate, every fixture class") {
+    import MediaCodec._
+    // hand-built 3-frame chain with alternating padding: the walk must
+    // hop 417/418/417 and land exactly on EOF
+    val chain = mp3Frame(9, 0, false, 2, 1) ++ mp3Frame(9, 0, true, 2, 2) ++
+      mp3Frame(9, 0, false, 2, 3)
+    assert(chain.length == 417 + 418 + 417)
+    assert(mp3Core(chain) == Right((44100L, 2L, 3L, 128L)))
+    // mono mode bit; a different rate changes the frame length
+    assert(mp3Core(mp3Frame(1, 1, false, 1, 0)) == Right((48000L, 1L, 1L, 32L)))
+    assert(mp3Frame(1, 1, false, 1, 0).length == 144 * 32000 / 48000)
+    // VBR: weighted mean, not first-frame and not unweighted mean
+    // (64·208 + 128·417)/625 = 106.7 -> 106; unweighted would be 96
+    val vbr = mp3Frame(5, 0, false, 1, 1) ++ mp3Frame(9, 0, false, 1, 2)
+    assert(mp3Core(vbr) == Right((44100L, 1L, 2L, 106L)))
+    // one byte short of a full final frame is truncated, one byte past
+    // a clean chain is trailing garbage: "ok" certifies the whole walk
+    assert(mp3Issue(chain.dropRight(1)).contains("truncated_frame"))
+    assert(mp3Issue(chain ++ Array[Byte](0)).contains("trailing_garbage"))
+    assert(mp3Issue(Array.empty[Byte]).contains("truncated_frame"))
+    // every fixture row classifies as declared (vbr_ok parses clean)
+    Multimodal.CompressedFixture.filter(_.format == "mp3").foreach { f =>
+      val got = mp3Core(f.bytes)
+      val expected = if (f.issue == "vbr_ok" || f.issue == "ok") None else Some(f.issue)
+      assert(got.left.toOption == expected,
+        s"fixture ${f.media_id}: parsed $got, declared ${f.issue}")
+    }
+  }
+
+  test("FLAC STREAMINFO: bit-unpack round-trip at field boundaries, fixture classes") {
+    import MediaCodec._
+    // round-trip across the packed 64-bit field's boundaries: max 20-bit
+    // rate, 8 channels (3-bit), 32-bit depth (5-bit), max 36-bit total
+    for ((r, c, b, t) <- Seq((96000L, 2L, 24L, 123456789L),
+        (1048575L, 8L, 32L, (1L << 36) - 1), (1L, 1L, 1L, 0L),
+        (44100L, 1L, 16L, 4096L)))
+      assert(flacCore(flacHeader(r, c, b, t)) == Right((r, c, b, t)),
+        s"round-trip failed at ($r,$c,$b,$t)")
+    // trailing audio bytes are out of metadata scope
+    assert(flacCore(flacHeader(8000, 1, 8, 7L) ++ Array[Byte](9, 9, 9)) ==
+      Right((8000L, 1L, 8L, 7L)))
+    Multimodal.CompressedFixture.filter(_.format == "flac").foreach { f =>
+      val got = flacCore(f.bytes)
+      val expected = if (f.issue == "ok") None else Some(f.issue)
+      assert(got.left.toOption == expected,
+        s"fixture ${f.media_id}: parsed $got, declared ${f.issue}")
+    }
+  }
+
+  test("compressedMediaTable rows parse back to the doc_id arithmetic") {
+    val rows = Multimodal.compressedMediaTable(
+      graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")).collect()
+    assert(rows.nonEmpty && rows.exists(_.format == "mp3") &&
+      rows.exists(_.format == "flac"))
+    rows.foreach { r =>
+      val k = r.media_id / 2
+      if (r.format == "mp3") {
+        val n = 3 + (k % 6)
+        assert(MediaCodec.mp3Core(r.media) == Right((
+          MediaCodec.Mp3Rates((k % 3).toInt).toLong, 1 + k % 2, n,
+          MediaCodec.Mp3Bitrates((1 + k % 14).toInt).toLong)),
+          s"mp3 ${r.media_id}")
+      } else {
+        assert(MediaCodec.flacCore(r.media) == Right((
+          Seq(8000L, 16000L, 22050L, 44100L, 48000L)((k % 5).toInt),
+          1 + k % 2, Seq(8L, 16L, 24L)((k % 3).toInt),
+          4096L * (1 + k % 10000))), s"flac ${r.media_id}")
+      }
+    }
+  }
 }
