@@ -100,6 +100,7 @@ object SparkEntry {
     "q78_ngram_contamination" -> (graft.operators.SubstringDedup.qNgramContamination _),
     "q79_media_quarantine" -> (Multimodal.qMediaQuarantine _),
     "q80_compressed_audio" -> (Multimodal.qCompressedAudio _),
+    "q81_semantic_dedup" -> (Dedup.qSemanticDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -266,5 +267,10 @@ object SparkEntry {
     // organic rows (parameters AND byte totals) and the fixture's
     // declared classes for every malformed shape
     "q80_compressed_audio" -> Multimodal.qCompressedAudioSql,
+    // q81 = SemDeDup-style cluster-then-prune: the oracle replays the
+    // count-derived centroid count, seed-centroid argmax assignment,
+    // within-cluster exact cosine >= eps, and the smallest-smaller-
+    // neighbor prune rule — the full keep/drop partition hash-pinned
+    "q81_semantic_dedup" -> Dedup.qSemanticDedupSql,
   )
 }

@@ -849,7 +849,13 @@ object Dedup {
     * the 32-table grid's first 16 tables ARE the default grid — the
     * weak tier's pair set is a strict superset (spec-pinned). Recall
     * ≥ 0.9 at bounded verify mass (0.36× of exact at this corpus; the
-    * asymptotic cut still scales as T/2^P), θ≥0.6 recall stays 1.0. */
+    * asymptotic cut still scales as T/2^P), θ≥0.6 recall stays 1.0.
+    *
+    * Memory at scale (measured r18): the doubled candidate stream also
+    * doubles the per-bucket kernel's buffered mass — at 500k vectors
+    * the tier OOMs an 8 GB single-JVM local-mode heap and runs clean at
+    * the 16 GB clamp (`bench/BENCH_DETAIL_r18_sf10_quiet.json`, zero
+    * errors); on a cluster this is per-executor working memory. */
   val WeakThetaCutoff = 0.55
   val WeakLshTables = 32
 
@@ -898,6 +904,120 @@ object Dedup {
         nTables = tables, planes = planes, probes = probes)
         .withColumn("route_recall", lit(recall))
     }
+  }
+
+  /** SemDeDup default prune threshold: within-cluster pairs at or above
+    * this cosine are semantic duplicates (the public method prunes at a
+    * high-confidence bar, well above the q16/q71 near-dup θ=0.45). */
+  val SemanticEps = 0.6
+
+  /** Target mean cluster size for [[semanticDedup]]'s centroid count —
+    * within-cluster verify work is O(N · target), linear in the corpus
+    * for a fixed target. */
+  val SemanticClusterTarget = 200
+
+  /** Centroid cap for [[semanticDedup]]: centroids travel to executors
+    * as ONE task broadcast (an array, not a Catalyst literal fold like
+    * [[Similarity.nearestCentroid]]'s K=16, whose expression tree would
+    * not survive hundreds of entries), so the cap is a memory budget,
+    * not an expression-size one. Past the cap, mean cluster size grows
+    * with N again — at real 100-TB scale the assignment instead comes
+    * from a persisted k-means index ([[Similarity.buildIvfIndex]] /
+    * `ivfAssignments`), which this relation deliberately doesn't use so
+    * the ORACLE can replay the seed-centroid assignment exactly. */
+  val SemanticMaxCentroids = 256
+
+  /** Cluster-then-prune semantic dedup (the SemDeDup family, Abbas et
+    * al. 2023, public): assign every vector to its nearest of K seed
+    * centroids, compute exact pairwise cosine ONLY within clusters, and
+    * drop any vector with a same-cluster neighbor at cos ≥ eps and a
+    * smaller vec_id (the public implementation's rank rule, rank =
+    * vec_id) — `dup_of` names the smallest such neighbor. Differs from
+    * the pairwise near-dup routes (q16/q58/q71): those ENUMERATE pairs;
+    * this PARTITIONS the corpus into keep/drop in one relation, and its
+    * candidate structure comes from clustering, not hashing.
+    *
+    * Scale shape: K = clamp(16, [[SemanticMaxCentroids]],
+    * ⌈N/[[SemanticClusterTarget]]⌉) derives from one count job so the
+    * oracle replays it from COUNT(*); assignment is one narrow
+    * mapPartitions argmax over broadcast centroids (numerics identical
+    * to the [[Similarity.nearestCentroid]] fold: 4dp HALF_UP rounded
+    * cosine, strict-improvement scan in ascending cid = smallest cid on
+    * ties); within-cluster pairs run [[blockPairKernel]] keyed by
+    * (cid, block-pair), where clusters above ~4k rows get the same
+    * exact grid decomposition as [[embeddingNearDups]] — a hot cluster
+    * (the skewed-key hazard of every self-join) shatters into bounded
+    * cells instead of serializing one task. Verify work is
+    * O(N·target), never all-pairs. `forcedBlocks` pins the sub-grid for
+    * the spec's salted≡unsalted equality (0 = size-derived). */
+  def semanticDedup(emb: DataFrame, eps: Double = SemanticEps,
+      clusterTarget: Int = SemanticClusterTarget,
+      maxCentroids: Int = SemanticMaxCentroids,
+      forcedBlocks: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = emb.count()
+    val k = math.max(16L, math.min(maxCentroids.toLong,
+      (n + clusterTarget - 1) / clusterTarget)).toInt
+    val cents = Similarity.collectCentroids(emb, 0, k)
+      .map { case (cid, v) => (cid, v.toArray) }.toArray
+    val centB = spark.sparkContext.broadcast(
+      cents.map { case (cid, v) => (cid, v, nrm(v)) })
+    // (vec_id, cid, embedding): one narrow full-corpus pass, no shuffle
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val cs = centB.value
+        rows.map { case (id, vs) =>
+          val v = vs.toArray
+          val nv = nrm(v)
+          var bestS = Double.NegativeInfinity
+          var bestC = Long.MaxValue
+          var ci = 0
+          while (ci < cs.length) {
+            val (cid, cv, nc) = cs(ci)
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+            val r = BigDecimal(s / (nv * nc))
+              .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (r > bestS) { bestS = r; bestC = cid }
+            ci += 1
+          }
+          (id, bestC, vs)
+        }
+      }
+    // per-cluster sub-grid sizing: ≤ K rows to the driver, never corpus
+    val bByCid: Map[Long, Int] = assigned.groupByKey(_._2).count().collect()
+      .map { case (cid, c) =>
+        cid -> (if (forcedBlocks > 0) forcedBlocks
+                else if (c <= 4096L) 1
+                else math.min(64L, (c + 4095L) / 4096L).toInt)
+      }.toMap
+    val bB = spark.sparkContext.broadcast(bByCid)
+    val pairs = assigned
+      .flatMap { case (id, cid, v) =>
+        val b = bB.value(cid)
+        val blk = (id % b).toInt
+        (0 until b).map { p =>
+          val pid = if (p < blk) p * b + blk else blk * b + p
+          (cid, pid, id, v, blk)
+        }
+      }
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Long, Int), rows: Iterator[(Long, Int, Long, Seq[Float], Int)]) =>
+        val b = bB.value(key._1)
+        blockPairKernel(key._2 / b, key._2 % b,
+          rows.map { case (_, _, id, v, blk) => (id, v, blk) }, eps)
+      }.toDF()
+    val dupOf = pairs.groupBy(col("vec_b").as("vec_id"))
+      .agg(min("vec_a").as("dup_src"))
+    assigned.map { case (id, cid, _) => (id, cid) }.toDF("vec_id", "cid")
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dup_src").isNull, lit("keep")).otherwise(lit("drop"))
+          .as("status"),
+        coalesce(col("dup_src"), lit(-1L)).as("dup_of"))
+      .orderBy("vec_id")
   }
 
   /** Expected size of the sampled ground-truth stratum the LSH arm
@@ -1167,6 +1287,46 @@ object Dedup {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q81 — cluster-then-prune semantic dedup as a first-class relation:
+    * every vector's (cluster, keep/drop, dup_of). The oracle replays the
+    * WHOLE route — COUNT(*)-derived K, seed centroids, 4dp-rounded
+    * argmax assignment with smallest-cid ties, within-cluster exact
+    * cosine ≥ eps, smallest-smaller-neighbor prune — so a hash match
+    * pins clustering AND prune policy; the sub-grid decomposition is
+    * invisible to it (exact, spec-pinned row-identical). */
+  def qSemanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedup(Tables.embeddings(s, d))
+
+  val qSemanticDedupSql: String =
+    s"""WITH params AS (
+      |  SELECT GREATEST(16, LEAST($SemanticMaxCentroids,
+      |           CEIL(COUNT(*) / $SemanticClusterTarget.0)))::BIGINT AS k
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT vec_id AS cid, embedding AS cemb
+      |  FROM embeddings, params WHERE vec_id < k),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cemb::DOUBLE[]), 4) DESC,
+      |             cid) AS rnk
+      |    FROM embeddings e CROSS JOIN cent)
+      |  WHERE rnk = 1),
+      |pairs AS (
+      |  SELECT la.vec_id AS va, lb.vec_id AS vb
+      |  FROM assigned la JOIN assigned lb
+      |    ON la.cid = lb.cid AND la.vec_id < lb.vec_id
+      |  JOIN embeddings ea ON la.vec_id = ea.vec_id
+      |  JOIN embeddings eb ON lb.vec_id = eb.vec_id
+      |  WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= $SemanticEps),
+      |dup AS (SELECT vb AS vec_id, MIN(va) AS dup_src FROM pairs GROUP BY vb)
+      |SELECT a.vec_id, a.cid,
+      |       CASE WHEN d.dup_src IS NULL THEN 'keep' ELSE 'drop' END AS status,
+      |       COALESCE(d.dup_src, -1)::BIGINT AS dup_of
+      |FROM assigned a LEFT JOIN dup d USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
 
   /** q58 — the LSH-prefiltered near-dup route as a first-class relation:
     * candidates from the (T, P) bucket grid, exact-cosine-verified ≥ 0.45.

@@ -349,6 +349,73 @@ class DedupSpec extends AnyFunSuite {
     assert(hotRouted == cold, "sub-grid must be row-identical to the plain kernel")
   }
 
+  test("semantic dedup: matches an independent window+join derivation; sub-grid exact") {
+    import org.apache.spark.sql.expressions.Window
+    // 16 seed vectors (the centroids at n=146 < 16*200) + 120 members
+    // spread over 4 of them (intra-cluster cos ~0.8, below eps) + 10
+    // high-cos twins of members (the semantic duplicates to prune)
+    val rnd = new scala.util.Random(77L)
+    val base = (0 until 16).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val members = (0 until 120).map { j =>
+      val (_, cv) = base(j % 4)
+      (100L + j, cv.map(x => x + 0.5f * rnd.nextGaussian().toFloat))
+    }
+    val twins = (0 until 10).map { t =>
+      val (_, v) = members(t * 7)
+      (500L + t, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (base ++ members ++ twins).toDF("vec_id", "embedding")
+    val eps = 0.9
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    val got = rows(Dedup.semanticDedup(emb, eps = eps))
+
+    // independent derivation: the r06-style cross+window argmax and a
+    // plain within-cluster join (no kernel, no sub-grid, no broadcast)
+    val cent = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val assigned = emb.crossJoin(cent)
+      .select(col("vec_id"), col("cid"),
+        round(Similarity.cosine(col("embedding"), col("cemb")), 4).as("cs"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))))
+      .filter(col("rnk") === 1).select("vec_id", "cid")
+    val withA = emb.join(assigned, "vec_id")
+    val pairs = withA.as("a").join(withA.as("b"),
+      col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 4)
+          .as("cs"))
+      .filter(col("cs") >= eps)
+    val dup = pairs.groupBy(col("vb").as("vec_id"))
+      .agg(min("va").as("dup_src"))
+    val expected = rows(assigned.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dup_src").isNull, lit("keep")).otherwise(lit("drop"))
+          .as("status"),
+        coalesce(col("dup_src"), lit(-1L)).as("dup_of")))
+    assert(got == expected,
+      s"diff: missing=${expected -- got} extra=${got -- expected}")
+    // the planted twins are exactly the kind of row the prune exists
+    // for: every one must drop, naming its (smaller-id) member source
+    val byId = got.map(r => r._1 -> r).toMap
+    (0 until 10).foreach { t =>
+      val (status, dupOf) = (byId(500L + t)._3, byId(500L + t)._4)
+      // dup_of is the MIN >= eps smaller neighbor: the planted source
+      // member, or any smaller same-cluster row (incl. the seed vector
+      // the member was spread from) that also clears eps
+      assert(status == "drop" && dupOf >= 0L && dupOf <= 100L + t * 7,
+        s"twin ${500 + t}: $status dup_of=$dupOf")
+    }
+    assert(got.count(_._3 == "drop") >= 10)
+    // the sub-grid decomposition is exact: forcing every cluster
+    // through a 3x3 block grid must be row-identical (q52/q57 pattern)
+    assert(rows(Dedup.semanticDedup(emb, eps = eps, forcedBlocks = 3)) == got,
+      "forced sub-grid diverged from the plain per-cluster kernel")
+  }
+
   test("embedding dup clusters: planted twins pair up, everything else singleton") {
     // same planted-dup construction as the recall test: 400 seeded base
     // vectors + 20 high-cosine twins of base(j*7)
