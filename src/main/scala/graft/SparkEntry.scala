@@ -101,6 +101,7 @@ object SparkEntry {
     "q79_media_quarantine" -> (Multimodal.qMediaQuarantine _),
     "q80_compressed_audio" -> (Multimodal.qCompressedAudio _),
     "q81_semantic_dedup" -> (Dedup.qSemanticDedup _),
+    "q82_neardup_decon" -> (Corpus.qNeardupDecontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -272,5 +273,10 @@ object SparkEntry {
     // within-cluster exact cosine >= eps, and the smallest-smaller-
     // neighbor prune rule — the full keep/drop partition hash-pinned
     "q81_semantic_dedup" -> Dedup.qSemanticDedupSql,
+    // q82 = near-dup-level decontamination (the third decon rung after
+    // q48 exact and q78 substring): MinHash/LSH banding cross-set with
+    // broadcast probe bands + exact-Jaccard verify at tau; the oracle
+    // replays bands, band join, verify, filter, and aggregation
+    "q82_neardup_decon" -> Corpus.qNeardupDecontaminateSql,
   )
 }

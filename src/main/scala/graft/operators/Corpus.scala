@@ -426,6 +426,122 @@ object Corpus {
        |FROM train t JOIN probe p USING (shingle)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** NEAR-DUP-level decontamination default verify threshold: a train
+    * doc whose exact word-3-gram Jaccard against any benchmark doc
+    * reaches this is flagged. Below the banding grid's reliable-recall
+    * range the LSH candidate step (not the verify) bounds what can be
+    * found — the same subset semantics as the q13/q58 relations. */
+  val NeardupDeconTau = 0.5
+
+  /** Near-duplicate-level decontamination — the third rung of the decon
+    * ladder: [[decontaminate]]/q48 catches exact shared shingles,
+    * `SubstringDedup.contaminationSpans`/q78 catches verbatim n-gram
+    * runs, and THIS catches benchmark documents that were paraphrased
+    * or lightly edited into the train set (the standard published
+    * practice is n-gram overlap plus a near-dup pass, because light
+    * edits defeat exact matching). Candidates come from the SAME
+    * MinHash/LSH banding as q13 (per-row narrow signatures; the probe
+    * side's bands BROADCAST, so the train corpus never shuffles — q78's
+    * shape); candidates are exact-Jaccard verified ([[Dedup
+    * .verifyJaccard]], numerics shared with q14) at `tau`. Emits one
+    * row per CONTAMINATED train doc: how many benchmark docs it
+    * near-duplicates, the smallest such probe id, and the worst
+    * Jaccard. */
+  def neardupDecontaminate(train: DataFrame, probe: DataFrame,
+      tau: Double = NeardupDeconTau): DataFrame = {
+    // memoized: `cand` is referenced THREE times below (both ids unions
+    // + the verify join) — without the memo each reference re-runs the
+    // band join (measured 3x the wall at sf0.1); same lifecycle as the
+    // q13 memo (cleared by Dedup.clearShingleCaches at run end)
+    val cand = Dedup.memoPersist(train, s"deconCand:${probe.hashCode}") { t =>
+      val trainB = Dedup.lshBands(t)
+      val probeB = Dedup.lshBands(probe)
+        .select(col("band"), col("band_hash"), col("doc_id").as("probe_id"))
+      trainB.join(broadcast(probeB), Seq("band", "band_hash"))
+        .select(col("doc_id").as("doc_a"), col("probe_id").as("doc_b"))
+        .distinct()
+    }
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // candidate ENDPOINTS only pay the shingle-set materialization (the
+    // jaccardPairs narrowing); memoized because verifyJaccard references
+    // the relation twice (doc_a and doc_b joins)
+    val sets = Dedup.memoPersist(train,
+      s"deconSets:${probe.hashCode}") { t =>
+      t.select(col("doc_id"), col("text"))
+        .unionByName(probe.select(col("doc_id"), col("text")))
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          graft.functions.MinHashFns.shingleSet(col("text")).as("sh"))
+    }
+    Dedup.verifyJaccard(cand, sets)
+      .filter(col("jaccard") >= tau)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_contaminating_probes"),
+        min(col("doc_b")).as("first_probe_id"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
+  /** Benchmark-side fixture for q82 (ids and vocabulary disjoint from
+    * the corpus and from the q76/q78 fixtures). */
+  val NeardupProbeFixture: Seq[(Long, String)] = Seq(
+    (4300000L, (1 to 30).map(i => f"qa$i%02d").mkString(" ")),
+    (4300001L, (1 to 25).map(i => f"qb$i%02d").mkString(" ")))
+
+  /** Train-side fixture: an exact benchmark copy (j = 1), a light edit
+    * (last token swapped — 27 of 29 distinct 3-gram shingles shared,
+    * j = 0.931034: the paraphrase-shaped leak exact decon misses), and
+    * a sub-tau 8-token overlap (j = 6/43 ≈ 0.14) that must NOT flag. */
+  val NeardupTrainFixture: Seq[(Long, String)] = Seq(
+    (4400000L, (1 to 30).map(i => f"qa$i%02d").mkString(" ")),
+    (4400001L, ((1 to 29).map(i => f"qa$i%02d") :+ "edited").mkString(" ")),
+    (4400002L, ((1 to 8).map(i => f"qb$i%02d") ++
+      (1 to 20).map(i => f"zx$i%02d")).mkString(" ")))
+
+  /** q82: the near-dup rung of the decontamination ladder over the
+    * q48/q78 probe/train split (organic docs < [[DefaultProbeMaxId]] ∪
+    * planted benchmarks vs the rest ∪ planted leaks). */
+  def qNeardupDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") >= DefaultProbeMaxId)
+      .unionByName(NeardupTrainFixture.toDF("doc_id", "text"))
+    val probe = docs.filter(col("doc_id") < DefaultProbeMaxId)
+      .unionByName(NeardupProbeFixture.toDF("doc_id", "text"))
+    neardupDecontaminate(train, probe).orderBy("doc_id")
+  }
+
+  /** The oracle replays the WHOLE route cross-set: bands over the union
+    * source ([[Dedup.bandsCtesSqlFrom]] — q13's replay verbatim), the
+    * train×probe band join, the exact-Jaccard verify ([[Dedup
+    * .jacCteSql]] — q14's replay verbatim), the tau filter, and the
+    * per-train-doc aggregation. */
+  val qNeardupDecontaminateSql: String = {
+    def vals(fx: Seq[(Long, String)]) =
+      fx.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""WITH probe_src AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < $DefaultProbeMaxId
+       |  UNION ALL SELECT * FROM (VALUES ${vals(NeardupProbeFixture)}) p(doc_id, text)),
+       |train_src AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= $DefaultProbeMaxId
+       |  UNION ALL SELECT * FROM (VALUES ${vals(NeardupTrainFixture)}) t(doc_id, text)),
+       |src AS (SELECT * FROM probe_src UNION ALL SELECT * FROM train_src),
+       |${Dedup.bandsCtesSqlFrom("src")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id IN (SELECT doc_id FROM train_src)
+       |    AND b.doc_id IN (SELECT doc_id FROM probe_src)),
+       |${Dedup.jacCteSql}
+       |SELECT doc_a AS doc_id,
+       |       COUNT(*)::BIGINT AS n_contaminating_probes,
+       |       MIN(doc_b) AS first_probe_id,
+       |       MAX(jaccard) AS max_jaccard
+       |FROM jac WHERE jaccard >= $NeardupDeconTau
+       |GROUP BY doc_a ORDER BY doc_id""".stripMargin
+  }
+
   /** The driver's synthetic sources are perfectly uniform (25 docs each
     * at sf0.01), where the mix gate degenerates to a no-op — so the q53
     * surface first SKEWS the fixture deterministically (halve three

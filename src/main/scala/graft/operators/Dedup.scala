@@ -89,7 +89,7 @@ object Dedup {
     * update") whenever the inner key lands in the outer key's bin
     * (observed as a hash-dependent test flake). A reentrant lock +
     * double-checked get keeps builds single-flight and nest-safe. */
-  private def memoPersist(docs: DataFrame, stage: String)
+  private[operators] def memoPersist(docs: DataFrame, stage: String)
                          (build: DataFrame => DataFrame): DataFrame = {
     val key = memoKey(docs, stage)
     val hit = shingleCache.get(key)
@@ -1170,7 +1170,11 @@ object Dedup {
   /** Shared DuckDB CTE chain mirroring shingleBase → lshCandidatePairs →
     * jaccardPairs: `jac` holds the verified (doc_a, doc_b, jaccard)
     * candidates. Reused by q14 and the q37 component closure. */
-  private[graft] def jaccardCtesSqlFrom(src: String): String = {
+  /** Oracle fragment: `sh` (shingle sets + h0 hashes) → `sig` (minhash
+    * signatures) → `bands` (banded signature hashes) over source CTE
+    * `src` — the replay of shingleBase → minhashSignatures → lshBands.
+    * Shared by the self-join chain below and q82's cross-set variant. */
+  private[graft] def bandsCtesSqlFrom(src: String): String = {
     val rows = NumHashes / NumBands
     s"""sh AS (SELECT doc_id, $shinglesSqlExpr AS shg,
        |                   list_transform($shinglesSqlExpr, s -> $h0SqlExpr) AS h0s
@@ -1182,18 +1186,27 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, k // $rows AS band,
        |         md5(string_agg(minhash::VARCHAR, ',' ORDER BY k)) AS band_hash
-       |  FROM sig GROUP BY doc_id, k // $rows),
+       |  FROM sig GROUP BY doc_id, k // $rows)""".stripMargin
+  }
+
+  /** Oracle fragment: exact-Jaccard verify of an existing `cand`
+    * (doc_a, doc_b) against `sh` — the [[verifyJaccard]] replay (same
+    * 6dp rounding). */
+  private[graft] val jacCteSql: String =
+    """jac AS (
+      |  SELECT doc_a, doc_b,
+      |         ROUND(CAST(len(list_intersect(x.shg, y.shg)) AS DOUBLE)
+      |               / len(list_distinct(list_concat(x.shg, y.shg))), 6) AS jaccard
+      |  FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+      |            JOIN sh y ON cand.doc_b = y.doc_id)""".stripMargin
+
+  private[graft] def jaccardCtesSqlFrom(src: String): String =
+    s"""${bandsCtesSqlFrom(src)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-       |jac AS (
-       |  SELECT doc_a, doc_b,
-       |         ROUND(CAST(len(list_intersect(x.shg, y.shg)) AS DOUBLE)
-       |               / len(list_distinct(list_concat(x.shg, y.shg))), 6) AS jaccard
-       |  FROM cand JOIN sh x ON cand.doc_a = x.doc_id
-       |            JOIN sh y ON cand.doc_b = y.doc_id)""".stripMargin
-  }
+       |$jacCteSql""".stripMargin
 
   private[operators] val jaccardCtesSql: String = jaccardCtesSqlFrom("documents")
 

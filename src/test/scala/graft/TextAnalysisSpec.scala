@@ -208,6 +208,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(Corpus.decontaminateBloom(clean, probeMaxId = 20).count() == 0)
   }
 
+  test("near-dup decontamination: planted leak shapes, verify filter, broadcast probe") {
+    import graft.operators.Corpus
+    // fixture-only corpus: the three train shapes against the two probes
+    val probe = Corpus.NeardupProbeFixture.toDF("doc_id", "text")
+    val train = Corpus.NeardupTrainFixture.toDF("doc_id", "text")
+    val out = Corpus.neardupDecontaminate(train, probe)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // exact copy: j = 1.0 against its source benchmark
+    assert(rows(4400000L) == ((1L, 4300000L, 1.0)))
+    // light edit: 27 of 29 distinct shingles shared = 0.931034 at 6dp —
+    // a paraphrase-shaped leak exact decon (q48 whole-shingle counting
+    // flags it too, but substring q78 would see only the shared run)
+    assert(rows(4400001L) == ((1L, 4300000L, 0.931034)))
+    // sub-tau overlap (j = 6/43): never flagged, whether or not a band
+    // happens to collide — the verify filter is the contract
+    assert(!rows.contains(4400002L))
+    assert(rows.size == 2)
+    // the probe side rides a broadcast: the train corpus never shuffles
+    // into the band join
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "probe bands must broadcast")
+    // tau is a real lever: at tau above the edit's jaccard only the
+    // exact copy survives
+    val strict = Corpus.neardupDecontaminate(train, probe, tau = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(4400000L))
+  }
+
   test("corpus mixing gates the big source to the uniform share, keeps minima whole") {
     // skewed mixture: one 8-doc crawl vs two 3-doc sources -> m = 3
     val d = ((1L to 8L).map(i => (i, "web")) ++
