@@ -963,8 +963,12 @@ object Dedup {
       .map { case (cid, v) => (cid, v.toArray) }.toArray
     val centB = spark.sparkContext.broadcast(
       cents.map { case (cid, v) => (cid, v, nrm(v)) })
-    // (vec_id, cid, embedding): one narrow full-corpus pass, no shuffle
-    val assigned = emb.select(col("vec_id"), col("embedding"))
+    // (vec_id, cid, embedding): one narrow full-corpus pass, no shuffle.
+    // MEMOIZED — three consumers below (cluster sizing, the pair
+    // explode, the final keep/drop projection) would otherwise each
+    // re-run the K-cosine argmax over the corpus (3 full passes).
+    val assignedDf = memoPersist(emb, s"semAssign:$eps:$k") { e =>
+      e.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { rows =>
         val cs = centB.value
@@ -985,7 +989,9 @@ object Dedup {
           }
           (id, bestC, vs)
         }
-      }
+      }.toDF("vec_id", "cid", "embedding")
+    }
+    val assigned = assignedDf.as[(Long, Long, Seq[Float])]
     // per-cluster sub-grid sizing: ≤ K rows to the driver, never corpus
     val bByCid: Map[Long, Int] = assigned.groupByKey(_._2).count().collect()
       .map { case (cid, c) =>
@@ -1011,7 +1017,7 @@ object Dedup {
       }.toDF()
     val dupOf = pairs.groupBy(col("vec_b").as("vec_id"))
       .agg(min("vec_a").as("dup_src"))
-    assigned.map { case (id, cid, _) => (id, cid) }.toDF("vec_id", "cid")
+    assignedDf.select("vec_id", "cid")
       .join(dupOf, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         when(col("dup_src").isNull, lit("keep")).otherwise(lit("drop"))
