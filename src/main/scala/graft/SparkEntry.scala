@@ -102,6 +102,8 @@ object SparkEntry {
     "q80_compressed_audio" -> (Multimodal.qCompressedAudio _),
     "q81_semantic_dedup" -> (Dedup.qSemanticDedup _),
     "q82_neardup_decon" -> (Corpus.qNeardupDecontaminate _),
+    "q83_quality_classifier" ->
+      (graft.operators.QualityModel.qQualityClassifier _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -278,5 +280,12 @@ object SparkEntry {
     // broadcast probe bands + exact-Jaccard verify at tau; the oracle
     // replays bands, band join, verify, filter, and aggregation
     "q82_neardup_decon" -> Corpus.qNeardupDecontaminateSql,
+    // q83 = model-based quality filtering (the trained-classifier rung):
+    // the oracle replays the weak labels (exact percentile terciles of
+    // q8's score) and the md5 train/holdout split, and pins the model's
+    // holdout-agreement and beats-majority booleans TRUE (q35/q59
+    // pattern — MLlib coefficients aren't engine-portable)
+    "q83_quality_classifier" ->
+      graft.operators.QualityModel.qQualityClassifierSql,
   )
 }

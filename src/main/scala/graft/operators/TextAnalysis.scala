@@ -239,7 +239,9 @@ object TextAnalysis {
   def qQualityScore(s: SparkSession, d: String): DataFrame =
     qualityScore(Tables.documents(s, d)).orderBy("doc_id")
 
-  val qQualityScoreSql: String = {
+  /** q8's relation WITHOUT the final ordering — embeddable as a CTE
+    * body (q83's oracle re-derives weak labels from it). */
+  private[operators] val qualityScoreNoOrderSql: String = {
     val stop = stopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH t AS (
        |  SELECT doc_id,
@@ -255,8 +257,11 @@ object TextAnalysis {
        |       ROUND(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
        |             * (1.0 - LEAST(1.0, ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) * 5.0))
        |             * LEAST(1.0, ROUND(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks), 6) * 4.0 + 0.2), 6) AS quality
-       |FROM t ORDER BY doc_id""".stripMargin
+       |FROM t""".stripMargin
   }
+
+  val qQualityScoreSql: String =
+    s"$qualityScoreNoOrderSql ORDER BY doc_id"
 
   def qLangId(s: SparkSession, d: String): DataFrame =
     langId(Tables.documents(s, d)).orderBy("doc_id")

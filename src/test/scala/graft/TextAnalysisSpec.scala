@@ -238,6 +238,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(strict == Set(4400000L))
   }
 
+  test("quality classifier: labels/split deterministic, model clears gates, broken model flips red") {
+    import graft.operators.QualityModel
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val lab = QualityModel.labeled(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // terciles: both classes present, middle band excluded
+      val byLabel = lab.groupBy("weak_label").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byLabel.keySet == Set(0L, 1L) && byLabel.values.forall(_ > 0))
+      assert(lab.count() < docs.count(), "the middle tercile must be unlabeled")
+      // the real fit clears both gates with margin
+      val (agree, majority) = QualityModel.fitAndEval(lab)
+      assert(agree >= QualityModel.AgreementFloor,
+        s"agreement $agree under the floor")
+      assert(agree > majority, s"agreement $agree <= majority $majority")
+      // a silently inverted model (train labels flipped, holdout intact —
+      // the lockstep-tuning failure shape) must flip model_pass red
+      val sabotaged = lab.withColumn("weak_label",
+        when(col("split") === "train", lit(1L) - col("weak_label"))
+          .otherwise(col("weak_label")))
+      val (agreeBad, _) = QualityModel.fitAndEval(sabotaged)
+      assert(agreeBad < QualityModel.AgreementFloor,
+        s"inverted fit still read $agreeBad — the floor gates nothing")
+    } finally { lab.unpersist(); () }
+  }
+
   test("corpus mixing gates the big source to the uniform share, keeps minima whole") {
     // skewed mixture: one 8-doc crawl vs two 3-doc sources -> m = 3
     val d = ((1L to 8L).map(i => (i, "web")) ++
