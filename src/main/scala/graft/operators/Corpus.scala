@@ -452,8 +452,12 @@ object Corpus {
     // memoized: `cand` is referenced THREE times below (both ids unions
     // + the verify join) — without the memo each reference re-runs the
     // band join (measured 3x the wall at sf0.1); same lifecycle as the
-    // q13 memo (cleared by Dedup.clearShingleCaches at run end)
-    val cand = Dedup.memoPersist(train, s"deconCand:${probe.hashCode}") { t =>
+    // q13 memo (cleared by Dedup.clearShingleCaches at run end). The
+    // probe side folds in as a VALUE digest (memoTagOf), not an identity
+    // hashCode — identity hashes can collide across distinct probes and
+    // would serve one probe's cached candidates for another
+    val probeTag = Dedup.memoTagOf(probe)
+    val cand = Dedup.memoPersist(train, s"deconCand:$probeTag") { t =>
       val trainB = Dedup.lshBands(t)
       val probeB = Dedup.lshBands(probe)
         .select(col("band"), col("band_hash"), col("doc_id").as("probe_id"))
@@ -466,8 +470,7 @@ object Corpus {
     // candidate ENDPOINTS only pay the shingle-set materialization (the
     // jaccardPairs narrowing); memoized because verifyJaccard references
     // the relation twice (doc_a and doc_b joins)
-    val sets = Dedup.memoPersist(train,
-      s"deconSets:${probe.hashCode}") { t =>
+    val sets = Dedup.memoPersist(train, s"deconSets:$probeTag") { t =>
       t.select(col("doc_id"), col("text"))
         .unionByName(probe.select(col("doc_id"), col("text")))
         .join(ids, Seq("doc_id"), "left_semi")

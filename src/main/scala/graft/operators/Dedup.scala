@@ -56,6 +56,17 @@ object Dedup {
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
+  /** The value-digest component of [[memoKey]] for an AUXILIARY input —
+    * callers whose memoized relation depends on a second DataFrame
+    * (q82's probe side) fold this into the stage string instead of an
+    * identity hashCode, which can collide across distinct inputs and
+    * silently serve one input's cache for another (the memoKey
+    * LocalRelation argument). */
+  private[operators] def memoTagOf(df: DataFrame): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(memoKey(df, "")._3.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   private def memoKey(docs: DataFrame, stage: String): (SparkSession, String, String) = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
@@ -967,7 +978,9 @@ object Dedup {
     // MEMOIZED — three consumers below (cluster sizing, the pair
     // explode, the final keep/drop projection) would otherwise each
     // re-run the K-cosine argmax over the corpus (3 full passes).
-    val assignedDf = memoPersist(emb, s"semAssign:$eps:$k") { e =>
+    // keyed on k only: the assignment is a pure function of (emb, k) —
+    // an eps sweep reuses it for free
+    val assignedDf = memoPersist(emb, s"semAssign:$k") { e =>
       e.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { rows =>
@@ -982,9 +995,17 @@ object Dedup {
             val (cid, cv, nc) = cs(ci)
             var s = 0.0; var i = 0
             while (i < v.length) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
-            val r = BigDecimal(s / (nv * nc))
-              .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (r > bestS) { bestS = r; bestC = cid }
+            val raw = s / (nv * nc)
+            // NaN guard (zero-norm row or seed): skip rather than let
+            // BigDecimal(NaN) throw and kill the scan — the emitNearDup
+            // robustness rule; an all-NaN row keeps the Long.MaxValue
+            // sentinel cid instead of crashing the query
+            if (!raw.isNaN) {
+              val r = BigDecimal(raw)
+                .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+              if (r > bestS) { bestS = r; bestC = cid }
+            }
             ci += 1
           }
           (id, bestC, vs)
@@ -1173,9 +1194,6 @@ object Dedup {
   def qJaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
 
-  /** Shared DuckDB CTE chain mirroring shingleBase → lshCandidatePairs →
-    * jaccardPairs: `jac` holds the verified (doc_a, doc_b, jaccard)
-    * candidates. Reused by q14 and the q37 component closure. */
   /** Oracle fragment: `sh` (shingle sets + h0 hashes) → `sig` (minhash
     * signatures) → `bands` (banded signature hashes) over source CTE
     * `src` — the replay of shingleBase → minhashSignatures → lshBands.
@@ -1206,6 +1224,9 @@ object Dedup {
       |  FROM cand JOIN sh x ON cand.doc_a = x.doc_id
       |            JOIN sh y ON cand.doc_b = y.doc_id)""".stripMargin
 
+  /** Shared DuckDB CTE chain mirroring shingleBase → lshCandidatePairs →
+    * jaccardPairs: `jac` holds the verified (doc_a, doc_b, jaccard)
+    * candidates. Reused by q14 and the q37 component closure. */
   private[graft] def jaccardCtesSqlFrom(src: String): String =
     s"""${bandsCtesSqlFrom(src)},
        |cand AS (

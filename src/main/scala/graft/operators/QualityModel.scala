@@ -81,9 +81,11 @@ object QualityModel {
     val train =
       if (nTrain <= MaxFitRows) trainAll
       else trainAll.filter(
-        pmod(conv(substring(md5(col("doc_id").cast("string")), 2, 7), 16, 10)
-          .cast("long"), lit(1000000L))
-          < lit((MaxFitRows.toDouble / nTrain * 1000000L).toLong))
+        // the annIvfKmeans gate verbatim (Similarity.scala): one native
+        // xxhash64 per row; fit-only, so it never needs oracle
+        // portability — no reason for a second md5-based mechanism
+        pmod(xxhash64(col("doc_id"), lit(42L)), lit(1000000L))
+          < lit(math.max(MaxFitRows * 1000000L / nTrain, 1L)))
     val model = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01)
       .fit(asm.transform(train))
@@ -97,17 +99,20 @@ object QualityModel {
     (agree, majority)
   }
 
-  /** q83: the labeled derivation with the model gates. */
+  /** q83: the labeled derivation with the model gates. The labeled
+    * relation rides the run-scoped Dedup memo (cleared by
+    * `Dedup.clearShingleCaches` like every other memoized relation) —
+    * a local persist/unpersist-in-finally would evict the cache before
+    * the LAZY returned relation ever executes, recomputing the whole
+    * derivation at collect time. */
   def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
-    val lab = labeled(Tables.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val (agree, majority) = fitAndEval(lab)
-      lab.select(col("doc_id"), col("weak_label"), col("split"))
-        .withColumn("model_pass", lit(agree >= AgreementFloor))
-        .withColumn("beats_majority", lit(agree > majority))
-        .orderBy("doc_id")
-    } finally lab.unpersist()
+    val docs = Tables.documents(s, d)
+    val lab = Dedup.memoPersist(docs, "q83labeled")(labeled)
+    val (agree, majority) = fitAndEval(lab)
+    lab.select(col("doc_id"), col("weak_label"), col("split"))
+      .withColumn("model_pass", lit(agree >= AgreementFloor))
+      .withColumn("beats_majority", lit(agree > majority))
+      .orderBy("doc_id")
   }
 
   /** Oracle: replay the thresholds (quantile_cont ≡ the engine's exact
