@@ -104,6 +104,7 @@ object SparkEntry {
     "q82_neardup_decon" -> (Corpus.qNeardupDecontaminate _),
     "q83_quality_classifier" ->
       (graft.operators.QualityModel.qQualityClassifier _),
+    "q84_unicode_normalize" -> (TextAnalysis.qUnicodeNormalize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -287,5 +288,11 @@ object SparkEntry {
     // pattern — MLlib coefficients aren't engine-portable)
     "q83_quality_classifier" ->
       graft.operators.QualityModel.qQualityClassifierSql,
+    // q84 = Unicode NFC normalization audit: the engine's native
+    // whole-stage-codegen NfcNormalize (JDK Normalizer) against DuckDB's
+    // nfc_normalize (utf8proc) — two independent implementations of the
+    // same canonical composition; the md5 pins every normalized byte
+    // over a fixture of the classic NFC shapes
+    "q84_unicode_normalize" -> TextAnalysis.qUnicodeNormalizeSql,
   )
 }

@@ -349,4 +349,60 @@ object TextAnalysis {
     """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
       |       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  /** Unicode-shape fixture for q84 (ids disjoint from corpus and every
+    * other fixture): the classic NFC cases — a decomposed accent and
+    * its precomposed twin (byte-distinct, SAME nfc_md5: exactly the
+    * pair that defeats q11 exact dedup unless folded), a
+    * wrong-canonical-order combining run (NFC must reorder cedilla
+    * before acute even though neither composes with 'a'), a Hangul jamo
+    * run (3 code points → 1 syllable), the OHM/ANGSTROM canonical
+    * singletons, an already-normalized doc with non-BMP + a
+    * composition-less combining mark (g̈ has no precomposed form), and
+    * the empty string. */
+  val NormalizeFixture: Seq[(Long, String)] = Seq(
+    (4500000L, "cafe\u0301 menu"),                    // e + U+0301 (decomposed)
+    (4500001L, "caf\u00e9 menu"),                     // precomposed U+00E9
+    (4500002L, "a\u0301\u0327x"),                     // acute(ccc 230) BEFORE cedilla(ccc 202)
+    (4500003L, "\u1100\u1161\u11a8"),                 // jamo G + A + trailing K -> U+AC01
+    (4500004L, "resistance \u2126 and \u212b units"), // OHM SIGN, ANGSTROM SIGN
+    (4500005L, "clef \ud834\udd1e g\u0308"),          // U+1D11E + composition-less g-diaeresis
+    (4500006L, ""))
+
+  /** q84: Unicode NFC normalization audit over corpus ∪ fixture — per
+    * doc, whether the raw bytes were already canonical, the code-point
+    * counts before/after, and the md5 of the NFC form (the join key a
+    * curation pass dedups on AFTER folding). The normalize itself is
+    * the native whole-stage-codegen expression
+    * [[graft.functions.NfcNormalize]] — one narrow projection,
+    * scan-speed at 100 TB. */
+  def qUnicodeNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(NormalizeFixture.toDF("doc_id", "text"))
+      .withColumn("norm", graft.functions.NormalizeFns.nfcNormalize(col("text")))
+      .select(col("doc_id"),
+        (col("text") === col("norm")).as("is_normalized"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("norm")).cast("long").as("n_chars_nfc"),
+        md5(col("norm")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: DuckDB's `nfc_normalize` (utf8proc) against the JDK
+    * Normalizer — two independent implementations of the same Unicode
+    * canonical composition; the md5 pins every normalized byte. */
+  val qUnicodeNormalizeSql: String = {
+    val fx = NormalizeFixture
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""WITH src AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $fx) f(doc_id, text)),
+       |n AS (SELECT doc_id, text, nfc_normalize(text) AS norm FROM src)
+       |SELECT doc_id, (text = norm) AS is_normalized,
+       |       length(text)::BIGINT AS n_chars_raw,
+       |       length(norm)::BIGINT AS n_chars_nfc,
+       |       md5(norm) AS nfc_md5
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
 }

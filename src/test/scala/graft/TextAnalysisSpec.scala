@@ -238,6 +238,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(strict == Set(4400000L))
   }
 
+  test("NFC normalize: semantics, codegen plan, null safety") {
+    import graft.functions.NormalizeFns.nfcNormalize
+    val df = Seq(
+      (1L, "café"),              // decomposed -> precomposed
+      (2L, "caf\u00e9"),           // already NFC
+      (3L, "가"),            // jamo -> syllable U+AC00
+      (4L, "á̧x"),          // reorder + blocked-composition case
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), nfcNormalize(col("text")).as("n"))
+    val out = df.collect().map(r => r.getLong(0) ->
+      Option(r.getString(1))).toMap
+    assert(out(1L) == Some("caf\u00e9"))
+    assert(out(2L) == Some("caf\u00e9"))
+    assert(out(3L) == Some("\uac00"))
+    // canonical reorder puts cedilla(202) first, then the acute — NOT
+    // blocked by the lower-ccc cedilla — composes with the starter
+    assert(out(4L) == Some("\u00e1\u0327x"))
+    assert(out(5L).isEmpty, "null must propagate")
+    // idempotence: normalizing the normalized column is a fixpoint
+    val twice = Seq(("café")).toDF("text")
+      .select(nfcNormalize(nfcNormalize(col("text"))).as("n")).head().getString(0)
+    assert(twice == "caf\u00e9")
+    // the expression implements doGenCode: over a real scan (a local
+    // Seq constant-folds into LocalTableScan before planning) the
+    // projection stays inside a WholeStageCodegen span — no fallback
+    // eval bridge
+    val scan = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(nfcNormalize(col("text")).as("n"))
+    val plan = scan.queryExecution.executedPlan.toString
+    // the `*(N)` marker on the Project IS the WholeStageCodegen span in
+    // executedPlan.toString; a fallback expression would print an
+    // unstarred Project
+    assert(plan.contains("*(1) Project [nfcnormalize"),
+      s"nfc projection fell out of whole-stage codegen:\n$plan")
+    assert(scan.count() > 0)
+  }
+
   test("quality classifier: labels/split deterministic, model clears gates, broken model flips red") {
     import graft.operators.QualityModel
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
