@@ -105,6 +105,8 @@ object SparkEntry {
     "q83_quality_classifier" ->
       (graft.operators.QualityModel.qQualityClassifier _),
     "q84_unicode_normalize" -> (TextAnalysis.qUnicodeNormalize _),
+    "q85_incr_substring" ->
+      (graft.operators.SubstringDedup.qIncrementalSubstring _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -294,5 +296,11 @@ object SparkEntry {
     // same canonical composition; the md5 pins every normalized byte
     // over a fixture of the classic NFC shapes
     "q84_unicode_normalize" -> TextAnalysis.qUnicodeNormalizeSql,
+    // q85 = INCREMENTAL substring dedup: three daily drops chained
+    // through the persisted bucketed window log (bootstrap + append +
+    // fold commits); the oracle is q76's one-shot SQL over the same
+    // union — chained admissions ≡ one-shot, the q62 equality pattern
+    "q85_incr_substring" ->
+      graft.operators.SubstringDedup.qIncrementalSubstringSql,
   )
 }

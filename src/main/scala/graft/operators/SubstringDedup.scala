@@ -103,8 +103,14 @@ object SubstringDedup {
     * the exact salt-grid decomposition of the window-hash self-join for
     * hot boilerplate windows (row-set-identical — spec-pinned). */
   def duplicateSpans(docs: DataFrame, k: Int = DedupK,
-      saltBuckets: Int = 1): DataFrame = {
-    val wins = windowRel(docs, k)
+      saltBuckets: Int = 1): DataFrame =
+    spansFromWindows(windowRel(docs, k), k, saltBuckets)
+
+  /** [[duplicateSpans]] from an already-built window relation — shared
+    * with the incremental bootstrap ([[bootstrapStore]]), whose
+    * background window-segment write consumes the same relation. */
+  private def spansFromWindows(wins: DataFrame, k: Int,
+      saltBuckets: Int): DataFrame = {
     val salted = saltBuckets > 1
     val (lSide, rSide) =
       if (salted) Skew.saltGridSides(wins, "doc_id", saltBuckets)
@@ -152,6 +158,255 @@ object SubstringDedup {
         col("pos").as("pos_a"), col("pos_b"))
     islandsToSpans(matched, k, "train_doc", "probe_doc",
       "train_start", "probe_start")
+  }
+
+  // ---- incremental (persisted window log) --------------------------------
+
+  /** Coarse partition count of the persisted window log: `whb =
+    * xxhash64(wh) mod WinStateBuckets` is the partition column, `wh` a
+    * sorted data column inside each file — the
+    * [[EmbeddingIncremental.EmbStateBuckets]] layout rule applied to
+    * window hashes. A daily drop's windows touch a SUBSET of coarse
+    * buckets only in the trickle regime (a few docs); a bulk batch's
+    * ~10³ distinct window hashes saturate 64 buckets, where the probe
+    * reads most of the log — which is within a constant of the rows the
+    * match join needs anyway. The 100-TB lever is the wh IN row-group
+    * pruning on the SORTED wh column (exact keys, not directories),
+    * which holds at every batch size under [[IncrementalDedup
+    * .KeyPushMax]]. */
+  val WinStateBuckets = 64
+
+  /** Bucket of a window row — the persisted layout key. Any stored row
+    * joinable with a batch row shares `wh`, so it shares this bucket:
+    * pruning the log to the batch's buckets loses no match. */
+  def whBucket(wh: Column, n: Int): Column =
+    pmod(xxhash64(wh), lit(n.toLong)).cast("int")
+
+  /** Driver-side twin of [[whBucket]] — evaluates the identical Catalyst
+    * XxHash64 over a string literal (the [[IncrementalDedup
+    * .bandBucketLocal]] pattern), so a batch whose window hashes are in
+    * hand computes its touched buckets with zero Spark jobs. Agreement
+    * is spec-pinned (SubstringDedupSpec). */
+  private[graft] def whBucketLocal(wh: String, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal(wh)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    val m = h % n
+    (if (m < 0) m + n else m).toInt
+  }
+
+  /** Incremental substring-dedup state: the accumulated maximal spans
+    * and the window relation they were derived from. `buckets` carries
+    * the persisted layout's coarse bucket count when loaded from a
+    * store ([[loadStore]]) — the probe then prunes to touched `whb`
+    * partitions; an in-memory state probes unpruned.
+    *
+    * Why spans are PURE APPEND (unlike [[DedupState]]'s labels, which
+    * merge): a span is a property of one document PAIR, documents are
+    * immutable, and every pair's matched windows all surface in the
+    * admission that admits the LATER of its two docs — so no admission
+    * can extend or relabel a previously-emitted span. Chained
+    * admissions ≡ one-shot [[duplicateSpans]] follows directly (the
+    * match relation decomposes over admissions; the island merge is
+    * per-pair-local), which is exactly what q85's oracle — q76's batch
+    * SQL replayed over the union — pins by hash. */
+  final case class SubstringState(spans: DataFrame, windows: DataFrame,
+      buckets: Option[Int] = None)
+
+  /** Day-0 in-memory bootstrap: one-shot spans + the window relation. */
+  def initialState(docs: DataFrame, k: Int = DedupK): SubstringState =
+    SubstringState(duplicateSpans(docs, k), windowRel(docs, k))
+
+  /** The window-log probe side for one batch: stored windows restricted
+    * to the batch's touched `whb` partitions (directory pruning) and,
+    * under [[IncrementalDedup.KeyPushMax]] distinct hashes, to the exact
+    * `wh` key set (row-group pruning on the sorted wh column) — the
+    * [[IncrementalDedup.prunedBands]] shape on window hashes. One
+    * bounded take computes both; an over-cap batch falls back to a
+    * bucket-only distinct collect (≤ [[WinStateBuckets]] rows). */
+  private[graft] def prunedStoredWindows(state: SubstringState,
+      newWins: DataFrame): DataFrame = state.buckets match {
+    case Some(n) if state.windows.columns.contains("whb") =>
+      val cap = IncrementalDedup.KeyPushMax
+      val tk = newWins.select(col("wh")).distinct().take(cap + 1)
+      val (touched, keys) =
+        if (tk.length <= cap) {
+          val ks = tk.map(_.getString(0)).toSeq
+          (ks.map(whBucketLocal(_, n)).distinct, Some(ks))
+        } else
+          (newWins.select(whBucket(col("wh"), n).as("whb")).distinct()
+            .collect().map(_.getInt(0)).toSeq, None)
+      val bucketed =
+        if (touched.isEmpty) state.windows.filter(lit(false))
+        else if (touched.size < n)
+          state.windows.filter(col("whb").isin(touched: _*))
+        else state.windows
+      (keys match {
+        case Some(ks) if touched.nonEmpty =>
+          bucketed.filter(col("wh").isin(ks: _*))
+        case _ => bucketed
+      }).drop("whb")
+    case _ =>
+      if (state.windows.columns.contains("whb")) state.windows.drop("whb")
+      else state.windows
+  }
+
+  /** New maximal spans from admitting one batch: batch windows matched
+    * against (pruned stored ∪ batch) on the window hash, canonicalized
+    * to (min-id doc_a, its position), then island-merged. A (new, old)
+    * pair surfaces once from the probe side; a (new, new) pair surfaces
+    * symmetrically from both — `distinct()` collapses the duplicate
+    * orientation exactly as [[duplicateSpans]]'s salted path does. Hot
+    * boilerplate window values are the same skew hazard as the one-shot
+    * join's; the probe side is batch-sized, so AQE's skew split covers
+    * it (the one-shot salt grid targets the corpus×corpus case).
+    *
+    * PRECONDITION (as [[IncrementalDedup.admitBatch]]): batch doc_ids
+    * are NEW — disjoint from the state's. */
+  private def admitSpans(state: SubstringState, newWins: DataFrame,
+      k: Int): DataFrame = {
+    val stored = prunedStoredWindows(state, newWins)
+    val build = stored.unionByName(newWins)
+    val matched = newWins
+      .select(col("wh"), col("doc_id").as("qd"), col("pos").as("qp"))
+      .join(build.select(col("wh"), col("doc_id").as("cd"),
+        col("pos").as("cp")), Seq("wh"))
+      .filter(col("qd") =!= col("cd"))
+      .select(
+        least(col("qd"), col("cd")).as("doc_a"),
+        greatest(col("qd"), col("cd")).as("doc_b"),
+        when(col("qd") < col("cd"), col("qp")).otherwise(col("cp")).as("pos_a"),
+        when(col("qd") < col("cd"), col("cp")).otherwise(col("qp")).as("pos_b"))
+      .distinct()
+    islandsToSpans(matched, k, "doc_a", "doc_b", "a_start", "b_start")
+  }
+
+  /** Admit one batch against an in-memory state (the q51/q62 twin):
+    * returns the grown state; old document TEXT is never an input. */
+  def admitBatch(state: SubstringState, newDocs: DataFrame,
+      k: Int = DedupK): SubstringState = {
+    val nw = windowRel(newDocs, k)
+    SubstringState(
+      spans = state.spans.unionByName(admitSpans(state, nw, k)),
+      windows = (if (state.windows.columns.contains("whb"))
+        state.windows.drop("whb") else state.windows).unionByName(nw),
+      buckets = None)
+  }
+
+  // ---- persisted store (the VersionedIndex protocol) ---------------------
+
+  private val WindowDdl = "doc_id BIGINT, pos BIGINT, wh STRING"
+  private val SpanDdl = "doc_a BIGINT, doc_b BIGINT, a_start BIGINT, " +
+    "b_start BIGINT, span_tokens BIGINT"
+
+  private def writeWindowSeg(rows: DataFrame, path: String): Unit =
+    rows.select(col("doc_id"), col("pos"), col("wh"))
+      .withColumn("whb", whBucket(col("wh"), WinStateBuckets))
+      .repartition(col("whb"))
+      .sortWithinPartitions(col("whb"), col("wh"))
+      .write.mode("overwrite").partitionBy("whb").parquet(path)
+
+  /** On-disk layout (the [[VersionedIndex]] protocol — atomic CURRENT
+    * pointer, manifest-listed segments, crashed commits invisible):
+    *
+    * {{{
+    * dir/
+    *   CURRENT  v$N/MANIFEST
+    *   windows/seg=$M/whb=.../   # append-only window log (wh-sorted)
+    *   spans/seg=$M/             # append-only span log
+    * }}}
+    *
+    * Both logs append ONE O(batch) segment per admission (spans never
+    * rewrite — see [[SubstringState]]'s pure-append argument, so there
+    * is no remap relation at all); past `maxLiveSegments` the commit
+    * folds each log into a single segment, bounding listing fan-in
+    * exactly like [[EmbeddingIncremental]]'s. The manifest's row counts
+    * carry the WINDOW log size — the O(batch)-writes evidence the bench
+    * stamps. */
+  def bootstrapStore(spark: SparkSession, dir: String, docs: DataFrame,
+      k: Int = DedupK): Unit = {
+    require(VersionedIndex.currentVersion(dir).isEmpty,
+      s"$dir already holds a committed state — grow it with admitDrop")
+    // the window segment depends only on docs, not on the span join —
+    // its write runs concurrently with the one-shot span computation
+    // (the bootstrapDrop overlap shape); both sides re-run the narrow
+    // windowRel scan rather than pinning a corpus-sized relation
+    val joinWins = graft.Par.background(() =>
+      graft.Par.timed("sub.boot.windows")(
+        writeWindowSeg(windowRel(docs, k), s"$dir/windows/seg=0")))
+    graft.Par.joinOnFailure(joinWins) {
+      graft.Par.timed("sub.boot.spans")(
+        duplicateSpans(docs, k).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/spans/seg=0"))
+    }
+    joinWins()
+    val rows = spark.read.parquet(s"$dir/windows/seg=0").count()
+    VersionedIndex.commit(dir, 0, trainedRows = rows, totalRows = rows,
+      segs = Vector(0L), logs = Seq("windows", "spans"))
+  }
+
+  def loadStore(spark: SparkSession, dir: String): Option[SubstringState] =
+    VersionedIndex.meta(dir).map(stateAt(spark, dir, _))
+
+  private def stateAt(spark: SparkSession, dir: String,
+      m: VersionedIndex.Meta): SubstringState =
+    SubstringState(
+      spans = VersionedIndex.readLog(spark, dir, "spans", m.segs, SpanDdl),
+      windows = VersionedIndex.readLog(spark, dir, "windows", m.segs,
+        WindowDdl, partitionDdl = "whb INT"),
+      buckets = Some(WinStateBuckets))
+
+  /** Admit a batch against the PERSISTED state at `dir` and commit the
+    * next version: the batch's windows and its new spans land as their
+    * own `seg=$N` of each log — per-admission writes are O(batch),
+    * never the corpus (a fold day rewrites once per `maxLiveSegments`
+    * admissions, amortized O(corpus/K)); the probe reads only touched
+    * `whb` partitions (+ wh row groups) of the committed window log. */
+  def admitDrop(spark: SparkSession, dir: String, newDocs: DataFrame,
+      k: Int = DedupK, maxLiveSegments: Int = 16): Unit = {
+    val m = VersionedIndex.meta(dir).getOrElse(throw new IllegalStateException(
+      s"$dir holds no committed substring-dedup state — bootstrapStore first"))
+    val fold = m.segs.size + 1 > maxLiveSegments
+    // append admissions are batch/frontier-sized — static plans (the
+    // admitBatchDelta measurement); a fold rewrites the full logs and
+    // keeps AQE
+    if (fold) admitDropImpl(spark, dir, m, newDocs, k, fold)
+    else graft.Par.withStaticPlan(spark) {
+      admitDropImpl(spark, dir, m, newDocs, k, fold)
+    }
+  }
+
+  private def admitDropImpl(spark: SparkSession, dir: String,
+      m: VersionedIndex.Meta, newDocs: DataFrame, k: Int,
+      fold: Boolean): Unit = {
+    val st = stateAt(spark, dir, m)
+    val next = m.version + 1
+    // the batch's window relation feeds the seg write, the bucket probe,
+    // AND the match join — pin once (batch-sized), free after commit
+    val nw = graft.Checkpoints.pin(windowRel(newDocs, k))
+    try {
+      val joinWins = graft.Par.background { () =>
+        if (fold) graft.Par.timed("sub.fold.windows")(writeWindowSeg(
+          st.windows.drop("whb").unionByName(nw), s"$dir/windows/seg=$next"))
+        else graft.Par.timed("sub.app.windows")(
+          writeWindowSeg(nw, s"$dir/windows/seg=$next"))
+      }
+      graft.Par.joinOnFailure(joinWins) {
+        val newSpans = admitSpans(st, nw, k)
+        val spansOut =
+          if (fold) st.spans.unionByName(newSpans) else newSpans
+        graft.Par.timed(if (fold) "sub.fold.spans" else "sub.app.spans")(
+          spansOut.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/spans/seg=$next"))
+      }
+      joinWins()
+      val segRows = spark.read.parquet(s"$dir/windows/seg=$next").count()
+      val total = if (fold) segRows else m.totalRows + segRows
+      VersionedIndex.commit(dir, next, trainedRows = total,
+        totalRows = total, segs = if (fold) Vector(next) else m.segs :+ next,
+        logs = Seq("windows", "spans"))
+    } finally graft.Checkpoints.free(nw)
   }
 
   // ---- SparkEntry wiring -------------------------------------------------
@@ -275,6 +530,37 @@ object SubstringDedup {
     contaminationSpans(train, probe, ContaminationK)
       .orderBy("train_doc", "probe_doc", "train_start", "probe_start")
   }
+
+  /** q85: the incremental ladder rung for q76 — three "daily" drops
+    * (`pmod(doc_id, 3)` over corpus ∪ [[SpanFixture]], scattering the
+    * planted pairs and the organic shared prefixes across days) chained
+    * through the PERSISTED window-log store: bootstrap, an append
+    * admission, then a fold admission (`maxLiveSegments = 2` makes the
+    * third commit exceed the live-segment bound), so every storage arm
+    * — bucketed seg write, whb/wh-pruned probe, span append, log fold —
+    * sits inside the correctness gate. The oracle is q76's one-shot SQL
+    * replayed over the SAME union: chained admissions ≡ one-shot is the
+    * [[SubstringState]] pure-append argument, pinned by hash. */
+  def qIncrementalSubstring(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(fixtureDf(s, SpanFixture))
+    val root = java.nio.file.Files.createTempDirectory("graft-q85").toString
+    def day(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    bootstrapStore(s, s"$root/state", day(0))
+    admitDrop(s, s"$root/state", day(1), maxLiveSegments = 2) // append
+    admitDrop(s, s"$root/state", day(2), maxLiveSegments = 2) // fold
+    // pin before the state dir is deleted (the caller writes AFTER this
+    // returns; a lazy scan would read deleted files)
+    val out = graft.Checkpoints.pin(loadStore(s, s"$root/state").get.spans
+      .orderBy("doc_a", "doc_b", "a_start", "b_start"))
+    try org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+    catch { case _: Exception => }
+    out
+  }
+
+  /** Chained ≡ one-shot: q76's oracle verbatim. */
+  val qIncrementalSubstringSql: String = qSubstringDedupSql
 
   val qNgramContaminationSql: String =
     s"""WITH src AS (

@@ -69,6 +69,102 @@ class SubstringDedupSpec extends AnyFunSuite {
         s"extra ${salted -- plain}")
   }
 
+  // ---- incremental (q85) -------------------------------------------------
+
+  private def corpusWithFixture = graft.engine.Tables
+    .documents(spark, "/root/testdata/sf0.001")
+    .select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+    .unionByName(fixtureDf)
+
+  test("incremental chained admissions == one-shot duplicateSpans (in-memory)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = corpusWithFixture
+    val oneShot = spanSet(SubstringDedup.duplicateSpans(docs))
+    val st0 = SubstringDedup.initialState(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+    val st1 = SubstringDedup.admitBatch(st0,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1))
+    val st2 = SubstringDedup.admitBatch(st1,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2))
+    assert(oneShot.nonEmpty, "one-shot produced no spans at all")
+    val chained = spanSet(st2.spans)
+    assert(chained == oneShot,
+      s"missing: ${oneShot -- chained}; extra: ${chained -- oneShot}")
+  }
+
+  test("persisted store: bootstrap + append + fold == one-shot; window log row-identical; append writes O(batch)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = corpusWithFixture
+    val root = java.nio.file.Files.createTempDirectory("graft-subinc").toString
+    try {
+      def day(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      SubstringDedup.bootstrapStore(spark, s"$root/state", day(0))
+      SubstringDedup.admitDrop(spark, s"$root/state", day(1),
+        maxLiveSegments = 2) // append: segs [0, 1]
+      // O(batch) evidence: the append segment holds EXACTLY the batch's
+      // window rows, not the grown log
+      val segRows = spark.read.parquet(s"$root/state/windows/seg=1").count()
+      val expectWins = graft.operators.SubstringDedupSpecAccess.windowCount(day(1))
+      assert(segRows == expectWins,
+        s"append segment wrote $segRows rows, batch has $expectWins windows")
+      SubstringDedup.admitDrop(spark, s"$root/state", day(2),
+        maxLiveSegments = 2) // fold: segs [2]
+      val m = graft.operators.VersionedIndex.metaOrThrow(s"$root/state")
+      assert(m.segs == Vector(2L), s"fold did not collapse segs: ${m.segs}")
+      val st = SubstringDedup.loadStore(spark, s"$root/state").get
+      val oneShot = spanSet(SubstringDedup.duplicateSpans(docs))
+      val chained = spanSet(st.spans)
+      assert(chained == oneShot,
+        s"missing: ${oneShot -- chained}; extra: ${chained -- oneShot}")
+      // the folded window log holds exactly the one-shot window relation
+      val logWins = st.windows.drop("whb")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val allWins = graft.operators.SubstringDedupSpecAccess.windowSet(docs)
+      assert(logWins == allWins, "window log diverged from one-shot windows")
+    } finally {
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
+      catch { case _: Exception => }
+    }
+  }
+
+  test("whBucketLocal agrees with the whBucket column expression") {
+    import org.apache.spark.sql.functions.col
+    val whs = Seq("00112233445566778899aabbccddeeff",
+      "deadbeefdeadbeefdeadbeefdeadbeef", "", "zz", "0f").toDF("wh")
+    val fromCol = whs.select(col("wh"),
+        SubstringDedup.whBucket(col("wh"), SubstringDedup.WinStateBuckets))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    fromCol.foreach { case (wh, b) =>
+      assert(SubstringDedup.whBucketLocal(wh,
+        SubstringDedup.WinStateBuckets) == b, s"divergence at $wh")
+    }
+  }
+
+  test("pruned probe == unpruned probe (admission span set identical)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = corpusWithFixture
+    val root = java.nio.file.Files.createTempDirectory("graft-subprune").toString
+    try {
+      val day0 = docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+      val day1 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      SubstringDedup.bootstrapStore(spark, s"$root/state", day0)
+      val stored = SubstringDedup.loadStore(spark, s"$root/state").get
+      // pruned: the loaded (bucketed) state; unpruned: same relations,
+      // bucket metadata stripped
+      val prunedSt = SubstringDedup.admitBatch(stored, day1)
+      val unprunedSt = SubstringDedup.admitBatch(
+        stored.copy(buckets = None), day1)
+      assert(spanSet(prunedSt.spans) == spanSet(unprunedSt.spans),
+        "bucket/key pruning changed the admitted span set")
+    } finally {
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
+      catch { case _: Exception => }
+    }
+  }
+
   test("contaminationSpans: quoted passage located, full copy spanned, k-1 near-miss silent") {
     val train = SubstringDedup.ContaminatedTrainFixture.toDF("doc_id", "text")
     val probe = SubstringDedup.BenchmarkFixture.toDF("doc_id", "text")
