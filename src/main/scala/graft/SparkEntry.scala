@@ -107,6 +107,7 @@ object SparkEntry {
     "q84_unicode_normalize" -> (TextAnalysis.qUnicodeNormalize _),
     "q85_incr_substring" ->
       (graft.operators.SubstringDedup.qIncrementalSubstring _),
+    "q86_quality_weighted_mix" -> (Corpus.qQualityWeightedMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -302,5 +303,10 @@ object SparkEntry {
     // union — chained admissions ≡ one-shot, the q62 equality pattern
     "q85_incr_substring" ->
       graft.operators.SubstringDedup.qIncrementalSubstringSql,
+    // q86 = quality-conditioned mixture re-weighting: per-source token
+    // budgets scaled by the q83 weak-label pass rate (integer
+    // arithmetic), filled by q74's hash-order prefix sum — the oracle
+    // replays labels -> rates -> budgets -> window fill end to end
+    "q86_quality_weighted_mix" -> Corpus.qQualityWeightedMixSql,
   )
 }

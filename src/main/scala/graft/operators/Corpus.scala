@@ -250,8 +250,18 @@ object Corpus {
   def tokenBudgetMix(docs: DataFrame, budgetTokens: Long,
       nTokens: Column =
         size(graft.functions.TextFns.wsTokens(col("text"))).cast("long")): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    withCumBefore(docs, nTokens)
+      .filter(col("cum_before") < budgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  /** Per-source tokens-before-this-doc in the portable md5 hash order —
+    * [[tokenBudgetMix]]'s two-level blocked prefix sum, exposed so the
+    * per-source-budget variants ([[qualityWeightedMix]]) share the
+    * identical fill kernel. */
+  private def withCumBefore(docs: DataFrame, nTokens: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"), col("source"),
         nTokens.as("n_tokens"))
       .withColumn("hx", md5(col("doc_id").cast("string")))
@@ -271,10 +281,64 @@ object Corpus {
     // unhinted join for the same sparse-key escape-hatch reason as the
     // packer's offsets join (AQE broadcasts the tiny aggregate)
     local.join(offsets, Seq("source", "blk"))
-      .filter(col("local_cum") + col("blk_offset") - col("n_tokens")
-        < budgetTokens)
-      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .withColumn("cum_before",
+        col("local_cum") + col("blk_offset") - col("n_tokens"))
   }
+
+  /** Per-source token budgets scaled by weak-label quality (q86's
+    * budget relation, exposed for the spec's shift test): each source's
+    * budget is `base * n_pos div n_lab` — the share of its LABELED docs
+    * (q83's tercile weak labels, [[QualityModel.labeled]]'s exact
+    * derivation) that landed in the TOP tercile, in integer arithmetic
+    * so any engine computes the identical boundary. A source whose
+    * labeled docs are all bottom-tercile gets budget 0 (excluded — the
+    * mix admits nothing from an all-garbage source); a source with NO
+    * labeled docs (every doc in the unlabeled middle band) is absent
+    * from the relation and thus dropped, the [[mixCorpus]]
+    * absent-from-recipe semantic.
+    *
+    * Scale shape: quality is the one fused narrow pass
+    * ([[TextAnalysis]]'s profile subtree) KEEPING `source` — no
+    * corpus×corpus join of features back to docs; the threshold agg and
+    * the per-source rate agg are low-cardinality reductions whose
+    * results broadcast. */
+  private[graft] def sourceQualityBudgets(docs: DataFrame,
+      base: Long): DataFrame = {
+    require(base > 0, s"base budget must be positive: $base")
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.qualityCol.as("quality"))
+    val thr = scored.agg(
+      expr(s"percentile(quality, ${QualityModel.LoQuantile})").as("lo"),
+      expr(s"percentile(quality, ${QualityModel.HiQuantile})").as("hi"))
+      .head()
+    val (lo, hi) = (thr.getDouble(0), thr.getDouble(1))
+    scored.filter(col("quality") <= lo || col("quality") >= hi)
+      .withColumn("weak_label", when(col("quality") >= hi, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(sum(col("weak_label")).as("n_pos"), count(lit(1)).as("n_lab"))
+      .select(col("source"),
+        expr(s"$base * n_pos div n_lab").as("budget_tokens"))
+  }
+
+  /** Quality-conditioned mixture re-weighting (q86) — the loop closure
+    * between q83 (predict quality) and q74 (fill token budgets): each
+    * source's budget is the base scaled by its weak-label pass rate
+    * ([[sourceQualityBudgets]]), then filled with q74's blocked
+    * hash-order prefix sum. The deliberate choice of the WEAK-LABEL
+    * rate over the trained model's predictions keeps the whole loop
+    * deterministic and oracle-portable (the classifier's role is
+    * validated separately by q83's agreement gates; at deployment the
+    * budget input swaps to the model's calibrated rate with the same
+    * downstream shape). Degrading one source's quality provably shifts
+    * budget away from it — spec-pinned. */
+  def qualityWeightedMix(docs: DataFrame, base: Long,
+      nTokens: Column =
+        size(graft.functions.TextFns.wsTokens(col("text"))).cast("long")): DataFrame =
+    withCumBefore(docs, nTokens)
+      .join(broadcast(sourceQualityBudgets(docs, base)), Seq("source"))
+      .filter(col("cum_before") < col("budget_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("budget_tokens"))
 
   /** q74's per-source budget: sized so the fill is PARTIAL on the
     * fixtures (a budget above every source's total would make the
@@ -304,6 +368,49 @@ object Corpus {
        |  FROM t)
        |SELECT doc_id, source, n_tokens FROM c
        |WHERE cum_before < $TokenMixBudget ORDER BY doc_id""".stripMargin
+
+  /** q86's base budget: sized like [[TokenMixBudget]] so the scaled
+    * per-source budgets keep the fill PARTIAL at the gated scales
+    * (pass rates land the budgets in the hundreds of tokens against
+    * ~2.5k whitespace tokens per source at sf0.01). */
+  val QualityMixBase = 1000L
+
+  def qQualityWeightedMix(s: SparkSession, d: String): DataFrame =
+    qualityWeightedMix(Tables.documents(s, d), QualityMixBase)
+      .orderBy("doc_id")
+
+  /** The oracle replays the whole loop: q83's weak labels (exact
+    * percentile terciles over q8's quality), per-source pass rates in
+    * integer arithmetic, then q74's budget fill as one plain per-source
+    * window over the identical md5 order. */
+  val qQualityWeightedMixSql: String =
+    s"""WITH qrel AS (${TextAnalysis.qualityScoreNoOrderSql}),
+       |thr AS (SELECT quantile_cont(quality, ${QualityModel.LoQuantile}) AS lo,
+       |               quantile_cont(quality, ${QualityModel.HiQuantile}) AS hi FROM qrel),
+       |lab AS (
+       |  SELECT q.doc_id, d.source,
+       |         (CASE WHEN q.quality >= t.hi THEN 1 ELSE 0 END)::BIGINT AS weak_label
+       |  FROM qrel q CROSS JOIN thr t JOIN documents d ON d.doc_id = q.doc_id
+       |  WHERE q.quality <= t.lo OR q.quality >= t.hi),
+       |bud AS (
+       |  SELECT source,
+       |         CAST($QualityMixBase * SUM(weak_label) // COUNT(*) AS BIGINT)
+       |           AS budget_tokens
+       |  FROM lab GROUP BY source),
+       |t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY hx, doc_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tokens AS cum_before
+       |  FROM t)
+       |SELECT c.doc_id, c.source, c.n_tokens, b.budget_tokens
+       |FROM c JOIN bud b USING (source)
+       |WHERE c.cum_before < b.budget_tokens ORDER BY doc_id""".stripMargin
 
   /** `docs` plus the assignment columns (split, shard, hx) — the
     * building block [[shuffleShard]] projects and [[exportShards]]

@@ -352,6 +352,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kept.filter(_ < 100L) == expectedWeb, s"kept=$kept")
   }
 
+  test("quality-weighted mix: degrading one source's quality shifts its budget away") {
+    // two sources of equal size: "good" docs are long, low-punct,
+    // stopword-rich (top tercile); "junk" docs are short punct bursts
+    // (bottom tercile). The weak-label pass rates then split 1.0 / 0.0,
+    // so the junk source's budget collapses to zero while good keeps
+    // the full base — and the admitted mix contains no junk rows.
+    def goodText(i: Long) =
+      (1 to 60).map(j => if (j % 3 == 0) "the" else s"word$i$j").mkString(" ")
+    val good = (1L to 10L).map(i => (i, "good", goodText(i)))
+    val junk = (101L to 110L).map(i => (i, "junk", "!!! ??? ###"))
+    val d = (good ++ junk).toDF("doc_id", "source", "text")
+    val budgets = graft.operators.Corpus
+      .sourceQualityBudgets(d, base = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(budgets("good") == 1000L,
+      s"all-top-tercile source must keep the full base: $budgets")
+    assert(budgets("junk") == 0L,
+      s"all-bottom-tercile source must zero out: $budgets")
+    val mixed = graft.operators.Corpus.qualityWeightedMix(d, 1000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(mixed.nonEmpty && mixed.forall(_ <= 10L),
+      s"zero-budget source leaked into the mix: $mixed")
+    // the shift is RELATIVE, not just degenerate: swap half the junk
+    // source's docs to good text and its budget lands strictly between
+    val dHalf = (good ++ junk.take(5) ++
+      (106L to 110L).map(i => (i, "junk", goodText(i)))).toDF(
+      "doc_id", "source", "text")
+    val bHalf = graft.operators.Corpus
+      .sourceQualityBudgets(dHalf, base = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bHalf("junk") > 0L && bHalf("junk") < bHalf("good"),
+      s"half-degraded source should sit strictly between: $bHalf")
+  }
+
   test("infeasible mixing recipe fails loudly instead of returning an empty mix") {
     // books has 3 rows but owes 4 parts -> 3 div 4 = 0 achievable units;
     // the old behavior zeroed every threshold and silently emitted an
