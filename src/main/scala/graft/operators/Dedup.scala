@@ -1328,45 +1328,148 @@ object Dedup {
       |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Planted zero-norm row id for q81 — pins the degenerate-row
+    * contract END TO END (r19, closing the r18 advice finding): the
+    * engine's assignment computes raw cosine = s/(‖v‖·‖c‖), which is
+    * NaN for a zero-norm row; the NaN guard skips it, the row keeps the
+    * Long.MaxValue sentinel cid, and the pair kernel's `NaN >= θ` is
+    * false so it never pairs. DuckDB's `list_cosine_similarity`
+    * does NOT produce NaN there — it internally guards to **-1.0**
+    * (measured; the r18 advice hypothesized NaN-sorts-first, but the
+    * observed divergence is -1.0 tying across every centroid and
+    * assigning the row to cid 0) — so the oracle mirrors the engine
+    * with an explicit zero-norm guard (`list_dot_product(x,x) > 0` on
+    * both sides, plus `NOT isnan` for vectors CONTAINING NaN floats)
+    * and coalesces unassignable rows to the same sentinel. The fixture
+    * row keeps the divergence OBSERVED rather than latent. (A zero-norm
+    * SEED centroid is the symmetric case: both engines' guards skip it
+    * for every row.) */
+  val ZeroNormFixtureId = 5000000L
+
   /** q81 — cluster-then-prune semantic dedup as a first-class relation:
-    * every vector's (cluster, keep/drop, dup_of). The oracle replays the
-    * WHOLE route — COUNT(*)-derived K, seed centroids, 4dp-rounded
-    * argmax assignment with smallest-cid ties, within-cluster exact
-    * cosine ≥ eps, smallest-smaller-neighbor prune — so a hash match
-    * pins clustering AND prune policy; the sub-grid decomposition is
-    * invisible to it (exact, spec-pinned row-identical). */
-  def qSemanticDedup(s: SparkSession, d: String): DataFrame =
-    semanticDedup(Tables.embeddings(s, d))
+    * every vector's (cluster, keep/drop, dup_of), over embeddings ∪ a
+    * planted zero-norm row ([[ZeroNormFixtureId]]). The oracle replays
+    * the WHOLE route — COUNT(*)-derived K, seed centroids, 4dp-rounded
+    * argmax assignment with smallest-cid ties and the NaN-sentinel
+    * rule, within-cluster exact cosine ≥ eps, smallest-smaller-neighbor
+    * prune — so a hash match pins clustering AND prune policy; the
+    * sub-grid decomposition is invisible to it (exact, spec-pinned
+    * row-identical). */
+  def qSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // dim is constant across the table, so any single row shapes the
+    // zero vector; limit(1) without a sort is fine — every value maps
+    // to 0.0f
+    val zero = emb.limit(1).select(lit(ZeroNormFixtureId).as("vec_id"),
+      transform(col("embedding"), _ => lit(0.0f)).as("embedding"))
+    semanticDedup(emb.unionByName(zero))
+  }
 
   val qSemanticDedupSql: String =
-    s"""WITH params AS (
+    s"""WITH src AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT CAST($ZeroNormFixtureId AS BIGINT),
+      |         list_transform(embedding, x -> 0.0::FLOAT)
+      |  FROM embeddings WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+      |params AS (
       |  SELECT GREATEST(16, LEAST($SemanticMaxCentroids,
       |           CEIL(COUNT(*) / $SemanticClusterTarget.0)))::BIGINT AS k
-      |  FROM embeddings),
+      |  FROM src),
       |cent AS (
       |  SELECT vec_id AS cid, embedding AS cemb
-      |  FROM embeddings, params WHERE vec_id < k),
-      |assigned AS (
+      |  FROM src, params WHERE vec_id < k),
+      |best AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT e.vec_id, cid,
       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
       |             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cemb::DOUBLE[]), 4) DESC,
       |             cid) AS rnk
-      |    FROM embeddings e CROSS JOIN cent)
+      |    FROM src e CROSS JOIN cent
+      |    WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+      |      AND list_dot_product(cemb::DOUBLE[], cemb::DOUBLE[]) > 0
+      |      AND NOT isnan(list_cosine_similarity(e.embedding::DOUBLE[], cemb::DOUBLE[])))
       |  WHERE rnk = 1),
+      |assigned AS (
+      |  SELECT s.vec_id, COALESCE(b.cid, 9223372036854775807) AS cid
+      |  FROM src s LEFT JOIN best b USING (vec_id)),
       |pairs AS (
       |  SELECT la.vec_id AS va, lb.vec_id AS vb
       |  FROM assigned la JOIN assigned lb
       |    ON la.cid = lb.cid AND la.vec_id < lb.vec_id
-      |  JOIN embeddings ea ON la.vec_id = ea.vec_id
-      |  JOIN embeddings eb ON lb.vec_id = eb.vec_id
-      |  WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= $SemanticEps),
+      |  JOIN src ea ON la.vec_id = ea.vec_id
+      |  JOIN src eb ON lb.vec_id = eb.vec_id
+      |  WHERE list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]) > 0
+      |    AND list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0
+      |    AND NOT isnan(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]))
+      |    AND ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= $SemanticEps),
       |dup AS (SELECT vb AS vec_id, MIN(va) AS dup_src FROM pairs GROUP BY vb)
       |SELECT a.vec_id, a.cid,
       |       CASE WHEN d.dup_src IS NULL THEN 'keep' ELSE 'drop' END AS status,
       |       COALESCE(d.dup_src, -1)::BIGINT AS dup_of
       |FROM assigned a LEFT JOIN dup d USING (vec_id)
       |ORDER BY vec_id""".stripMargin
+
+  /** Floor on the near-dup ROUTER's sampled route_recall at its default
+    * θ = 0.45 (the weak-theta tier, [[routerLshGrid]]) — the r18 0.944
+    * evidence promoted from bench stamp to CORRECTNESS contract (the
+    * [[Similarity.AnnRecallFloors]] recipe): measured on the
+    * deterministic stratum at the gated scales r19 —
+    * sf0.001 / 0.01 / 0.1 read 1.0 / 1.0 / 0.9444 — so
+    * floor = min − 0.05 = 0.89 (the runs are deterministic per corpus:
+    * seeded grids, exact integer hit counts; the margin absorbs corpus
+    * regeneration). A tier regression (the grid silently reverting to
+    * the r17 16-table configuration, which reads 0.857 at sf0.001 and
+    * 0.757 at sf0.1 organic) now flips q87's row hash red instead of
+    * denting a JSON field — spec-pinned. */
+  val RouterRecallFloor = 0.89
+
+  /** The router-recall gate relation (q87): ONE row carrying the
+    * corpus size (ties the oracle to the data), the grid the router
+    * actually takes at θ, the floor, and the honest
+    * `pass = route_recall >= floor` on the deterministic stratum
+    * ([[lshRouteRecallSample]], gateOffset 0 — the stamped stratum).
+    * The recall VALUE itself stays out of the relation (the q35/q59
+    * recipe: it is deterministic per corpus but not oracle-computable;
+    * it goes to stderr and the bench stamp). A NaN stratum (no true
+    * pairs — no evidence) fails the gate honestly rather than passing
+    * vacuously. */
+  private[graft] def routerRecallGate(emb: DataFrame, theta: Double,
+      tables: Int, planes: Int, probes: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = emb.count()
+    val recall = lshRouteRecallSample(emb, theta, n,
+      nTables = tables, planes = planes, probes = probes)
+    System.err.println(f"[dedup] router recall gate: theta=$theta " +
+      f"grid=${tables}x$planes+$probes recall=$recall%.4f " +
+      f"floor=$RouterRecallFloor")
+    val pass = !recall.isNaN && recall >= RouterRecallFloor
+    Seq((n, theta, tables.toLong, planes.toLong, probes.toLong,
+      RouterRecallFloor, pass))
+      .toDF("n_vectors", "theta", "tables", "planes", "probes",
+        "recall_floor", "pass")
+  }
+
+  /** q87: the production router configuration at its default θ. */
+  def qRouterRecallGate(s: SparkSession, d: String): DataFrame = {
+    val theta = 0.45
+    val (tables, planes, probes) = routerLshGrid(theta)
+    routerRecallGate(Tables.embeddings(s, d), theta, tables, planes, probes)
+  }
+
+  /** Oracle: the config literals + COUNT(*), `pass` pinned TRUE. */
+  def qRouterRecallGateSql: String = {
+    val (tables, planes, probes) = routerLshGrid(0.45)
+    s"""SELECT COUNT(*)::BIGINT AS n_vectors,
+       |       CAST(0.45 AS DOUBLE) AS theta,
+       |       CAST($tables AS BIGINT) AS tables,
+       |       CAST($planes AS BIGINT) AS planes,
+       |       CAST($probes AS BIGINT) AS probes,
+       |       CAST($RouterRecallFloor AS DOUBLE) AS recall_floor,
+       |       TRUE AS pass
+       |FROM embeddings""".stripMargin
+  }
 
   /** q58 — the LSH-prefiltered near-dup route as a first-class relation:
     * candidates from the (T, P) bucket grid, exact-cosine-verified ≥ 0.45.

@@ -278,7 +278,20 @@ object Multimodal {
       * frame-length-weighted mean rounded down. The walk must land
       * EXACTLY on EOF — a short final frame is truncated_frame, residue
       * after the last frame is trailing_garbage — so "ok" certifies the
-      * whole stream's frame integrity, not just the first header. */
+      * whole stream's frame integrity, not just the first header.
+      *
+      * Taxonomy note (r18 advice): `trailing_garbage` names ANY
+      * post-first-frame sync loss — true end-of-stream residue AND
+      * mid-stream corruption even when more valid frames follow (the
+      * walk stops at the first bad sync; it does not resync, so it
+      * cannot tell the two apart without scanning for a later sync
+      * word, which real decoders only attempt with heuristics). Later-
+      * frame bitrate/samplerate defects DO keep their own classes
+      * (bad_bitrate/bad_samplerate) because the sync word at that
+      * offset was valid — the asymmetry is the walk's stop rule, not an
+      * oversight. Triage reading a trailing_garbage row should treat it
+      * as "stream invalid from byte offset X onward", not "valid stream
+      * with junk appended". */
     def mp3Core(b: Array[Byte])
         : Either[String, (Long, Long, Long, Long)] = {
       var o = 0

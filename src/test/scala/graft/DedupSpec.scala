@@ -416,6 +416,29 @@ class DedupSpec extends AnyFunSuite {
       "forced sub-grid diverged from the plain per-cluster kernel")
   }
 
+  test("semantic dedup: zero-norm rows keep the sentinel cid, never pair, never crash") {
+    // the q81 fixture contract, engine side: TWO zero-norm rows share
+    // the sentinel "cluster" — the pair kernel must skip their NaN
+    // cosine (not emit a bogus pair or throw), both keep status=keep
+    val rnd = new scala.util.Random(13L)
+    val normal = (0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val zeros = Seq((900L, Array.fill(16)(0.0f)), (901L, Array.fill(16)(0.0f)))
+    val emb = (normal ++ zeros).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, eps = 0.6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+      .toMap
+    Seq(900L, 901L).foreach { id =>
+      val (cid, status, dupOf) = out(id)
+      assert(cid == Long.MaxValue, s"zero-norm $id got real cid $cid")
+      assert(status == "keep" && dupOf == -1L,
+        s"zero-norm $id paired: $status dup_of=$dupOf")
+    }
+    // normal rows are untouched by the degenerate ones
+    assert(out.filter(_._1 < 900L).forall(_._2._1 != Long.MaxValue),
+      "a normal row leaked into the sentinel cluster")
+  }
+
   test("embedding dup clusters: planted twins pair up, everything else singleton") {
     // same planted-dup construction as the recall test: 400 seeded base
     // vectors + 20 high-cosine twins of base(j*7)
@@ -1034,5 +1057,24 @@ class DedupSpec extends AnyFunSuite {
     assert(halved.forall(!_.getAs[Boolean]("pass")),
       s"probe-budget halving must breach the lsh_mp floor: " +
         halved.map(_.getAs[Double]("family_recall")).toSeq.distinct)
+  }
+
+  test("q87 router recall gate: shipped weak-theta grid passes, the r17 16-table grid flips red") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    // the production configuration (what q87 ships): must pass — the
+    // oracle pins TRUE, so false here would be a CORRECTNESS failure
+    val (t, p, pr) = Dedup.routerLshGrid(0.45)
+    assert((t, p, pr) == (Dedup.WeakLshTables, Dedup.AutoLshPlanes,
+      Dedup.AutoLshProbes), "router grid drifted from the promoted tier")
+    val shipped = Dedup.routerRecallGate(emb, 0.45, t, p, pr).head()
+    assert(shipped.getAs[Boolean]("pass"),
+      "shipped router grid breached its own recall floor")
+    // the regression the gate exists for: the weak-theta tier silently
+    // reverting to the r17 default grid (16 tables at θ=0.45) — its
+    // recall here reads 0.857 (6/7 stratum pairs), under the 0.89 floor
+    val reverted = Dedup.routerRecallGate(emb, 0.45,
+      Dedup.AutoLshTables, Dedup.AutoLshPlanes, Dedup.AutoLshProbes).head()
+    assert(!reverted.getAs[Boolean]("pass"),
+      "16-table revert must breach the router recall floor")
   }
 }
