@@ -108,6 +108,10 @@ object SparkEntry {
     "q85_incr_substring" ->
       (graft.operators.SubstringDedup.qIncrementalSubstring _),
     "q86_quality_weighted_mix" -> (Corpus.qQualityWeightedMix _),
+    "q87_router_recall_gate" -> (Dedup.qRouterRecallGate _),
+    "q88_cms_heavy_hitters" ->
+      (graft.operators.HeavyHitters.qCmsHeavyHitters _),
+    "q89_nfkc_casefold" -> (TextAnalysis.qNfkcCasefold _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -308,5 +312,22 @@ object SparkEntry {
     // arithmetic), filled by q74's hash-order prefix sum — the oracle
     // replays labels -> rates -> budgets -> window fill end to end
     "q86_quality_weighted_mix" -> Corpus.qQualityWeightedMixSql,
+    // q87 = the near-dup router's route_recall promoted from bench
+    // stamp to correctness gate: engine emits the honest
+    // pass = sampled route_recall >= floor on the deterministic
+    // stratum at the production grid; the oracle pins TRUE (q35/q44
+    // recipe) — a router tier regression flips the row hash red
+    "q87_router_recall_gate" -> Dedup.qRouterRecallGateSql,
+    // q88 = Count-Min-Sketch heavy hitters with fused exact verify:
+    // every hash is the portable md5 family, so the oracle replays the
+    // ENTIRE sketch (grid, min-estimates, threshold, candidates, exact
+    // counts, bound booleans) — the hash pins the sketch numerics
+    "q88_cms_heavy_hitters" ->
+      graft.operators.HeavyHitters.qCmsHeavyHittersSql,
+    // q89 = NFKC + casefold (q84's production sibling): DuckDB lacks
+    // NFKC, so the fixture DECLARES expected folds (q72 pattern) and
+    // organic rows derive from lower(nfc_normalize(.)) — exact on this
+    // ASCII corpus; the exceptional classes live in the fixture
+    "q89_nfkc_casefold" -> TextAnalysis.qNfkcCasefoldSql,
   )
 }

@@ -6,56 +6,92 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Unicode NFC normalization as a native, WHOLE-STAGE-CODEGEN
-  * expression — the canonical first step of text curation (decomposed
-  * accents, compatibility singletons like OHM SIGN → Ω, Hangul jamo
-  * runs: all byte-distinct spellings of the same text, which would
-  * defeat exact dedup (q11), shingle hashing (q12/q13) and token
-  * counting alike unless folded first).
+/** Unicode normalization as a native, WHOLE-STAGE-CODEGEN expression,
+  * parameterized by form (r19 generalization of the r18 NFC-only
+  * expression) — the canonical first step of text curation:
+  *
+  *  - `form = "NFC"`, `casefold = false` (q84): canonical composition —
+  *    decomposed accents, compatibility singletons like OHM SIGN → Ω,
+  *    Hangul jamo runs: byte-distinct spellings of the same text, which
+  *    would defeat exact dedup (q11), shingle hashing (q12/q13) and
+  *    token counting alike unless folded first.
+  *  - `form = "NFKC"`, `casefold = true` (q89): the PRODUCTION dedup
+  *    key — compatibility decomposition (ligatures ﬁ → fi, fullwidth
+  *    ２３ → 23, unit squares ㎞ → km) plus case folding, so "ＨＥＬＬＯ"
+  *    and "hello" share one key. Casefold here is
+  *    `String.toLowerCase(Locale.ROOT)` followed by an NFC re-normalize
+  *    (lowercasing can emit non-composed sequences, e.g. İ → i +
+  *    combining dot) — deliberately the JDK's simple lowercase, NOT
+  *    Unicode full case folding: ß stays ß (full folding maps it to
+  *    ss). The q89 fixture DECLARES that choice so a drift is a hash
+  *    failure, not a silent redefinition.
   *
   * Unlike the per-row-loop expressions in this package
   * ([[SimHash]]/[[MinHashSignature]], CodegenFallback by design), this
   * one implements `doGenCode`: the generated code is a single static
-  * call into [[NfcNormalize.normalize]], so the projection stays inside
+  * call into [[UnicodeNormalize.fold]], so the projection stays inside
   * the WholeStageCodegen span with no boxed eval bridge — the
   * preference order the build brief names (native codegen Expression >
   * fallback > UDF). The JDK's `java.text.Normalizer` supplies the
   * Unicode algorithm (standard library, not a dependency); the fast
-  * path skips allocation entirely when `Normalizer.isNormalized`
-  * already holds (the overwhelmingly common case in a real corpus).
+  * path skips allocation entirely when the input is already normalized
+  * (the overwhelmingly common case in a real corpus).
   *
-  * Cross-engine note: the q84 oracle replays this with DuckDB's
-  * `nfc_normalize` (utf8proc). Both implement the same stable Unicode
-  * canonical-composition tables; the fixture pins the classic shapes
-  * (combining accents, canonical reordering, singletons, Hangul,
-  * non-BMP) so an implementation drift hash-fails.
+  * Cross-engine note: the q84 oracle replays NFC with DuckDB's
+  * `nfc_normalize` (utf8proc — see the version-skew caveat on
+  * [[graft.operators.TextAnalysis.qUnicodeNormalizeSql]]). DuckDB has
+  * NO NFKC, so q89's oracle instead declares expected folded forms in
+  * its fixture and derives organic rows from `lower(nfc_normalize(…))`
+  * — exact on this corpus, where NFC ≡ NFKC and ASCII lower ≡ fold
+  * (the q72 oracle pattern).
   */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class UnicodeNormalize(child: Expression, form: String,
+    casefold: Boolean) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"nfc_normalize expects string, got ${child.dataType.catalogString}")
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unicode_normalize expects string, got ${child.dataType.catalogString}")
+    else if (!UnicodeNormalize.Forms.contains(form))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unknown normalization form '$form' (one of ${UnicodeNormalize.Forms.mkString(", ")})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override protected def nullSafeEval(input: Any): Any =
-    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+    UnicodeNormalize.fold(input.asInstanceOf[UTF8String], form, casefold)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.normalize($c)")
+    // form is validated against the enum whitelist above, so splicing
+    // it as a string literal is safe
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.UnicodeNormalize.fold($c, "$form", $casefold)""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-object NfcNormalize {
+object UnicodeNormalize {
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+
   /** Static entry shared by interpreted eval and generated code. */
-  def normalize(s: UTF8String): UTF8String = {
+  def fold(s: UTF8String, form: String, casefold: Boolean): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form)
     val str = s.toString
-    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    val normed =
+      if (java.text.Normalizer.isNormalized(str, f)) str
+      else java.text.Normalizer.normalize(str, f)
+    if (!casefold) {
+      if (normed eq str) s else UTF8String.fromString(normed)
+    } else {
+      val lower = normed.toLowerCase(java.util.Locale.ROOT)
+      val out =
+        if (java.text.Normalizer.isNormalized(lower,
+          java.text.Normalizer.Form.NFC)) lower
+        else java.text.Normalizer.normalize(lower,
+          java.text.Normalizer.Form.NFC)
+      if (out == str) s else UTF8String.fromString(out)
+    }
   }
 }
 
@@ -63,5 +99,12 @@ object NormalizeFns {
   import org.apache.spark.sql.graftbridge.Bridge
 
   def nfcNormalize(text: Column): Column =
-    Bridge.column(NfcNormalize(Bridge.expression(text)))
+    Bridge.column(UnicodeNormalize(Bridge.expression(text), "NFC",
+      casefold = false))
+
+  /** The production dedup-key fold: NFKC + ROOT-locale lowercase + NFC
+    * re-normalize (see the casefold note on [[UnicodeNormalize]]). */
+  def nfkcCasefold(text: Column): Column =
+    Bridge.column(UnicodeNormalize(Bridge.expression(text), "NFKC",
+      casefold = true))
 }

@@ -374,7 +374,7 @@ object TextAnalysis {
     * counts before/after, and the md5 of the NFC form (the join key a
     * curation pass dedups on AFTER folding). The normalize itself is
     * the native whole-stage-codegen expression
-    * [[graft.functions.NfcNormalize]] — one narrow projection,
+    * [[graft.functions.UnicodeNormalize]] — one narrow projection,
     * scan-speed at 100 TB. */
   def qUnicodeNormalize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -391,7 +391,21 @@ object TextAnalysis {
 
   /** Oracle: DuckDB's `nfc_normalize` (utf8proc) against the JDK
     * Normalizer — two independent implementations of the same Unicode
-    * canonical composition; the md5 pins every normalized byte. */
+    * canonical composition; the md5 pins every normalized byte.
+    *
+    * VERSION-SKEW caveat (r18 advice): the two sides track different
+    * Unicode versions — the JDK's `java.text.Normalizer` ships the
+    * JDK's Unicode tables (Java 17 ≈ Unicode 13), DuckDB's utf8proc its
+    * own — so organic text containing characters whose canonical
+    * mappings were ADDED or corrected between those versions could
+    * hash-fail here even though both engines are "correct" per their
+    * tables. The fixture covers the classic stable shapes (composed/
+    * decomposed accents, Hangul jamo, compatibility-excluded ranges),
+    * and the synthetic corpus is ASCII, so this is latent today. If a
+    * future JDK or DuckDB bump flips q84 red with diffs ONLY on exotic
+    * code points, diagnose VERSION SKEW first (compare
+    * `java.text.Normalizer` vs `nfc_normalize` on the failing strings
+    * directly), not an engine bug. */
   val qUnicodeNormalizeSql: String = {
     val fx = NormalizeFixture
       .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
@@ -404,5 +418,70 @@ object TextAnalysis {
        |       length(norm)::BIGINT AS n_chars_nfc,
        |       md5(norm) AS nfc_md5
        |FROM n ORDER BY doc_id""".stripMargin
+  }
+
+  /** NFKC + casefold fixture for q89 (ids disjoint from every other
+    * fixture family). Each row DECLARES its expected folded form — the
+    * q72 oracle pattern for an operation DuckDB cannot replay (it has
+    * no NFKC): the generator states the answer, the engine must
+    * reproduce it, and any drift in the fold's definition is a hash
+    * failure rather than a silent redefinition. The declared forms pin
+    * the compatibility classes where NFKC ≠ NFC (ligatures, fullwidth,
+    * roman numerals, unit squares, the OHM/ANGSTROM singletons), the
+    * ROOT-locale lowercase choice (ß survives — simple lowercase, NOT
+    * Unicode full case folding which maps it to ss), and the
+    * post-lowercase NFC re-normalize (İ lowers to i + combining dot,
+    * which has no precomposed form and must stay decomposed). */
+  val CasefoldFixture: Seq[(Long, String, String)] = Seq(
+    (4600000L, "ﬁle ﬂight", "file flight"),  // ligatures ﬁ ﬂ
+    (4600001L, "２３ ＨＥＬＬＯ",
+      "23 hello"),                                     // fullwidth digits+letters
+    (4600002L, "Ⅻ hour", "xii hour"),             // Ⅻ → XII → xii
+    (4600003L, "5㎞ run", "5km run"),              // ㎞ → km
+    (4600004L, "MiXeD Case TEXT", "mixed case text"),  // case only
+    (4600005L, "straße", "straße"),          // ß kept (simple lower)
+    (4600006L, "Å Ω", "å ω"),      // Å→å, Ω→ω singletons
+    (4600007L, "café CAFÉ", "café café"), // compose+lower unify
+    (4600008L, "İstanbul", "i̇stanbul"),     // İ → i + U+0307 (no precomposed)
+    (4600009L, "", ""))
+
+  /** q89: the PRODUCTION dedup-key fold (q84's sibling) — NFKC +
+    * ROOT-locale casefold + NFC re-normalize over corpus ∪ declared
+    * fixture, as the native codegen expression
+    * [[graft.functions.UnicodeNormalize]] with its form parameter. The
+    * folded md5 is the key a curation pass dedups on: byte-distinct
+    * case/width/ligature variants collapse to one key (fixture row
+    * 4600007 is the q11-defeating pair, now unified). */
+  def qNfkcCasefold(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(CasefoldFixture.map { case (id, t, _) => (id, t) }
+        .toDF("doc_id", "text"))
+    src.withColumn("folded",
+        graft.functions.NormalizeFns.nfkcCasefold(col("text")))
+      .select(col("doc_id"),
+        (col("text") =!= col("folded")).as("changed"),
+        length(col("folded")).cast("long").as("n_chars_folded"),
+        md5(col("folded")).as("folded_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: fixture rows carry their DECLARED folded form; organic
+    * rows derive from `lower(nfc_normalize(text))`, exact here because
+    * the corpus is ASCII (NFC ≡ NFKC, ASCII lower ≡ casefold) — the
+    * exceptional classes live in the fixture precisely because the
+    * derivation cannot express them. */
+  val qNfkcCasefoldSql: String = {
+    val fx = CasefoldFixture
+      .map { case (id, t, e) => s"($id, '$t', '$e')" }.mkString(", ")
+    s"""WITH org AS (
+       |  SELECT doc_id, text, lower(nfc_normalize(text)) AS folded
+       |  FROM documents),
+       |fx AS (SELECT * FROM (VALUES $fx) f(doc_id, text, folded)),
+       |u AS (SELECT * FROM org UNION ALL SELECT * FROM fx)
+       |SELECT doc_id, (text <> folded) AS changed,
+       |       length(folded)::BIGINT AS n_chars_folded,
+       |       md5(folded) AS folded_md5
+       |FROM u ORDER BY doc_id""".stripMargin
   }
 }

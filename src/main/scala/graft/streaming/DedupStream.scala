@@ -882,12 +882,32 @@ object DedupStream {
     * `maxFilesPerBatch` caps files per micro-batch, so ONE stream run
     * can replay several day drops as separate admissions — the
     * per-admission setup cost is paid once, not per day. */
+  /** @param deconProbe optional benchmark/eval set (doc_id, text): when
+    *   set, every micro-batch passes the STREAMING DECONTAMINATION GATE
+    *   before touching persisted state — q78's broadcast cross-set
+    *   kernel ([[graft.operators.SubstringDedup.contaminationSpans]]:
+    *   batch windows equi-joined against the broadcast probe windows,
+    *   the batch never shuffles) flags docs sharing a ≥ k-token run
+    *   with the probe; flagged docs land under
+    *   `quarantineDir/batch=$id` (full rows — the audit trail) and are
+    *   EXCLUDED from the admission, so a contaminated daily drop never
+    *   enters state (decon as an admission invariant, not a batch
+    *   afterthought). An all-contaminated drop commits nothing: the
+    *   quarantine write is per-batch `mode(overwrite)`, so the
+    *   at-least-once redelivery after a crash re-quarantines
+    *   idempotently.
+    * @param quarantineDir where flagged rows land (required with
+    *   deconProbe). */
   def admitNewDrops(spark: SparkSession, docsPath: String, stateDir: String,
       checkpointDir: String,
       schemaDdl: String = "doc_id bigint, text string",
       maxLiveSegments: Int = MaxLiveSegments,
       maxFilesPerBatch: Option[Int] = None,
-      buckets: Int = StateBuckets): Unit = {
+      buckets: Int = StateBuckets,
+      deconProbe: Option[DataFrame] = None,
+      quarantineDir: Option[String] = None): Unit = {
+    require(deconProbe.isEmpty || quarantineDir.isDefined,
+      "deconProbe needs a quarantineDir for the flagged rows")
     val reader = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     maxFilesPerBatch.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -911,7 +931,25 @@ object DedupStream {
         // foreachBatch hands a streaming-backed DataFrame; the admission
         // builds an iterative multi-action plan over it, so pin the
         // batch to a stable local copy first
-        val pinned = graft.Checkpoints.pin(batch)
+        val rawPinned = graft.Checkpoints.pin(batch)
+        // the decon gate, ahead of every state read/write: flagged rows
+        // divert to the quarantine log, the admission sees only the
+        // clean subset (pinned again — the admission probes it several
+        // times and the anti join must not replan per consumer)
+        val pinned = deconProbe match {
+          case Some(probe) if !already && !rawPinned.isEmpty =>
+            import org.apache.spark.sql.functions.{broadcast, col}
+            val flagged = graft.operators.SubstringDedup
+              .contaminationSpans(rawPinned, probe)
+              .select(col("train_doc").as("doc_id")).distinct()
+            val clean = graft.Checkpoints.pin(chainTimer("deconGate")(
+              rawPinned.join(broadcast(flagged), Seq("doc_id"), "left_anti")))
+            rawPinned.join(broadcast(flagged), Seq("doc_id"))
+              .write.mode("overwrite")
+              .parquet(s"${quarantineDir.get}/batch=$batchId")
+            clean
+          case _ => rawPinned
+        }
         if (!already && !pinned.isEmpty) {
           def t[A](tag: String)(f: => A): A = chainTimer(tag)(f)
           t("load+admit+commit")(loadState(spark, stateDir)) match {
@@ -939,6 +977,8 @@ object DedupStream {
           graft.operators.Dedup.clearShingleCaches()
         }
         IncrementalDedup.freeLocalCheckpoint(pinned)
+        if (!(pinned eq rawPinned))
+          IncrementalDedup.freeLocalCheckpoint(rawPinned)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

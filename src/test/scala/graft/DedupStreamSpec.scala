@@ -82,6 +82,77 @@ class DedupStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("streaming decon gate: contaminated drop quarantined before state; clean subset admitted; state identical to clean-only run") {
+    import org.apache.spark.sql.functions.col
+    // benchmark probe: a 10-token passage the crawler must never admit
+    val bench = (1 to 10).map(i => f"ev$i%02d").mkString(" ")
+    val probe = Seq((9000L, bench)).toDF("doc_id", "text")
+    // day-2 drop: one clean doc + one contaminated doc quoting an
+    // 8-token run of the benchmark mid-document
+    val quote8 = (2 to 9).map(i => f"ev$i%02d").mkString(" ")
+    def day2mixed = Seq(
+      (40L, "a fresh singleton about entirely novel material today"),
+      (41L, s"pre1 pre2 $quote8 post1 post2")).toDF("doc_id", "text")
+    def day2clean = day2mixed.filter(col("doc_id") === 40L)
+
+    def stateImage(state: String): Map[String, Set[String]] = {
+      // the state's full LOGICAL content, relation by relation (file
+      // images can't compare literally: parquet part names embed write
+      // UUIDs and the anti join changes part layout) — row-set identity
+      // of all four relations IS state identity for every later
+      // admission
+      val st = DedupStream.loadState(spark, state).get
+      Map(
+        "labels" -> st.labels.collect().map(_.toString).toSet,
+        "sizes" -> st.sizes.collect().map(_.toString).toSet,
+        "bands" -> st.bands.collect().map(_.toString).toSet,
+        "shingles" -> st.shingles.collect().map(_.toString).toSet)
+    }
+
+    // run A: gated stream over day1 then the MIXED day2 drop
+    val rootA = Files.createTempDirectory("dedup_decon_a").toString
+    day1.write.parquet(s"$rootA/docs/day1")
+    DedupStream.admitNewDrops(spark, s"$rootA/docs/*", s"$rootA/state",
+      s"$rootA/ckpt", deconProbe = Some(probe),
+      quarantineDir = Some(s"$rootA/quar"))
+    day2mixed.write.parquet(s"$rootA/docs/day2")
+    DedupStream.admitNewDrops(spark, s"$rootA/docs/*", s"$rootA/state",
+      s"$rootA/ckpt", deconProbe = Some(probe),
+      quarantineDir = Some(s"$rootA/quar"))
+    // the contaminated doc landed in quarantine, full row preserved
+    val quar = spark.read.parquet(s"$rootA/quar/batch=1").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    assert(quar.map(_._1).toSeq == Seq(41L), s"quarantine held $quar")
+    assert(quar.head._2.contains(quote8), "quarantined row lost its text")
+    // ...and never entered state: no label row, and the state's data
+    // bytes are IDENTICAL to a run that admitted only the clean doc
+    val labelsA = IncrementalDedup.labelsWithSizes(
+      DedupStream.loadState(spark, s"$rootA/state").get)
+      .collect().map(_.getLong(0)).toSet
+    assert(!labelsA.contains(41L), "contaminated doc leaked into state")
+    assert(labelsA.contains(40L), "clean doc of the mixed drop missing")
+
+    // run B: same stream fed the PRE-CLEANED day2 (gate active but
+    // nothing to flag) — byte-identical state proves the gate excised
+    // exactly the contaminated rows and nothing else
+    val rootB = Files.createTempDirectory("dedup_decon_b").toString
+    day1.write.parquet(s"$rootB/docs/day1")
+    DedupStream.admitNewDrops(spark, s"$rootB/docs/*", s"$rootB/state",
+      s"$rootB/ckpt", deconProbe = Some(probe),
+      quarantineDir = Some(s"$rootB/quar"))
+    day2clean.write.parquet(s"$rootB/docs/day2")
+    DedupStream.admitNewDrops(spark, s"$rootB/docs/*", s"$rootB/state",
+      s"$rootB/ckpt", deconProbe = Some(probe),
+      quarantineDir = Some(s"$rootB/quar"))
+    assert(stateImage(s"$rootA/state") == stateImage(s"$rootB/state"),
+      "gated-mixed state diverged from clean-fed state")
+
+    Seq(rootA, rootB).foreach { r =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
+      catch { case _: Exception => }
+    }
+  }
+
   test("10 chained daily admissions: bounded lineage, equals batch recompute") {
     // The compounding hazard of incremental state: if day N's state were a
     // DataFrame chained over day N-1's (unions on unions), plan size would
