@@ -475,6 +475,38 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] embed split failed: ${e.getMessage}"); None
     }
+    // q85 attribution (the q51/q62 pattern on the substring side):
+    // bootstrap vs append-admission phases of the persisted window-log
+    // store, plus the O(batch)-writes evidence the r18 verdict asked
+    // for — the append segment's row count equals the BATCH's window
+    // count, not the grown log's (stamped so a layout regression that
+    // starts rewriting the corpus per day is diffable round-over-round).
+    val substringSplit: Option[String] = try {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val docs = graft.engine.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      def day(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      def secs(f: => Unit): Double = {
+        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+      }
+      val root = java.nio.file.Files.createTempDirectory("graft-subsplit").toString
+      val boot = secs(graft.operators.SubstringDedup.bootstrapStore(
+        spark, s"$root/state", day(0).union(day(1))))
+      val admit = secs(graft.operators.SubstringDedup.admitDrop(
+        spark, s"$root/state", day(2)))
+      val segRows = spark.read.parquet(s"$root/state/windows/seg=1").count()
+      val batchRows = spark.read.parquet(s"$root/state/windows/seg=0").count()
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
+      catch { case _: Exception => }
+      Some(s"""{"q85_bootstrap_sec":${fmt(boot)},""" +
+        s""""q85_admit_sec":${fmt(admit)},""" +
+        s""""q85_admit_seg_rows":$segRows,""" +
+        s""""q85_bootstrap_seg_rows":$batchRows}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] substring split failed: ${e.getMessage}")
+      None
+    }
     // The near-dup router's recall evidence at THIS corpus (supplemental,
     // detail-only, untimed): the sampled exact-vs-LSH ratio the auto
     // route's route_recall column would carry — stamped so the evidence
@@ -535,7 +567,18 @@ object Bench {
     // So: diagnostics go to stderr AND a detail file; stdout gets only the
     // compact contract line, printed LAST so it sits at the tail.
     val loadEnd = hostLoad
-    val loadJson =
+    // host_ab_factor (r18 ask #5): the same-day host-speed calibration
+    // measured by tools/host_ab.py — the median per-query cpu_sec ratio
+    // of a fresh sf0.1 run on THIS host vs a committed round artifact
+    // for the same build. Stamped INTO the artifact (next to host_load)
+    // so cross-round scale comparisons divide by it instead of living
+    // in BASELINE.md prose; absent when no A/B was run. The VALUE comes
+    // from the env because the A/B is a separate bench invocation by
+    // construction (it must finish before this run starts).
+    val hostAbJson = sys.env.get("SPARK_GRAFT_HOST_AB_FACTOR")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .map(f => s""""host_ab_factor":${fmt(f)},""").getOrElse("")
+    val loadJson = hostAbJson +
       s""""host_load":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}}"""
     val chainJson = q51Split
       .map { case (_, m) =>
@@ -560,6 +603,7 @@ object Bench {
       s""""ivfpq_learned_build_sec":${fmt(ivfPqLearnedBuildSec)},""" +
       q51Split.map { case (s, _) => s""""q51_split":$s,""" }.getOrElse("") +
       embedSplit.map(s => s""""embed_split":$s,""").getOrElse("") +
+      substringSplit.map(s => s""""substring_split":$s,""").getOrElse("") +
       routeRecall.map { case (overall, t060, curve) =>
         s""""route_recall":${fmt(overall)},""" +
           (if (t060.isNaN) ""
