@@ -33,7 +33,17 @@ object TextFns {
   def wsTokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** Word n-gram shingles (default 3). Documents shorter than n words
-    * collapse to one (shorter) shingle via the greatest(…,1) guard. */
+    * collapse to one (shorter) shingle via the greatest(…,1) guard.
+    *
+    * PERFORMANCE hazard (measured r19, q88): the tokenize is inlined
+    * inside the transform lambda, and higher-order functions evaluate
+    * interpreted — the regex split re-runs PER SHINGLE (~n_tokens× per
+    * row). A hot-path consumer should bind the token array in its own
+    * projection first and build the same transform over the bound
+    * column ([[graft.operators.SubstringDedup]]'s windowRel shape —
+    * once per row, ~5× the pass). This composable form stays as the
+    * equality oracle; the dedup hot paths use the native
+    * [[MinHashFns.shingleSet]] expression. */
   def shingles(c: Column, n: Int = 3): Column = {
     val w = wsTokens(c)
     transform(

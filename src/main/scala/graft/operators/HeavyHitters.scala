@@ -107,9 +107,34 @@ object HeavyHitters {
   }
 
   /** Gram OCCURRENCES (multiset, one row per position) — deliberately
-    * not the distinct shingle set: heavy-hitter mass counts repeats. */
-  private def gramOcc(docs: DataFrame): DataFrame =
-    docs.select(explode(TextFns.shingles(col("text"), GramN)).as("gram"))
+    * not the distinct shingle set: heavy-hitter mass counts repeats.
+    *
+    * Small-scan fan-out: both CMS passes do per-occurrence md5 work
+    * (depth hashes per gram), so a corpus that arrives as fewer input
+    * splits than cores would serialize that compute on the scan tasks
+    * (measured: the sf0.1 single-file corpus ran both passes ~2 cores
+    * wide, 7 s; sf10's 36 files parallelized naturally at 6.8× the
+    * wall for 100× the rows). When underparallel, repartition the THIN
+    * docs relation before the explode — a shuffle of the raw text
+    * bytes, trivial for exactly the corpora that trigger it and a
+    * no-op at deployment scale where split count ≥ cores. */
+  private def gramOcc(docs: DataFrame): DataFrame = {
+    val cpus = docs.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (docs.rdd.getNumPartitions < cpus) docs.repartition(cpus) else docs
+    // tokens MATERIALIZED in their own projection before the gram
+    // lambda ([[SubstringDedup.windowRel]]'s shape, and the r19 lesson
+    // measured here): `TextFns.shingles` inlines the regex split inside
+    // the transform lambda, and higher-order functions evaluate
+    // interpreted — the split re-ran per GRAM (~52× per doc; the
+    // skeleton alone cost ~3 s of q88's 7 s at sf0.1). Binding `w`
+    // first makes it once per row; same gram semantics (short docs →
+    // one shorter gram). Measured: build+candidate pass 7.1 → ~1.5 s.
+    src.select(TextFns.wsTokens(col("text")).as("w"))
+      .select(explode(transform(
+        sequence(lit(1), greatest(size(col("w")) - lit(GramN - 1), lit(1))),
+        i => concat_ws(" ", slice(col("w"), i, lit(GramN))))).as("gram"))
+  }
 
   /** All candidate heavy grams with their CMS estimate, exact count,
     * and the CMS contract booleans:
@@ -125,13 +150,13 @@ object HeavyHitters {
     val occ = gramOcc(docs)
     // BUILD: cell keys bounded by the grid, so partial agg collapses
     // map-side; ≤ depth·width rows collect
-    val cells = occ
+    val cells = graft.Par.timed("cms.build")(occ
       .select(posexplode(array(
         (0 until depth).map(d => bucketCol(d, col("gram"), width)): _*))
         .as(Seq("d", "bucket")))
       .groupBy(col("d"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-      .collect()
+      .collect())
     val grid = Array.fill(depth, width)(0L)
     cells.foreach(r => grid(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
     // stream mass N = any row's total (free from the collected cells)
