@@ -112,6 +112,9 @@ object SparkEntry {
     "q88_cms_heavy_hitters" ->
       (graft.operators.HeavyHitters.qCmsHeavyHitters _),
     "q89_nfkc_casefold" -> (TextAnalysis.qNfkcCasefold _),
+    "q90_incr_cms" ->
+      (graft.operators.HeavyHitters.qCmsIncremental _),
+    "q91_cluster_safe_split" -> (Corpus.qClusterSafeSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -329,5 +332,16 @@ object SparkEntry {
     // organic rows derive from lower(nfc_normalize(.)) — exact on this
     // ASCII corpus; the exceptional classes live in the fixture
     "q89_nfkc_casefold" -> TextAnalysis.qNfkcCasefoldSql,
+    // q90 = INCREMENTAL CMS: three daily drops chained through the
+    // persisted cell-log sketch (bootstrap + append + fold); CMS
+    // linearity makes the chained grid equal the one-shot grid cell
+    // for cell, so the oracle is q88's SQL verbatim
+    "q90_incr_cms" ->
+      graft.operators.HeavyHitters.qCmsIncrementalSql,
+    // q91 = leakage-safe split: train/val/test assigned per NEAR-DUP
+    // CLUSTER (q37's clustering + the md5-nibble rule on cluster_id),
+    // so no near-dup pair straddles the eval boundary — oracle replays
+    // closure + rule
+    "q91_cluster_safe_split" -> Corpus.qClusterSafeSplitSql,
   )
 }

@@ -412,6 +412,55 @@ object Corpus {
        |FROM c JOIN bud b USING (source)
        |WHERE c.cum_before < b.budget_tokens ORDER BY doc_id""".stripMargin
 
+  /** Leakage-safe train/val/test split (q91): assign the split by
+    * NEAR-DUP CLUSTER, not by document — the dedup-aware eval split a
+    * training pipeline actually needs. A doc-keyed split
+    * ([[shuffleShard]]) puts near-duplicate pairs on opposite sides of
+    * the train/test boundary (measured below: the planted near-dup
+    * structure makes this a certainty, not a tail risk), which leaks
+    * training text into evaluation — the public decontamination
+    * literature's within-corpus analog. Here every document inherits
+    * its [[Dedup.duplicateClusters]] cluster's assignment — the
+    * [[shuffleShard]] md5-nibble rule applied to the CLUSTER id (c,d →
+    * val; e,f → test; else train, 12/2/2 sixteenths) — so no cluster
+    * ever straddles a boundary, by construction.
+    *
+    * Scale shape: the clustering is the q37 operator (LSH-banded
+    * candidates, never all-pairs); the split itself is one narrow
+    * projection over its output. Stable under growth in the
+    * [[shuffleShard]] sense only cluster-wise: a new near-dup of an
+    * existing doc JOINS its cluster and inherits the existing
+    * assignment (exactly the property a doc-keyed split lacks); an
+    * unrelated new doc lands by its own id-as-cluster hash. (A doc
+    * that MERGES two existing clusters can relabel the merged cluster
+    * and move it — the min-label rule makes that rare and explicit,
+    * and the alternative — pinning old assignments in a store — is the
+    * incremental variant a deployment layers on via
+    * [[graft.streaming.DedupStream]]'s persisted labels.) */
+  def clusterSafeSplit(docs: DataFrame): DataFrame =
+    Dedup.duplicateClusters(docs)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("split",
+        expr("CASE WHEN substring(md5(cast(cluster_id as string)), 1, 1) " +
+          "IN ('c', 'd') THEN 'val' " +
+          "WHEN substring(md5(cast(cluster_id as string)), 1, 1) " +
+          "IN ('e', 'f') THEN 'test' ELSE 'train' END"))
+
+  def qClusterSafeSplit(s: SparkSession, d: String): DataFrame =
+    clusterSafeSplit(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Oracle: the q37 closure clustering (shared CTE chain) + the same
+    * md5-nibble rule on the cluster id. */
+  val qClusterSafeSplitSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardCtesSql},
+       |${Dedup.clusterCtesSqlFrom("documents")}
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+       |              IN ('c', 'd') THEN 'val'
+       |            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+       |              IN ('e', 'f') THEN 'test' ELSE 'train' END AS split
+       |FROM lab ORDER BY doc_id""".stripMargin
+
   /** `docs` plus the assignment columns (split, shard, hx) — the
     * building block [[shuffleShard]] projects and [[exportShards]]
     * writes through. */

@@ -143,30 +143,38 @@ object HeavyHitters {
     * structural never-undercount guarantee (a violation means the
     * sketch itself is broken), the upper the probabilistic overcount
     * bound evaluated honestly on this corpus. */
-  def heavyGrams(docs: DataFrame, depth: Int = CmsDepth,
-      width: Int = CmsWidth): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val occ = gramOcc(docs)
-    // BUILD: cell keys bounded by the grid, so partial agg collapses
-    // map-side; ≤ depth·width rows collect
-    val cells = graft.Par.timed("cms.build")(occ
+  /** The grid-cell relation of one doc set: (d, bucket, c) — the BUILD
+    * pass, shared by the one-shot sketch and the per-admission segment
+    * writes of the persisted store ([[bootstrapSketch]]/[[admitDrop]]).
+    * Cell keys are bounded by the grid, so partial aggregation
+    * collapses map-side; ≤ depth·width rows result. */
+  private def cellRel(docs: DataFrame, depth: Int, width: Int): DataFrame =
+    gramOcc(docs)
       .select(posexplode(array(
         (0 until depth).map(d => bucketCol(d, col("gram"), width)): _*))
         .as(Seq("d", "bucket")))
       .groupBy(col("d"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-      .collect())
+
+  private def gridOf(cells: Array[org.apache.spark.sql.Row], depth: Int,
+      width: Int): Array[Array[Long]] = {
     val grid = Array.fill(depth, width)(0L)
     cells.foreach(r => grid(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
-    // stream mass N = any row's total (free from the collected cells)
+    grid
+  }
+
+  /** CANDIDATES + fused EXACT VERIFY against a (driver-held) grid:
+    * narrow broadcast-probe filter, survivors' groupBy is the exact
+    * count (every occurrence of a qualifying gram survives). */
+  private def candidatesWithExact(docs: DataFrame, grid: Array[Array[Long]],
+      depth: Int, width: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val n = grid(0).sum
     val threshold = math.max(MinSupport, n / SupportDivisor)
     val overBound = math.ceil(math.E * n / width).toLong
     val gridB = spark.sparkContext.broadcast(grid)
-    // CANDIDATES: narrow broadcast-probe filter; survivors' groupBy is
-    // the exact count (every occurrence of a qualifying gram survives)
-    occ.as[String]
+    gramOcc(docs).as[String]
       .mapPartitions { grams =>
         val g = gridB.value
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -188,6 +196,89 @@ object HeavyHitters {
         (col("cms_count") >= col("exact_count") &&
           col("cms_count") <= col("exact_count") + lit(overBound))
           .as("within_bound"))
+  }
+
+  def heavyGrams(docs: DataFrame, depth: Int = CmsDepth,
+      width: Int = CmsWidth): DataFrame = {
+    val cells = graft.Par.timed("cms.build")(
+      cellRel(docs, depth, width).collect())
+    candidatesWithExact(docs, gridOf(cells, depth, width), depth, width)
+  }
+
+  // ---- persisted sketch store (the VersionedIndex protocol) --------------
+
+  /** CMS grids are LINEAR — grid(A ∪ B) = grid(A) + grid(B) cell-wise —
+    * so the persisted sketch admits a daily drop by appending the
+    * BATCH's own cell relation as a log segment (≤ depth·width rows, a
+    * few hundred KB: O(grid) per day, never the corpus) and the current
+    * grid is the cell-wise sum over committed segments. Chained
+    * admissions therefore equal the one-shot sketch EXACTLY (not
+    * approximately — q90's oracle is q88's SQL verbatim, the q62/q85
+    * equality pattern). Layout:
+    *
+    * {{{
+    * dir/
+    *   CURRENT  v$N/MANIFEST
+    *   cells/seg=$M/    # one O(grid) segment per admission
+    * }}}
+    *
+    * Past `maxLiveSegments` the commit folds the summed grid into one
+    * segment (O(grid) work — folding a SKETCH is cheap, unlike the
+    * window/bucket logs whose folds rewrite corpus-sized relations).
+    * The manifest's row counts carry the cumulative occurrence mass N
+    * (the threshold input), so loading never re-reads documents. */
+  private val CellsDdl = "d INT, bucket BIGINT, c BIGINT"
+
+  private def writeCellSeg(cells: DataFrame, path: String): Unit =
+    cells.select(col("d"), col("bucket"), col("c"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  private def segMass(spark: SparkSession, path: String): Long =
+    spark.read.parquet(path).filter(col("d") === 0)
+      .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+
+  def bootstrapSketch(spark: SparkSession, dir: String,
+      docs: DataFrame): Unit = {
+    require(VersionedIndex.currentVersion(dir).isEmpty,
+      s"$dir already holds a committed sketch — grow it with admitDrop")
+    writeCellSeg(cellRel(docs, CmsDepth, CmsWidth), s"$dir/cells/seg=0")
+    val n = segMass(spark, s"$dir/cells/seg=0")
+    VersionedIndex.commit(dir, 0, trainedRows = n, totalRows = n,
+      segs = Vector(0L), logs = Seq("cells"))
+  }
+
+  def admitDrop(spark: SparkSession, dir: String, newDocs: DataFrame,
+      maxLiveSegments: Int = 16): Unit = {
+    val m = VersionedIndex.meta(dir).getOrElse(throw new IllegalStateException(
+      s"$dir holds no committed sketch — bootstrapSketch first"))
+    val next = m.version + 1
+    val fold = m.segs.size + 1 > maxLiveSegments
+    val batchCells = cellRel(newDocs, CmsDepth, CmsWidth)
+    if (fold) {
+      val logCells = VersionedIndex.readLog(spark, dir, "cells", m.segs,
+        CellsDdl)
+      writeCellSeg(logCells.unionByName(batchCells)
+          .groupBy(col("d"), col("bucket")).agg(sum(col("c")).as("c")),
+        s"$dir/cells/seg=$next")
+      val n = segMass(spark, s"$dir/cells/seg=$next")
+      VersionedIndex.commit(dir, next, trainedRows = n, totalRows = n,
+        segs = Vector(next), logs = Seq("cells"))
+    } else {
+      writeCellSeg(batchCells, s"$dir/cells/seg=$next")
+      val n = m.totalRows + segMass(spark, s"$dir/cells/seg=$next")
+      VersionedIndex.commit(dir, next, trainedRows = n, totalRows = n,
+        segs = m.segs :+ next, logs = Seq("cells"))
+    }
+  }
+
+  /** The committed grid: cell-wise sum over the live segments —
+    * ≤ segments·depth·width rows aggregated to one grid, no document
+    * read. */
+  def loadGrid(spark: SparkSession, dir: String): Array[Array[Long]] = {
+    val m = VersionedIndex.metaOrThrow(dir)
+    gridOf(VersionedIndex.readLog(spark, dir, "cells", m.segs, CellsDdl)
+      .groupBy(col("d"), col("bucket")).agg(sum(col("c")).as("c"))
+      .collect(), CmsDepth, CmsWidth)
   }
 
   // ---- SparkEntry wiring -------------------------------------------------
@@ -222,6 +313,34 @@ object HeavyHitters {
         .unionByName(BoilerplateFixture.toDF("doc_id", "text")))
       .orderBy("gram")
   }
+
+  /** q90: the persisted incremental sketch — three daily drops
+    * (`pmod(doc_id, 3)` over corpus ∪ fixture) chained through
+    * bootstrap + append + fold commits, then the heavy-hitter relation
+    * computed from the LOADED grid. CMS linearity makes the chained
+    * grid EQUAL the one-shot grid cell for cell, so the output is
+    * q88's relation exactly and the oracle is q88's SQL verbatim. The
+    * incremental claim (per-day writes are O(grid), old docs never
+    * re-read on an append day) is spec- and stamp-pinned. */
+  def qCmsIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(BoilerplateFixture.toDF("doc_id", "text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-q90").toString
+    def day(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    bootstrapSketch(s, s"$root/state", day(0))
+    admitDrop(s, s"$root/state", day(1), maxLiveSegments = 2) // append
+    admitDrop(s, s"$root/state", day(2), maxLiveSegments = 2) // fold
+    val grid = loadGrid(s, s"$root/state")
+    try org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+    catch { case _: Exception => }
+    candidatesWithExact(docs, grid, CmsDepth, CmsWidth).orderBy("gram")
+  }
+
+  /** Chained sketch ≡ one-shot: q88's oracle verbatim (set after
+    * qCmsHeavyHittersSql below — object init order). */
+  def qCmsIncrementalSql: String = qCmsHeavyHittersSql
 
   val qCmsHeavyHittersSql: String = {
     val h = (d: Int) =>

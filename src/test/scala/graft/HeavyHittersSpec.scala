@@ -26,6 +26,44 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted sketch: chained admissions' grid == one-shot grid cell for cell; append segment is O(grid)") {
+    import graft.operators.VersionedIndex
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(HeavyHitters.BoilerplateFixture.toDF("doc_id", "text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-cmsinc").toString
+    try {
+      def day(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      HeavyHitters.bootstrapSketch(spark, s"$root/state", day(0))
+      HeavyHitters.admitDrop(spark, s"$root/state", day(1),
+        maxLiveSegments = 2) // append
+      // O(grid) writes: the appended segment is bounded by the grid,
+      // never the corpus or the distinct-gram space
+      val segRows = spark.read.parquet(s"$root/state/cells/seg=1").count()
+      assert(segRows <= HeavyHitters.CmsDepth.toLong * HeavyHitters.CmsWidth,
+        s"append segment $segRows rows exceeds the grid bound")
+      HeavyHitters.admitDrop(spark, s"$root/state", day(2),
+        maxLiveSegments = 2) // fold
+      val m = VersionedIndex.metaOrThrow(s"$root/state")
+      assert(m.segs == Vector(2L), s"fold did not collapse segs: ${m.segs}")
+      val chained = HeavyHitters.loadGrid(spark, s"$root/state")
+      // linearity: the chained grid equals a one-shot build over the
+      // union, cell for cell (exact, not approximate)
+      val oneShot = graft.operators.HeavyHittersSpecAccess.oneShotGrid(docs)
+      (0 until HeavyHitters.CmsDepth).foreach { d =>
+        assert(chained(d).sameElements(oneShot(d)),
+          s"grid row $d diverged from the one-shot sketch")
+      }
+      // the manifest's mass equals the one-shot stream mass
+      assert(m.totalRows == oneShot(0).sum,
+        s"manifest mass ${m.totalRows} != stream mass ${oneShot(0).sum}")
+    } finally {
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
+      catch { case _: Exception => }
+    }
+  }
+
   test("completeness + exact verify: every true heavy gram surfaces with its exact count; cms never undercounts") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))

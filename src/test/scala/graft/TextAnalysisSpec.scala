@@ -441,6 +441,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"expected the undersized source named in: ${messages(e)}")
   }
 
+  test("cluster-safe split: no near-dup cluster straddles a split boundary; doc-keyed split provably would") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Corpus.clusterSafeSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // the defining invariant: every cluster maps to exactly one split
+    val byCluster = out.groupBy(_._2).map { case (c, rs) =>
+      c -> rs.map(_._3).distinct }
+    assert(byCluster.values.forall(_.size == 1),
+      s"clusters straddling splits: ${byCluster.filter(_._2.size > 1).keys}")
+    // all three splits are populated and cover every doc
+    assert(out.map(_._3).distinct.toSet == Set("train", "val", "test"))
+    assert(out.length == docs.count())
+    // the hazard is REAL on this corpus: at least one multi-doc cluster
+    // contains docs whose DOC-keyed nibbles land in different splits —
+    // the leak shuffleShard would commit and this operator prevents
+    def docSplit(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString.substring(0, 1)
+      if (h == "c" || h == "d") "val"
+      else if (h == "e" || h == "f") "test" else "train"
+    }
+    val wouldLeak = out.groupBy(_._2).exists { case (_, rs) =>
+      rs.length > 1 && rs.map(r => docSplit(r._1)).distinct.length > 1
+    }
+    assert(wouldLeak,
+      "fixture corpus has no cluster that a doc-keyed split would tear " +
+        "— the spec lost its discriminating case")
+  }
+
   test("shuffleShard: deterministic hash split/shard, full cover, no shuffle") {
     import org.apache.spark.sql.functions.col
     val docs = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
