@@ -115,6 +115,7 @@ object SparkEntry {
     "q90_incr_cms" ->
       (graft.operators.HeavyHitters.qCmsIncremental _),
     "q91_cluster_safe_split" -> (Corpus.qClusterSafeSplit _),
+    "q92_folded_dedup" -> (TextAnalysis.qFoldedDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -343,5 +344,9 @@ object SparkEntry {
     // so no near-dup pair straddles the eval boundary — oracle replays
     // closure + rule
     "q91_cluster_safe_split" -> Corpus.qClusterSafeSplitSql,
+    // q92 = exact dedup on the FOLDED key (q89 feeding q11's rollup):
+    // byte-distinct case/width/ligature variants share one md5(fold)
+    // key; oracle = declared fixture folds + lower(nfc) organic rows
+    "q92_folded_dedup" -> TextAnalysis.qFoldedDedupSql,
   )
 }

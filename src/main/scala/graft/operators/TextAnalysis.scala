@@ -484,4 +484,51 @@ object TextAnalysis {
        |       md5(folded) AS folded_md5
        |FROM u ORDER BY doc_id""".stripMargin
   }
+
+  /** Folded-key exact dedup fixture for q92 (ids disjoint from every
+    * other family): byte-DISTINCT variants that must share one fold key
+    * — a cased/fullwidth/ligature trio, a cased pair — plus a singleton.
+    * Declared folded forms, the q89/q72 oracle pattern. */
+  val FoldedDedupFixture: Seq[(Long, String, String)] = Seq(
+    (4700000L, "The Quick Brown Fox", "the quick brown fox"),
+    (4700001L, "ＴＨＥ ＱＵＩＣＫ ＢＲＯＷＮ ＦＯＸ",
+      "the quick brown fox"),
+    (4700002L, "the quick brown fox", "the quick brown fox"),
+    (4700010L, "ﬁnal oﬀer terms", "final offer terms"),
+    (4700011L, "FINAL OFFER TERMS", "final offer terms"),
+    (4700020L, "unique snowﬂake row", "unique snowflake row"))
+
+  /** q92: exact dedup on the FOLDED key — the composition q89 exists
+    * for: `md5(nfkcCasefold(text))` as the group key, so byte-distinct
+    * case/width/ligature variants collapse to one canonical doc (the
+    * planted trio and pair each roll up to their min id), where q11's
+    * raw-byte key sees six unrelated documents. Same scale shape as
+    * q11: one narrow codegen'd fold + md5, then a fixed-width-key
+    * hash aggregate. */
+  def qFoldedDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(FoldedDedupFixture.map { case (id, t, _) => (id, t) }
+        .toDF("doc_id", "text"))
+      .groupBy(md5(graft.functions.NormalizeFns.nfkcCasefold(col("text")))
+        .as("fold_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_dups"))
+      .orderBy("fold_md5")
+  }
+
+  /** Oracle: the q89 derivation (declared fixture folds, organic
+    * lower∘nfc) feeding the q11 rollup. */
+  val qFoldedDedupSql: String = {
+    val fx = FoldedDedupFixture
+      .map { case (id, _, e) => s"($id, '$e')" }.mkString(", ")
+    s"""WITH org AS (
+       |  SELECT doc_id, lower(nfc_normalize(text)) AS folded
+       |  FROM documents),
+       |fx AS (SELECT * FROM (VALUES $fx) f(doc_id, folded)),
+       |u AS (SELECT * FROM org UNION ALL SELECT * FROM fx)
+       |SELECT md5(folded) AS fold_md5, MIN(doc_id) AS keep_doc_id,
+       |       COUNT(*)::BIGINT AS n_dups
+       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -441,6 +441,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"expected the undersized source named in: ${messages(e)}")
   }
 
+  test("folded dedup: byte-distinct case/width/ligature variants share one key; raw-byte dedup would not merge them") {
+    import org.apache.spark.sql.functions.{col, md5}
+    import graft.functions.NormalizeFns.nfkcCasefold
+    val fx = graft.operators.TextAnalysis.FoldedDedupFixture
+      .map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val folded = fx
+      .groupBy(md5(nfkcCasefold(col("text"))).as("k"))
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("keep"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions
+          .lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // the trio rolls up to 4700000 (n=3), the pair to 4700010 (n=2),
+    // the singleton stands alone
+    assert(folded == Map(4700000L -> 3L, 4700010L -> 2L, 4700020L -> 1L),
+      s"folded rollup diverged: $folded")
+    // the hazard q92 closes: the RAW key (q11's) sees six unrelated docs
+    val raw = fx.groupBy(md5(col("text"))).count().count()
+    assert(raw == 6L, s"raw-byte keys unexpectedly merged: $raw groups")
+  }
+
   test("cluster-safe split: no near-dup cluster straddles a split boundary; doc-keyed split provably would") {
     import org.apache.spark.sql.functions.col
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
