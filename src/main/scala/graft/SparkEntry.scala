@@ -300,7 +300,7 @@ object SparkEntry {
     "q83_quality_classifier" ->
       graft.operators.QualityModel.qQualityClassifierSql,
     // q84 = Unicode NFC normalization audit: the engine's native
-    // whole-stage-codegen NfcNormalize (JDK Normalizer) against DuckDB's
+    // whole-stage-codegen UnicodeNormalize (JDK Normalizer) against DuckDB's
     // nfc_normalize (utf8proc) — two independent implementations of the
     // same canonical composition; the md5 pins every normalized byte
     // over a fixture of the classic NFC shapes

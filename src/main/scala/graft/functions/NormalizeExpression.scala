@@ -84,12 +84,15 @@ object UnicodeNormalize {
     if (!casefold) {
       if (normed eq str) s else UTF8String.fromString(normed)
     } else {
+      // lowercasing can denormalize (e.g. İ U+0130 lowers to i + U+0307,
+      // a decomposition), so re-normalize — to the REQUESTED form, not a
+      // hardcoded NFC: form=NFKD/NFD with casefold=true must yield output
+      // in that form (r19 advice: the old NFC constant silently returned
+      // composed output for the decomposed forms)
       val lower = normed.toLowerCase(java.util.Locale.ROOT)
       val out =
-        if (java.text.Normalizer.isNormalized(lower,
-          java.text.Normalizer.Form.NFC)) lower
-        else java.text.Normalizer.normalize(lower,
-          java.text.Normalizer.Form.NFC)
+        if (java.text.Normalizer.isNormalized(lower, f)) lower
+        else java.text.Normalizer.normalize(lower, f)
       if (out == str) s else UTF8String.fromString(out)
     }
   }

@@ -1445,10 +1445,18 @@ object Dedup {
       f"grid=${tables}x$planes+$probes recall=$recall%.4f " +
       f"floor=$RouterRecallFloor")
     val pass = !recall.isNaN && recall >= RouterRecallFloor
+    // diagnosability on breach (r19 advice): a floor failure surfaces as
+    // a correctness hash mismatch, so the gate relation itself carries
+    // the sampled recall WHEN IT FAILS — the dumped Verify parquet then
+    // names the number (NaN included, as null). On pass the column is
+    // NULL, which is what the oracle pins, so the green path stays
+    // oracle-exact.
+    val recallOnFail: Option[Double] =
+      if (pass || recall.isNaN) None else Some(recall)
     Seq((n, theta, tables.toLong, planes.toLong, probes.toLong,
-      RouterRecallFloor, pass))
+      RouterRecallFloor, pass, recallOnFail))
       .toDF("n_vectors", "theta", "tables", "planes", "probes",
-        "recall_floor", "pass")
+        "recall_floor", "pass", "recall_on_fail")
   }
 
   /** q87: the production router configuration at its default θ. */
@@ -1467,7 +1475,8 @@ object Dedup {
        |       CAST($planes AS BIGINT) AS planes,
        |       CAST($probes AS BIGINT) AS probes,
        |       CAST($RouterRecallFloor AS DOUBLE) AS recall_floor,
-       |       TRUE AS pass
+       |       TRUE AS pass,
+       |       CAST(NULL AS DOUBLE) AS recall_on_fail
        |FROM embeddings""".stripMargin
   }
 

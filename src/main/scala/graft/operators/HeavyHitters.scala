@@ -118,10 +118,17 @@ object HeavyHitters {
     * docs relation before the explode — a shuffle of the raw text
     * bytes, trivial for exactly the corpora that trigger it and a
     * no-op at deployment scale where split count ≥ cores. */
-  private def gramOcc(docs: DataFrame): DataFrame = {
+  /** The repartition decision of [[gramOcc]]'s scaladoc, hoisted so a
+    * caller that feeds BOTH passes (build + candidate) resolves it once
+    * — `docs.rdd.getNumPartitions` forces physical planning, and the
+    * two-pass [[heavyGrams]] used to pay it (and potentially the text
+    * reshuffle) twice per query (r19 advice). */
+  private def widened(docs: DataFrame): DataFrame = {
     val cpus = docs.sparkSession.sparkContext.defaultParallelism
-    val src =
-      if (docs.rdd.getNumPartitions < cpus) docs.repartition(cpus) else docs
+    if (docs.rdd.getNumPartitions < cpus) docs.repartition(cpus) else docs
+  }
+
+  private def gramOcc(src: DataFrame): DataFrame = {
     // tokens MATERIALIZED in their own projection before the gram
     // lambda ([[SubstringDedup.windowRel]]'s shape, and the r19 lesson
     // measured here): `TextFns.shingles` inlines the regex split inside
@@ -148,6 +155,8 @@ object HeavyHitters {
     * writes of the persisted store ([[bootstrapSketch]]/[[admitDrop]]).
     * Cell keys are bounded by the grid, so partial aggregation
     * collapses map-side; ≤ depth·width rows result. */
+  // `docs` must already be [[widened]] — every caller widens once at its
+  // entry point so the getNumPartitions planning probe runs once per query
   private def cellRel(docs: DataFrame, depth: Int, width: Int): DataFrame =
     gramOcc(docs)
       .select(posexplode(array(
@@ -200,9 +209,11 @@ object HeavyHitters {
 
   def heavyGrams(docs: DataFrame, depth: Int = CmsDepth,
       width: Int = CmsWidth): DataFrame = {
+    // resolve the repartition decision ONCE for both passes
+    val src = widened(docs)
     val cells = graft.Par.timed("cms.build")(
-      cellRel(docs, depth, width).collect())
-    candidatesWithExact(docs, gridOf(cells, depth, width), depth, width)
+      cellRel(src, depth, width).collect())
+    candidatesWithExact(src, gridOf(cells, depth, width), depth, width)
   }
 
   // ---- persisted sketch store (the VersionedIndex protocol) --------------
@@ -241,7 +252,8 @@ object HeavyHitters {
       docs: DataFrame): Unit = {
     require(VersionedIndex.currentVersion(dir).isEmpty,
       s"$dir already holds a committed sketch — grow it with admitDrop")
-    writeCellSeg(cellRel(docs, CmsDepth, CmsWidth), s"$dir/cells/seg=0")
+    writeCellSeg(cellRel(widened(docs), CmsDepth, CmsWidth),
+      s"$dir/cells/seg=0")
     val n = segMass(spark, s"$dir/cells/seg=0")
     VersionedIndex.commit(dir, 0, trainedRows = n, totalRows = n,
       segs = Vector(0L), logs = Seq("cells"))
@@ -253,7 +265,7 @@ object HeavyHitters {
       s"$dir holds no committed sketch — bootstrapSketch first"))
     val next = m.version + 1
     val fold = m.segs.size + 1 > maxLiveSegments
-    val batchCells = cellRel(newDocs, CmsDepth, CmsWidth)
+    val batchCells = cellRel(widened(newDocs), CmsDepth, CmsWidth)
     if (fold) {
       val logCells = VersionedIndex.readLog(spark, dir, "cells", m.segs,
         CellsDdl)
@@ -335,7 +347,8 @@ object HeavyHitters {
     try org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
     catch { case _: Exception => }
-    candidatesWithExact(docs, grid, CmsDepth, CmsWidth).orderBy("gram")
+    candidatesWithExact(widened(docs), grid, CmsDepth, CmsWidth)
+      .orderBy("gram")
   }
 
   /** Chained sketch ≡ one-shot: q88's oracle verbatim (set after

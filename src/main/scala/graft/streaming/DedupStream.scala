@@ -939,14 +939,26 @@ object DedupStream {
         val pinned = deconProbe match {
           case Some(probe) if !already && !rawPinned.isEmpty =>
             import org.apache.spark.sql.functions.{broadcast, col}
-            val flagged = graft.operators.SubstringDedup
-              .contaminationSpans(rawPinned, probe)
-              .select(col("train_doc").as("doc_id")).distinct()
-            val clean = graft.Checkpoints.pin(chainTimer("deconGate")(
-              rawPinned.join(broadcast(flagged), Seq("doc_id"), "left_anti")))
-            rawPinned.join(broadcast(flagged), Seq("doc_id"))
-              .write.mode("overwrite")
-              .parquet(s"${quarantineDir.get}/batch=$batchId")
+            // pin the flagged set once: the lineage (contaminationSpans,
+            // a shingle explode + join) would otherwise recompute for
+            // the anti-join AND the quarantine write (r19 advice)
+            val flagged = graft.Checkpoints.pin(chainTimer("deconGate")(
+              graft.operators.SubstringDedup
+                .contaminationSpans(rawPinned, probe)
+                .select(col("train_doc").as("doc_id")).distinct()))
+            val clean =
+              if (flagged.isEmpty) rawPinned // nothing flagged: no
+              // quarantine dir for this batch (clean batches must not
+              // accumulate empty parquet dirs), admit the batch as-is
+              else {
+                rawPinned.join(broadcast(flagged), Seq("doc_id"))
+                  .write.mode("overwrite")
+                  .parquet(s"${quarantineDir.get}/batch=$batchId")
+                graft.Checkpoints.pin(
+                  rawPinned.join(broadcast(flagged), Seq("doc_id"),
+                    "left_anti"))
+              }
+            IncrementalDedup.freeLocalCheckpoint(flagged)
             clean
           case _ => rawPinned
         }

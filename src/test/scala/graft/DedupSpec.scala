@@ -1069,6 +1069,8 @@ class DedupSpec extends AnyFunSuite {
     val shipped = Dedup.routerRecallGate(emb, 0.45, t, p, pr).head()
     assert(shipped.getAs[Boolean]("pass"),
       "shipped router grid breached its own recall floor")
+    assert(shipped.isNullAt(shipped.fieldIndex("recall_on_fail")),
+      "recall_on_fail must be NULL on the green path (the oracle pins it)")
     // the regression the gate exists for: the weak-theta tier silently
     // reverting to the r17 default grid (16 tables at θ=0.45) — its
     // recall here reads 0.857 (6/7 stratum pairs), under the 0.89 floor
@@ -1076,5 +1078,11 @@ class DedupSpec extends AnyFunSuite {
       Dedup.AutoLshTables, Dedup.AutoLshPlanes, Dedup.AutoLshProbes).head()
     assert(!reverted.getAs[Boolean]("pass"),
       "16-table revert must breach the router recall floor")
+    // diagnosability on breach (r19 advice): the failing row itself
+    // carries the sampled recall, so a floor breach in the correctness
+    // gate is attributable from the dumped Verify parquet alone
+    val onFail = reverted.getAs[Double]("recall_on_fail")
+    assert(!onFail.isNaN && onFail > 0.0 && onFail < Dedup.RouterRecallFloor,
+      s"breached gate must stamp its sampled recall (got $onFail)")
   }
 }

@@ -306,6 +306,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [unicodenormalize"),
       s"nfkc-casefold projection fell out of whole-stage codegen:\n$plan")
     assert(scan.count() > 0)
+    // r19 advice: casefold must re-normalize to the REQUESTED form, not
+    // a hardcoded NFC — NFKD+casefold of É (U+00C9) must come back as
+    // the DECOMPOSED e + U+0301, where the old NFC constant recomposed
+    // to é (composed output from a decomposed-form request)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val nfkdFold = Bridge.column(graft.functions.UnicodeNormalize(
+      Bridge.expression(col("text")), "NFKD", casefold = true))
+    val folded = Seq("Élan").toDF("text")
+      .select(nfkdFold.as("f")).head().getString(0)
+    assert(folded.take(2) == "é",
+      s"NFKD+casefold must return decomposed output, got ${folded.toList}")
+    assert(java.text.Normalizer.isNormalized(folded,
+      java.text.Normalizer.Form.NFKD), "output must be NFKD-normalized")
   }
 
   test("quality classifier: labels/split deterministic, model clears gates, broken model flips red") {
