@@ -116,6 +116,7 @@ object SparkEntry {
       (graft.operators.HeavyHitters.qCmsIncremental _),
     "q91_cluster_safe_split" -> (Corpus.qClusterSafeSplit _),
     "q92_folded_dedup" -> (TextAnalysis.qFoldedDedup _),
+    "q93_pinned_split" -> (graft.operators.SplitPins.qPinnedSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -348,5 +349,14 @@ object SparkEntry {
     // byte-distinct case/width/ligature variants share one md5(fold)
     // key; oracle = declared fixture folds + lower(nfc) organic rows
     "q92_folded_dedup" -> TextAnalysis.qFoldedDedupSql,
+    // q93 = PINNED leakage-safe split (q91's incremental sibling):
+    // three daily drops chained through the persisted SplitPins store
+    // riding the real admission deltas — a doc's split is written once
+    // and never moves, merges inherit the OLDEST pin. The oracle
+    // replays the pin protocol via the doc-level equivalence (oldest
+    // member by (admit_seq, doc_id)) over day-dimensioned closure
+    // clusterings — chained ≠ one-shot here BY DESIGN, so the pin
+    // table itself is what gets hash-pinned
+    "q93_pinned_split" -> graft.operators.SplitPins.qPinnedSplitSql,
   )
 }

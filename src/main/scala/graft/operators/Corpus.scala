@@ -433,18 +433,13 @@ object Corpus {
     * assignment (exactly the property a doc-keyed split lacks); an
     * unrelated new doc lands by its own id-as-cluster hash. (A doc
     * that MERGES two existing clusters can relabel the merged cluster
-    * and move it — the min-label rule makes that rare and explicit,
-    * and the alternative — pinning old assignments in a store — is the
-    * incremental variant a deployment layers on via
-    * [[graft.streaming.DedupStream]]'s persisted labels.) */
+    * and move it — the min-label rule makes that rare and explicit;
+    * [[SplitPins]] (q93) is the incremental variant that pins
+    * assignments in a persisted store so no document ever moves.) */
   def clusterSafeSplit(docs: DataFrame): DataFrame =
     Dedup.duplicateClusters(docs)
       .select(col("doc_id"), col("cluster_id"))
-      .withColumn("split",
-        expr("CASE WHEN substring(md5(cast(cluster_id as string)), 1, 1) " +
-          "IN ('c', 'd') THEN 'val' " +
-          "WHEN substring(md5(cast(cluster_id as string)), 1, 1) " +
-          "IN ('e', 'f') THEN 'test' ELSE 'train' END"))
+      .withColumn("split", SplitPins.nibbleSplit(col("cluster_id")))
 
   def qClusterSafeSplit(s: SparkSession, d: String): DataFrame =
     clusterSafeSplit(Tables.documents(s, d)).orderBy("doc_id")

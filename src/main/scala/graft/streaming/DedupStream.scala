@@ -897,7 +897,17 @@ object DedupStream {
     *   at-least-once redelivery after a crash re-quarantines
     *   idempotently.
     * @param quarantineDir where flagged rows land (required with
-    *   deconProbe). */
+    *   deconProbe).
+    * @param splitStoreDir optional [[graft.operators.SplitPins]] store:
+    *   every admission also commits the batch's PINNED train/val/test
+    *   assignments (q93's leakage-safe rule — docs never move, merges
+    *   inherit the oldest pin), riding the same admission delta. The
+    *   split store commits BEFORE the dedup state and carries its own
+    *   (lineage, batchId) replay guard, so a crash in either window is
+    *   exactly-once for both: a redelivery after the split commit
+    *   recomputes the identical delta from the unchanged dedup state
+    *   (the admission is deterministic) and skips only the split
+    *   commit. */
   def admitNewDrops(spark: SparkSession, docsPath: String, stateDir: String,
       checkpointDir: String,
       schemaDdl: String = "doc_id bigint, text string",
@@ -905,7 +915,8 @@ object DedupStream {
       maxFilesPerBatch: Option[Int] = None,
       buckets: Int = StateBuckets,
       deconProbe: Option[DataFrame] = None,
-      quarantineDir: Option[String] = None): Unit = {
+      quarantineDir: Option[String] = None,
+      splitStoreDir: Option[String] = None): Unit = {
     require(deconProbe.isEmpty || quarantineDir.isDefined,
       "deconProbe needs a quarantineDir for the flagged rows")
     val reader = spark.readStream
@@ -964,10 +975,21 @@ object DedupStream {
         }
         if (!already && !pinned.isEmpty) {
           def t[A](tag: String)(f: => A): A = chainTimer(tag)(f)
+          // the split store's own replay guard (see the param doc):
+          // skip its commit when it already recorded this batch
+          val splitAlready = splitStoreDir.exists(sd =>
+            graft.operators.VersionedIndex.meta(sd)
+              .exists(sm => sm.streamCkptId.exists(ckptIds.contains) &&
+                sm.streamBatchId.exists(_ >= batchId)))
           t("load+admit+commit")(loadState(spark, stateDir)) match {
             case Some(prev) =>
               val delta = t("admitDelta")(
                 IncrementalDedup.admitBatchDelta(prev, pinned))
+              splitStoreDir.foreach(sd => if (!splitAlready)
+                t("splitPins")(graft.operators.SplitPins.admitDelta(spark,
+                  sd, delta.newAssign, delta.remap,
+                  maxLiveSegments = maxLiveSegments,
+                  stream = Some((ckptId, batchId)))))
               t("commitDelta")(commitDelta(spark, stateDir, prev, delta,
                 maxLiveSegments = maxLiveSegments,
                 stream = Some((ckptId, batchId))))
@@ -975,10 +997,13 @@ object DedupStream {
               // checkpoint rather than waiting on the ContextCleaner
               delta.release()
             case None =>
+              val st =
+                t("  bootstrap.cluster")(IncrementalDedup.initialState(pinned))
+              splitStoreDir.foreach(sd => if (!splitAlready)
+                t("splitPins")(graft.operators.SplitPins.bootstrapStore(spark,
+                  sd, st.labels, stream = Some((ckptId, batchId)))))
               t("bootstrap")(
-                commitState(
-                  t("  bootstrap.cluster")(IncrementalDedup.initialState(pinned)),
-                  stateDir,
+                commitState(st, stateDir,
                   buckets = buckets, maxLiveSegments = maxLiveSegments,
                   stream = Some((ckptId, batchId))))
           }

@@ -26,6 +26,41 @@ class DedupStreamSpec extends AnyFunSuite {
     (40L, "a fresh singleton about entirely novel material today"),
   ).toDF("doc_id", "text")
 
+  test("splitStoreDir: pinned splits ride the stream, bridge merge moves zero docs, replay skips") {
+    val root = Files.createTempDirectory("dedup_stream_splits").toString
+    val (docs, state, ckpt, sp) =
+      (s"$root/docs", s"$root/state", s"$root/ckpt", s"$root/splits")
+    def splits(): Map[Long, String] =
+      graft.operators.SplitPins.loadSplits(spark, sp).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    day1.write.parquet(s"$docs/day1")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt,
+      splitStoreDir = Some(sp))
+    val before = splits()
+    assert(before == Map(10L -> "val", 11L -> "val", 20L -> "train",
+      21L -> "train", 30L -> "train"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(ckpt), new java.io.File(s"$root/ckpt_crash"))
+    // day 2: the bridge doc merges the val and train clusters — the
+    // pinned store must move ZERO documents and give the bridge the
+    // OLDEST pin (both seq 0: min pin_src = cluster 10 → val)
+    day2.write.parquet(s"$docs/day2")
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, ckpt,
+      splitStoreDir = Some(sp))
+    val after = splits()
+    before.foreach { case (id, v) => assert(after(id) == v, s"doc $id moved") }
+    assert(after(1L) == "val" && after(40L) == "val")
+    // crash replay from the day-1 checkpoint image: the split store's
+    // own (lineage, batchId) guard must skip the redelivered batch
+    val v = Files.readString(java.nio.file.Paths.get(sp, "CURRENT"))
+    DedupStream.admitNewDrops(spark, s"$docs/*", state, s"$root/ckpt_crash",
+      splitStoreDir = Some(sp))
+    assert(Files.readString(java.nio.file.Paths.get(sp, "CURRENT")) == v,
+      "a redelivered batch must not publish a new split-store version")
+    assert(splits() == after)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("daily drops stream into versioned state; equals batch recompute") {
     val root = Files.createTempDirectory("dedup_stream").toString
     val (docs, state, ckpt) = (s"$root/docs", s"$root/state", s"$root/ckpt")
