@@ -117,6 +117,7 @@ object SparkEntry {
     "q91_cluster_safe_split" -> (Corpus.qClusterSafeSplit _),
     "q92_folded_dedup" -> (TextAnalysis.qFoldedDedup _),
     "q93_pinned_split" -> (graft.operators.SplitPins.qPinnedSplit _),
+    "q94_curate" -> (Corpus.qCurate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -358,5 +359,12 @@ object SparkEntry {
     // clusterings — chained ≠ one-shot here BY DESIGN, so the pin
     // table itself is what gets hash-pinned
     "q93_pinned_split" -> graft.operators.SplitPins.qPinnedSplitSql,
+    // q94 = the END-TO-END curation ladder as one audit relation: fold
+    // dedup → near-dup prune → benchmark decon → quality floor →
+    // per-source budget fill → split+shard, each rung consuming the
+    // previous rung's survivors; the oracle is the same six-rung
+    // composition in CTEs (every fragment a component query's
+    // established replay)
+    "q94_curate" -> Corpus.qCurateSql,
   )
 }

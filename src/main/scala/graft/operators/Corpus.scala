@@ -756,4 +756,198 @@ object Corpus {
        |WHERE g.doc_id = keep.keep_id
        |ORDER BY g.doc_id""".stripMargin
   }
+
+  // ---- q94: the composed curation ladder ---------------------------------
+
+  /** Shards the curation ladder exports (divides 256 — uniform). */
+  val CurateShards = 8
+
+  /** The END-TO-END curation pipeline (q94): every rung of the
+    * engine's ladder composed into ONE audit relation, each stage
+    * consuming the previous stage's survivors — the proof the rungs
+    * COMPOSE, where every individual query (q92, q37, q78, q83, q74,
+    * q55) re-derives from raw `documents`. Output: exactly one row per
+    * input doc with its disposition —
+    *
+    *   1. `fold_dup`       — NFKC-casefold exact dedup (q89 → q92):
+    *                         byte-distinct case/width/ligature variants
+    *                         collapse; the min-id rep survives
+    *   2. `near_dup`       — LSH-banded near-dup clusters (q37): the
+    *                         min-id rep (= the cluster id) survives
+    *   3. `contaminated`   — shares a ≥ k-token window with the
+    *                         benchmark probe (q78's kernel, the
+    *                         DedupStream decon-gate flag rule)
+    *   4. `low_quality`    — quality ≤ the survivors' [[QualityModel
+    *                         .LoQuantile]] percentile (q83's weak-fail
+    *                         band, thresholds computed on THIS stage's
+    *                         input)
+    *   5. `over_budget`    — q74's per-source token-budget fill in
+    *                         md5-hash order
+    *   6. `kept`           — split + shard (q55's doc-keyed rule,
+    *                         which IS cluster-safe here: after rung 2
+    *                         every survivor is its near-dup cluster's
+    *                         sole remaining member, so doc id ≡
+    *                         cluster id)
+    *
+    * `dup_of` carries the kept representative for the two dedup rungs;
+    * split/shard are set only for `kept`. Scale shape: a linear chain
+    * of the component operators' own shapes (each already argued at
+    * its home query) — one fold projection + fixed-key aggregate, the
+    * banded clustering, a broadcast probe join, one fused quality
+    * pass, the blocked prefix-sum fill, and a narrow hash projection;
+    * survivors are pinned once per stage so the six disposition
+    * branches never re-run an upstream rung. */
+  def curate(docs: DataFrame, probe: DataFrame,
+      budgetTokens: Long = TokenMixBudget,
+      numShards: Int = CurateShards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    def disp(df: DataFrame, d: String, dupOf: Column = lit(null).cast("long")) =
+      df.select(col("doc_id"), lit(d).as("disposition"), dupOf.as("dup_of"),
+        nullS.as("split"), nullL.as("shard"))
+    // rung 1 — fold-key exact dedup
+    val r1 = graft.Checkpoints.pin(docs
+      .withColumn("fold_md5",
+        md5(graft.functions.NormalizeFns.nfkcCasefold(col("text"))))
+      .withColumn("keep1",
+        min(col("doc_id")).over(Window.partitionBy(col("fold_md5")))))
+    val dFold = disp(r1.filter(col("doc_id") =!= col("keep1")), "fold_dup",
+      dupOf = col("keep1"))
+    val s1 = r1.filter(col("doc_id") === col("keep1"))
+      .select(col("doc_id"), col("source"), col("text"))
+    // rung 2 — near-dup cluster prune (rep = min member = cluster id)
+    val lab = Dedup.duplicateClusters(s1.select(col("doc_id"), col("text")))
+    val dNear = disp(lab.filter(col("doc_id") =!= col("cluster_id")),
+      "near_dup", dupOf = col("cluster_id"))
+    val s2 = graft.Checkpoints.pin(s1.join(
+      lab.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+      Seq("doc_id")))
+    // rung 3 — benchmark decontamination (any shared k-window flags)
+    val flagged = SubstringDedup.contaminationSpans(s2, probe)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val dCont = disp(s2.join(broadcast(flagged), Seq("doc_id")),
+      "contaminated")
+    val s3 = graft.Checkpoints.pin(
+      s2.join(broadcast(flagged), Seq("doc_id"), "left_anti"))
+    // rung 4 — quality floor at the survivors' lo percentile
+    val s3q = graft.Checkpoints.pin(s3.join(
+      TextAnalysis.qualityScore(s3).select(col("doc_id"), col("quality")),
+      Seq("doc_id")))
+    val lo = s3q.agg(
+      expr(s"percentile(quality, ${QualityModel.LoQuantile})")).head()
+      .getDouble(0)
+    val dLow = disp(s3q.filter(col("quality") <= lo), "low_quality")
+    val s4 = s3q.filter(col("quality") > lo)
+    // rung 5 — per-source token budget in md5-hash order (q74's fill)
+    val cum = graft.Checkpoints.pin(withCumBefore(s4,
+      size(graft.functions.TextFns.wsTokens(col("text"))).cast("long")))
+    val dBud = disp(cum.filter(col("cum_before") >= budgetTokens),
+      "over_budget")
+    // rung 6 — split + shard for the kept corpus
+    val dKept = cum.filter(col("cum_before") < budgetTokens)
+      .withColumn("hx2", md5(col("doc_id").cast("string")))
+      .select(col("doc_id"), lit("kept").as("disposition"),
+        nullL.as("dup_of"),
+        SplitPins.nibbleSplit(col("doc_id")).as("split"),
+        expr("CAST(pmod((instr('0123456789abcdef', substring(hx2, 2, 1)) - 1) * 16" +
+          s" + instr('0123456789abcdef', substring(hx2, 3, 1)) - 1, $numShards)" +
+          " AS BIGINT)").as("shard"))
+    val out = graft.Checkpoints.pin(
+      dFold.unionByName(dNear).unionByName(dCont).unionByName(dLow)
+        .unionByName(dBud).unionByName(dKept).orderBy("doc_id"))
+    Seq(r1, s2, s3, s3q, cum).foreach(graft.Checkpoints.free)
+    out
+  }
+
+  /** q94 over documents ∪ the fold-dup and contaminated-train fixtures
+    * (each rung's planted case visible in the output), with the
+    * benchmark fixture as the decon probe. */
+  def qCurate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .unionByName(TextAnalysis.FoldedDedupFixture
+        .map { case (id, t, _) => (id, "fixture", t) }
+        .toDF("doc_id", "source", "text"))
+      .unionByName(SubstringDedup.ContaminatedTrainFixture
+        .map { case (id, t) => (id, "fixture", t) }
+        .toDF("doc_id", "source", "text"))
+    val probe = SubstringDedup.BenchmarkFixture.toDF("doc_id", "text")
+    curate(docs, probe)
+  }
+
+  /** Oracle: the SAME six-rung composition as CTEs — every fragment is
+    * a component query's established replay (q92's declared folds,
+    * q37's closure chain over the stage-1 survivors, q78's window
+    * join, q8's quality statement as a subquery with q83's
+    * quantile_cont threshold, q74's per-source window fill, q55's
+    * nibble split/shard). */
+  val qCurateSql: String = {
+    def esc(t: String) = t.replace("'", "''")
+    val fxVals = (TextAnalysis.FoldedDedupFixture
+        .map { case (id, raw, folded) => (id, raw, folded) } ++
+      SubstringDedup.ContaminatedTrainFixture
+        .map { case (id, t) => (id, t, t.toLowerCase(java.util.Locale.ROOT)) })
+      .map { case (id, raw, folded) =>
+        s"($id, 'fixture', '${esc(raw)}', '${esc(folded)}')" }
+      .mkString(", ")
+    val probeVals = SubstringDedup.BenchmarkFixture
+      .map { case (id, t) => s"($id, '${esc(t)}')" }.mkString(", ")
+    val k = SubstringDedup.ContaminationK
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, source, text, lower(nfc_normalize(text)) AS folded
+       |  FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $fxVals)
+       |    cfx(doc_id, source, text, folded)),
+       |fg AS (SELECT doc_id, source, text,
+       |              MIN(doc_id) OVER (PARTITION BY md5(folded)) AS keep1
+       |       FROM corpus),
+       |s1 AS (SELECT doc_id, source, text FROM fg WHERE doc_id = keep1),
+       |${Dedup.jaccardCtesSqlFrom("s1")},
+       |${Dedup.clusterCtesSqlFrom("s1")},
+       |s2 AS (SELECT s1.doc_id, s1.source, s1.text
+       |       FROM s1 JOIN lab USING (doc_id) WHERE lab.cluster_id = s1.doc_id),
+       |pbm AS (SELECT * FROM (VALUES $probeVals) p(doc_id, text)),
+       |${SubstringDedup.windowCtesSql("s2", k, "c")},
+       |${SubstringDedup.windowCtesSql("pbm", k, "p")},
+       |flag AS (SELECT DISTINCT c.doc_id FROM cwins c JOIN pwins p ON c.wh = p.wh),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+       |qq AS (SELECT doc_id, quality
+       |       FROM (${TextAnalysis.qualityScoreSqlFrom("s3")})),
+       |thr AS (SELECT quantile_cont(quality, ${QualityModel.LoQuantile}) AS lo
+       |        FROM qq),
+       |s4 AS (SELECT s3.doc_id, s3.source, s3.text
+       |       FROM s3 JOIN qq USING (doc_id) CROSS JOIN thr
+       |       WHERE qq.quality > thr.lo),
+       |cc AS (SELECT doc_id, source, hx,
+       |              SUM(n_tokens) OVER (PARTITION BY source ORDER BY hx, doc_id
+       |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                - n_tokens AS cum_before
+       |       FROM (SELECT doc_id, source,
+       |                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |                    md5(CAST(doc_id AS VARCHAR)) AS hx
+       |             FROM s4)),
+       |dispo AS (
+       |  SELECT doc_id, 'fold_dup' AS disposition, keep1 AS dup_of,
+       |         NULL::VARCHAR AS split, NULL::BIGINT AS shard
+       |  FROM fg WHERE doc_id <> keep1
+       |  UNION ALL SELECT s1.doc_id, 'near_dup', lab.cluster_id, NULL, NULL
+       |  FROM s1 JOIN lab USING (doc_id) WHERE lab.cluster_id <> s1.doc_id
+       |  UNION ALL SELECT doc_id, 'contaminated', NULL, NULL, NULL FROM flag
+       |  UNION ALL SELECT qq.doc_id, 'low_quality', NULL, NULL, NULL
+       |  FROM qq CROSS JOIN thr WHERE qq.quality <= thr.lo
+       |  UNION ALL SELECT doc_id, 'over_budget', NULL, NULL, NULL
+       |  FROM cc WHERE cum_before >= $TokenMixBudget
+       |  UNION ALL SELECT doc_id, 'kept', NULL,
+       |         CASE WHEN substr(hx, 1, 1) IN ('c', 'd') THEN 'val'
+       |              WHEN substr(hx, 1, 1) IN ('e', 'f') THEN 'test'
+       |              ELSE 'train' END,
+       |         CAST(((strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
+       |               + strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+       |              % $CurateShards AS BIGINT)
+       |  FROM cc WHERE cum_before < $TokenMixBudget)
+       |SELECT doc_id, disposition, dup_of, split, shard
+       |FROM dispo ORDER BY doc_id""".stripMargin
+  }
 }

@@ -483,7 +483,7 @@ object SubstringDedup {
     * source CTE `src` — the [[windowRel]] replay. DuckDB's `range()`
     * table function cannot take lateral column bounds, so positions come
     * from `unnest(range(...))` in a projection. */
-  private def windowCtesSql(srcCte: String, k: Int, p: String): String =
+  private[operators] def windowCtesSql(srcCte: String, k: Int, p: String): String =
     s"""${p}toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
        |          FROM $srcCte),
        |${p}posn AS (SELECT doc_id, w, unnest(range(1, len(w) - $k + 2)) AS pos

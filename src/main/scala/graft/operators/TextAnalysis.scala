@@ -239,16 +239,17 @@ object TextAnalysis {
   def qQualityScore(s: SparkSession, d: String): DataFrame =
     qualityScore(Tables.documents(s, d)).orderBy("doc_id")
 
-  /** q8's relation WITHOUT the final ordering — embeddable as a CTE
-    * body (q83's oracle re-derives weak labels from it). */
-  private[operators] val qualityScoreNoOrderSql: String = {
+  /** q8's relation over an arbitrary source fragment — embeddable as a
+    * parenthesized subquery (q94's composed ladder scores its stage-3
+    * survivors with it). */
+  private[operators] def qualityScoreSqlFrom(src: String): String = {
     val stop = stopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH t AS (
        |  SELECT doc_id,
        |         CAST(len(text) AS BIGINT) AS n_chars,
        |         regexp_split_to_array(trim(text), '\\s+') AS toks,
        |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
-       |  FROM documents)
+       |  FROM $src)
        |SELECT doc_id, n_chars,
        |       CAST(len(toks) AS BIGINT) AS n_tokens,
        |       ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
@@ -259,6 +260,11 @@ object TextAnalysis {
        |             * LEAST(1.0, ROUND(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks), 6) * 4.0 + 0.2), 6) AS quality
        |FROM t""".stripMargin
   }
+
+  /** q8's relation WITHOUT the final ordering — embeddable as a CTE
+    * body (q83's oracle re-derives weak labels from it). */
+  private[operators] val qualityScoreNoOrderSql: String =
+    qualityScoreSqlFrom("documents")
 
   val qQualityScoreSql: String =
     s"$qualityScoreNoOrderSql ORDER BY doc_id"
