@@ -216,6 +216,74 @@ object HeavyHitters {
     candidatesWithExact(src, gridOf(cells, depth, width), depth, width)
   }
 
+  // ---- auto-salt pre-detection (the q88 purpose statement, now wired) ----
+
+  /** Hot-key floor for [[suggestSalt]]: a key must hold at least this
+    * many occurrences before salting can pay (the salt grid's ~(B/2)×
+    * replication needs a quadratic join group to amortize against). */
+  val SaltMinCount = 64L
+
+  /** Relative support for [[suggestSalt]]: threshold = max(
+    * [[SaltMinCount]], N div SaltDivisor). Coupled to [[CmsWidth]] the
+    * same way as the q88 invariant: the sketch noise floor e·N/width ≈
+    * N/12055 sits well under N/4096, so a flagged key carries real
+    * mass, not collision noise, at any N. */
+  val SaltDivisor = 4096L
+
+  /** Cap on the flagged-key literals pushed into the hot/cold split
+    * filters (the [[IncrementalDedup.KeyPushMax]] plan-bloat rationale).
+    * More flagged keys than this means the key space is pervasively
+    * hot — the caller salts EVERYTHING instead (still row-identical). */
+  val MaxSaltKeys = 256
+
+  /** CMS-detected heavy VALUES of `keys`' single (string) column — the
+    * generic sibling of the gram pipeline and the principled
+    * pre-detector for the skew knobs ([[SubstringDedup.duplicateSpans]]
+    * `autoSalt`, the salt-grid joins): one narrow build pass collapses
+    * to the 1 MB grid (map-side partial agg — the shuffle moves grid
+    * cells, not keys), then a broadcast-probe FILTER-then-distinct
+    * keeps the distinct aggregation bounded by the hot mass instead of
+    * the key space. Returns up to maxKeys+1 flagged values (length >
+    * maxKeys signals overflow — salt everything). CMS never
+    * undercounts, so every true heavy key is flagged; an overcount
+    * false positive merely salts a cold key — harmless for row
+    * identity, never for correctness. */
+  def suggestSalt(keys: DataFrame, minCount: Long = SaltMinCount,
+      divisor: Long = SaltDivisor, maxKeys: Int = MaxSaltKeys):
+      Array[String] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val kcol = keys.columns.head
+    val src = widened(keys.select(col(kcol).as("k")))
+    val cells = graft.Par.timed("cms.salt.build")(src
+      .select(posexplode(array(
+        (0 until CmsDepth).map(d => bucketCol(d, col("k"), CmsWidth)): _*))
+        .as(Seq("d", "bucket")))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("c")).collect())
+    val grid = gridOf(cells, CmsDepth, CmsWidth)
+    val n = grid(0).sum
+    val threshold = math.max(minCount, n / divisor)
+    val gridB = spark.sparkContext.broadcast(grid)
+    src.as[String]
+      .mapPartitions { ks =>
+        val g = gridB.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ks.filter { key =>
+          var est = Long.MaxValue
+          var d = 0
+          while (d < CmsDepth) {
+            val c = g(d)(bucketLocal(d, key, CmsWidth, md))
+            if (c < est) est = c
+            d += 1
+          }
+          est >= threshold
+        }
+      }
+      .distinct()
+      .take(maxKeys + 1)
+  }
+
   // ---- persisted sketch store (the VersionedIndex protocol) --------------
 
   /** CMS grids are LINEAR — grid(A ∪ B) = grid(A) + grid(B) cell-wise —

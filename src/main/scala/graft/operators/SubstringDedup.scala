@@ -66,7 +66,7 @@ object SubstringDedup {
   /** Overlapping k-token windows of every document: (doc_id, pos, wh)
     * with pos 1-based and wh = md5 of the space-joined window. One
     * narrow projection + explode — no shuffle. */
-  private[operators] def windowRel(docs: DataFrame, k: Int,
+  private[graft] def windowRel(docs: DataFrame, k: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 2, s"window length must be >= 2 tokens, got $k")
     val w = TextFns.wsTokens(col("text"))
@@ -98,19 +98,31 @@ object SubstringDedup {
         (col("nwin") + lit(k - 1)).cast("long").as("span_tokens"))
   }
 
+  /** Salt fan-out the auto-salt hot branch uses. */
+  val AutoSaltBuckets = 8
+
   /** All maximal cross-document duplicate spans of >= k tokens within
     * `docs` (unordered pairs, doc_a < doc_b). `saltBuckets > 1` engages
     * the exact salt-grid decomposition of the window-hash self-join for
-    * hot boilerplate windows (row-set-identical — spec-pinned). */
+    * hot boilerplate windows (row-set-identical — spec-pinned).
+    *
+    * `autoSalt = true` makes that decision FROM THE DATA instead of by
+    * hand (closing q88's stated purpose): [[HeavyHitters.suggestSalt]]
+    * sketches the window-hash mass in one narrow pass, and only the
+    * flagged-hot hashes take the salt grid — the cold bulk pays neither
+    * the replication nor the canonicalize-distinct. Each window PAIR
+    * shares one `wh` and therefore lands in exactly one branch, so the
+    * union of branch matches is the unsalted match set row for row
+    * (spec-pinned). More than [[HeavyHitters.MaxSaltKeys]] flagged keys
+    * means pervasive heat: everything takes the grid (still exact). */
   def duplicateSpans(docs: DataFrame, k: Int = DedupK,
-      saltBuckets: Int = 1): DataFrame =
-    spansFromWindows(windowRel(docs, k), k, saltBuckets)
+      saltBuckets: Int = 1, autoSalt: Boolean = false): DataFrame =
+    spansFromWindows(windowRel(docs, k), k, saltBuckets, autoSalt)
 
-  /** [[duplicateSpans]] from an already-built window relation — shared
-    * with the incremental bootstrap ([[bootstrapStore]]), whose
-    * background window-segment write consumes the same relation. */
-  private def spansFromWindows(wins: DataFrame, k: Int,
-      saltBuckets: Int): DataFrame = {
+  /** The matched window pairs of one window relation — plain self-join
+    * or ([[Skew.saltGridSides]]) the exact blocked decomposition.
+    * `private[graft]` for the SaltProbe stage-level timing. */
+  private[graft] def matchedPairs(wins: DataFrame, saltBuckets: Int): DataFrame = {
     val salted = saltBuckets > 1
     val (lSide, rSide) =
       if (salted) Skew.saltGridSides(wins, "doc_id", saltBuckets)
@@ -121,21 +133,54 @@ object SubstringDedup {
     val r = rSide.select((Seq("wh") ++ cellKeys).map(col) ++
       Seq(col("doc_id").as("db"), col("pos").as("pb")): _*)
     val joined = l.join(r, Seq("wh") ++ cellKeys)
-    // grid cells orient cross-block pairs by salt, not id (see
-    // lshCandidatePairs): canonicalize id AND position together, then
-    // drop the diagonal cells' duplicated orientation. The unsalted
-    // path's a<b predicate needs neither.
+    // Grid cells orient cross-block pairs by salt, not id (see
+    // lshCandidatePairs), so canonicalize id AND position together. No
+    // distinct is needed (r20 — it used to shuffle the full quadratic
+    // pair set a second time): a cross cell (i, j), i < j, holds each
+    // unordered pair exactly once (the left side replicates a block-i
+    // row only to cells (i, ≥i), the right a block-j row only to
+    // (≤j, j) — (i, j) is the unique meet), and a diagonal cell holds
+    // all ordered pairs of its block exactly once, so the unsalted
+    // path's a<b predicate dedups it. The unsalted path needs neither.
+    if (salted) joined.filter(
+        (col("__cell_lo") === col("__cell_hi") && col("da") < col("db")) ||
+          (col("__cell_lo") =!= col("__cell_hi") && col("da") =!= col("db")))
+      .select(
+        when(col("da") < col("db"), col("da")).otherwise(col("db")).as("doc_a"),
+        when(col("da") < col("db"), col("db")).otherwise(col("da")).as("doc_b"),
+        when(col("da") < col("db"), col("pa")).otherwise(col("pb")).as("pos_a"),
+        when(col("da") < col("db"), col("pb")).otherwise(col("pa")).as("pos_b"))
+    else joined.filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("pa").as("pos_a"), col("pb").as("pos_b"))
+  }
+
+  /** [[duplicateSpans]] from an already-built window relation — shared
+    * with the incremental bootstrap ([[bootstrapStore]]), whose
+    * background window-segment write consumes the same relation. */
+  private def spansFromWindows(wins: DataFrame, k: Int,
+      saltBuckets: Int, autoSalt: Boolean = false): DataFrame = {
     val matched =
-      if (salted) joined.filter(col("da") =!= col("db"))
-        .select(
-          when(col("da") < col("db"), col("da")).otherwise(col("db")).as("doc_a"),
-          when(col("da") < col("db"), col("db")).otherwise(col("da")).as("doc_b"),
-          when(col("da") < col("db"), col("pa")).otherwise(col("pb")).as("pos_a"),
-          when(col("da") < col("db"), col("pb")).otherwise(col("pa")).as("pos_b"))
-        .distinct()
-      else joined.filter(col("da") < col("db"))
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          col("pa").as("pos_a"), col("pb").as("pos_b"))
+      if (!autoSalt) matchedPairs(wins, saltBuckets)
+      else {
+        // the window relation feeds the sketch AND both branch filters
+        // — pin once (its upstream is the tokenize/hash scan)
+        val pinned = graft.Checkpoints.pin(wins)
+        val hot = HeavyHitters.suggestSalt(pinned.select(col("wh")))
+        if (hot.isEmpty) matchedPairs(pinned, 1)
+        else if (hot.length > HeavyHitters.MaxSaltKeys) {
+          System.err.println(s"[substring] auto-salt: > " +
+            s"${HeavyHitters.MaxSaltKeys} hot window hashes — salting all")
+          matchedPairs(pinned, AutoSaltBuckets)
+        } else {
+          System.err.println(s"[substring] auto-salt: ${hot.length} hot " +
+            s"window hash(es) take the ${AutoSaltBuckets}-bucket grid")
+          val hotSeq = hot.toSeq
+          matchedPairs(pinned.filter(!col("wh").isin(hotSeq: _*)), 1)
+            .unionByName(matchedPairs(
+              pinned.filter(col("wh").isin(hotSeq: _*)), AutoSaltBuckets))
+        }
+      }
     islandsToSpans(matched, k, "doc_a", "doc_b", "a_start", "b_start")
   }
 

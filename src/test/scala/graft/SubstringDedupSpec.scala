@@ -69,6 +69,41 @@ class SubstringDedupSpec extends AnyFunSuite {
         s"extra ${salted -- plain}")
   }
 
+  test("auto-salt: planted hot window flips the salt on, result row-identical; cold corpus suggests nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 80 docs share one k-token window (>= HeavyHitters.SaltMinCount
+    // occurrences — a quadratic 80² join group) + unique filler per doc
+    val hotRun = (1 to SubstringDedup.DedupK).map(i => s"hz$i").mkString(" ")
+    val hotDocs = (0 until 80)
+      .map(i => (5200000L + i, s"$hotRun hu$i hv$i")).toDF("doc_id", "text")
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).unionByName(hotDocs)
+    // the pre-detector flags exactly the planted window hash
+    val wins = SubstringDedup.windowRel(docs, SubstringDedup.DedupK)
+    val suggested = graft.operators.HeavyHitters.suggestSalt(
+      wins.select(col("wh")))
+    val hotWh = wins.filter(col("doc_id") === 5200000L && col("pos") === 1L)
+      .head().getAs[String]("wh")
+    assert(suggested.contains(hotWh),
+      s"planted hot window hash not flagged (got ${suggested.length} keys)")
+    // the hybrid hot/cold decomposition is row-identical to the plain join
+    val plain = spanSet(SubstringDedup.duplicateSpans(docs))
+    val auto = spanSet(SubstringDedup.duplicateSpans(docs, autoSalt = true))
+    assert(auto == plain,
+      s"auto-salt changed the span set: missing ${plain -- auto}, " +
+        s"extra ${auto -- plain}")
+    // a corpus with no hot keys suggests nothing and stays identical
+    val cold = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    assert(graft.operators.HeavyHitters.suggestSalt(
+      SubstringDedup.windowRel(cold, SubstringDedup.DedupK)
+        .select(col("wh"))).isEmpty,
+      "organic sf0.001 windows must stay under the salt threshold")
+    assert(spanSet(SubstringDedup.duplicateSpans(cold, autoSalt = true)) ==
+      spanSet(SubstringDedup.duplicateSpans(cold)))
+  }
+
   // ---- incremental (q85) -------------------------------------------------
 
   private def corpusWithFixture = graft.engine.Tables
