@@ -118,6 +118,7 @@ object SparkEntry {
     "q92_folded_dedup" -> (TextAnalysis.qFoldedDedup _),
     "q93_pinned_split" -> (graft.operators.SplitPins.qPinnedSplit _),
     "q94_curate" -> (Corpus.qCurate _),
+    "q95_model_budget_gate" -> (Corpus.qModelBudgetGate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -366,5 +367,12 @@ object SparkEntry {
     // composition in CTEs (every fragment a component query's
     // established replay)
     "q94_curate" -> Corpus.qCurateSql,
+    // q95 = q86's deployment swap-in, gated: per-source budgets from
+    // the TRAINED model's holdout pass rate, proven within a measured
+    // margin of the weak-label budgets (mean per-source |delta| — a
+    // per-source bound cannot separate an inverted fit, see
+    // ModelBudgetMargin); oracle replays the weak side and pins the
+    // bound TRUE, spec flips it red with a train-inverted fit
+    "q95_model_budget_gate" -> Corpus.qModelBudgetGateSql,
   )
 }

@@ -757,6 +757,92 @@ object Corpus {
        |ORDER BY g.doc_id""".stripMargin
   }
 
+  // ---- q95: the trained-model budget gate ---------------------------------
+
+  /** Bound on the MEAN per-source |model budget − weak budget| (tokens,
+    * at [[QualityMixBase]]) for q95's `budget_within_bound`. Per-source
+    * booleans cannot separate an honest fit from a broken one (an
+    * inverted model's delta is 0 for any source whose holdout weak rate
+    * sits at 0.5 — measured: half the sources at sf0.001), so the gate
+    * is the AGGREGATE deviation. Measured (tools/Q95Probe, r20): honest
+    * fit 31.9 / 26.1 / 26.0 mean tokens at sf0.001 / 0.01 / 0.1;
+    * train-inverted fit 231 / 307 / 112. Margin 75 ≈ 2.5× the honest
+    * ceiling and 1.5× under the worst inverted reading; fit
+    * non-determinism (treeAggregate float order) moves a boundary
+    * prediction by at most one doc per source — ≤ 10 mean tokens at the
+    * smallest gated holdout, well inside. */
+  val ModelBudgetMargin = 75.0
+
+  /** q95 — the q86 deployment swap-in, gated: per-source token budgets
+    * from the TRAINED model's holdout pass rate, proven within
+    * [[ModelBudgetMargin]] of the weak-label budgets (the q83 recipe:
+    * the relation carries only the oracle-replayable weak derivation —
+    * holdout counts, weak budgets — plus the boolean the oracle pins
+    * TRUE; the model's rates go to stderr, never the relation). Both
+    * rates are measured on the HOLDOUT split — the only population
+    * where the model's rate is honest (train rates are fit echoes).
+    *
+    * Scale shape: one fused quality pass for the labels (the q83
+    * derivation, memoized), one model scoring pass over the holdout,
+    * one per-source aggregate — the per-source relation is
+    * sources-sized (a curated list, dozens at deployment), so the gate
+    * reduction is a driver fold over a collected handful of rows. */
+  private[graft] def modelBudgetGateFrom(docs: DataFrame, lab: DataFrame,
+      base: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (model, asm) = QualityModel.fit(lab)
+    val per = model.transform(asm.transform(
+        lab.filter(col("split") === "holdout")))
+      .select(col("doc_id"), col("weak_label"),
+        (col("prediction") === 1.0).cast("long").as("pred_pos"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_holdout"),
+        sum(col("weak_label")).as("n_weak_pos"),
+        sum(col("pred_pos")).as("n_model_pos"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val meanDelta = per.map { case (_, n, w, m) =>
+      math.abs(base * w / n - base * m / n).toDouble }.sum / per.length
+    val pass = meanDelta <= ModelBudgetMargin
+    System.err.println(f"[quality] q95 mean |model-weak| budget delta = " +
+      f"$meanDelta%.1f tokens over ${per.length} sources " +
+      f"(margin $ModelBudgetMargin, pass=$pass)")
+    per.toSeq.map { case (s, n, w, _) =>
+      (s, n, w, base * w / n, pass) }
+      .toDF("source", "n_holdout", "n_weak_pos", "weak_budget_tokens",
+        "budget_within_bound")
+  }
+
+  def qModelBudgetGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lab = Dedup.memoPersist(docs, "q83labeled")(QualityModel.labeled)
+    modelBudgetGateFrom(docs, lab, QualityMixBase).orderBy("source")
+  }
+
+  /** Oracle: replay the weak side exactly (q83's labels + md5 split,
+    * per-source holdout counts, integer budget), pin the gate TRUE. */
+  val qModelBudgetGateSql: String =
+    s"""WITH qrel AS (${TextAnalysis.qualityScoreNoOrderSql}),
+       |thr AS (SELECT quantile_cont(quality, ${QualityModel.LoQuantile}) AS lo,
+       |               quantile_cont(quality, ${QualityModel.HiQuantile}) AS hi FROM qrel),
+       |lab AS (
+       |  SELECT q.doc_id,
+       |         (CASE WHEN q.quality >= t.hi THEN 1 ELSE 0 END)::BIGINT AS weak_label
+       |  FROM qrel q CROSS JOIN thr t
+       |  WHERE q.quality <= t.lo OR q.quality >= t.hi),
+       |hold AS (
+       |  SELECT l.doc_id, l.weak_label, d.source
+       |  FROM lab l JOIN documents d USING (doc_id)
+       |  WHERE substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 1) >= '8')
+       |SELECT source, COUNT(*)::BIGINT AS n_holdout,
+       |       SUM(weak_label)::BIGINT AS n_weak_pos,
+       |       ($QualityMixBase * SUM(weak_label)) // COUNT(*) AS weak_budget_tokens,
+       |       TRUE AS budget_within_bound
+       |FROM hold GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q94: the composed curation ladder ---------------------------------
 
   /** Shards the curation ladder exports (divides 256 — uniform). */

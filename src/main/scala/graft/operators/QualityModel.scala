@@ -80,8 +80,11 @@ object QualityModel {
           "train").otherwise("holdout"))
   }
 
-  /** Fit + evaluate; returns (holdout agreement, majority share). */
-  private[graft] def fitAndEval(lab: DataFrame): (Double, Double) = {
+  /** Fit the classifier on the train split; returns the model and the
+    * assembler (shared by the q83 eval and the q95 holdout scoring). */
+  private[graft] def fit(lab: DataFrame):
+      (org.apache.spark.ml.classification.LogisticRegressionModel,
+        org.apache.spark.ml.feature.VectorAssembler) = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     val asm = new VectorAssembler()
@@ -100,6 +103,12 @@ object QualityModel {
     val model = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01)
       .fit(asm.transform(train))
+    (model, asm)
+  }
+
+  /** Fit + evaluate; returns (holdout agreement, majority share). */
+  private[graft] def fitAndEval(lab: DataFrame): (Double, Double) = {
+    val (model, asm) = fit(lab)
     val holdout = asm.transform(lab.filter(col("split") === "holdout"))
     val n = math.max(holdout.count(), 1L).toDouble
     val agree = model.transform(holdout)

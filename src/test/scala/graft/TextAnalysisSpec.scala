@@ -352,6 +352,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       val (agreeBad, _) = QualityModel.fitAndEval(sabotaged)
       assert(agreeBad < QualityModel.AgreementFloor,
         s"inverted fit still read $agreeBad — the floor gates nothing")
+      // q95: the model-rate budget gate — honest fit lands the mean
+      // per-source |model - weak| budget delta inside the margin (the
+      // oracle pins it TRUE), the same inverted fit flips it red
+      val honest = graft.operators.Corpus
+        .modelBudgetGateFrom(docs, lab, graft.operators.Corpus.QualityMixBase)
+        .collect()
+      assert(honest.nonEmpty &&
+        honest.forall(_.getAs[Boolean]("budget_within_bound")),
+        "honest fit must clear the budget bound")
+      val flipped = graft.operators.Corpus
+        .modelBudgetGateFrom(docs, sabotaged,
+          graft.operators.Corpus.QualityMixBase)
+        .collect()
+      assert(flipped.forall(r => !r.getAs[Boolean]("budget_within_bound")),
+        "train-inverted fit must breach the budget bound")
+      // the oracle-replayable weak side is identical under both fits —
+      // only the gate moves
+      def weakSide(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(weakSide(honest) == weakSide(flipped))
     } finally { lab.unpersist(); () }
   }
 
