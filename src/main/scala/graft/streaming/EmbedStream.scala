@@ -30,11 +30,35 @@ object EmbedStream {
   /** Admit every not-yet-seen parquet drop under `vecsPath` into the
     * embedding-dedup state at `stateDir`, blocking until the
     * AvailableNow run drains. Day-directory drops (`drops/day=0/`…)
-    * need the glob `drops/day=*` — the file source does not recurse. */
+    * need the glob `drops/day=*` — the file source does not recurse.
+    *
+    * @param deconProbe optional benchmark/eval vector set (vec_id,
+    *   embedding): when set, every micro-batch passes the STREAMING
+    *   DECONTAMINATION GATE before touching persisted state — the
+    *   vector analog of [[DedupStream.admitNewDrops]]'s text gate
+    *   (closing the r19 verdict's gap #3: a contaminated embedding
+    *   drop no longer enters the vector store unexamined). The kernel
+    *   is the exact cosine against the BROADCAST probe (benchmark-
+    *   sized — the batch never shuffles; the codegen'd
+    *   [[graft.functions.CosineSimilarity]], q16's verify numerics):
+    *   batch vectors with cosine ≥ `deconTheta` to ANY probe vector
+    *   are quarantined under `quarantineDir/batch=$id` (full rows) and
+    *   EXCLUDED from the admission. Zero-norm rows never flag (NaN ≥ θ
+    *   is false — the q81 convention). An all-contaminated drop
+    *   commits nothing; the per-batch overwrite keeps crash
+    *   redelivery idempotent.
+    * @param quarantineDir where flagged rows land (required with
+    *   deconProbe).
+    * @param deconTheta gate threshold (default = the near-dup θ). */
   def admitNewDrops(spark: SparkSession, vecsPath: String, stateDir: String,
       checkpointDir: String, threshold: Double = 0.45,
       maxLiveSegments: Int = 16,
-      maxFilesPerBatch: Option[Int] = None): Unit = {
+      maxFilesPerBatch: Option[Int] = None,
+      deconProbe: Option[DataFrame] = None,
+      quarantineDir: Option[String] = None,
+      deconTheta: Double = 0.45): Unit = {
+    require(deconProbe.isEmpty || quarantineDir.isDefined,
+      "deconProbe needs a quarantineDir for the flagged rows")
     val reader = spark.readStream.schema(
       org.apache.spark.sql.types.StructType.fromDDL(
         "vec_id BIGINT, embedding ARRAY<FLOAT>"))
@@ -61,7 +85,33 @@ object EmbedStream {
         // admission builds an iterative multi-action plan over it, so
         // pin a stable local copy first and release it once the commit
         // is durable
-        val pinned = graft.Checkpoints.pin(batch)
+        val rawPinned = graft.Checkpoints.pin(batch)
+        // the vector decon gate, ahead of every state read/write
+        // (flagged set pinned once; no quarantine dir for clean
+        // batches — the DedupStream gate's r19-advice shape)
+        val pinned = deconProbe match {
+          case Some(probe) if !already && !rawPinned.isEmpty =>
+            val p = probe.select(col("vec_id").as("probe_id"),
+              col("embedding").as("pvec"))
+            val flagged = graft.Checkpoints.pin(chainTimer("deconGate")(
+              rawPinned.crossJoin(broadcast(p))
+                .filter(graft.functions.VectorFns.cosineSim(
+                  col("embedding"), col("pvec")) >= deconTheta)
+                .select(col("vec_id")).distinct()))
+            val clean =
+              if (flagged.isEmpty) rawPinned
+              else {
+                rawPinned.join(broadcast(flagged), Seq("vec_id"))
+                  .write.mode("overwrite")
+                  .parquet(s"${quarantineDir.get}/batch=$batchId")
+                graft.Checkpoints.pin(
+                  rawPinned.join(broadcast(flagged), Seq("vec_id"),
+                    "left_anti"))
+              }
+            graft.Checkpoints.free(flagged)
+            clean
+          case _ => rawPinned
+        }
         if (!already && !pinned.isEmpty) {
           if (graft.operators.VersionedIndex.currentVersion(stateDir).isEmpty)
             // bootstrapDrop ≡ saveState(initialState(...)) with the
@@ -77,6 +127,7 @@ object EmbedStream {
               streamCkptId = Some(ckptId)))
         }
         graft.Checkpoints.free(pinned)
+        if (!(pinned eq rawPinned)) graft.Checkpoints.free(rawPinned)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

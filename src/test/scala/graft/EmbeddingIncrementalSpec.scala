@@ -316,4 +316,73 @@ class EmbeddingIncrementalSpec extends AnyFunSuite {
     assert(after.size == 35)
     (100L until 105L).foreach(i => assert(after(i) == ((i, 1L))))
   }
+
+  test("embed decon gate: contaminated vector quarantined before state; state identical to clean-only run") {
+    import graft.streaming.EmbedStream
+    def unit(theta: Double): Array[Float] = {
+      val v = Array.fill(64)(0f)
+      v(0) = math.cos(theta).toFloat; v(1) = math.sin(theta).toFloat; v
+    }
+    // probe = one benchmark embedding; the contaminated drop vector
+    // sits 20° away (cos 0.94 >= θ=0.8), the clean ones ~orthogonal
+    val probe = Seq((9000L, unit(0))).toDF("vec_id", "embedding")
+    val rnd = new scala.util.Random(7L)
+    def day1 = (10 until 20).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def day2mixed = Seq(
+      (40L, unit(math.toRadians(90))), // clean (cos 0 to the probe)
+      (41L, unit(math.toRadians(20)))  // contaminated (cos 0.94)
+    ).toDF("vec_id", "embedding")
+    def day2clean = day2mixed.filter(col("vec_id") === 40L)
+
+    def stateImage(state: String): Map[String, Set[String]] = {
+      val st = EmbeddingIncremental.loadState(spark, state).get
+      Map("labels" -> st.labels.collect().map(_.toString).toSet,
+        "sizes" -> st.sizes.collect().map(_.toString).toSet,
+        "buckets" -> st.buckets.collect().map(_.toString).toSet)
+    }
+    val d1 = day1 // one deterministic materialization for both runs
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toDF("vec_id", "embedding")
+
+    // run A: gated stream over day1 then the MIXED day2 drop
+    val rootA = java.nio.file.Files.createTempDirectory("embdecon_a").toString
+    d1.write.parquet(s"$rootA/vecs/day1")
+    EmbedStream.admitNewDrops(spark, s"$rootA/vecs/*", s"$rootA/state",
+      s"$rootA/ckpt", threshold = 0.8, deconProbe = Some(probe),
+      quarantineDir = Some(s"$rootA/quar"), deconTheta = 0.8)
+    day2mixed.write.parquet(s"$rootA/vecs/day2")
+    EmbedStream.admitNewDrops(spark, s"$rootA/vecs/*", s"$rootA/state",
+      s"$rootA/ckpt", threshold = 0.8, deconProbe = Some(probe),
+      quarantineDir = Some(s"$rootA/quar"), deconTheta = 0.8)
+    // the contaminated vector landed in quarantine, full row preserved
+    val quar = spark.read.parquet(s"$rootA/quar/batch=1").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1).length))
+    assert(quar.map(_._1).toSeq == Seq(41L), s"quarantine held ${quar.toSeq}")
+    assert(quar.head._2 == 64, "quarantined row lost its embedding")
+    // the clean-batch path wrote no quarantine dir for batch 0
+    assert(!new java.io.File(s"$rootA/quar/batch=0").exists(),
+      "clean batch must not create a quarantine dir")
+    val labelsA = rows(EmbeddingIncremental.labelsWithSizes(
+      EmbeddingIncremental.loadState(spark, s"$rootA/state").get))
+    assert(!labelsA.contains(41L), "contaminated vector leaked into state")
+    assert(labelsA.contains(40L), "clean vector of the mixed drop missing")
+
+    // run B: the same stream fed the PRE-CLEANED day2 — state content
+    // identical relation by relation (the DedupStreamSpec gate pattern)
+    val rootB = java.nio.file.Files.createTempDirectory("embdecon_b").toString
+    d1.write.parquet(s"$rootB/vecs/day1")
+    EmbedStream.admitNewDrops(spark, s"$rootB/vecs/*", s"$rootB/state",
+      s"$rootB/ckpt", threshold = 0.8, deconProbe = Some(probe),
+      quarantineDir = Some(s"$rootB/quar"), deconTheta = 0.8)
+    day2clean.write.parquet(s"$rootB/vecs/day2")
+    EmbedStream.admitNewDrops(spark, s"$rootB/vecs/*", s"$rootB/state",
+      s"$rootB/ckpt", threshold = 0.8, deconProbe = Some(probe),
+      quarantineDir = Some(s"$rootB/quar"), deconTheta = 0.8)
+    assert(stateImage(s"$rootA/state") == stateImage(s"$rootB/state"),
+      "gated mixed-drop state must equal the clean-only run's state")
+    Seq(rootA, rootB).foreach(r =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
+  }
 }
