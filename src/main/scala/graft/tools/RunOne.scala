@@ -22,7 +22,10 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     (1 to iters).foreach { i =>
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val t1 = System.nanoTime()
@@ -30,8 +33,10 @@ object RunOne {
       val t2 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val t3 = System.nanoTime()
+      val cpu = (osBean.getProcessCpuTime - c0) / 1e9
       println(f"[runone] $name iter $i: build=${(t1 - t0) / 1e9}%.2f " +
-        f"plan=${(t2 - t1) / 1e9}%.2f exec=${(t3 - t2) / 1e9}%.2f s")
+        f"plan=${(t2 - t1) / 1e9}%.2f exec=${(t3 - t2) / 1e9}%.2f s " +
+        f"cpu=$cpu%.2f s")
     }
     spark.stop()
   }
