@@ -119,6 +119,7 @@ object SparkEntry {
     "q93_pinned_split" -> (graft.operators.SplitPins.qPinnedSplit _),
     "q94_curate" -> (Corpus.qCurate _),
     "q95_model_budget_gate" -> (Corpus.qModelBudgetGate _),
+    "q96_flac_pcm_stats" -> (graft.operators.Multimodal.qFlacPcmStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -374,5 +375,12 @@ object SparkEntry {
     // ModelBudgetMargin); oracle replays the weak side and pins the
     // bound TRUE, spec flips it red with a train-inverted fit
     "q95_model_budget_gate" -> Corpus.qModelBudgetGateSql,
+    // q96 = FLAC sample decode (CONSTANT/VERBATIM subframes, the
+    // losslessly-decodable classes of the public spec): real two-frame
+    // streams with bit-packed subframes and both frame CRCs, decoded
+    // by a generic bit-reader walk and reduced to q75's PCM stats; the
+    // oracle re-derives every sample from the document text alone.
+    // FIXED/LPC prediction stays the named honest gap (spec-pinned)
+    "q96_flac_pcm_stats" -> graft.operators.Multimodal.qFlacPcmStatsSql,
   )
 }

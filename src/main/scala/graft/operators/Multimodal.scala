@@ -19,9 +19,15 @@ import graft.engine.Tables
   * decodes the WAV `data` payload's actual PCM samples at the declared
   * bit depth (8-bit unsigned-offset, 16/24/32-bit signed little-endian
   * per the format spec) into the audio statistics a curation pipeline
-  * filters on (DC offset, peak, RMS) — q75. What a codec LIBRARY would
-  * add here is only compressed formats (e.g. MP3/FLAC frames); every
-  * byte layout in the fixture is decoded for real.
+  * filters on (DC offset, peak, RMS) — q75. Compressed-audio SAMPLE
+  * decode is real for FLAC's losslessly-unencoded subframe classes —
+  * CONSTANT and VERBATIM frames bit-unpack with both frame CRCs
+  * verified ([[MediaCodec.flacSamples]], q96) — so the remaining honest
+  * gap is exactly the PREDICTOR classes: FLAC FIXED/LPC subframes,
+  * decorrelated-stereo channel modes, and MP3's transform decode, each
+  * returning its named sentinel rather than wrong samples. That is the
+  * codec-library line; every other byte layout in the fixture is
+  * decoded for real.
   *
   * Scale notes: media rows are wide (MBs per row at 100 TB); the
   * pipeline keeps them in one narrow pass (no shuffle), and metadata-only
@@ -364,6 +370,228 @@ object Multimodal {
     }
 
     def flacIssue(b: Array[Byte]): Option[String] = flacCore(b).left.toOption
+
+    // ---- FLAC frame decode: CONSTANT + VERBATIM subframes (r20) ----------
+    //
+    // Shrinking the compressed-audio honest gap from the PUBLIC spec
+    // (the FLAC format's frame layout is fully documented): CONSTANT
+    // and VERBATIM subframes carry their samples LOSSLESSLY and need no
+    // predictor state, so a pure-JVM decoder is a bit-reader plus the
+    // two frame CRCs. FIXED/LPC subframes and decorrelated-stereo
+    // channel assignments remain the named sentinel — decoding them
+    // means implementing the predictors, which is the codec-library
+    // line this engine deliberately does not cross.
+
+    /** MSB-first bit reader over a byte array. */
+    private[graft] final class BitReader(b: Array[Byte], start: Int) {
+      var pos: Int = start // byte position
+      var bit: Int = 0     // bits consumed of b(pos), from the MSB
+      def atEnd: Boolean = pos >= b.length
+      /** Next n bits (n <= 56) as an unsigned Long, MSB first. */
+      def bits(n: Int): Long = {
+        var out = 0L
+        var left = n
+        while (left > 0) {
+          if (pos >= b.length) throw new IndexOutOfBoundsException("eof")
+          val avail = 8 - bit
+          val take = math.min(avail, left)
+          val chunk = ((b(pos) & 0xff) >>> (avail - take)) & ((1 << take) - 1)
+          out = (out << take) | chunk
+          bit += take
+          if (bit == 8) { bit = 0; pos += 1 }
+          left -= take
+        }
+        out
+      }
+      def alignByte(): Unit = if (bit != 0) { bit = 0; pos += 1 }
+    }
+
+    /** CRC-8, poly 0x07, init 0 — the FLAC frame-header checksum. */
+    private[graft] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        crc ^= b(i) & 0xff
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+                else (crc << 1) & 0xff
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    /** CRC-16, poly 0x8005, init 0 — the FLAC whole-frame checksum. */
+    private[graft] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        crc ^= (b(i) & 0xff) << 8
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+                else (crc << 1) & 0xffff
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    private val BlockSizes192 = Array(0, 192, 576, 1152, 2304, 4608)
+
+    /** Decode every audio frame of a FLAC stream whose subframes are
+      * CONSTANT or VERBATIM: returns (rate, channels, bits, samples)
+      * with samples in frame order, channel-interleaved per frame.
+      * Left(reason) for malformed streams AND for the honest
+      * sentinels: `undecodable_subframe` (FIXED/LPC predictors),
+      * `undecodable_channel_mode` (decorrelated stereo),
+      * `bad_frame_crc` / `bad_frame_sync` / `truncated_frame`
+      * (structure). The walk is real parsing — metadata blocks by
+      * is-last flag, blocksize/rate/depth codes, UTF-8-coded frame
+      * number, both CRCs verified — not the generator's offsets. */
+    def flacSamples(b: Array[Byte])
+        : Either[String, (Long, Long, Long, Array[Int])] = {
+      flacCore(b) match {
+        case Left(e) => Left(e)
+        case Right((rate, ch, bits, _)) =>
+          // walk metadata blocks to the first frame (flacCore verified
+          // the first block is STREAMINFO; honor is-last flags)
+          var p = 4
+          var last = false
+          while (!last) {
+            if (p + 4 > b.length) return Left("truncated_streaminfo")
+            last = (b(p) & 0x80) != 0
+            val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) |
+              (b(p + 3) & 0xff)
+            p += 4 + len
+          }
+          if (p > b.length) return Left("truncated_streaminfo")
+          val out = scala.collection.mutable.ArrayBuilder.make[Int]
+          try {
+            while (p < b.length) {
+              val frameStart = p
+              // header: 14-bit sync + reserved + blocking strategy
+              if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xfc) != 0xf8)
+                return Left("bad_frame_sync")
+              val bsCode = (b(p + 2) & 0xf0) >>> 4
+              val srCode = b(p + 2) & 0x0f
+              val chanAssign = (b(p + 3) & 0xf0) >>> 4
+              val ssCode = (b(p + 3) & 0x0e) >>> 1
+              p += 4
+              // UTF-8-coded frame/sample number: lead byte gives width
+              val lead = b(p) & 0xff
+              val extra =
+                if (lead < 0x80) 0
+                else Integer.numberOfLeadingZeros(~(lead << 24)) - 0
+              p += 1 + (if (lead < 0x80) 0 else extra - 1)
+              var blockSize = bsCode match {
+                case c if c >= 1 && c <= 5 => BlockSizes192(c)
+                case 6 => val v = (b(p) & 0xff) + 1; p += 1; v
+                case 7 =>
+                  val v = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1
+                  p += 2; v
+                case c if c >= 8 => 256 << (c - 8)
+                case _ => return Left("bad_frame_blocksize")
+              }
+              if (srCode == 12) p += 1 // 8-bit kHz rate at header end
+              else if (srCode == 13 || srCode == 14) p += 2
+              val crc8At = p
+              if (crc8(b, frameStart, crc8At) != (b(p) & 0xff))
+                return Left("bad_frame_crc")
+              p += 1
+              val nCh = chanAssign match {
+                case c if c <= 7 => c + 1
+                case _ => return Left("undecodable_channel_mode")
+              }
+              val sBits = ssCode match {
+                case 1 => 8; case 2 => 12; case 4 => 16; case 5 => 20
+                case 6 => 24; case 7 => 32
+                case 0 => bits.toInt // from STREAMINFO
+                case _ => return Left("bad_frame_depth")
+              }
+              val rd = new BitReader(b, p)
+              var c = 0
+              while (c < nCh) {
+                if (rd.bits(1) != 0) return Left("bad_subframe_pad")
+                val tpe = rd.bits(6).toInt
+                val wasted = rd.bits(1)
+                if (wasted != 0) return Left("undecodable_subframe")
+                def signed(v: Long): Int = {
+                  val half = 1L << (sBits - 1)
+                  (if (v >= half) v - (half << 1) else v).toInt
+                }
+                tpe match {
+                  case 0 => // CONSTANT: one value for the whole block
+                    val v = signed(rd.bits(sBits))
+                    var k = 0
+                    while (k < blockSize) { out += v; k += 1 }
+                  case 1 => // VERBATIM: blockSize unencoded samples
+                    var k = 0
+                    while (k < blockSize) {
+                      out += signed(rd.bits(sBits)); k += 1
+                    }
+                  case _ => return Left("undecodable_subframe")
+                }
+                c += 1
+              }
+              rd.alignByte()
+              p = rd.pos
+              val crcStored = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+              if (crc16(b, frameStart, p) != crcStored)
+                return Left("bad_frame_crc")
+              p += 2
+            }
+          } catch {
+            case _: IndexOutOfBoundsException => return Left("truncated_frame")
+          }
+          Right((rate, ch, bits, out.result()))
+      }
+    }
+
+    /** A real two-frame FLAC stream for `docId`: frame 0 CONSTANT
+      * (value `(docId*31) % 65536 - 32768`), frame 1 VERBATIM with 192
+      * 16-bit samples built big-endian from the payload bytes
+      * (`hi = payload((2k) % n)`, `lo = payload((2k+1) % n)`) — mono,
+      * 16-bit, 44100 Hz, blocksize 192 (code 0001), real CRC-8/CRC-16.
+      * The oracle re-derives every sample from the document text
+      * independently of this writer (the dimsOf contract). */
+    def flacWithFrames(docId: Long, payload: Array[Byte]): Array[Byte] = {
+      val total = 384L
+      def frame(num: Int, body: java.io.ByteArrayOutputStream => Unit)
+          : Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(0xff); o.write(0xf8)
+        o.write(0x10) // blocksize code 0001 (192) | rate code 0000
+        o.write(0x08) // mono | sample size code 100 (16 bit) | reserved
+        o.write(num)  // UTF-8-coded frame number (< 0x80: one byte)
+        val h = o.toByteArray
+        o.write(crc8(h, 0, h.length))
+        body(o)
+        val f = o.toByteArray
+        val crc = crc16(f, 0, f.length)
+        o.write((crc >>> 8) & 0xff); o.write(crc & 0xff)
+        o.toByteArray
+      }
+      val cval = ((docId * 31) % 65536L - 32768L).toInt
+      val f0 = frame(0, o => {
+        o.write(0x00) // CONSTANT subframe header
+        o.write((cval >>> 8) & 0xff); o.write(cval & 0xff)
+      })
+      val f1 = frame(1, o => {
+        o.write(0x02) // VERBATIM subframe header
+        val n = payload.length
+        var k = 0
+        while (k < 192) {
+          o.write(payload((2 * k) % n) & 0xff)
+          o.write(payload((2 * k + 1) % n) & 0xff)
+          k += 1
+        }
+      })
+      flacHeader(44100L, 1L, 16L, total) ++ f0 ++ f1
+    }
   }
 
   /** One decoded media row across modalities: image rows carry parsed
@@ -998,4 +1226,84 @@ object Multimodal {
       |SELECT media_id, frame_idx, md5(chunk) AS frame_hash,
       |       CAST(len(chunk) AS BIGINT) AS frame_bytes
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
+  // ---- q96: FLAC CONSTANT/VERBATIM sample decode -------------------------
+
+  /** q96 — compressed-audio SAMPLE decode, shrinking the standing
+    * honest gap: every document becomes a real two-frame FLAC stream
+    * ([[MediaCodec.flacWithFrames]] — CONSTANT + VERBATIM subframes,
+    * real CRC-8/CRC-16, bit-packed per the public spec), decoded back
+    * with the generic bit-reader walk ([[MediaCodec.flacSamples]] —
+    * frame sync, blocksize/depth codes, UTF-8-coded frame numbers,
+    * both CRCs verified; construction and parse share no offsets),
+    * then reduced to q75's PCM statistics. FIXED/LPC predictors and
+    * decorrelated stereo remain the named sentinel (spec-pinned) —
+    * that is the codec-library line. Parameters in the OUTPUT come
+    * from the decode, not the generator. */
+  def flacPcmStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val b = MediaCodec.flacWithFrames(id, text.getBytes("UTF-8"))
+        MediaCodec.flacSamples(b) match {
+          case Left(_) =>
+            PcmStats(id, -1L, -1L, -1L, -1L, 0.0, 0L, 0.0)
+          case Right((rate, ch, bits, samples)) =>
+            val n = samples.length.toLong
+            var sum = 0L; var peak = 0L; var sumSq = 0L
+            var k = 0
+            while (k < samples.length) {
+              val s = samples(k).toLong
+              sum += s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sumSq += s * s // 16-bit samples: n * 2^30 fits int64 to n≈2^33
+              k += 1
+            }
+            val (mean, rms) =
+              if (n == 0) (0.0, 0.0)
+              else (sum.toDouble / n, math.sqrt(sumSq.toDouble / n))
+            PcmStats(id, rate, ch, bits, n, mean, peak, rms)
+        }
+    }.toDF()
+  }
+
+  def qFlacPcmStats(s: SparkSession, d: String): DataFrame =
+    flacPcmStats(Tables.documents(s, d)).orderBy("media_id")
+
+  /** Oracle: every sample re-derived from the DOCUMENT TEXT alone —
+    * the constant frame from the doc_id arithmetic, the verbatim frame
+    * from the payload's big-endian hex pairs with the wrap rule — then
+    * the identical exact-int statistics (sums ≤ 2^53, so the ::DOUBLE
+    * casts are exact; each later float op singly rounded on both
+    * sides, the q75 contract). */
+  val qFlacPcmStatsSql: String = {
+    def b(j: String) =
+      s"('0x' || substr(hx, (($j)*2+1)::INT, 2))::BIGINT"
+    val raw = s"256 * ${b("(2*k) % nb")} + ${b("(2*k+1) % nb")}"
+    s"""WITH f AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS nb,
+       |         (doc_id * 31) % 65536 - 32768 AS cval
+       |  FROM documents),
+       |v AS (
+       |  SELECT media_id, cval,
+       |         list_transform(range(0, 192), k ->
+       |           CASE WHEN ($raw) >= 32768 THEN ($raw) - 65536
+       |                ELSE ($raw) END) AS verb
+       |  FROM f)
+       |SELECT media_id,
+       |       CAST(44100 AS BIGINT) AS sample_rate,
+       |       CAST(1 AS BIGINT) AS channels,
+       |       CAST(16 AS BIGINT) AS bits_per_sample,
+       |       CAST(384 AS BIGINT) AS n_samples,
+       |       (192 * cval + list_sum(verb))::DOUBLE / 384 AS mean_amp,
+       |       CAST(GREATEST(abs(cval),
+       |                     list_max(list_transform(verb, s -> abs(s))))
+       |            AS BIGINT) AS peak_abs,
+       |       sqrt((192 * cval * cval
+       |             + list_sum(list_transform(verb, s -> s * s)))::DOUBLE
+       |            / 384) AS rms
+       |FROM v ORDER BY media_id""".stripMargin
+  }
 }

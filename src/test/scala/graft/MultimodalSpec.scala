@@ -295,6 +295,70 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("FLAC frame decode: CONSTANT/VERBATIM round-trip, CRC tamper caught, predictor sentinels honest") {
+    import MediaCodec._
+    // round-trip: the generator's two-frame stream decodes to exactly
+    // the samples it encoded (192 × constant ++ 192 verbatim)
+    val payload = "flac frame payload bytes 0123456789".getBytes("UTF-8")
+    val b = flacWithFrames(7L, payload)
+    val Right((rate, ch, bits, samples)) = flacSamples(b)
+    assert((rate, ch, bits) == ((44100L, 1L, 16L)))
+    assert(samples.length == 384)
+    val cval = ((7L * 31) % 65536L - 32768L).toInt
+    assert(samples.take(192).forall(_ == cval), "constant frame wrong")
+    val verb = (0 until 192).map { k =>
+      val raw = ((payload((2 * k) % payload.length) & 0xff) << 8) |
+        (payload((2 * k + 1) % payload.length) & 0xff)
+      if (raw >= 32768) raw - 65536 else raw
+    }
+    assert(samples.drop(192).toSeq == verb, "verbatim frame wrong")
+    // a single flipped payload bit breaks the frame CRC-16
+    val tampered = b.clone()
+    tampered(tampered.length - 10) =
+      (tampered(tampered.length - 10) ^ 0x01).toByte
+    assert(flacSamples(tampered) == Left("bad_frame_crc"))
+    // ...and a flipped header bit breaks the CRC-8
+    val tampered2 = b.clone()
+    tampered2(44) = (tampered2(44) ^ 0x04).toByte // inside frame-0 header
+    assert(flacSamples(tampered2) == Left("bad_frame_crc"))
+    // the honest sentinels: a FIXED-predictor subframe (type 001000)
+    // and a left/side stereo frame (channel assignment 1000) decode to
+    // their named gaps, never to wrong samples
+    val fixedSub = b.clone()
+    fixedSub(47) = 0x10.toByte // frame-0 subframe header: type 001000
+    assert(flacSamples(fixedSub) == Left("undecodable_subframe") ||
+      flacSamples(fixedSub) == Left("bad_frame_crc"))
+    // rebuild frame-0 with the mutated subframe type and a VALID crc
+    // chain, so the sentinel (not the crc) is what fires
+    val f0 = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(0xff); o.write(0xf8); o.write(0x10); o.write(0x08); o.write(0)
+      val h = o.toByteArray
+      o.write(crc8(h, 0, h.length))
+      o.write(0x10) // FIXED order-0 subframe header
+      o.write((cval >>> 8) & 0xff); o.write(cval & 0xff)
+      val f = o.toByteArray
+      val crc = crc16(f, 0, f.length)
+      o.write((crc >>> 8) & 0xff); o.write(crc & 0xff)
+      o.toByteArray
+    }
+    assert(flacSamples(flacHeader(44100L, 1L, 16L, 192L) ++ f0) ==
+      Left("undecodable_subframe"))
+    val stereo = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(0xff); o.write(0xf8); o.write(0x10)
+      o.write(0x88) // channel assignment 1000 = left/side
+      o.write(0)
+      val h = o.toByteArray
+      o.write(crc8(h, 0, h.length))
+      o.toByteArray
+    }
+    assert(flacSamples(flacHeader(44100L, 2L, 16L, 192L) ++ stereo) ==
+      Left("undecodable_channel_mode"))
+    // truncation fails honestly too
+    assert(flacSamples(b.take(b.length - 50)).isLeft)
+  }
+
   test("compressedMediaTable rows parse back to the doc_id arithmetic") {
     val rows = Multimodal.compressedMediaTable(
       graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")).collect()
